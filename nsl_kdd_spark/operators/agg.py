@@ -1,0 +1,92 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All shapes here compile to partial+final hash aggregation, so they
+scale linearly with input; the only cardinality-sensitive one is
+``crosstab`` (bounded pivot width, like the reference's <=70-category
+columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, *keys: str, desc: bool = True) -> DataFrame:
+    """``groupBy(keys).count()`` sorted by count (A1/W1, reference
+    README.md:296-297)."""
+    out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+    return out.orderBy(F.desc("count") if desc else F.asc("count"), *keys)
+
+
+def crosstab(df: DataFrame, row: str, col: str, values: Sequence[str]) -> DataFrame:
+    """Contingency table (A2, README.md:347). Built on
+    ``groupBy(row).pivot(col, values).count()`` — the general primitive —
+    with the pivot vocabulary passed explicitly: at 100 TB a
+    two-pass ``pivot()`` (distinct scan + agg) doubles the IO, and an
+    explicit vocabulary also keeps the output schema stable for tests.
+    Cells are zero-filled like ``df.stat.crosstab``."""
+    out = df.groupBy(row).pivot(col, list(values)).agg(F.count(F.lit(1)))
+    return out.fillna(0, subset=list(values)).orderBy(row)
+
+
+def describe_stats(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """``describe()`` equivalent (A3, README.md:576) with typed (double)
+    output instead of strings: one row per column with
+    count/mean/stddev/min/max; single pass over the data."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev(c).alias(f"{c}__stddev"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__count").cast("double").alias("count"),
+            F.col(f"{c}__mean").cast("double").alias("mean"),
+            F.col(f"{c}__stddev").cast("double").alias("stddev"),
+            F.col(f"{c}__min").cast("double").alias("min"),
+            F.col(f"{c}__max").cast("double").alias("max"),
+        )
+        for c in columns
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )
+
+
+def distinct_count(df: DataFrame, column: str, approx: bool = False) -> DataFrame:
+    """Cardinality probe (A4, README.md:372). ``approx=True`` swaps in
+    HyperLogLog++ — the 100 TB default; exact needs a full shuffle."""
+    agg = (
+        F.approx_count_distinct(column) if approx else F.countDistinct(column)
+    ).alias("n_distinct")
+    return df.agg(agg)
+
+
+def global_stats(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Multi-column one-row avg+stddev (A5/A6, README.md:1147,1323-1324):
+    feeds the z-score standardizer without a per-column job."""
+    aggs = []
+    for c in columns:
+        aggs.append(F.avg(c).alias(f"avg_{c}"))
+        aggs.append(F.stddev(c).alias(f"stddev_{c}"))
+    return df.agg(*aggs)
+
+
+def grouped_avg(df: DataFrame, label_col: str, columns: Sequence[str]) -> DataFrame:
+    """``groupBy(label).avg(cols)`` (A7, README.md:1153)."""
+    return (
+        df.groupBy(label_col)
+        .agg(*[F.avg(c).alias(f"avg_{c}") for c in columns])
+        .orderBy(label_col)
+    )

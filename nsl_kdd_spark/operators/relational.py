@@ -1,0 +1,93 @@
+"""Projection / filter / repair operators (SURVEY.md §2.2).
+
+Everything here is a pure ``DataFrame -> DataFrame`` built from column
+expressions only — no Python row boundary — so Catalyst folds these
+into scans (predicate pushdown, column pruning) untouched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, DataType | str]) -> DataFrame:
+    """Wide cast-projection (reference README.md:116-158, P1): one
+    ``select`` so the optimizer sees a single Project node."""
+    return df.select(
+        *[F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in df.columns]
+    )
+
+
+def replace_values(
+    df: DataFrame, column: str, mapping: Mapping[object, object]
+) -> DataFrame:
+    """Value repair, e.g. the reference's ``su_attempted`` 2.0 -> 0.0
+    (README.md:676, P9) — expressed as a CASE chain instead of
+    ``DataFrame.replace`` so it stays a plain expression."""
+    expr: Column = F.col(column)
+    for old, new in mapping.items():
+        expr = F.when(F.col(column) == F.lit(old), F.lit(new)).otherwise(expr)
+    return df.withColumn(column, expr)
+
+
+def fill_nulls(df: DataFrame, value: object, subset: Sequence[str] | None = None) -> DataFrame:
+    """Null repair (README.md:1156,1164, P10). The reference uses a
+    1000.0 sentinel for division-by-zero; callers pair this with
+    ``F.try_divide``-style safe math."""
+    return df.fillna(value, subset=list(subset) if subset is not None else None)
+
+
+def drop_constant_columns(df: DataFrame, candidates: Sequence[str]) -> DataFrame:
+    """Data-driven degenerate-column elimination (the reference drops
+    ``num_outbound_cmds`` after a crosstab shows one distinct value,
+    README.md:977-995). One pass of ``approx_count_distinct`` over all
+    candidates — O(1) jobs, not one job per column."""
+    if not candidates:
+        return df
+    counts = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in candidates]
+    ).first()
+    constant = [c for c in candidates if counts[c] <= 1]
+    return df.drop(*constant) if constant else df
+
+
+def with_deterministic_id(
+    df: DataFrame, id_col: str = "id", order_by: Sequence[str] | None = None
+) -> DataFrame:
+    """Row-id assignment. The reference uses
+    ``monotonically_increasing_id()`` (README.md:260) whose values shift
+    whenever uncached lineage recomputes with different partitioning —
+    fragile for result-assembly joins at scale (SURVEY.md §4.3). With
+    ``order_by`` the id is a ``row_number`` over a stable sort —
+    deterministic, at the cost of one global sort; without, it falls
+    back to the fast nondeterministic variant (caller must cache)."""
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def one_hot(
+    df: DataFrame,
+    column: str,
+    categories: Sequence[str],
+    prefix: str | None = None,
+    drop_input: bool = False,
+) -> DataFrame:
+    """One-hot as conditional projection (SURVEY.md M4/D2): replaces the
+    reference's dict-closure UDF-returning-struct (README.md:1052-1078)
+    with ``when(col==cat, 1.0)`` columns — pure expressions, codegen'd,
+    no Python worker. Category provenance is the caller's decision (the
+    reference's per-dataset vocabularies are its §7.4 fidelity quirk);
+    pass train-side categories for sane train/test alignment."""
+    pref = prefix if prefix is not None else column
+    cols = [
+        F.when(F.col(column) == F.lit(cat), F.lit(1.0)).otherwise(F.lit(0.0)).alias(f"{pref}_{cat}")
+        for cat in categories
+    ]
+    out = df.select("*", *cols)
+    return out.drop(column) if drop_input else out
