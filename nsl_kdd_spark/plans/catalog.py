@@ -340,3 +340,475 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer, recent, on=[t.customer.c_custkey == recent.o_custkey]
     )
     return out.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# F1/D1/M1: label derivation — lookahead regex + map-literal lookup
+# (README.md:229,173-238), exercised on documents.lang
+# ---------------------------------------------------------------------------
+
+_LANG_FAMILY = {"en": "germanic", "de": "germanic", "es": "romance",
+                "fr": "romance", "zh": "sinitic"}
+
+
+@query(
+    "q11_label_map",
+    oracle="""
+    SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'nonen' END AS labels2,
+           CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+                     WHEN 'es' THEN 'romance'  WHEN 'fr' THEN 'romance'
+                     WHEN 'zh' THEN 'sinitic' END AS family,
+           COUNT(*) AS count
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY count DESC, labels2, family
+    """,
+)
+def q11_label_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.labels import binary_label, map_label
+
+    t = load_tables(spark, sf_dir)
+    df = t.documents.withColumns({
+        "labels2": binary_label("lang", normal_value="en", positive_value="nonen"),
+        "family": map_label("lang", _LANG_FAMILY, strict=True),
+    })
+    return (
+        df.groupBy("labels2", "family")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "labels2", "family")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4/D2: one-hot as conditional projection (README.md:1052-1078)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_one_hot",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS o_orderstatus_F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END) AS o_orderstatus_O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END) AS o_orderstatus_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q12_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ohe = relational.one_hot(t.orders, "o_orderstatus", ["F", "O", "P"])
+    return (
+        ohe.groupBy("o_orderpriority")
+        .agg(*[F.sum(f"o_orderstatus_{v}").alias(f"o_orderstatus_{v}") for v in "FOP"])
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3/M6: z-score standardization from exact global stats
+# (README.md:1322-1341)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS mu,
+             SQRT((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(c_acctbal) AS DOUBLE))
+                  / (CAST(COUNT(c_acctbal) AS DOUBLE) - 1.0)) AS sigma
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal, (c_acctbal - mu) / sigma AS acctbal_z
+    FROM customer, stats
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+)
+def q13_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.scalar import zscore
+
+    t = load_tables(spark, sf_dir)
+    stats = t.customer.agg(
+        exact_avg("c_acctbal").alias("mu"),
+        exact_stddev("c_acctbal").alias("sigma"),
+    )
+    return (
+        t.customer.filter(F.col("c_custkey") < 200)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey", "c_acctbal",
+            zscore("c_acctbal", F.col("mu"), F.col("sigma")).alias("acctbal_z"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9/P10: value replacement + divide-by-zero sentinel (README.md:676,1164)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_replace_fillna",
+    oracle="""
+    SELECT CASE WHEN l_returnflag = 'N' THEN 'NONE' ELSE l_returnflag END AS returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN l_tax <> 0 THEN l_discount / l_tax
+                              ELSE 1000.0 END AS DECIMAL(28,6))) AS DOUBLE) AS sum_ratio
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY returnflag
+    """,
+)
+def q14_replace_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.scalar import safe_ratio
+
+    t = load_tables(spark, sf_dir)
+    df = relational.replace_values(t.lineitem, "l_returnflag", {"N": "NONE"})
+    ratio = safe_ratio(F.col("l_discount"), F.col("l_tax"), sentinel=1000.0)
+    return (
+        df.withColumnRenamed("l_returnflag", "returnflag")
+        .groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ratio.cast("decimal(28,6)")).cast("double").alias("sum_ratio"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5/F6/D3: soft/weighted vote, hard OR vote, thresholding
+# (README.md:3113,3266,3142,1450)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_vote_blend",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(
+             CAST((CASE WHEN value >= 5 THEN 1.0 ELSE 0.0 END) AS INT)
+             | CAST((CASE WHEN value >= 10 THEN 1.0 ELSE 0.0 END) AS INT)
+             | CAST((CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS INT)
+           AS DOUBLE)) AS n_votes,
+           CAST(SUM(CAST((3 * (value / 100) + 2 * (value / 200) + 1 * 0.5) / 6
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_blend
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q15_vote_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    df = t.events.withColumns({
+        "p1": threshold(F.col("value"), 5.0),
+        "p2": threshold(F.col("value"), 10.0),
+        "p3": F.when(F.col("event_type") == "error", 1.0).otherwise(0.0),
+        "blend": soft_vote(F.col("value") / 100, F.col("value") / 200, F.lit(0.5),
+                           weights=[3.0, 2.0, 1.0]),
+    })
+    df = df.withColumn("vote", hard_vote_or("p1", "p2", "p3"))
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vote").alias("n_votes"),
+            F.sum(F.col("blend").cast("decimal(28,6)")).cast("double").alias("sum_blend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 JSON functions over events.props (the reference has none; the
+# engine exposes Spark's native JSON path functions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t.events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 date/time functions (engine extension; oracle-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_date_agg",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2
+    ORDER BY yr, mo
+    """,
+)
+def q17_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 analytic windows: lag/delta per key (sessionization building block)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           value - LAG(value) OVER w AS delta,
+           ROW_NUMBER() OVER w AS rn
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+    """,
+)
+def q18_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t.events.filter(F.col("user_id") < 20)
+        .select(
+            "event_id", "user_id", "value",
+            F.lag("value").over(w).alias("prev_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouping sets: rollup over the region/nation hierarchy
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    df = joins.equi_join(
+        t.customer, t.nation,
+        on=[t.customer.c_nationkey == t.nation.n_nationkey], broadcast_right=True,
+    )
+    df = joins.equi_join(
+        df, t.region, on=[F.col("n_regionkey") == F.col("r_regionkey")],
+        broadcast_right=True,
+    )
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations: intersect / except (engine extension)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_set_ops",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')) AS n_f_not_p
+    """,
+)
+def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def custs(status: str) -> DataFrame:
+        return t.orders.filter(F.col("o_orderstatus") == status).select("o_custkey").distinct()
+
+    n_both = custs("F").intersect(custs("O")).count()
+    n_f_not_p = custs("F").exceptAll(custs("P")).count()
+    return spark.createDataFrame([(n_both, n_f_not_p)], "n_both long, n_f_not_p long")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Spark-native confusion matrix + FAR/DR/F1 (README.md:1433-1475)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_binary_metrics",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= 5.0 THEN 1 ELSE 0 END AS p
+      FROM events
+    ), cm AS (
+      SELECT COUNT(*) FILTER (WHERE y=0 AND p=0) AS tn,
+             COUNT(*) FILTER (WHERE y=0 AND p=1) AS fp,
+             COUNT(*) FILTER (WHERE y=1 AND p=0) AS fn,
+             COUNT(*) FILTER (WHERE y=1 AND p=1) AS tp
+      FROM scored
+    )
+    SELECT tn, fp, fn, tp,
+           (tp + tn) * 1.0 / (tp + tn + fp + fn) AS accuracy,
+           tp * 1.0 / (tp + fp) AS precision,
+           tp * 1.0 / (tp + fn) AS detection_rate,
+           fp * 1.0 / (fp + tn) AS false_alarm_rate,
+           2 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+             / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))) AS f1
+    FROM cm
+    """,
+)
+def q21_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.metrics import binary_metrics
+
+    t = load_tables(spark, sf_dir)
+    scored = t.events.select(
+        F.when(F.col("event_type") == "error", 1.0).otherwise(0.0).alias("y"),
+        threshold(F.col("value"), 5.0).alias("p"),
+    )
+    return binary_metrics(scored, "y", "p")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 distributed rank-based AUC (replaces sklearn roc_auc_score)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_auc_roc",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y, value AS s
+      FROM events
+    ), rn AS (
+      SELECT y, s, ROW_NUMBER() OVER (ORDER BY s) AS rnum FROM r
+    ), ranked AS (
+      SELECT y, AVG(rnum) OVER (PARTITION BY s) AS rk FROM rn
+    )
+    SELECT (SUM(CASE WHEN y = 1 THEN rk END) - SUM(y) * (SUM(y) + 1) / 2.0)
+           / (SUM(y) * 1.0 * SUM(1 - y)) AS auc
+    FROM ranked
+    """,
+)
+def q22_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.metrics import auc_roc
+
+    t = load_tables(spark, sf_dir)
+    scored = t.events.select(
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+        F.col("value").alias("s"),
+    )
+    return auc_roc(scored, "y", "s")
+
+
+# ---------------------------------------------------------------------------
+# A8/A9/M5: Attribute-Ratio feature scoring (README.md:1143-1172)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q23_attribute_ratio",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(event_type = 'error' AS DOUBLE) AS is_error,
+             CAST(value >= 10 AS DOUBLE) AS high_value
+      FROM events
+    ), g AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS gavg
+      FROM base
+    ), per AS (
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+        CASE WHEN COUNT(is_error) - CAST(SUM(CAST(is_error AS DECIMAL(18,2))) AS DOUBLE) <> 0
+             THEN CAST(SUM(CAST(is_error AS DECIMAL(18,2))) AS DOUBLE)
+                  / (COUNT(is_error) - CAST(SUM(CAST(is_error AS DECIMAL(18,2))) AS DOUBLE))
+             ELSE 1000.0 END AS odds_is_error,
+        CASE WHEN COUNT(high_value) - CAST(SUM(CAST(high_value AS DECIMAL(18,2))) AS DOUBLE) <> 0
+             THEN CAST(SUM(CAST(high_value AS DECIMAL(18,2))) AS DOUBLE)
+                  / (COUNT(high_value) - CAST(SUM(CAST(high_value AS DECIMAL(18,2))) AS DOUBLE))
+             ELSE 1000.0 END AS odds_high_value
+      FROM base GROUP BY event_type
+    )
+    SELECT * FROM (
+      SELECT 'value' AS feature,
+             COALESCE(MAX(avg_value / (SELECT gavg FROM g)), 0.0) AS ratio FROM per
+      UNION ALL
+      SELECT 'is_error', COALESCE(MAX(odds_is_error), 0.0) FROM per
+      UNION ALL
+      SELECT 'high_value', COALESCE(MAX(odds_high_value), 0.0) FROM per
+    ) ORDER BY ratio DESC, feature
+    """,
+)
+def q23_attribute_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.ar import attribute_ratio
+
+    t = load_tables(spark, sf_dir)
+    base = t.events.withColumns({
+        "is_error": F.when(F.col("event_type") == "error", 1.0).otherwise(0.0),
+        "high_value": threshold(F.col("value"), 10.0),
+    })
+    return attribute_ratio(
+        base, numeric_cols=["value"], binary_cols=["is_error", "high_value"],
+        label_col="event_type",
+    )

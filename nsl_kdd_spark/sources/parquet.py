@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nsl_kdd_spark.schema import TESTDATA_TABLES
 
@@ -25,9 +26,22 @@ class Tables:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self._spark.read.parquet(
-                os.path.join(self._dir, f"{name}.parquet")
-            )
+            path = os.path.join(self._dir, f"{name}.parquet")
+            if name == "events":
+                # events.parquet stores TIMESTAMP(NANOS), which the
+                # Spark 4 parquet reader rejects; read nanos as long
+                # (legacy conf, runtime-settable) and truncate to a
+                # microsecond timestamp — the same ns->us conversion
+                # DuckDB applies, so oracle comparisons line up.
+                self._spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = self._spark.read.parquet(path)
+                if dict(df.dtypes).get("ts") == "bigint":
+                    # integer `div`, not `/`: double division loses
+                    # sub-microsecond bits on epoch-nano magnitudes
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                self._cache[name] = df
+            else:
+                self._cache[name] = self._spark.read.parquet(path)
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
