@@ -1,0 +1,114 @@
+"""Text-analysis expressions (SURVEY.md §2.13; BASELINE.json north-star).
+
+Everything is a Catalyst column expression over ``documents.text`` —
+whole-stage-codegen'd, no Python UDFs — so text scoring runs at scan
+speed and the 100 TB path is just "read parquet, project".
+
+Determinism: tokenization is a plain split, hashes are md5 (identical
+hex output in Spark and DuckDB), so every function here is
+oracle-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic (public common-word lists, truncated)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def token_count(col: Column | str, sep: str = " ") -> Column:
+    return F.size(tokens(col, sep))
+
+
+def regex_token_count(col: Column | str, pattern: str = "[A-Za-z]+|[0-9]+") -> Column:
+    """BPE-ish token counting: count regex-word matches (letters runs +
+    digit runs). Keep patterns in the RE2 ∩ Java-regex common subset
+    so oracles agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(f"({pattern})"), 1))
+
+
+def distinct_tokens(col: Column | str, sep: str = " ") -> Column:
+    return F.array_distinct(tokens(col, sep))
+
+
+def stopword_ratio(
+    col: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS
+) -> Column:
+    """|distinct tokens ∩ stopwords| / |distinct tokens| — type-token
+    stopword coverage, the quality-scoring building block."""
+    toks = distinct_tokens(col)
+    inter = F.array_intersect(toks, F.array(*[F.lit(s) for s in stopwords]))
+    return F.size(inter).cast("double") / F.size(toks)
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """mean token length = (chars - separators) / tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return (F.length(c) - (n - 1)).cast("double") / n
+
+
+def quality_score(col: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    """Composite [0,1]-ish document quality heuristic: length band +
+    stopword coverage + type-token ratio. Deliberately simple and
+    fully expression-based; swap weights per corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c).cast("double")
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    ttr = F.size(distinct_tokens(c)).cast("double") / n
+    return (length_term + stopword_ratio(c, stopwords) + ttr) / F.lit(3.0)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker coverage of the distinct-token set."""
+    return {lang: stopword_ratio(col, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """argmax over language scores; ties broken toward the
+    alphabetically smallest language code (first processed wins, later
+    codes replace only on strictly greater score). Returns ``default``
+    when every score is 0."""
+    scores = lang_scores(col)
+    best = F.lit(default)
+    best_score = F.lit(0.0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order/multiplicity-invariant document fingerprint: md5 over the
+    sorted distinct token set. Catches shuffled/duplicated-word copies
+    that exact text hashing misses (cf. the token-permutation near-dups
+    in the synthetic corpus)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(col))))
+
+
+def exact_hash(col: Column | str) -> Column:
+    """Exact-content hash for byte-identical dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)

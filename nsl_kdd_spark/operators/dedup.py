@@ -1,0 +1,259 @@
+"""Deduplication operators (BASELINE.json north-star; SURVEY.md §2.13).
+
+Four tiers, cheapest first:
+
+1. exact       — hash-groupBy on content hash; one shuffle.
+2. simhash     — per-doc 16-bit signature, near-dups = small hamming
+                 distance; candidate pairs via same-bucket join.
+3. minhash LSH — k md5 min-hashes -> banded buckets -> bucket join ->
+                 verify jaccard. The classic shingle->minhash->band
+                 pipeline, entirely in expressions.
+4. n-gram jaccard — exact set-similarity join via token/shingle
+                 inverted index (explode -> join on shingle -> count),
+                 the verification layer and the ground truth.
+
+Scale notes (100 TB): every pairwise step goes through an equi-join on
+a derived key (shingle / band bucket / signature), never a cross join;
+hot shingles are the skew risk — AQE skew-join handles moderate skew,
+and ``max_shingle_freq`` drops degenerate stop-shingles (a standard
+LSH trick) for the rest. Hashes are md5 hex (cross-engine identical),
+so every operator here is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.text import distinct_tokens, exact_hash, tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content hash. Hash first so the
+    shuffle key is 32 bytes, not the document body."""
+    w = Window.partitionBy(exact_hash(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` counts DOWN
+    (step -1), so docs with < n tokens must short-circuit to empty."""
+    w = tokens(col)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, shingle_col: Column, max_shingle_freq: int | None
+) -> DataFrame:
+    """(id, shingle) inverted index; optionally drops shingles more
+    frequent than ``max_shingle_freq`` (stop-shingle skew guard)."""
+    idx = df.select(F.col(id_col).alias("__id"), F.explode(shingle_col).alias("__sh"))
+    if max_shingle_freq is not None:
+        freq = idx.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        idx = idx.join(
+            F.broadcast(freq.filter(F.col("__f") > max_shingle_freq).select("__sh")),
+            on="__sh",
+            how="left_anti",
+        )
+    return idx
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact set-similarity join on word n-gram shingles.
+
+    inverted index -> self-join on shingle -> per-pair intersection
+    count -> jaccard = inter / (|A| + |B| - inter). Shuffles on
+    shingle then on (a, b); no cross join anywhere. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__shs"))
+    sizes = sh.select("__id", F.size("__shs").alias("__sz"))
+    idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
+    a = idx.select(F.col("__id").alias("id_a"), "__sh")
+    b = idx.select(F.col("__id").alias("id_b"), "__sh")
+    inter = (
+        a.join(b, on="__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    jac = (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """k-permutation MinHash over distinct tokens.
+
+    Hash family: ``md5(seed || ':' || token)`` compared as hex strings
+    — engine-portable (md5 is identical everywhere) and uniform. One
+    explode + one grouped agg with k min() columns: a single shuffle
+    regardless of k."""
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(distinct_tokens(text_col)).alias("__t")
+    )
+    return tok.groupBy("__id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__t")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> verify.
+
+    Bands of ``band_size`` signatures hash to a bucket; docs sharing
+    any band bucket become candidates (standard S-curve selectivity);
+    candidates are then verified with the exact jaccard of their
+    distinct-token sets via a second pass. Returns verified
+    (id_a, id_b, jaccard >= threshold)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(bi)),
+                        *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)],
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on="__bucket")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    toks = df.select(F.col(id_col).alias("__id"), distinct_tokens(text_col).alias("__ts"))
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
+    tb = toks.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
+    verified = (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                / F.size(F.array_union("__ta", "__tb"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hex4_to_int(h: Column) -> Column:
+    """First 4 hex chars of a digest -> 16-bit int, via alphabet
+    position (portable: strpos/instr agree across engines)."""
+    out = F.lit(0)
+    for pos in range(1, 5):
+        d = F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1
+        out = out * 16 + d
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per-bit majority vote of
+    token-hash bits. explode -> one agg with ``bits`` conditional sums
+    -> pack. Returns (id, simhash long)."""
+    tok = df.select(
+        F.col(id_col).alias(id_col), F.explode(distinct_tokens(text_col)).alias("__t")
+    )
+    h = _hex4_to_int(F.md5(F.col("__t")))
+    per_bit = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+            for b in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
+        sig = sig + bit.cast("long") * F.lit(2 ** b).cast("long")
+    return per_bit.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Candidate generation joins on ``block_col`` when given (e.g. lang /
+    source partition); production-scale variant would join on signature
+    bands (rotate-and-prefix). Returns (id_a, id_b, hamming)."""
+    cols = [id_col] + ([block_col] if block_col else [])
+    sigs = simhash(df.select(*cols, text_col), id_col, text_col, bits)
+    if block_col:
+        sigs = sigs.join(df.select(id_col, block_col), on=id_col)
+    a = sigs.select(*[F.col(c).alias(f"{c}_a") for c in sigs.columns])
+    b = sigs.select(*[F.col(c).alias(f"{c}_b") for c in sigs.columns])
+    on = (
+        [F.col(f"{block_col}_a") == F.col(f"{block_col}_b")] if block_col else [F.lit(True)]
+    )
+    pairs = (
+        a.join(b, on=on)
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")

@@ -812,3 +812,366 @@ def q23_attribute_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, numeric_cols=["value"], binary_cols=["is_error", "high_value"],
         label_col="event_type",
     )
+
+
+# ===========================================================================
+# North-star extensions (BASELINE.json): text analysis, dedup, similarity
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Text stats + quality scoring (expression-only; scan-speed at 100 TB)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q24_text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS w,
+             list_distinct(string_split(text, ' ')) AS dw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(dw) AS n_distinct,
+           len(list_filter(dw, x -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+             / len(dw) AS stop_ratio,
+           (length(text) - (len(w) - 1)) * 1.0 / len(w) AS avg_token_len,
+           (LEAST(len(w) / 100.0, 1.0)
+            + len(list_filter(dw, x -> list_contains(
+                ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(dw)
+            + len(dw) * 1.0 / len(w)) / 3.0 AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions import text as T
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id",
+            T.token_count("text").cast("long").alias("n_tokens"),
+            F.size(T.distinct_tokens("text")).cast("long").alias("n_distinct"),
+            T.stopword_ratio("text").alias("stop_ratio"),
+            T.avg_token_length("text").alias("avg_token_len"),
+            T.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (marker-vocabulary coverage argmax)
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = """
+WITH sc AS (
+  SELECT doc_id, lang,
+    len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) * 1.0
+      / len(list_distinct(string_split(text,' '))) AS s_de,
+    len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(
+      ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+      / len(list_distinct(string_split(text,' '))) AS s_en,
+    len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(
+      ['el','la','de','que','y','en','un','es','se','no'], x))) * 1.0
+      / len(list_distinct(string_split(text,' '))) AS s_es,
+    len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(
+      ['le','la','et','les','des','est','un','une','du','que'], x))) * 1.0
+      / len(list_distinct(string_split(text,' '))) AS s_fr,
+    len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(
+      ['的','了','是','我','不','在','有','他','这','中'], x))) * 1.0
+      / len(list_distinct(string_split(text,' '))) AS s_zh
+  FROM documents
+), p AS (
+  SELECT doc_id, lang,
+    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0.0 THEN 'und'
+         WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END AS predicted
+  FROM sc
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM p GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+@query("q25_lang_id", oracle=_LANGID_ORACLE)
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import lang_id
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.withColumn("predicted", lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: exact hash + order-invariant token fingerprint
+# ---------------------------------------------------------------------------
+
+@query(
+    "q26_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS token_fingerprint
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import exact_hash, fingerprint
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            exact_hash("text").alias("content_hash"),
+            fingerprint("text").alias("token_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy keep-first) + fingerprint-level dup counting
+# ---------------------------------------------------------------------------
+
+@query(
+    "q27_dedup_exact",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+              FROM documents) WHERE rn = 1) AS n_after_exact_dedup,
+           (SELECT COUNT(DISTINCT md5(array_to_string(
+              list_sort(list_distinct(string_split(text,' '))), ' ')))
+            FROM documents) AS n_distinct_fingerprints
+    """,
+)
+def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import fingerprint
+    from nsl_kdd_spark.operators.dedup import dedup_exact
+
+    t = load_tables(spark, sf_dir)
+    n_docs = t.documents.count()
+    n_kept = dedup_exact(t.documents, "text", "doc_id").count()
+    n_fp = t.documents.select(fingerprint("text").alias("fp")).distinct().count()
+    return spark.createDataFrame(
+        [(n_docs, n_kept, n_fp)],
+        "n_docs long, n_after_exact_dedup long, n_distinct_fingerprints long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard similarity join (exact near-dup ground truth)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q28_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS i,
+             len(a.s) AS sa, len(b.s) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, i * 1.0 / (sa + sb - i) AS jaccard
+    FROM inter
+    WHERE i * 1.0 / (sa + sb - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return jaccard_pairs(t.documents, "doc_id", "text", n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding with exact-jaccard verification
+# ---------------------------------------------------------------------------
+
+@query(
+    "q29_minhash_lsh",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || t)) AS mh0, min(md5('1:' || t)) AS mh1,
+             min(md5('2:' || t)) AS mh2, min(md5('3:' || t)) AS mh3,
+             min(md5('4:' || t)) AS mh4, min(md5('5:' || t)) AS mh5,
+             min(md5('6:' || t)) AS mh6, min(md5('7:' || t)) AS mh7
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        '0|' || mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3,
+        '1|' || mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+    )
+    SELECT id_a, id_b,
+           len(list_filter(a.ts, x -> list_contains(b.ts, x))) * 1.0 /
+           (len(a.ts) + len(b.ts) - len(list_filter(a.ts, x -> list_contains(b.ts, x))))
+             AS jaccard
+    FROM cand JOIN toks a ON cand.id_a = a.doc_id
+              JOIN toks b ON cand.id_b = b.doc_id
+    WHERE len(list_filter(a.ts, x -> list_contains(b.ts, x))) * 1.0 /
+          (len(a.ts) + len(b.ts) - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t.documents, "doc_id", "text", num_hashes=8, band_size=4, threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (16-bit, hamming <= 3, blocked by lang)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q30_simhash_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+        ((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(t),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(t),4,1)) - 1)) AS hv
+      FROM tok
+    ), bitsum AS (
+      SELECT doc_id, lang, COUNT(*) AS n,
+        {bitsums}
+      FROM h GROUP BY doc_id, lang
+    ), sig AS (
+      SELECT doc_id, lang, CAST({sigexpr} AS BIGINT) AS simhash
+      FROM bitsum
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    ORDER BY id_a, id_b
+    """.format(
+        bitsums=",\n        ".join(
+            f"SUM((hv // {2**b}) % 2) AS b{b}" for b in range(16)
+        ),
+        sigexpr=" + ".join(
+            f"(CASE WHEN b{b} * 2 > n THEN 1 ELSE 0 END) * {2**b}" for b in range(16)
+        ),
+    ),
+)
+def q30_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import simhash_pairs
+
+    t = load_tables(spark, sf_dir)
+    out = simhash_pairs(
+        t.documents, "doc_id", "text", max_hamming=1, bits=16, block_col="lang"
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact ANN baseline) — bit-identical floats
+# (verified: Spark fold-accumulation == DuckDB list_cosine_similarity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q31_knn_bruteforce",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.v) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+               AS rank
+      FROM e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q31_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import knn_bruteforce
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(t.embeddings, queries_df, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (blocked by label)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q32_cosine_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q32_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import cosine_pairs
+
+    t = load_tables(spark, sf_dir)
+    return cosine_pairs(t.embeddings, threshold=0.3, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; rows-only check — the plan is the point)
+# ---------------------------------------------------------------------------
+
+@query("q33_knn_lsh")
+def q33_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import knn_lsh
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    return knn_lsh(t.embeddings, queries_df, k=5, dim=64, n_planes=4)
