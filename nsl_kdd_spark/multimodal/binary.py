@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing (BASELINE.json
+north-star).
+
+Design: media payloads are opaque ``binary`` columns + a typed metadata
+struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` (one Python worker call per batch, not per row). The
+Spark side — schema, partitioning, batch shape — is real and tested;
+the actual codec call is stubbed (no image/audio libs in this
+container): ``decode_fn=None`` uses a deterministic fake (byte stats),
+and ``decode_media(strict=True)`` raises NotImplementedError where a
+real libjpeg/ffmpeg call would go.
+
+Scale notes: payload columns dominate IO — keep them OUT of the scan
+unless needed (column pruning does this automatically when metadata
+and payload are separate columns), repartition by size before decode
+so batches are even, and bound Arrow batch bytes via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` for large blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("digest", StringType()),
+    StructField("feat_mean", LongType()),      # deterministic fake features
+    StructField("feat_first", LongType()),
+])
+
+
+def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from the payload without Python: length + crc
+    stay JVM-side, so metadata-only queries never deserialize blobs."""
+    return df.withColumns({
+        "n_bytes": F.length(F.col(payload_col)).cast("long"),
+        "crc": F.crc32(F.col(payload_col)),
+    })
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a codec: byte-level stats."""
+    if payload is None or len(payload) == 0:
+        return {"digest": hashlib.md5(b"").hexdigest(), "feat_mean": 0, "feat_first": -1}
+    return {
+        "digest": hashlib.md5(payload).hexdigest(),
+        "feat_mean": int(sum(payload) // len(payload)),
+        "feat_first": int(payload[0]),
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    decode_fn: Callable[[bytes], dict] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads.
+
+    ``decode_fn`` maps payload bytes -> feature dict; None selects the
+    deterministic fake. ``strict=True`` marks the real-codec path:
+    raises NotImplementedError (no media libraries in this
+    environment) — the call site and batch plumbing are the tested
+    artifact."""
+    if strict and decode_fn is None:
+        raise NotImplementedError(
+            "real media decoding needs an image/audio library; "
+            "pass decode_fn or use the deterministic fake (strict=False)"
+        )
+    fn = decode_fn or _fake_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(fn)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                "digest": feats.map(lambda d: d["digest"]),
+                "feat_mean": feats.map(lambda d: d["feat_mean"]),
+                "feat_first": feats.map(lambda d: d["feat_first"]),
+            })
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a MEDIA_SCHEMA table from a text table (testdata has no
+    real blobs): payload = utf-8 bytes. Exercises the exact binary
+    column path a real corpus would."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )

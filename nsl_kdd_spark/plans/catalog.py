@@ -1175,3 +1175,137 @@ def q33_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     queries_df = t.embeddings.filter(F.col("vec_id") < 5)
     return knn_lsh(t.embeddings, queries_df, k=5, dim=64, n_planes=4)
+
+
+# ===========================================================================
+# Event-time windowing (SURVEY §2.12) — same operators serve batch and
+# Structured Streaming; oracle-checked in batch mode
+# ===========================================================================
+
+@query(
+    "q34_tumbling_window",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400)::TIMESTAMP AS window_start,
+           to_timestamp(floor(epoch(ts) / 86400) * 86400 + 86400)::TIMESTAMP AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.streaming.events import tumbling_agg
+
+    t = load_tables(spark, sf_dir)
+    out = tumbling_agg(
+        t.events, "ts", "1 day", keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total_value")],
+    )
+    return out.select("window_start", "window_end", "event_type", "n", "total_value") \
+              .orderBy("window_start", "event_type")
+
+
+@query(
+    "q35_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([
+               floor(epoch(ts) / 43200) * 43200,
+               floor(epoch(ts) / 43200) * 43200 - 43200
+             ]) AS ws,
+             value
+      FROM events
+    )
+    SELECT to_timestamp(ws)::TIMESTAMP AS window_start,
+           to_timestamp(ws + 86400)::TIMESTAMP AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY ws
+    ORDER BY window_start
+    """,
+)
+def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.streaming.events import sliding_agg
+
+    t = load_tables(spark, sf_dir)
+    out = sliding_agg(
+        t.events, "ts", "1 day", "12 hours", keys=[],
+        aggs=[F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total_value")],
+    )
+    return out.select("window_start", "window_end", "n", "total_value").orderBy("window_start")
+
+
+@query(
+    "q36_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 14400 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 4 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    WHERE user_id < 30
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q36_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.streaming.events import session_agg
+
+    t = load_tables(spark, sf_dir)
+    out = session_agg(
+        t.events.filter(F.col("user_id") < 30), "ts", "4 hours", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(
+        "user_id", F.col("session_start"), F.col("session_end"), "n_events"
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "q37_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 14400 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS session_len FROM sess GROUP BY 1, 2
+    )
+    SELECT session_len, COUNT(*) AS n_sessions
+    FROM per_session
+    GROUP BY session_len
+    ORDER BY session_len
+    """,
+)
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.streaming.events import sessionize_by_gap
+
+    t = load_tables(spark, sf_dir)
+    sess = sessionize_by_gap(t.events, "ts", "user_id", gap_seconds=14400)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("session_len"))
+        .groupBy("session_len")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("session_len")
+    )

@@ -23,6 +23,10 @@ class Tables:
         self._spark = spark
         self._dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        # timestamp semantics (year()/window() etc.) must not depend on
+        # the caller's host timezone — pin UTC like the oracle's naive
+        # timestamps (runtime-settable conf)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:

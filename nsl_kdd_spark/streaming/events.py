@@ -1,0 +1,149 @@
+"""Event-time windowing + streaming operators (SURVEY.md §2.12).
+
+The reference is pure batch; this module is the engine's greenfield
+streaming surface, built directly on Structured Streaming primitives.
+Every windowing operator here is defined on a plain DataFrame —
+``F.window`` / ``F.session_window`` work identically on batch and
+streaming inputs, so the SAME function serves (a) batch backfill,
+(b) the streaming job, and (c) the DuckDB-oracle correctness check
+(batch mode). Watermarking is applied only when the input is a stream.
+
+Scale notes: tumbling/sliding aggs are partial+final hash aggs keyed by
+(window, keys) — linear. Session windows shuffle by user key; state
+store size is bounded by watermark horizon. Streaming dedup uses
+``dropDuplicatesWithinWatermark`` so state is GC'd past the horizon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows aligned to the epoch: one row per (window, keys)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide of them)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Data-driven session windows: a session closes after ``gap`` of
+    key inactivity; window.end = last event + gap."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def sessionize_by_gap(
+    df: DataFrame, ts_col: str, key_col: str, gap_seconds: int
+) -> DataFrame:
+    """Batch sessionization via analytic windows (lag -> new-session
+    flag -> running sum). Returns the input plus ``session_id``
+    (key-scoped ordinal). Same semantics as ``session_agg`` but keeps
+    row granularity — the building block for per-session features."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_flag = F.when(
+        F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+        > gap_seconds,
+        1,
+    ).otherwise(0)
+    # first event of each key gets flag 0, cumulative sum is 0-based id
+    return df.withColumn("session_id", F.sum(gap_flag).over(w).cast("long"))
+
+
+def dedup_stream(
+    df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    GC'd. Batch input falls back to dropDuplicates."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The file source wants a *directory*, and the raw file stores
+    TIMESTAMP(NANOS); stage the file into a scratch dir and read ts as
+    long (legacy conf), converting to a microsecond timestamp with the
+    same integer-div truncation as the batch reader."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", stage)
+    raw_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
