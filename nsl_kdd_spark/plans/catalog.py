@@ -1309,3 +1309,104 @@ def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("session_len")
     )
+
+
+# ===========================================================================
+# ML estimator surface (SURVEY §2.10) on the synthetic tables — model
+# outputs aren't SQL-expressible, so these are rows-only checks; exact
+# reference-parity of the same operators is tested on the real NSL-KDD
+# files in tests/test_nsl_pipeline.py
+# ===========================================================================
+
+@query("q38_kmeans_clusters")
+def q38_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans(k=8) over the embeddings table -> cluster sizes (M12)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from nsl_kdd_spark.ml.cluster import kmeans_assign
+
+    t = load_tables(spark, sf_dir)
+    vecs = t.embeddings.select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    _, assigned = kmeans_assign(vecs, "features", k=8)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+@query("q39_rf_classifier")
+def q39_rf_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded RF train/eval round-trip on embeddings (M11/M16/§2.11):
+    80/20 split, binary target, one-row metric report."""
+    from pyspark.ml.functions import array_to_vector
+
+    from nsl_kdd_spark.ml.classify import make_rf, train_binary_classifier
+    from nsl_kdd_spark.ml.cluster import DEFAULT_SEED
+    from nsl_kdd_spark.ml.metrics import binary_metrics
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id",
+        array_to_vector("embedding").alias("features"),
+        F.when(F.col("label") >= 5, "attack").otherwise("normal").alias("labels2"),
+    )
+    train, test = data.randomSplit([0.8, 0.2], seed=DEFAULT_SEED)
+    model = train_binary_classifier(
+        train, make_rf(num_trees=50, max_depth=8, features_col="features")
+    )
+    from nsl_kdd_spark.ml.classify import attack_probability
+
+    probs = attack_probability(model, test, prob_col="prob", id_col="vec_id")
+    scored = (
+        test.select("vec_id", "labels2")
+        .join(probs, on="vec_id")
+        .select(
+            F.when(F.col("labels2") == "attack", 1.0).otherwise(0.0).alias("y"),
+            F.when(F.col("prob") >= 0.5, 1.0).otherwise(0.0).alias("p"),
+        )
+    )
+    return binary_metrics(scored, "y", "p")
+
+
+@query("q40_cluster_then_classify")
+def q40_cluster_then_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature architecture (M12+R2+M14+M15) on the
+    embeddings table: KMeans partitions, cluster-split rule, per-cluster
+    RFs trained concurrently, union-assembled scores."""
+    from pyspark.ml.functions import array_to_vector
+
+    from nsl_kdd_spark.ml.classify import make_rf
+    from nsl_kdd_spark.ml.cluster import (
+        kmeans_assign,
+        score_clusters,
+        split_clusters,
+        train_cluster_models,
+    )
+    from nsl_kdd_spark.ml.metrics import binary_metrics
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        F.col("vec_id").alias("id"),
+        array_to_vector("embedding").alias("features"),
+        F.when(F.col("label") >= 5, "attack").otherwise("normal").alias("labels2"),
+    )
+    _, assigned = kmeans_assign(data, "features", k=4)
+    assigned = assigned.cache()
+    split = split_clusters(assigned, min_rows=25)
+    models = train_cluster_models(
+        assigned, split,
+        lambda: make_rf(num_trees=40, max_depth=8, features_col="features"),
+    )
+    probs = score_clusters(assigned, split, models, prob_col="prob")
+    scored = (
+        assigned.select("id", "labels2")
+        .join(probs, on="id")
+        .select(
+            F.when(F.col("labels2") == "attack", 1.0).otherwise(0.0).alias("y"),
+            F.when(F.col("prob") >= 0.5, 1.0).otherwise(0.0).alias("p"),
+        )
+    )
+    return binary_metrics(scored, "y", "p")
