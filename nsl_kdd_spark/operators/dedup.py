@@ -79,52 +79,115 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact set-similarity join on word n-gram shingles.
 
-    inverted index -> self-join on shingle -> per-pair intersection
-    count -> jaccard = inter / (|A| + |B| - inter). Shuffles on
-    shingle then on (a, b); no cross join anywhere. Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    Default plan uses PREFIX FILTERING (PPJoin-style, lossless): order
+    every shingle set by global (frequency, shingle); for jaccard >= t
+    a qualifying pair MUST share one of each side's first
+    ``floor((1-t)*|set|)+1`` shingles, so only that prefix is indexed.
+    Candidates from the prefix-index self-join are verified with the
+    exact jaccard of the full sets. Cuts the inverted-index join from
+    "all pairs sharing ANY shingle" (quadratic on template-heavy
+    corpora) to near the true-pair count, without changing results.
+
+    ``prefix_filter=False`` falls back to the plain inverted-index
+    count join. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__shs"))
-    sizes = sh.select("__id", F.size("__shs").alias("__sz"))
-    idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
-    a = idx.select(F.col("__id").alias("id_a"), "__sh")
-    b = idx.select(F.col("__id").alias("id_b"), "__sh")
-    inter = (
-        a.join(b, on="__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    if not prefix_filter:
+        sizes = sh.select("__id", F.size("__shs").alias("__sz"))
+        idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
+        a = idx.select(F.col("__id").alias("id_a"), "__sh")
+        b = idx.select(F.col("__id").alias("id_b"), "__sh")
+        inter = (
+            a.join(b, on="__sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+        sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+        jac = (
+            inter.join(sz_a, "id_a").join(sz_b, "id_b")
+            .select(
+                "id_a", "id_b",
+                (
+                    F.col("__inter").cast("double")
+                    / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+                ).alias("jaccard"),
+            )
+        )
+        return jac.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+
+    # canonical order: rarest shingle first (max pruning power)
+    ex = sh.select("__id", F.explode("__shs").alias("__sh"))
+    freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+    ordered = (
+        ex.join(freq, on="__sh")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__f", "__sh"))),
+                lambda s: s["__sh"],
+            ).alias("__shs")
+        )
+        # referenced 3x below (prefix index + both verify sides): persist
+        # or the shingle+sort lineage re-executes per reference
+        .persist()
     )
-    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
-    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
-    jac = (
-        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+    prefix_len = F.floor(F.size("__shs") * F.lit(1.0 - threshold)).cast("int") + 1
+    pre = ordered.select(
+        "__id", "__shs", F.slice("__shs", 1, prefix_len).alias("__prefix")
+    )
+    idx = pre.select("__id", F.explode("__prefix").alias("__sh"))
+    cand = (
+        idx.select(F.col("__id").alias("id_a"), "__sh")
+        .join(idx.select(F.col("__id").alias("id_b"), "__sh"), on="__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full_a = ordered.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
+    full_b = ordered.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
+    verified = (
+        cand.join(full_a, "id_a").join(full_b, "id_b")
         .select(
             "id_a", "id_b",
             (
-                F.col("__inter").cast("double")
-                / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+                F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                / F.size(F.array_union("__sa", "__sb"))
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """k-permutation MinHash over distinct tokens.
+    """k-permutation MinHash over word n-gram shingles.
 
-    Hash family: ``md5(seed || ':' || token)`` compared as hex strings
-    — engine-portable (md5 is identical everywhere) and uniform. One
-    explode + one grouped agg with k min() columns: a single shuffle
-    regardless of k."""
-    tok = df.select(
-        F.col(id_col).alias("__id"), F.explode(distinct_tokens(text_col)).alias("__t")
+    Shingles, not raw tokens: token-set minhash collapses on
+    small-vocabulary corpora (every doc shares the same minima ->
+    degenerate LSH buckets -> quadratic bucket joins); the n-gram
+    shingle space is |V|^n so signatures stay discriminative.
+    ``shingle_n=1`` recovers token-set minhash for corpora where
+    that's wanted.
+
+    Hash family: ``md5(seed || ':' || shingle)`` compared as hex
+    strings — engine-portable (md5 is identical everywhere) and
+    uniform. One explode + one grouped agg with k min() columns: a
+    single shuffle regardless of k."""
+    shingle = (
+        word_shingles(text_col, shingle_n) if shingle_n > 1 else distinct_tokens(text_col)
     )
+    tok = df.select(F.col(id_col).alias("__id"), F.explode(shingle).alias("__t"))
     return tok.groupBy("__id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__t")))).alias(f"mh{i}")
@@ -140,15 +203,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.7,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verify.
 
     Bands of ``band_size`` signatures hash to a bucket; docs sharing
     any band bucket become candidates (standard S-curve selectivity);
     candidates are then verified with the exact jaccard of their
-    distinct-token sets via a second pass. Returns verified
+    shingle sets via a second pass. Returns verified
     (id_a, id_b, jaccard >= threshold)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
     bands = sigs.select(
         "__id",
@@ -165,6 +229,7 @@ def minhash_lsh_pairs(
             )
         ).alias("__bucket"),
     )
+    bands = bands.persist()  # self-joined below
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on="__bucket")
@@ -172,7 +237,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    toks = df.select(F.col(id_col).alias("__id"), distinct_tokens(text_col).alias("__ts"))
+    shingle = (
+        word_shingles(text_col, shingle_n) if shingle_n > 1 else distinct_tokens(text_col)
+    )
+    toks = df.select(F.col(id_col).alias("__id"), shingle.alias("__ts")).persist()
     ta = toks.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
     tb = toks.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
     verified = (
@@ -240,6 +308,7 @@ def simhash_pairs(
     sigs = simhash(df.select(*cols, text_col), id_col, text_col, bits)
     if block_col:
         sigs = sigs.join(df.select(id_col, block_col), on=id_col)
+    sigs = sigs.persist()  # self-joined below
     a = sigs.select(*[F.col(c).alias(f"{c}_a") for c in sigs.columns])
     b = sigs.select(*[F.col(c).alias(f"{c}_b") for c in sigs.columns])
     on = (

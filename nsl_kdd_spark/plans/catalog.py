@@ -1017,9 +1017,17 @@ def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q29_minhash_lsh",
     oracle="""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-      FROM documents
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
     ), sig AS (
       SELECT doc_id,
              min(md5('0:' || t)) AS mh0, min(md5('1:' || t)) AS mh1,
@@ -1035,17 +1043,15 @@ def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-    ), toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
     )
     SELECT id_a, id_b,
-           len(list_filter(a.ts, x -> list_contains(b.ts, x))) * 1.0 /
-           (len(a.ts) + len(b.ts) - len(list_filter(a.ts, x -> list_contains(b.ts, x))))
+           len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+           (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
              AS jaccard
-    FROM cand JOIN toks a ON cand.id_a = a.doc_id
-              JOIN toks b ON cand.id_b = b.doc_id
-    WHERE len(list_filter(a.ts, x -> list_contains(b.ts, x))) * 1.0 /
-          (len(a.ts) + len(b.ts) - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) >= 0.9
+    FROM cand JOIN sh a ON cand.id_a = a.doc_id
+              JOIN sh b ON cand.id_b = b.doc_id
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.8
     ORDER BY id_a, id_b
     """,
 )
@@ -1054,7 +1060,8 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return minhash_lsh_pairs(
-        t.documents, "doc_id", "text", num_hashes=8, band_size=4, threshold=0.9
+        t.documents, "doc_id", "text",
+        num_hashes=8, band_size=4, threshold=0.8, shingle_n=3,
     )
 
 
