@@ -1,0 +1,88 @@
+"""Physical-plan quality gates (SURVEY.md §4): the 100 TB design
+properties must be visible in the plans Catalyst actually produces —
+not just intended. These tests read `.explain` output and fail if a
+scan stops pruning, a dimension join stops broadcasting, or a Python
+UDF sneaks into a hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.plans.catalog import QUERIES
+from nsl_kdd_spark.sources.parquet import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_scan_prunes_columns_and_pushes_filter(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    # only the 7 needed columns reach the scan, not all 11
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q03_broadcasts_dimensions(spark):
+    df = QUERIES["q03_revenue_by_nation"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # the date filter reaches the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    # every oracle-paired relational/text query must stay JVM-side:
+    # BatchEvalPython / ArrowEvalPython nodes mean a Python worker
+    # crossed into the hot path
+    for name in [
+        "q01_pricing_summary", "q03_revenue_by_nation", "q11_label_map",
+        "q24_text_stats", "q26_fingerprint", "q28_jaccard_pairs",
+        "q31_knn_bruteforce", "q34_tumbling_window",
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in plan, f"{name} crosses into Python workers"
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE materializes codegen stages at execution
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    # scan->filter->project->partial-agg must fuse into codegen stages
+    assert "WholeStageCodegen subtrees" in plan.split("\n")[0]
+    assert "partial_sum" in plan
+
+
+def test_knn_does_not_shuffle_corpus(spark):
+    # brute-force knn must broadcast the query side; the corpus scan
+    # must not appear under an Exchange before the join
+    df = QUERIES["q31_knn_bruteforce"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    t = load_tables(spark, SF_SMOKE)
+    from nsl_kdd_spark.operators.joins import anti_join, semi_join
+
+    semi = semi_join(t.customer, t.orders, on=[t.customer.c_custkey == t.orders.o_custkey])
+    anti = anti_join(t.customer, t.orders, on=[t.customer.c_custkey == t.orders.o_custkey])
+    assert "LeftSemi" in plan_of(semi)
+    assert "LeftAnti" in plan_of(anti)
+
+
+def test_exact_sum_is_partial_aggregated(spark):
+    # decimal exact sums must still do partial (map-side) aggregation
+    t = load_tables(spark, SF_SMOKE)
+    from nsl_kdd_spark.functions.scalar import exact_sum
+
+    df = t.lineitem.groupBy("l_returnflag").agg(exact_sum("l_extendedprice").alias("s"))
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
