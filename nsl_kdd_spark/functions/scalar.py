@@ -89,3 +89,24 @@ def safe_ratio(num: Column, den: Column, sentinel: float | None = None) -> Colum
     if sentinel is not None:
         ratio = F.coalesce(ratio, F.lit(float(sentinel)))
     return ratio
+
+
+def exact_corr(x: Column | str, y: Column | str, scale: int = 2,
+               precision: int = 18) -> Column:
+    """Pearson correlation from exact decimal sums (order-independent,
+    unlike F.corr's streaming covariance): r = (nSxy - SxSy) /
+    sqrt((nSxx - Sx^2)(nSyy - Sy^2)), final combine in double."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    dx = cx.cast(f"decimal({precision},{scale})")
+    dy = cy.cast(f"decimal({precision},{scale})")
+    p2 = min(precision * 2, 38)
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(dx).cast("double")
+    sy = F.sum(dy).cast("double")
+    sxx = F.sum((dx * dx).cast(f"decimal({p2},{scale * 2})")).cast("double")
+    syy = F.sum((dy * dy).cast(f"decimal({p2},{scale * 2})")).cast("double")
+    sxy = F.sum((dx * dy).cast(f"decimal({p2},{scale * 2})")).cast("double")
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )

@@ -1417,3 +1417,162 @@ def q40_cluster_then_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return binary_metrics(scored, "y", "p")
+
+
+# ---------------------------------------------------------------------------
+# M20 (reference's disabled experiments, made first-class): correlation
+# — pearson + spearman from exact decimal sums (order-independent, so
+# bit-identical to the oracle; F.corr's streaming accumulation is not)
+# ---------------------------------------------------------------------------
+
+def _pearson_sql(x: str, y: str) -> str:
+    sx = f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({y} AS DECIMAL(18,2))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({x} AS DECIMAL(18,2)) * CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({y} AS DECIMAL(18,2)) * CAST({y} AS DECIMAL(18,2))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({x} AS DECIMAL(18,2)) * CAST({y} AS DECIMAL(18,2))) AS DOUBLE)"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return (
+        f"({n} * {sxy} - {sx} * {sy}) / "
+        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy}))"
+    )
+
+
+@query(
+    "q41_correlation",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(RANK() OVER (ORDER BY l_quantity) AS DOUBLE) AS rx,
+             CAST(RANK() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ry
+      FROM lineitem
+    )
+    SELECT (SELECT {_pearson_sql('l_quantity', 'l_extendedprice')} FROM lineitem) AS pearson,
+           (SELECT {_pearson_sql('rx', 'ry')} FROM ranked) AS spearman
+    """,
+)
+def q41_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.scalar import exact_corr
+
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    pearson_df = t.lineitem.agg(
+        exact_corr("l_quantity", "l_extendedprice").alias("pearson")
+    )
+    ranked = t.lineitem.select(
+        F.rank().over(Window.orderBy("l_quantity")).cast("double").alias("rx"),
+        F.rank().over(Window.orderBy("l_extendedprice")).cast("double").alias("ry"),
+    )
+    spearman_df = ranked.agg(exact_corr("rx", "ry").alias("spearman"))
+    return pearson_df.crossJoin(spearman_df)
+
+
+# ---------------------------------------------------------------------------
+# M20: stratified sampling (sampleBy) — seeded Spark RNG, rows-only
+# ---------------------------------------------------------------------------
+
+@query("q42_stratified_sample")
+def q42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.cluster import DEFAULT_SEED
+
+    t = load_tables(spark, sf_dir)
+    fractions = {"click": 0.1, "view": 0.1, "error": 1.0, "purchase": 1.0, "signup": 0.5}
+    sampled = t.events.sampleBy("event_type", fractions, seed=DEFAULT_SEED)
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouping sets: CUBE (rollup's sibling; q19 covers ROLLUP)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q43_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 array higher-order functions over embeddings (transform /
+# aggregate / zip_with are the engine's vector kernel — §1.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q44_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(list_min(embedding) AS DOUBLE) AS vmin,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           list_sum(CAST(embedding AS DOUBLE[])) AS vsum,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS l2_norm
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def q44_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.vector import norm, to_double_array
+
+    t = load_tables(spark, sf_dir)
+    v = to_double_array("embedding")
+    return (
+        t.embeddings.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.array_min("embedding").cast("double").alias("vmin"),
+            F.array_max("embedding").cast("double").alias("vmax"),
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x).alias("vsum"),
+            norm(v).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: the engine registers the catalog as temp views and runs
+# ANSI SQL through spark.sql — same answer as the DataFrame flagship
+# ---------------------------------------------------------------------------
+
+@query(
+    "q45_sql_surface",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q45_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
