@@ -59,6 +59,9 @@ def gaussian_mixture_assign(
     gm = GaussianMixture(
         k=k, maxIter=max_iter, seed=seed,
         featuresCol=features_col, predictionCol="cluster",
+        # keep the default name free: downstream per-cluster
+        # classifiers emit their own `probability` vector
+        probabilityCol="cluster_probability",
     )
     model = gm.fit(df)
     return model, model.transform(df)

@@ -121,11 +121,13 @@ def jaccard_pairs(
         )
         return jac.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
-    # canonical order: rarest shingle first (max pruning power)
+    # canonical order: rarest shingle first (max pruning power);
+    # freq table is |distinct shingles| rows — broadcast it so the
+    # (id, shingle) index isn't shuffled just to pick up counts
     ex = sh.select("__id", F.explode("__shs").alias("__sh"))
     freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
     ordered = (
-        ex.join(freq, on="__sh")
+        ex.join(F.broadcast(freq), on="__sh")
         .groupBy("__id")
         .agg(
             F.transform(

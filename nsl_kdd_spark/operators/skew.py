@@ -1,0 +1,74 @@
+"""Skew-handling join operators (SURVEY.md §4.3; 100 TB toolbox).
+
+AQE's skew-join splitting handles moderate skew automatically (on in
+``session.py``); these operators cover the cases it can't:
+
+- ``salted_join``: explicit key salting for pathological hot keys —
+  the big side gets a random salt in [0, n), the small side is
+  replicated n times; the join key becomes (key, salt), spreading one
+  hot key over n reducers. Exact same join result.
+- ``bucketed_write`` / co-located joins: pre-shuffle both tables into
+  the same bucket layout once, then every subsequent equi-join on the
+  bucket key runs with NO exchange on either side — the 100 TB answer
+  to repeated fact-to-fact joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with salting: use when one/few key values dominate the
+    big side and the other side is too large to broadcast outright.
+
+    big:   +salt = uniform random int in [0, n_salts)
+    small: replicated n_salts times (explode), one copy per salt
+    join on (key, salt), salt columns dropped after.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def bucketed_write(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Two
+    tables bucketed the same way equi-join on the bucket key with no
+    Exchange (and no Sort, if sorted) — verified in tests."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+
+
+def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
+    """Skew diagnosis: heaviest keys with counts + share. Run this
+    before choosing broadcast vs salt vs AQE-only."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .orderBy(F.desc("n"))
+        .limit(n)
+    )

@@ -195,3 +195,68 @@ def category_rf(
         .withColumn("y", F.when(F.col("labels2") == "attack", 1.0).otherwise(0.0))
     )
     return {"scored": scored, "metrics": binary_metrics(scored, "y", "pred")}
+
+
+def gaussian_rf(
+    spark: SparkSession,
+    train_path: str,
+    test_path: str,
+    cfg: NslConfig | None = None,
+) -> dict[str, DataFrame]:
+    """The reference's alternative clustering family (M13,
+    README.md:1831-1950): PCA(k=2) -> GaussianMixture(k) -> per-cluster
+    RF, scored and assembled exactly like the KMeans path."""
+    from nsl_kdd_spark.ml.cluster import gaussian_mixture_assign
+    from nsl_kdd_spark.ml.features import pca_project
+
+    cfg = cfg or NslConfig()
+    prepared = prepare(spark, train_path, test_path)
+    train_f, test_f, feature_cols = build_features(prepared, cfg)
+
+    train_v = assemble(train_f, feature_cols, index_binary=False)
+    test_v = assemble(test_f, feature_cols, index_binary=False)
+
+    pca_model, train_p = pca_project(train_v, k=2, input_col="raw_features")
+    test_p = pca_model.transform(test_v)
+
+    gm_model, train_c = gaussian_mixture_assign(
+        train_p, "pca_features", k=cfg.kmeans_k, seed=cfg.seed
+    )
+    test_c = gm_model.transform(test_p)
+
+    split = split_clusters(train_c, min_rows=cfg.min_cluster_rows)
+    rf = lambda: make_rf(  # noqa: E731
+        num_trees=cfg.rf_trees, max_depth=cfg.rf_depth, seed=cfg.seed,
+        features_col="raw_features",
+    )
+    models = train_cluster_models(train_c, split, rf)
+    probs = score_clusters(test_c.cache(), split, models, prob_col="prob")
+    scored = (
+        test_c.select("id", "labels2")
+        .join(probs, on="id", how="inner")
+        .withColumn("pred", F.when(F.col("prob") >= cfg.threshold, 1.0).otherwise(0.0))
+        .withColumn("y", F.when(F.col("labels2") == "attack", 1.0).otherwise(0.0))
+    )
+    return {"scored": scored, "metrics": binary_metrics(scored, "y", "pred")}
+
+
+def combine_scores(
+    base: DataFrame,
+    prob_cols: list[str],
+    weights: list[float] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The reference's decision layer (F4/F5/F6, README.md:3113-3334):
+    given a table with per-model probability columns, add
+    soft-vote blend, per-model hard preds, and the OR-vote."""
+    from nsl_kdd_spark.functions.scalar import hard_vote_or, soft_vote
+    from nsl_kdd_spark.functions.scalar import threshold as thr
+
+    out = base.withColumn(
+        "blend", soft_vote(*prob_cols, weights=weights)
+    ).withColumn("blend_pred", thr(F.col("blend"), threshold))
+    pred_cols = []
+    for c in prob_cols:
+        out = out.withColumn(f"{c}_pred", thr(F.col(c), threshold))
+        pred_cols.append(f"{c}_pred")
+    return out.withColumn("or_vote", hard_vote_or(*pred_cols))

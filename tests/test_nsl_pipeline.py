@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nsl_kdd_spark.ml.labels import with_labels
-from nsl_kdd_spark.pipeline import NslConfig, kmeans_rf, prepare
+from nsl_kdd_spark.pipeline import NslConfig, gaussian_rf, kmeans_rf, prepare
 from nsl_kdd_spark.schema import attack_mapping
 from nsl_kdd_spark.sources.csv import load_nsl_kdd
 
@@ -77,4 +77,14 @@ def test_kmeans_rf_end_to_end(spark):
     assert m["false_alarm_rate"] < 0.5
     assert 0.0 < m["f1"] <= 1.0
     # every test row scored exactly once
+    assert out["scored"].count() == 22544
+
+
+@pytest.mark.slow
+def test_gaussian_rf_end_to_end(spark):
+    out = gaussian_rf(spark, TRAIN20, TEST, cfg=FAST)
+    m = out["metrics"].first()
+    assert m["tp"] + m["fn"] == 12833
+    assert m["detection_rate"] > 0.4   # GM on 2-D PCA is weaker (ref: DR 94%)
+    assert 0.0 <= m["false_alarm_rate"] < 0.6
     assert out["scored"].count() == 22544
