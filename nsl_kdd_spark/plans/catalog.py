@@ -1576,3 +1576,185 @@ def q45_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+# ===========================================================================
+# Classic TPC-H-shaped analytics (widening the relational bench surface;
+# all exact-decimal, all oracle-paired)
+# ===========================================================================
+
+@query(
+    "q46_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q46_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    ords = t.orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t.lineitem.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    df = joins.equi_join(
+        li, ords, on=[li.l_orderkey == ords.o_orderkey]
+    )
+    df = joins.equi_join(
+        df, cust, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True
+    )
+    return (
+        df.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q47_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q47_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    got = ords.join(
+        t.lineitem,
+        on=[
+            ords.o_orderkey == t.lineitem.l_orderkey,
+            t.lineitem.l_shipdate > ords.o_orderdate,
+        ],
+        how="left_semi",
+    )
+    return (
+        got.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q48_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q48_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(F.col("l_returnflag") == "R")
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    df = joins.equi_join(li, ords, on=[li.l_orderkey == ords.o_orderkey])
+    df = joins.equi_join(
+        df, t.customer, on=[F.col("o_custkey") == F.col("c_custkey")],
+        broadcast_right=True,
+    )
+    df = joins.equi_join(
+        df, t.nation, on=[F.col("c_nationkey") == F.col("n_nationkey")],
+        broadcast_right=True,
+    )
+    return (
+        df.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q49_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey AS pk, 0.2 * (SUM(l_quantity) / COUNT(l_quantity)) AS thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN pavg ON l_partkey = pk
+    WHERE l_quantity < thresh
+    """,
+)
+def q49_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pavg = (
+        t.lineitem.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias("thresh"))
+    )
+    df = t.lineitem.join(pavg, on=[t.lineitem.l_partkey == pavg.pk])
+    return (
+        df.filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            (exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q50_from_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+             AS n_high,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q50_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing (from_json -> struct, vs q16's path
+    extraction): schema'd parse feeds ordinary columnar predicates."""
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    t = load_tables(spark, sf_dir)
+    parsed = t.events.withColumn(
+        "p", F.from_json("props", ST([SF("k", LongType())]))
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("p.k") > 50, 1)).alias("n_high"),
+            F.min("p.k").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )

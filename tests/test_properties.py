@@ -1,0 +1,117 @@
+"""Property-based invariants (hypothesis): the determinism and
+algebraic claims the engine's correctness strategy rests on.
+
+Each property runs a whole generated batch through one Spark job
+(max_examples kept low — Spark's per-job overhead dominates)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.scalar import exact_stddev, exact_sum
+
+money = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda cents: cents / 100.0
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(money, min_size=1, max_size=300))
+def test_exact_sum_matches_decimal_arithmetic_and_partitioning(values):
+    spark = _spark()
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    want = float(sum(Decimal(str(round(v, 2))) for v in values))
+    got_1 = df.coalesce(1).agg(exact_sum("x").alias("s")).first()["s"]
+    got_n = df.repartition(7).agg(exact_sum("x").alias("s")).first()["s"]
+    # bit-identical across partitionings AND equal to exact decimal math
+    assert got_1 == got_n == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(money, min_size=2, max_size=300))
+def test_exact_stddev_partition_invariant(values):
+    spark = _spark()
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    a = df.coalesce(1).agg(exact_stddev("x").alias("s")).first()["s"]
+    b = df.repartition(5).agg(exact_stddev("x").alias("s")).first()["s"]
+    assert a == b or (a is None and b is None) or (a != a and b != b)  # NaN ok
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=60),
+        min_size=2, max_size=30,
+    )
+)
+def test_dedup_exact_idempotent_and_keeps_lowest_id(texts):
+    from nsl_kdd_spark.operators.dedup import dedup_exact
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = dedup_exact(df, "text", "doc_id")
+    twice = dedup_exact(once, "text", "doc_id")
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    # keeps exactly one row per distinct text, the lowest id
+    want = {}
+    for i, t in enumerate(texts):
+        want.setdefault(t, i)
+    assert got_once == sorted((i, t) for t, i in want.items())
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=200
+    )
+)
+def test_binary_metrics_formulas(pairs):
+    from nsl_kdd_spark.ml.metrics import binary_metrics
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(float(y), float(p)) for y, p in pairs], "y double, p double"
+    )
+    m = binary_metrics(df, "y", "p").first()
+    tp = sum(1 for y, p in pairs if y and p)
+    tn = sum(1 for y, p in pairs if not y and not p)
+    fp = sum(1 for y, p in pairs if not y and p)
+    fn = sum(1 for y, p in pairs if y and not p)
+    assert (m["tp"], m["tn"], m["fp"], m["fn"]) == (tp, tn, fp, fn)
+    assert m["accuracy"] == (tp + tn) / len(pairs)
+    if fp + tn:
+        assert m["false_alarm_rate"] == fp / (fp + tn)
+    if tp + fn:
+        assert m["detection_rate"] == tp / (tp + fn)
+
+
+def test_simhash_identical_texts_collide(spark):
+    from nsl_kdd_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+
+
+_session = None
+
+
+def _spark():
+    global _session
+    if _session is None:
+        from nsl_kdd_spark.session import get_session
+
+        _session = get_session(
+            app_name="nsl-kdd-spark-tests", master="local[4]", shuffle_partitions=4
+        )
+    return _session
