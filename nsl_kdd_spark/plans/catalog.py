@@ -1758,3 +1758,98 @@ def q50_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# String function surface (upper/substring/levenshtein/…) — §2.7 extension
+# ---------------------------------------------------------------------------
+
+@query(
+    "q51_string_funcs",
+    oracle="""
+    SELECT p_type,
+           COUNT(*) FILTER (WHERE p_name LIKE '%red%') AS n_red,
+           COUNT(*) FILTER (WHERE upper(p_name) LIKE 'SMALL%') AS n_small,
+           MIN(levenshtein(p_name, 'red widget')) AS min_lev,
+           MAX(length(p_name)) AS max_len,
+           MIN(substr(p_name, 1, 3)) AS first3
+    FROM part
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def q51_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.part.groupBy("p_type")
+        .agg(
+            F.count(F.when(F.col("p_name").contains("red"), 1)).alias("n_red"),
+            F.count(
+                F.when(F.upper("p_name").startswith("SMALL"), 1)
+            ).alias("n_small"),
+            F.min(F.levenshtein("p_name", F.lit("red widget"))).cast("long").alias("min_lev"),
+            F.max(F.length("p_name")).cast("long").alias("max_len"),
+            F.min(F.substring("p_name", 1, 3)).alias("first3"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based interpolation, matches quantile_cont)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q52_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE / regexp_extract pattern matching (§2.7; RE2∩Java-safe patterns)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q53_pattern_extract",
+    oracle="""
+    SELECT regexp_extract(p_name, '^([a-z]+) ', 1) AS color,
+           COUNT(*) AS n,
+           COUNT(DISTINCT p_brand) AS n_brands
+    FROM part
+    WHERE p_name LIKE '% %'
+    GROUP BY 1
+    ORDER BY n DESC, color
+    """,
+)
+def q53_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_name").like("% %"))
+        .groupBy(F.regexp_extract("p_name", r"^([a-z]+) ", 1).alias("color"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+        .orderBy(F.desc("n"), "color")
+    )
