@@ -260,3 +260,130 @@ def combine_scores(
         out = out.withColumn(f"{c}_pred", thr(F.col(c), threshold))
         pred_cols.append(f"{c}_pred")
     return out.withColumn("or_vote", hard_vote_or(*pred_cols))
+
+
+def nsl_ensemble(
+    spark: SparkSession,
+    train_path: str,
+    test_path: str,
+    cfg: NslConfig | None = None,
+) -> dict[str, DataFrame]:
+    """The reference's full composition (README.md:1543-3712): KMeans+RF,
+    GM+RF, and three per-category RFs produce probability columns;
+    the decision layer blends them (weighted soft vote
+    (3k+gm+dos+probe+r2l)/7, OR hard vote) and an LR stacker fit on a
+    CV split re-weighs them. Returns per-strategy one-row metric
+    tables for the test set.
+
+    Features/vectors are built ONCE and shared across all five model
+    families (the reference re-prepares per section); every prob table
+    is (id, prob) joined back broadcast-style (J1 assembly)."""
+    from nsl_kdd_spark.functions.scalar import hard_vote_or, soft_vote
+    from nsl_kdd_spark.functions.scalar import threshold as thr
+    from nsl_kdd_spark.ml.classify import (
+        instance_weights,
+        stacker_probability,
+        train_lr_stacker,
+    )
+    from nsl_kdd_spark.ml.cluster import gaussian_mixture_assign
+    from nsl_kdd_spark.ml.features import pca_project
+    from nsl_kdd_spark.operators.joins import assemble as join_assemble
+
+    cfg = cfg or NslConfig()
+    prepared = prepare(spark, train_path, test_path)
+    train_f, test_f, feature_cols = build_features(prepared, cfg)
+    full_v = assemble(train_f, feature_cols, index_binary=False).cache()
+    test_v = assemble(test_f, feature_cols, index_binary=False).cache()
+    fit_v, cv_v = full_v.randomSplit([0.8, 0.2], seed=cfg.seed)
+    fit_v = fit_v.cache()
+    cv_v = cv_v.cache()
+
+    rf = lambda: make_rf(  # noqa: E731
+        num_trees=cfg.rf_trees, max_depth=cfg.rf_depth, seed=cfg.seed,
+        features_col="raw_features",
+    )
+
+    def cluster_family(assigner) -> tuple[DataFrame, DataFrame]:
+        """fit on fit_v, score cv_v and test_v -> (cv probs, test probs)."""
+        model, fit_c = assigner(fit_v)
+        cv_c = model.transform(cv_v).cache()
+        test_c = model.transform(test_v).cache()
+        split = split_clusters(fit_c, min_rows=cfg.min_cluster_rows)
+        models = train_cluster_models(fit_c.cache(), split, rf)
+        return (
+            score_clusters(cv_c, split, models, prob_col="prob"),
+            score_clusters(test_c, split, models, prob_col="prob"),
+        )
+
+    def km_assign(df):
+        return kmeans_assign(df, "raw_features", k=cfg.kmeans_k, seed=cfg.seed)
+
+    def gm_assign(df):
+        pca_model, df_p = pca_project(df, k=2, input_col="raw_features")
+        gm_model, assigned = gaussian_mixture_assign(
+            df_p, "pca_features", k=cfg.kmeans_k, seed=cfg.seed
+        )
+        class _Chain:
+            def transform(self, other):
+                return gm_model.transform(pca_model.transform(other))
+        return _Chain(), assigned
+
+    km_cv, km_test = cluster_family(km_assign)
+    gm_cv, gm_test = cluster_family(gm_assign)
+
+    def category_family(cats: tuple[str, ...]) -> tuple[DataFrame, DataFrame]:
+        sub = fit_v.filter(F.col("labels5").isin("normal", *cats))
+        model = train_binary_classifier(sub, rf())
+        return (
+            attack_probability(model, cv_v, prob_col="prob"),
+            attack_probability(model, test_v, prob_col="prob"),
+        )
+
+    dos_cv, dos_test = category_family(("DoS",))
+    probe_cv, probe_test = category_family(("Probe",))
+    r2l_cv, r2l_test = category_family(("R2L", "U2R"))
+
+    def assemble_probs(base: DataFrame, probs: list[DataFrame]) -> DataFrame:
+        named = [
+            p.withColumnRenamed("prob", name)
+            for p, name in zip(
+                probs, ["p_km", "p_gm", "p_dos", "p_probe", "p_r2l"]
+            )
+        ]
+        return join_assemble(base.select("id", "labels2"), named, on="id")
+
+    cv_tbl = assemble_probs(cv_v, [km_cv, gm_cv, dos_cv, probe_cv, r2l_cv]).cache()
+    test_tbl = assemble_probs(
+        test_v, [km_test, gm_test, dos_test, probe_test, r2l_test]
+    ).cache()
+
+    prob_cols = ["p_km", "p_gm", "p_dos", "p_probe", "p_r2l"]
+    stacker = train_lr_stacker(
+        instance_weights(cv_tbl, "labels2", {"normal": 1.0, "attack": 100.0}),
+        prob_cols,
+    )
+
+    def decide(tbl: DataFrame) -> DataFrame:
+        out = tbl.withColumn(
+            "blend", soft_vote(*prob_cols, weights=[3.0, 1.0, 1.0, 1.0, 1.0])
+        )
+        for c in prob_cols:
+            out = out.withColumn(f"{c}_pred", thr(F.col(c), cfg.threshold))
+        out = out.withColumn(
+            "or_vote", hard_vote_or(*[f"{c}_pred" for c in prob_cols])
+        )
+        out = out.join(stacker_probability(stacker, out, "p_stack"), on="id")
+        return out.withColumn("y", F.when(F.col("labels2") == "attack", 1.0).otherwise(0.0))
+
+    decided = decide(test_tbl)
+    strategies = {
+        "kmeans_rf": thr(F.col("p_km"), cfg.threshold),
+        "blend": thr(F.col("blend"), cfg.threshold),
+        "or_vote": F.col("or_vote"),
+        "lr_stack": thr(F.col("p_stack"), cfg.threshold),
+    }
+    metrics = {}
+    for name, pred in strategies.items():
+        scored = decided.withColumn("pred", pred)
+        metrics[name] = binary_metrics(scored, "y", "pred")
+    return {"scored": decided, "metrics": metrics}

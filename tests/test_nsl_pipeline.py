@@ -88,3 +88,20 @@ def test_gaussian_rf_end_to_end(spark):
     assert m["detection_rate"] > 0.4   # GM on 2-D PCA is weaker (ref: DR 94%)
     assert 0.0 <= m["false_alarm_rate"] < 0.6
     assert out["scored"].count() == 22544
+
+
+@pytest.mark.slow
+def test_nsl_ensemble_end_to_end(spark):
+    from nsl_kdd_spark.pipeline import nsl_ensemble
+
+    tiny = NslConfig(rf_trees=15, rf_depth=8, kmeans_k=3)
+    out = nsl_ensemble(spark, TRAIN20, TEST, cfg=tiny)
+    assert set(out["metrics"]) == {"kmeans_rf", "blend", "or_vote", "lr_stack"}
+    ms = {k: v.first() for k, v in out["metrics"].items()}
+    for name, m in ms.items():
+        assert m["tp"] + m["fn"] == 12833, name
+        assert 0.0 < m["detection_rate"] <= 1.0, name
+    # the OR-vote must detect at least as much as any single model
+    # (it fires when ANY model fires) — the reference's motivation
+    assert ms["or_vote"]["detection_rate"] >= ms["kmeans_rf"]["detection_rate"]
+    assert out["scored"].count() == 22544
