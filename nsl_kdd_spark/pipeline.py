@@ -33,7 +33,6 @@ from nsl_kdd_spark.ml.features import (
     fit_categories,
     fit_standardizer,
     one_hot_encode,
-    slice_features,
 )
 from nsl_kdd_spark.ml.labels import with_labels
 from nsl_kdd_spark.ml.metrics import binary_metrics

@@ -1,0 +1,90 @@
+"""Edge cases for the text/dedup/similarity operators: empty strings,
+short docs, unicode, null handling — the places expression guards
+(e.g. the sequence(1,0) shingle guard) earn their keep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.text import (
+    avg_token_length,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from nsl_kdd_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    word_shingles,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_short_docs_produce_empty_shingles(spark):
+    df = _docs(spark, ["one", "two words", "three words here", ""])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", word_shingles("text", 3).alias("s")).collect()
+    }
+    assert got[0] == []            # 1 token < n
+    assert got[1] == []            # 2 tokens < n
+    assert got[2] == ["three words here"]
+    assert got[3] == []            # empty text
+
+
+def test_pairwise_ops_survive_degenerate_corpus(spark):
+    # all docs too short for shingles -> no pairs, no crash
+    df = _docs(spark, ["a", "b", "c d"])
+    assert jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).count() == 0
+    assert minhash_lsh_pairs(df, "doc_id", "text", shingle_n=3).count() == 0
+
+
+def test_identical_docs_found_by_every_tier(spark):
+    dup = "alpha beta gamma delta epsilon zeta"
+    df = _docs(spark, [dup, dup, "totally different text entirely now"])
+    jp = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in jp] == [(0, 1)]
+    mh = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in mh] == [(0, 1)]
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    assert sh[0] == sh[1] != sh[2]
+
+
+def test_unicode_text_roundtrips(spark):
+    df = _docs(spark, ["héllo wörld ünicode", "中文 文本 处理 测试", "emoji 🎉 text"])
+    rows = df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert [r["n"] for r in rows] == [3, 4, 3]
+    assert len({r["fp"] for r in rows}) == 3
+    assert all(r["q"] is not None for r in rows)
+
+
+def test_lang_id_zh_markers(spark):
+    df = _docs(spark, ["的 是 不 在 有", "the of and to in", "xyzzy qwerty"])
+    got = [r["l"] for r in df.select(lang_id("text").alias("l")).collect()]
+    assert got == ["zh", "en", "und"]
+
+
+def test_avg_token_length_single_token(spark):
+    df = _docs(spark, ["hello"])
+    assert df.select(avg_token_length("text").alias("a")).first()["a"] == 5.0
+
+
+def test_null_text_does_not_crash_stats(spark):
+    df = spark.createDataFrame([(0, None), (1, "some text")], "doc_id long, text string")
+    rows = df.select("doc_id", token_count("text").alias("n")).collect()
+    got = {r["doc_id"]: r["n"] for r in rows}
+    assert got[1] == 2
+    # null text -> null count (not a crash); callers filter or fillna
+    assert got[0] is None or got[0] == -1
