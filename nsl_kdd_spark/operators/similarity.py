@@ -129,3 +129,73 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer -> inverted cell lists ->
+    probe the n_probe nearest cells per query -> exact re-score.
+
+    The middle tier between brute force (exact, scans everything) and
+    sign-LSH (cheapest, lowest recall): recall is tuned by n_probe /
+    n_cells, and the corpus shuffles ONCE at build time (cell
+    assignment); queries broadcast with their probe lists.
+
+    Centroids live on the driver (n_cells x dim floats — tiny), so the
+    query->cells mapping folds into a literal expression.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), to_double_array(vec_col).alias("__cv"))
+    vecs = c.withColumn("__v", array_to_vector("__cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(id_col, "__cv", "__cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def dist2_expr(vec: "F.Column", center: list[float]) -> "F.Column":
+        diff = F.zip_with(
+            vec, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
+    )
+    # nearest n_probe cells per query: literal centroid distances,
+    # sorted as an array of (dist, cell) structs
+    cells_sorted = F.array_sort(
+        F.array(*[
+            F.struct(dist2_expr(F.col("__qv"), ctr).alias("d"),
+                     F.lit(i).alias("c"))
+            for i, ctr in enumerate(centroids)
+        ])
+    )
+    probes = F.transform(F.slice(cells_sorted, 1, n_probe), lambda s: s["c"])
+    q = q.withColumn("__cell", F.explode(probes))
+
+    scored = (
+        assigned.join(F.broadcast(q), on="__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -1,0 +1,39 @@
+"""ANN tiers must actually approximate: recall@k against the exact
+brute-force answer, on the real embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
+from nsl_kdd_spark.sources.parquet import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _recall(got_df, want_df) -> float:
+    want = {}
+    for r in want_df.collect():
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(v) for v in want.values())
+    return hits / total
+
+
+def test_ann_tiers_recall(spark):
+    e = load_tables(spark, SF_SMOKE).embeddings
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(e, queries, k=5)
+
+    ivf = knn_ivf(e, queries, k=5, n_cells=8, n_probe=4)
+    assert _recall(ivf, exact) >= 0.6   # probing half the cells
+
+    lsh = knn_lsh(e, queries, k=5, dim=64, n_planes=3)
+    assert _recall(lsh, exact) >= 0.3   # coarse buckets, lowest tier
+
+    # every tier returns <= k rows per query, ranked desc
+    for df in (ivf, lsh):
+        for r in df.groupBy("query_id").count().collect():
+            assert r["count"] <= 5
