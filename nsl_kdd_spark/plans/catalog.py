@@ -1853,3 +1853,50 @@ def q53_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "color")
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join (§2.3 gap in both the reference and vanilla Spark):
+# union-and-carry implementation vs DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+@query(
+    "q54_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts AS pts, value AS pvalue
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, p.pvalue AS last_purchase_value,
+           p.pts AS matched_ts
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.pts
+    ORDER BY c.event_id
+    """,
+)
+def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pvalue"),
+    )
+    out = asof_join(
+        clicks, purch, key="user_id", left_ts="ts", right_ts="pts",
+        right_values=["pvalue"],
+    )
+    return (
+        out.select(
+            "event_id", "user_id",
+            F.col("pvalue").alias("last_purchase_value"),
+            "matched_ts",
+        )
+        .orderBy("event_id")
+    )

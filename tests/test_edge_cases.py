@@ -88,3 +88,29 @@ def test_null_text_does_not_crash_stats(spark):
     assert got[1] == 2
     # null text -> null count (not a crash); callers filter or fillna
     assert got[0] is None or got[0] == -1
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    from datetime import datetime as d
+
+    from nsl_kdd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 10, 0)), (2, d(2024, 1, 1, 12, 0)),
+         (3, d(2024, 1, 1, 9, 0))],
+        "lid long, lts timestamp",
+    ).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(100, d(2024, 1, 1, 10, 0)), (200, d(2024, 1, 1, 11, 0))],
+        "rid long, rts timestamp",
+    ).withColumn("k", F.lit(1))
+
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    right_values=["rid"])
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None}  # tie at 10:00 matches
+
+    tol = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    right_values=["rid"], tolerance_seconds=1800)
+    got_tol = {r["lid"]: r["rid"] for r in tol.collect()}
+    assert got_tol == {1: 100, 2: None, 3: None}  # 12:00 match is 1h stale
