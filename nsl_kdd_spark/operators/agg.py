@@ -90,3 +90,21 @@ def grouped_avg(df: DataFrame, label_col: str, columns: Sequence[str]) -> DataFr
         .agg(*[F.avg(c).alias(f"avg_{c}") for c in columns])
         .orderBy(label_col)
     )
+
+
+def histogram(
+    df: DataFrame, column: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-width histogram as one hash aggregation: bucket =
+    floor((x - lo) / w) clamped to [0, n_bins-1]. Profiling companion
+    to describe_stats; linear, no sort (vs percentile's global sort)."""
+    w = (hi - lo) / n_bins
+    bucket = F.floor((F.col(column) - F.lit(lo)) / F.lit(w))
+    bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bucket") * F.lit(w))
+        .orderBy("bucket")
+    )

@@ -1900,3 +1900,24 @@ def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram profiling (describe's companion; one hash agg)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q55_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 11000.0), 0), 9) AS bucket
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+           0.0 + bucket * 11000.0 AS bin_lo
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q55_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return agg.histogram(t.lineitem, "l_extendedprice", lo=0.0, hi=110000.0, n_bins=10)

@@ -1,0 +1,73 @@
+"""Unit tests for the relational/agg/window operator layer on tiny
+in-memory frames — the SURVEY §5 per-operator test tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators import agg, relational, windows
+
+
+def test_crosstab_zero_fills_missing_cells(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], "r string, c string"
+    )
+    out = agg.crosstab(df, "r", "c", values=["x", "y", "z"])
+    rows = {r["r"]: (r["x"], r["y"], r["z"]) for r in out.collect()}
+    assert rows == {"a": (2, 0, 0), "b": (0, 1, 0)}
+
+
+def test_group_count_ordering(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("b",)], "k string")
+    out = [tuple(r) for r in agg.group_count(df, "k").collect()]
+    assert out == [("b", 2), ("a", 1)]
+
+
+def test_describe_stats_values(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    r = agg.describe_stats(df, ["x"]).first()
+    assert (r["count"], r["mean"], r["min"], r["max"]) == (3.0, 2.0, 1.0, 3.0)
+    assert abs(r["stddev"] - 1.0) < 1e-12
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (0.5,), (9.5,), (25.0,)], "x double")
+    out = {r["bucket"]: r["n"] for r in agg.histogram(df, "x", 0.0, 10.0, 2).collect()}
+    # -5 clamps into bucket 0; 25 clamps into bucket 1
+    assert out == {0: 2, 1: 2}
+
+
+def test_replace_values_only_touches_target(spark):
+    df = spark.createDataFrame([(2.0, 2.0), (1.0, 2.0)], "a double, b double")
+    out = relational.replace_values(df, "a", {2.0: 0.0}).collect()
+    assert sorted(map(tuple, out)) == [(0.0, 2.0), (1.0, 2.0)]
+
+
+def test_one_hot_unknown_category_all_zero(spark):
+    df = spark.createDataFrame([("x",), ("q",)], "c string")
+    out = relational.one_hot(df, "c", ["x", "y"])
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [("q", 0.0, 0.0), ("x", 1.0, 0.0)]
+
+
+def test_drop_constant_columns(spark):
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "a double, b double")
+    out = relational.drop_constant_columns(df, ["a", "b"])
+    assert out.columns == ["a"]
+
+
+def test_deterministic_id_row_number(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], "k string")
+    out = relational.with_deterministic_id(df, "id", order_by=["k"])
+    got = {r["k"]: r["id"] for r in out.collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_top_k_per_group_ties_stable(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 5.0, 2), ("g", 3.0, 3)], "g string, v double, i long"
+    )
+    out = windows.top_k_per_group(
+        df, ["g"], [F.desc("v"), F.asc("i")], k=2
+    ).select("i").collect()
+    assert [r["i"] for r in out] == [1, 2]  # tie broken by i, stable
