@@ -11,11 +11,15 @@ just the registry surface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nsl_kdd_spark.plans.catalog import ORACLE, QUERIES
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nsl_kdd_spark.plans.catalog import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

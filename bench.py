@@ -36,6 +36,9 @@ HEADLINE = [
     "q31_knn_bruteforce",
     "q34_tumbling_window",
     "q36_session_window",
+    "q46_shipping_priority",
+    "q52_percentiles",
+    "q54_asof_join",
 ]
 
 
