@@ -1921,3 +1921,47 @@ def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q55_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return agg.histogram(t.lineitem, "l_extendedprice", lo=0.0, hi=110000.0, n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-family analytics: ntile / percent_rank / cume_dist (§2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q56_rank_analytics",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_mktsegment, quartile, COUNT(*) AS n,
+           MAX(pr) AS max_pr, MAX(cd) AS max_cd
+    FROM r
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)
+def q56_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = t.customer.select(
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        r.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("pr").alias("max_pr"),
+            F.max("cd").alias("max_cd"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
