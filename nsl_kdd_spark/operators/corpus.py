@@ -1,0 +1,86 @@
+"""Corpus cleaning funnel — the LLM-training-data pipeline composition
+(BASELINE.json north-star), chaining the engine's dedup/text tiers in
+cost order:
+
+  raw docs
+   1. exact dedup         md5(content), keep lowest id     (cheapest)
+   2. fingerprint dedup   md5(sorted distinct tokens) — catches
+                          token-permutation/repetition copies
+   3. near-dup drop       shingle-jaccard pairs >= t among survivors;
+                          greedy rule: drop the higher id of each pair
+   4. quality gate        token count + quality score thresholds
+
+Each tier only sees the previous tier's survivors, so the expensive
+pairwise stage runs on the smallest candidate set. The greedy pair
+rule (drop id_b) is order-deterministic and engine-portable; exact
+transitive clustering is a connected-components pass that can replace
+it where clusters matter more than throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.text import (
+    exact_hash,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from nsl_kdd_spark.operators.dedup import jaccard_pairs
+
+
+@dataclass(frozen=True)
+class CorpusCleanConfig:
+    jaccard_threshold: float = 0.8
+    shingle_n: int = 3
+    min_tokens: int = 20
+    min_quality: float = 0.3
+
+
+def _keep_first(df: DataFrame, key, id_col: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def corpus_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: CorpusCleanConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Returns {"kept": surviving rows, "funnel": one-row stage
+    counts}. Stage counts are computed on cached survivors so the
+    funnel costs one pass per tier."""
+    cfg = cfg or CorpusCleanConfig()
+
+    s1 = _keep_first(df, exact_hash(text_col), id_col).cache()
+    s2 = _keep_first(s1, fingerprint(text_col), id_col).cache()
+
+    pairs = jaccard_pairs(
+        s2, id_col, text_col, n=cfg.shingle_n, threshold=cfg.jaccard_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    s3 = s2.join(drop, on=id_col, how="left_anti").cache()
+
+    s4 = s3.filter(
+        (token_count(text_col) >= cfg.min_tokens)
+        & (quality_score(text_col) >= cfg.min_quality)
+    ).cache()
+
+    spark = df.sparkSession
+    funnel = spark.createDataFrame(
+        [(
+            df.count(), s1.count(), s2.count(), s3.count(), s4.count(),
+        )],
+        "n_raw long, n_after_exact long, n_after_fingerprint long, "
+        "n_after_neardup long, n_kept long",
+    )
+    return {"kept": s4, "funnel": funnel}

@@ -1965,3 +1965,64 @@ def q56_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# The capstone composition: corpus cleaning funnel (exact dedup ->
+# fingerprint dedup -> near-dup drop -> quality gate), fully oracle'd
+# ---------------------------------------------------------------------------
+
+@query(
+    "q57_corpus_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ), s2 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+                 ORDER BY doc_id) AS rn
+        FROM s1) WHERE rn = 1
+    ), w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM s2
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+            >= 0.8
+    ), s3 AS (
+      SELECT * FROM s2 WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+    ), s4 AS (
+      SELECT * FROM s3 t
+      WHERE len(string_split(text, ' ')) >= 20
+        AND (LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+             + len(list_filter(list_distinct(string_split(text, ' ')),
+                   x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+               * 1.0 / len(list_distinct(string_split(text, ' ')))
+             + len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' '))) / 3.0 >= 0.3
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+           (SELECT COUNT(*) FROM s1) AS n_after_exact,
+           (SELECT COUNT(*) FROM s2) AS n_after_fingerprint,
+           (SELECT COUNT(*) FROM s3) AS n_after_neardup,
+           (SELECT COUNT(*) FROM s4) AS n_kept
+    """,
+)
+def q57_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import corpus_clean
+
+    t = load_tables(spark, sf_dir)
+    return corpus_clean(t.documents)["funnel"]

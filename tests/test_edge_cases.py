@@ -114,3 +114,22 @@ def test_asof_join_tolerance_and_ties(spark):
                     right_values=["rid"], tolerance_seconds=1800)
     got_tol = {r["lid"]: r["rid"] for r in tol.collect()}
     assert got_tol == {1: 100, 2: None, 3: None}  # 12:00 match is 1h stale
+
+
+def test_corpus_funnel_stages_monotonic(spark):
+    from nsl_kdd_spark.operators.corpus import corpus_clean
+    from nsl_kdd_spark.sources.parquet import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    out = corpus_clean(docs)
+    f = out["funnel"].first()
+    # monotone funnel, every tier sees only survivors
+    assert f["n_raw"] >= f["n_after_exact"] >= f["n_after_fingerprint"] \
+           >= f["n_after_neardup"] >= f["n_kept"] > 0
+    assert out["kept"].count() == f["n_kept"]
+    # kept docs are unique by fingerprint
+    from nsl_kdd_spark.functions.text import fingerprint as fp
+
+    n_fp = out["kept"].select(fp("text").alias("f")).distinct().count()
+    assert n_fp == f["n_kept"]
