@@ -2026,3 +2026,60 @@ def q57_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return corpus_clean(t.documents)["funnel"]
+
+
+# ---------------------------------------------------------------------------
+# Iterative connected components over the near-dup graph — exact
+# transitive dedup clustering; oracle = DuckDB recursive CTE
+# ---------------------------------------------------------------------------
+
+_NEARDUP_EDGES_SQL = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+            >= 0.8
+    )
+"""
+
+
+@query(
+    "q58_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_NEARDUP_EDGES_SQL},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+    ),
+    comps AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    )
+    SELECT comp, COUNT(*) AS n_nodes
+    FROM comps GROUP BY comp
+    ORDER BY n_nodes DESC, comp
+    """,
+)
+def q58_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+    from nsl_kdd_spark.operators.graph import component_sizes, connected_components
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, "doc_id", "text", n=3, threshold=0.8)
+    comps = connected_components(edges)
+    return component_sizes(comps)

@@ -71,3 +71,28 @@ def test_top_k_per_group_ties_stable(spark):
         df, ["g"], [F.desc("v"), F.asc("i")], k=2
     ).select("i").collect()
     assert [r["i"] for r in out] == [1, 2]  # tie broken by i, stable
+
+
+def test_connected_components_hand_graph(spark):
+    from nsl_kdd_spark.operators.graph import component_sizes, connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    sizes = [tuple(r) for r in component_sizes(connected_components(edges)).collect()]
+    assert sizes == [(1, 4), (20, 3), (10, 2)]
+
+
+def test_connected_components_chain_converges(spark):
+    # a long chain stresses the iteration count (diameter halving)
+    from nsl_kdd_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges).collect()
+    assert {r["comp"] for r in comps} == {0}
+    assert len(comps) == 31
