@@ -25,10 +25,17 @@ def connected_components(
     """(node, component) for every node in ``edges``; component id =
     the smallest node id in the component (deterministic).
 
-    Each round: every node adopts min(own label, neighbors' labels);
-    stop when no label changes. Intermediate label tables are cached
-    and released per round to keep lineage short (no unbounded plan
-    growth across iterations)."""
+    Each round: (1) every node adopts min(own label, neighbors'
+    labels) — one hop of propagation; (2) path compression,
+    ``comp <- comp(comp)`` — labels are themselves node ids, so one
+    self-join doubles the effective propagation distance per round,
+    giving O(log diameter) rounds on chains instead of O(diameter).
+    Stops when no label changes. Each round's label table is
+    ``localCheckpoint``ed: persist alone bounds recomputation but the
+    LOGICAL plan still doubles per round (self-join) until the driver
+    chokes planning it — checkpointing truncates lineage. On a real
+    cluster prefer reliable ``checkpoint()`` (survives executor loss
+    over long iterations)."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -39,9 +46,8 @@ def connected_components(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -49,14 +55,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, on=[labels.node == neighbor_min.a], how="left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp")))
                 .alias("comp"),
             )
-            .persist()
+        )
+        # compression: comp labels are node ids, so comp(comp) is
+        # defined; shortcuts chains (pointer-jumping step)
+        x, y = propagated.alias("x"), propagated.alias("y")
+        new_labels = (
+            x.join(y, on=[F.col("x.comp") == F.col("y.node")], how="left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -64,7 +80,6 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
