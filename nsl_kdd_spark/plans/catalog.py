@@ -2083,3 +2083,47 @@ def q58_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs(t.documents, "doc_id", "text", n=3, threshold=0.8)
     comps = connected_components(edges)
     return component_sizes(comps)
+
+
+# ---------------------------------------------------------------------------
+# Banded range join: points within [anchor, anchor+1h) — equi-join on
+# time bands + exact filter, never a cartesian (§2.3 range-join gap)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q59_range_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           COUNT(c.event_id) AS n_clicks_within_1h,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts AND epoch(c.ts) < epoch(e.ts) + 3600
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+)
+def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.rangejoin import point_in_window_join
+
+    t = load_tables(spark, sf_dir)
+    errors = t.events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_v"),
+    )
+    joined = point_in_window_join(
+        clicks, errors, point_ts="click_ts", anchor_ts="error_ts",
+        width_seconds=3600, how="left",
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(
+            F.count("click_id").alias("n_clicks_within_1h"),
+            exact_sum("click_v").alias("click_value"),
+        )
+        .orderBy("error_id")
+    )
