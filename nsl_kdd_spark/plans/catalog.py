@@ -2127,3 +2127,39 @@ def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass column profiler (describe + distinct + nulls in one agg)
+# ---------------------------------------------------------------------------
+
+def _profile_block(col: str, is_num: bool) -> str:
+    mean = (
+        f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
+        if is_num else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+    SELECT '{col}' AS col_name,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_value,
+           CAST(MAX({col}) AS VARCHAR) AS max_value,
+           {mean} AS mean_value
+    FROM orders
+    """
+
+
+@query(
+    "q60_profile",
+    oracle=" UNION ALL ".join([
+        _profile_block("o_orderstatus", False),
+        _profile_block("o_totalprice", True),
+        _profile_block("o_orderpriority", False),
+    ]) + " ORDER BY col_name",
+)
+def q60_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return agg.profile(
+        t.orders, ["o_orderstatus", "o_totalprice", "o_orderpriority"], exact_scale=2
+    )

@@ -60,3 +60,25 @@ def test_pca_shapes(spark):
     model, out = pca_project(v, k=2, input_col="raw_features")
     assert len(out.first()["pca_features"]) == 2
     assert len(model.explainedVariance) == 2
+
+
+def test_ohe_per_dataset_vs_train_vocabulary(spark):
+    """The reference fits OHE per-dataset (README.md:1106-1110), so
+    train/test column sets can diverge — its §7.4 fidelity quirk. The
+    engine supports both: per-dataset vocab reproduces the reference;
+    train-side vocab (the default) keeps schemas aligned with unseen
+    categories encoded all-zero."""
+    train = spark.createDataFrame([("a",), ("b",)], "c string")
+    test = spark.createDataFrame([("b",), ("z",)], "c string")
+
+    # reference-compat: vocab fit on each dataset independently
+    train_cols = one_hot_encode(train, ["c"], {"c": fit_categories(train, "c")})
+    test_cols = one_hot_encode(test, ["c"], {"c": fit_categories(test, "c")})
+    assert set(train_cols.columns) == {"c_a", "c_b"}
+    assert set(test_cols.columns) == {"c_b", "c_z"}   # diverged, like the reference
+
+    # engine default: train vocabulary everywhere, unseen -> all zeros
+    vocab = {"c": fit_categories(train, "c")}
+    aligned = one_hot_encode(test, ["c"], vocab, drop_input=False)
+    rows = {r["c"]: (r["c_a"], r["c_b"]) for r in aligned.collect()}
+    assert rows == {"b": (0.0, 1.0), "z": (0.0, 0.0)}

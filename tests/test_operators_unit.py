@@ -96,3 +96,26 @@ def test_connected_components_chain_converges(spark):
     comps = connected_components(edges).collect()
     assert {r["comp"] for r in comps} == {0}
     assert len(comps) == 31
+
+
+def test_exact_aggs_skip_nulls_like_sql(spark):
+    from nsl_kdd_spark.functions.scalar import exact_avg, exact_sum
+
+    df = spark.createDataFrame(
+        [(1.5,), (None,), (2.5,), (None,)], "x double"
+    )
+    r = df.agg(
+        exact_sum("x").alias("s"), exact_avg("x").alias("m"),
+        F.count("x").alias("n"),
+    ).first()
+    assert (r["s"], r["m"], r["n"]) == (4.0, 2.0, 2)  # nulls ignored
+
+
+def test_profile_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (3.0, None)], "x double, s string"
+    )
+    out = {r["col_name"]: r for r in agg.profile(df, ["x", "s"], exact_scale=2).collect()}
+    assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 2
+    assert out["s"]["n_nulls"] == 1 and out["s"]["mean_value"] is None
+    assert out["x"]["mean_value"] == 2.0
