@@ -67,3 +67,47 @@ def auc_roc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
             / (F.sum(F.col("_y")) * F.sum(F.lit(1) - F.col("_y")))
         ).alias("auc")
     )
+
+
+def format_report(metrics_row, labels: tuple[str, str] = ("normal", "attack")) -> str:
+    """Human-readable report in the reference's ``printReport`` shape
+    (README.md:1433-1475): confusion matrix + headline metrics. Input
+    is one collected row of ``binary_metrics`` — formatting is
+    driver-side string work on 8 numbers, never a distributed op."""
+    m = metrics_row
+    neg, pos = labels
+    w = max(len(neg), len(pos), 7)
+    lines = [
+        f"{'':>{w}} | {neg:>{w}} | {pos:>{w}}",
+        f"{neg:>{w}} | {int(m['tn']):>{w}} | {int(m['fp']):>{w}}",
+        f"{pos:>{w}} | {int(m['fn']):>{w}} | {int(m['tp']):>{w}}",
+        "",
+        f"Accuracy:         {m['accuracy']:.4f}",
+        f"Precision:        {m['precision']:.4f}",
+        f"Detection Rate:   {m['detection_rate']:.4f}",
+        f"False Alarm Rate: {m['false_alarm_rate']:.4f}",
+        f"F1:               {m['f1']:.4f}",
+    ]
+    return "\n".join(lines)
+
+
+def correlation_matrix(
+    df: DataFrame, columns: list[str], method: str = "pearson"
+) -> DataFrame:
+    """MLlib Correlation matrix over a column list (the reference's
+    commented-out experiment M20, README.md:1002-1016) — returns a
+    tidy (col_a, col_b, corr) table instead of a packed Matrix."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    assembled = VectorAssembler(
+        inputCols=columns, outputCol="__corr_vec"
+    ).transform(df.select(*columns))
+    mat = Correlation.corr(assembled, "__corr_vec", method).head()[0].toArray()
+    rows = [
+        (columns[i], columns[j], float(mat[i][j]))
+        for i in range(len(columns))
+        for j in range(len(columns))
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, "col_a string, col_b string, corr double")

@@ -119,3 +119,28 @@ def test_profile_counts_nulls(spark):
     assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 2
     assert out["s"]["n_nulls"] == 1 and out["s"]["mean_value"] is None
     assert out["x"]["mean_value"] == 2.0
+
+
+def test_format_report_and_correlation_matrix(spark):
+    from nsl_kdd_spark.ml.metrics import (
+        binary_metrics,
+        correlation_matrix,
+        format_report,
+    )
+
+    scored = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 0.0), (0.0, 0.0), (0.0, 0.0)], "y double, p double"
+    )
+    report = format_report(binary_metrics(scored, "y", "p").first())
+    assert "Detection Rate:   0.5000" in report
+    assert "False Alarm Rate: 0.0000" in report
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(10)],
+        "a double, b double, c double",
+    )
+    cm = {(r["col_a"], r["col_b"]): r["corr"] for r in
+          correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert abs(cm[("a", "b")] - 1.0) < 1e-9     # perfectly correlated
+    assert abs(cm[("a", "c")] + 1.0) < 1e-9     # perfectly anti-correlated
+    assert abs(cm[("a", "a")] - 1.0) < 1e-9
