@@ -64,3 +64,14 @@ def test_queries_run_at_smoke_sf(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
+
+
+def test_query_output_columns_unique_and_oracle_parses(spark, duck):
+    """Duplicate output column names would silently break the driver's
+    sort-columns-by-name hash; every oracle must at least EXPLAIN in
+    DuckDB (catches SQL typos without paying full execution twice)."""
+    for name, fn in entrymod.queries().items():
+        cols = fn(spark, SF_SMOKE).columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+    for name, sql in entrymod.oracle_sql().items():
+        duck.sql(f"EXPLAIN {sql}")
