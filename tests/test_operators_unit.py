@@ -144,3 +144,19 @@ def test_format_report_and_correlation_matrix(spark):
     assert abs(cm[("a", "b")] - 1.0) < 1e-9     # perfectly correlated
     assert abs(cm[("a", "c")] + 1.0) < 1e-9     # perfectly anti-correlated
     assert abs(cm[("a", "a")] - 1.0) < 1e-9
+
+
+def test_map_label_strict_raises_on_unseen(spark):
+    # D1 semantics: the reference's dict UDF KeyErrors on labels
+    # outside the taxonomy (README.md:220) — strict mode reproduces it
+    import pytest as _pytest
+
+    from nsl_kdd_spark.ml.labels import map_label
+
+    df = spark.createDataFrame([("known",), ("mystery",)], "l string")
+    strict = df.select(map_label("l", {"known": "k"}, strict=True).alias("m"))
+    with _pytest.raises(Exception, match="unseen label: mystery"):
+        strict.collect()
+    lax = df.select(map_label("l", {"known": "k"}, strict=False).alias("m"))
+    got = {r["m"] for r in lax.collect()}
+    assert got == {"k", None}
