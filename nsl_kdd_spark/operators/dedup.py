@@ -198,6 +198,29 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(
+    bucketed: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_size`` members
+    BEFORE the self-join. A degenerate bucket (template cluster, stop
+    phrase) makes the candidate set quadratic in its size; the true
+    pair set of such a cluster is itself quadratic, so no plan can
+    return it cheaply — capping is the standard production guard
+    (recall loss is confined to the oversized buckets; pairs found via
+    any other bucket are unaffected). The bucket-size aggregate rides
+    the same shuffle key as the join, and the oversize list is tiny ->
+    broadcast anti-join."""
+    if max_bucket_size is None:
+        return bucketed
+    big = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*bucket_cols)
+    )
+    return bucketed.join(F.broadcast(big), on=bucket_cols, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,13 +229,15 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verify.
 
     Bands of ``band_size`` signatures hash to a bucket; docs sharing
     any band bucket become candidates (standard S-curve selectivity);
     candidates are then verified with the exact jaccard of their
-    shingle sets via a second pass. Returns verified
+    shingle sets via a second pass. ``max_bucket_size`` caps the
+    per-bucket join fan-out (see ``_cap_buckets``). Returns verified
     (id_a, id_b, jaccard >= threshold)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
@@ -231,6 +256,7 @@ def minhash_lsh_pairs(
             )
         ).alias("__bucket"),
     )
+    bands = _cap_buckets(bands, ["__bucket"], max_bucket_size)
     bands = bands.persist()  # self-joined below
     cand = (
         bands.alias("x")
@@ -261,35 +287,38 @@ def minhash_lsh_pairs(
 _HEX = "0123456789abcdef"
 
 
-def _hex4_to_int(h: Column) -> Column:
-    """First 4 hex chars of a digest -> 16-bit int, via alphabet
-    position (portable: strpos/instr agree across engines)."""
-    out = F.lit(0)
-    for pos in range(1, 5):
-        d = F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1
-        out = out * 16 + d
-    return out
+def _md5_bit(h: Column, b: int, nchars: int) -> Column:
+    """Bit ``b`` of the big-endian integer formed by the first
+    ``nchars`` hex chars of digest ``h`` — i.e. bit ``b % 4`` of hex
+    char ``nchars - b // 4`` (1-based, alphabet position via instr —
+    portable: strpos/instr agree across engines). Char-at-a-time
+    extraction so any width up to 128 bits works without long
+    overflow; the nchars = 4 case reproduces the original 16-bit
+    big-endian layout bit-for-bit."""
+    d = F.instr(F.lit(_HEX), F.substring(h, nchars - b // 4, 1)) - 1
+    return F.shiftright(d, b % 4).bitwiseAND(F.lit(1))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """16-bit SimHash over distinct tokens: per-bit majority vote of
-    token-hash bits. explode -> one agg with ``bits`` conditional sums
-    -> pack. Returns (id, simhash long)."""
+    """SimHash over distinct tokens: per-bit majority vote of token-hash
+    bits, any width up to 64 (multiple of 4). explode -> one agg with
+    ``bits`` conditional sums -> pack. Packing uses shiftleft|or, so
+    bit 63 (sign bit) is well-defined; xor/bit_count downstream treat
+    the long as a bag of bits. Returns (id, simhash long)."""
+    if bits % 4 or not 4 <= bits <= 64:
+        raise ValueError(f"bits must be a multiple of 4 in [4, 64], got {bits}")
+    nchars = bits // 4
     tok = df.select(
         F.col(id_col).alias(id_col), F.explode(distinct_tokens(text_col)).alias("__t")
-    )
-    h = _hex4_to_int(F.md5(F.col("__t")))
+    ).select(id_col, F.md5(F.col("__t")).alias("__h"))
     per_bit = tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-            for b in range(bits)
-        ],
+        *[F.sum(_md5_bit(F.col("__h"), b, nchars)).alias(f"__b{b}") for b in range(bits)],
     )
     sig = F.lit(0).cast("long")
     for b in range(bits):
         bit = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
-        sig = sig + bit.cast("long") * F.lit(2 ** b).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), b))
     return per_bit.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -300,17 +329,75 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 16,
     block_col: str | None = None,
+    bands: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance.
 
-    Candidate generation joins on ``block_col`` when given (e.g. lang /
-    source partition); production-scale variant would join on signature
-    bands (rotate-and-prefix). Returns (id_a, id_b, hamming)."""
+    Candidate generation, cheapest applicable first:
+
+    - ``bands=k`` — the production scale path: split the signature
+      into ``k`` contiguous bit bands; by pigeonhole any pair with
+      hamming <= ``bands - 1`` agrees EXACTLY on at least one band, so
+      an equi-join on (band_index, band_value) is lossless whenever
+      ``bands >= max_hamming + 1`` (enforced). One shuffle keyed by
+      small ints instead of a per-block cross join.
+    - ``block_col`` — restrict pairs to a natural partition (lang /
+      source); composes with ``bands`` (band key includes the block).
+    - neither — full cross join; only for small corpora / oracles.
+
+    Candidates are always verified with the exact
+    ``bit_count(xor)``. Returns (id_a, id_b, hamming <= max_hamming)."""
     cols = [id_col] + ([block_col] if block_col else [])
     sigs = simhash(df.select(*cols, text_col), id_col, text_col, bits)
     if block_col:
         sigs = sigs.join(df.select(id_col, block_col), on=id_col)
     sigs = sigs.persist()  # self-joined below
+    if bands is not None:
+        if bands <= max_hamming:
+            raise ValueError(
+                f"bands={bands} loses pairs at max_hamming={max_hamming}; "
+                f"need bands >= max_hamming + 1"
+            )
+        # near-equal band widths covering all ``bits``
+        base, extra = divmod(bits, bands)
+        widths = [base + (1 if i < extra else 0) for i in range(bands)]
+        starts = [sum(widths[:i]) for i in range(bands)]
+        band_vals = F.array(
+            *[
+                F.shiftright(F.col("simhash"), s).bitwiseAND(
+                    F.lit((1 << w) - 1).cast("long")
+                )
+                for s, w in zip(starts, widths)
+            ]
+        )
+        bucketed = sigs.select(
+            id_col,
+            *([block_col] if block_col else []),
+            F.posexplode(band_vals).alias("__bi", "__bv"),
+        )
+        key = ["__bi", "__bv"] + ([block_col] if block_col else [])
+        bucketed = _cap_buckets(bucketed, key, max_bucket_size).persist()
+        xa = bucketed.select(F.col(id_col).alias("id_a"), *key)
+        xb = bucketed.select(F.col(id_col).alias("id_b"), *key)
+        cand = (
+            xa.join(xb, on=key)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+        pairs = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+            )
+        )
+        return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
     a = sigs.select(*[F.col(c).alias(f"{c}_a") for c in sigs.columns])
     b = sigs.select(*[F.col(c).alias(f"{c}_b") for c in sigs.columns])
     on = (

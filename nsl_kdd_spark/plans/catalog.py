@@ -2163,3 +2163,60 @@ def q60_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.profile(
         t.orders, ["o_orderstatus", "o_totalprice", "o_orderpriority"], exact_scale=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded SimHash near-dup (32-bit, 4 bands, hamming <= 3) — the
+# production-scale candidate path (SURVEY §2.13; SCALE.md dedup table).
+# Lossless vs the all-pairs join by pigeonhole (bands > max_hamming),
+# which is exactly what the oracle checks: DuckDB computes the same
+# 32-bit signatures and compares ALL pairs; Spark only compares pairs
+# sharing a band bucket.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q61_simhash_banded",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        ({hv}) AS hv
+      FROM tok
+    ), bitsum AS (
+      SELECT doc_id, COUNT(*) AS n,
+        {bitsums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({sigexpr} AS BIGINT) AS simhash
+      FROM bitsum
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """.format(
+        hv=" + ".join(
+            f"CAST(strpos('0123456789abcdef', substr(md5(t),{pos},1)) - 1 AS BIGINT)"
+            f" * {16 ** (8 - pos)}"
+            for pos in range(1, 9)
+        ),
+        bitsums=",\n        ".join(
+            f"SUM((hv // {2**b}) % 2) AS b{b}" for b in range(32)
+        ),
+        sigexpr=" + ".join(
+            f"(CASE WHEN b{b} * 2 > n THEN 1 ELSE 0 END) * CAST({2**b} AS BIGINT)"
+            for b in range(32)
+        ),
+    ),
+)
+def q61_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import simhash_pairs
+
+    t = load_tables(spark, sf_dir)
+    out = simhash_pairs(
+        t.documents, "doc_id", "text", max_hamming=3, bits=32, bands=4
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))

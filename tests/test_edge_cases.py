@@ -133,3 +133,53 @@ def test_corpus_funnel_stages_monotonic(spark):
 
     n_fp = out["kept"].select(fp("text").alias("f")).distinct().count()
     assert n_fp == f["n_kept"]
+
+
+def test_simhash_banded_lossless_vs_bruteforce(spark):
+    """Pigeonhole guarantee: bands >= max_hamming + 1 makes banded
+    candidate generation exact (same pairs as the all-pairs join)."""
+    from nsl_kdd_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 7} word{i % 3} tail{i % 5}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = sorted(map(tuple, simhash_pairs(df, "doc_id", "text", 4, bits=32).collect()))
+    banded = sorted(
+        map(tuple, simhash_pairs(df, "doc_id", "text", 4, bits=32, bands=5).collect())
+    )
+    assert brute == banded and len(brute) > 0
+
+
+def test_simhash_bands_guard_rejects_lossy_config(spark):
+    import pytest
+
+    from nsl_kdd_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=4, bits=32, bands=4)
+
+
+def test_minhash_bucket_cap_drops_template_cluster_only(spark):
+    """max_bucket_size bounds join fan-out: a 20-doc identical-template
+    cluster (quadratic true pairs) is skipped, a genuine near-dup pair
+    in a small bucket is still found."""
+    from nsl_kdd_spark.operators.dedup import minhash_lsh_pairs
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(20)]
+    rows += [
+        (100, "completely different unique sentence about spark shuffles at scale"),
+        (101, "completely different unique sentence about spark shuffles at scales"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    capped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_bucket_size=5)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp
+    assert any(a < 20 and b < 20 for a, b in un)       # template pairs present
+    assert not any(a < 20 and b < 20 for a, b in cp)   # ...and capped away
+    assert cp <= un
