@@ -2220,3 +2220,42 @@ def q61_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, "doc_id", "text", max_hamming=3, bits=32, bands=4
     )
     return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN tier (SURVEY §2.13): KMeans coarse quantizer -> probe nearest
+# cells -> exact re-score. Seeded KMeans centroids are engine-specific,
+# so like q33/q38 this is a rows-only driver check; exact recall vs
+# brute force is pinned by tests/test_similarity_recall.py.
+# ---------------------------------------------------------------------------
+
+@query("q62_knn_ivf")
+def q62_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import knn_ivf
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    return knn_ivf(t.embeddings, queries_df, k=5, n_cells=8, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Sketch profile (A4 scale path): approx_count_distinct (HyperLogLog++)
+# and approx_percentile (Greenwald-Khanna) per order-priority group.
+# Sketch internals differ per engine -> rows-only driver check; the
+# rel-error contract vs exact answers is pinned in
+# tests/test_operators_unit.py::test_sketch_profile_within_tolerance.
+# ---------------------------------------------------------------------------
+
+@query("q63_sketch_profile")
+def q63_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
+            .alias("price_quantiles"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -147,3 +147,55 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .load(stage)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+
+
+def enrich_stream(
+    df: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (slowly-changing) dimension table; the static side is re-resolved
+    per batch, so a refreshed dim parquet is picked up without restart.
+    Broadcast by default — the dim is small by definition here, and a
+    broadcast join keeps the stream side shuffle-free (no state store
+    involved, unlike stream-stream joins). Works identically on batch
+    inputs, so the DuckDB oracle checks the same function."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return df.join(right, on=list(on) if not isinstance(on, str) else on, how=how)
+
+
+def write_stream_foreach_batch(
+    df: DataFrame, path: str, checkpoint_dir: str
+):
+    """Idempotent parquet sink via foreachBatch: every micro-batch lands
+    in its own ``__batch_id=N`` partition with dynamic partition
+    overwrite, so a batch replayed after failure OVERWRITES its own
+    partition instead of duplicating rows — exactly-once output on top
+    of the checkpoint's at-least-once replay. foreachBatch (not the
+    native file sink) is the production pattern because the same hook
+    fans out to multi-sink / merge targets. Returns the started query
+    (availableNow trigger: drains the source, then stops)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

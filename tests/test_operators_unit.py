@@ -160,3 +160,20 @@ def test_map_label_strict_raises_on_unseen(spark):
     lax = df.select(map_label("l", {"known": "k"}, strict=False).alias("m"))
     got = {r["m"] for r in lax.collect()}
     assert got == {"k", None}
+
+
+def test_sketch_profile_within_tolerance(spark):
+    """q63's sketch aggregates track exact answers: HLL++ rsd=0.02
+    should land well within 5%, and GK approx quantiles within rank
+    tolerance of the exact percentile on this distribution."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+    ).first()
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("e"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+    ).first()
+    assert abs(approx["a"] - exact["e"]) <= 0.05 * exact["e"]
+    assert abs(approx["p50"] - exact["p50"]) <= 0.02 * exact["p50"]

@@ -55,3 +55,29 @@ def test_streaming_dedup_drops_duplicates(spark):
     got = spark.sql("SELECT count(*) AS n, count(distinct user_id) AS u FROM t_dedup").first()
     n_users = load_tables(spark, SF_SMOKE).events.select("user_id").distinct().count()
     assert got["n"] == got["u"] == n_users
+
+
+def test_stream_static_enrich_and_foreach_batch_sink(spark, tmp_path):
+    """Stream-static broadcast join == batch join; foreachBatch sink is
+    idempotent (one __batch_id partition per micro-batch, overwritten
+    on replay, exactly-once rows)."""
+    from nsl_kdd_spark.streaming.events import (
+        enrich_stream, write_stream_foreach_batch,
+    )
+
+    events = load_tables(spark, SF_SMOKE).events
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = read_events_stream(spark, SF_SMOKE)
+    enriched = enrich_stream(stream, dim, on="user_id")
+    out = str(tmp_path / "out")
+    q = write_stream_foreach_batch(enriched, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = enrich_stream(events, dim, on="user_id")
+    assert got.count() == want.count() == events.count()
+    assert sorted(map(tuple, got.select("event_id", "tier").collect())) == \
+           sorted(map(tuple, want.select("event_id", "tier").collect()))
+    assert got.select("__batch_id").distinct().count() >= 1
