@@ -91,3 +91,22 @@ def one_hot(
     ]
     out = df.select("*", *cols)
     return out.drop(column) if drop_input else out
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long (melt): one output row per (id row, value column).
+    Inverse of the crosstab/pivot primitive (SURVEY §2.4 A2) and the
+    natural pre-step for per-column profiling at scale. Built on the
+    native ``DataFrame.unpivot`` (a Generate node — no shuffle, no
+    UDF); value columns must share a common type, so they are cast to
+    double up front."""
+    casted = df.select(
+        *ids, *[F.col(c).cast("double").alias(c) for c in values]
+    )
+    return casted.unpivot(list(ids), list(values), var_name, value_name)

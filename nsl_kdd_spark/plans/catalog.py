@@ -2259,3 +2259,92 @@ def q63_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long, SURVEY §2.4 pivot's inverse): melt four
+# lineitem measures, then profile per variable. Oracle expresses the
+# melt as UNION ALL (the ANSI-portable unpivot).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q64_unpivot_profile",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS variable, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    )
+    SELECT variable, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM long GROUP BY variable ORDER BY variable
+    """,
+)
+def q64_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    long = relational.unpivot(
+        t.lineitem,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return (
+        long.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("variable")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill + forward fill (operators/timeseries):
+# hourly grid per event_type, empty buckets kept (n_events = 0), total
+# forward-filled across gaps. Oracle: generate_series spine + IGNORE
+# NULLS analytic window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q65_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span
+    ), grid AS (
+      SELECT s.event_type, s.bucket,
+             COALESCE(b.n_events, 0) AS n_events, b.total_value
+      FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    )
+    SELECT event_type, bucket, n_events, total_value,
+           last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value_ffill
+    FROM grid ORDER BY event_type, bucket
+    """,
+)
+def q65_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.timeseries import resample_ffill
+
+    t = load_tables(spark, sf_dir)
+    out = resample_ffill(
+        t.events, "ts", ["event_type"], 3600,
+        aggs=[exact_sum("value").alias("total_value")],
+        ffill_cols=["total_value"],
+    )
+    return out.select(
+        "event_type", "bucket", "n_events", "total_value", "total_value_ffill"
+    )

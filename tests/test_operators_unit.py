@@ -177,3 +177,28 @@ def test_sketch_profile_within_tolerance(spark):
     ).first()
     assert abs(approx["a"] - exact["e"]) <= 0.05 * exact["e"]
     assert abs(approx["p50"] - exact["p50"]) <= 0.02 * exact["p50"]
+
+
+def test_unpivot_roundtrips_shape(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0), (2, 30.0, 40.0)], "id long, a double, b double")
+    out = relational.unpivot(df, ["id"], ["a", "b"]).collect()
+    assert sorted(map(tuple, out)) == [
+        (1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0)
+    ]
+
+
+def test_resample_ffill_fills_gap_buckets(spark):
+    """Events at t=0 and t=20 with 10s buckets: the empty middle bucket
+    appears with n_events=0, null total, and the forward-filled value
+    from the first bucket."""
+    from nsl_kdd_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [("k", 0, 5.0), ("k", 21, 7.0)], "key string, t long, v double"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = resample_ffill(
+        df, "ts", ["key"], 10,
+        aggs=[F.sum("v").alias("total")], ffill_cols=["total"],
+    ).collect()
+    rows = [(r["bucket"], r["n_events"], r["total"], r["total_ffill"]) for r in out]
+    assert rows == [(0, 1, 5.0, 5.0), (10, 0, None, 5.0), (20, 1, 7.0, 7.0)]
