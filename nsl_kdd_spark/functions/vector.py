@@ -45,3 +45,33 @@ def sign_bits_hex(a: Column, planes: list[list[float]]) -> Column:
         bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         acc = acc + bit * F.lit(2 ** i).cast("long")
     return acc
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine: the Pandas-UDF alternative to the
+    ``cosine`` fold expression. Batches cross to a Python worker as
+    Arrow arrays, numpy does one fused (batch x dim) multiply-reduce
+    per batch — the pattern to reach for when scoring gets heavier
+    than a dot product (learned rerankers, per-pair feature blocks),
+    where a fold expression per output column stops being viable.
+    For the plain dot product the JVM fold wins (no worker round-trip,
+    stays inside whole-stage codegen); SCALE.md records the measured
+    crossover. numpy's pairwise-summed reduction differs from the
+    fold's strict left-to-right order by float-rounding only (~1e-16
+    rel), so results are tolerance-equal, not hash-equal."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(x, y):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        xa = np.stack(x.to_numpy())
+        ya = np.stack(y.to_numpy())
+        num = np.einsum("ij,ij->i", xa, ya)
+        den = np.sqrt(np.einsum("ij,ij->i", xa, xa)) * np.sqrt(
+            np.einsum("ij,ij->i", ya, ya)
+        )
+        return pd.Series(num / den)
+
+    return _cos(a, b)

@@ -23,7 +23,12 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nsl_kdd_spark.functions.vector import cosine, sign_bits_hex, to_double_array
+from nsl_kdd_spark.functions.vector import (
+    cosine,
+    cosine_arrow,
+    sign_bits_hex,
+    to_double_array,
+)
 
 
 def knn_bruteforce(
@@ -33,11 +38,21 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    scorer: str = "fold",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self).
 
     Returns (query_id, vec_id, cos_sim, rank). Ties broken by vec_id so
-    results are total-ordered and reproducible."""
+    results are total-ordered and reproducible.
+
+    ``scorer="fold"`` (default) computes cosine as a JVM fold
+    expression — deterministic accumulation order, bit-identical to
+    DuckDB's list_cosine_similarity (the oracle contract).
+    ``scorer="arrow"`` routes scoring through the Arrow-vectorized
+    pandas UDF — measured ~2.5-3x faster on bulk scoring (SCALE.md),
+    equal to the fold within float rounding; use it when throughput
+    matters more than hash-exact reproducibility."""
+    score_fn = cosine if scorer == "fold" else cosine_arrow
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
     )
@@ -47,7 +62,7 @@ def knn_bruteforce(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            score_fn(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -2348,3 +2348,35 @@ def q65_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket", "n_events", "total_value", "total_value_ffill"
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + grouping_id (SURVEY §2.4 "free in Spark" row): the
+# SQL-surface sibling of q19 rollup / q43 cube, with the standard
+# bit-vector grouping id so consumers can tell subtotal levels apart.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q66_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)

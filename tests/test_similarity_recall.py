@@ -37,3 +37,34 @@ def test_ann_tiers_recall(spark):
     for df in (ivf, lsh):
         for r in df.groupBy("query_id").count().collect():
             assert r["count"] <= 5
+
+
+def test_cosine_arrow_matches_fold_expression(spark):
+    """Arrow pandas-UDF cosine == JVM fold cosine to float tolerance
+    (accumulation order is the only difference)."""
+    from nsl_kdd_spark.functions.vector import cosine, cosine_arrow, to_double_array
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = (
+        e.selectExpr("vec_id AS id_a", "embedding AS ea")
+        .join(e.selectExpr("vec_id AS id_b", "embedding AS eb"),
+              F.expr("id_a + 1 = id_b"))
+        .select(
+            "id_a",
+            cosine(to_double_array("ea"), to_double_array("eb")).alias("c_fold"),
+            cosine_arrow(to_double_array("ea"), to_double_array("eb")).alias("c_arrow"),
+        )
+    )
+    rows = pairs.collect()
+    assert len(rows) > 100
+    assert all(abs(r["c_fold"] - r["c_arrow"]) <= 1e-12 * max(1.0, abs(r["c_fold"])) for r in rows)
+
+
+def test_knn_bruteforce_arrow_scorer_same_neighbors(spark):
+    """The arrow scorer returns the same neighbor sets/ranks as the
+    fold scorer (cosine differs only at float-rounding level)."""
+    e = load_tables(spark, SF_SMOKE).embeddings
+    q = e.filter(F.col("vec_id") < 3)
+    fold = knn_bruteforce(e, q, k=5).select("query_id", "vec_id", "rank")
+    arrow = knn_bruteforce(e, q, k=5, scorer="arrow").select("query_id", "vec_id", "rank")
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
