@@ -39,6 +39,8 @@ HEADLINE = [
     "q46_shipping_priority",
     "q52_percentiles",
     "q54_asof_join",
+    "q65_resample_ffill",
+    "q66_grouping_sets",
 ]
 
 

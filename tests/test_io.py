@@ -44,3 +44,36 @@ def test_sorted_write_roundtrip(spark):
         )
         back = spark.read.parquet(f"{d}/li")
         assert back.count() == li.count()
+
+
+def test_dynamic_partition_pruning_on_dim_filtered_join(spark):
+    """The 100 TB fact-scan lever: joining a partitioned fact to a
+    FILTERED dim must prune fact partitions at runtime (DPP) — the
+    plan carries a dynamicpruningexpression on the partition column,
+    and results match the statically-filtered equivalent."""
+    t = load_tables(spark, SF_SMOKE)
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(t.orders, f"{d}/orders", partition_by=["o_orderstatus"])
+        fact = spark.read.parquet(f"{d}/orders")
+        # DPP preconditions: the filtering side must be a scan with its
+        # own selective predicate (a literal in-memory dim won't do)
+        write_parquet(
+            t.orders.select("o_orderstatus", "o_orderpriority").distinct(),
+            f"{d}/dim",
+        )
+        dim = spark.read.parquet(f"{d}/dim").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = fact.join(dim, on="o_orderstatus")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "dynamicpruningexpression" in plan.lower()
+        want = (
+            t.orders.join(
+                t.orders.select("o_orderstatus", "o_orderpriority").distinct()
+                .filter(F.col("o_orderpriority") == "1-URGENT"),
+                on="o_orderstatus",
+            ).count()
+        )
+        assert j.count() == want
