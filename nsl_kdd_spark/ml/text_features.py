@@ -58,6 +58,63 @@ def fit_tfidf(df: DataFrame, **kwargs) -> PipelineModel:
     return tfidf_pipeline(**kwargs).fit(df)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_pattern: str = "[^a-z0-9]+",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact relational TF-IDF (the oracle-able sibling of the hashed
+    MLlib pipeline above): top-k terms per document by
+    ``tf * ln((N+1)/(df+1))``, ties broken by token.
+
+    Scale shape: one scan + one shuffle on (doc, token) builds TF,
+    which is persisted so the document-frequency pass reads it instead
+    of rescanning the corpus (Spark does not reuse the exchange across
+    the two consumers — verified on the executed plan). DF aggregates
+    map-side per partition, so hot tokens ("the" in every doc) cannot
+    skew it — the reason a `count over Window(token)` variant is wrong
+    at scale. The vocabulary and one-row corpus count broadcast back,
+    so the big TF table never shuffles again. Score is rounded before
+    ranking so ordering is stable across engines.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf_count")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "token",
+            "tf_count",
+            "df_count",
+            F.round(
+                F.col("tf_count")
+                * F.log((F.col("__n") + 1.0) / (F.col("df_count") + 1.0)),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy(id_col, "rnk")
+    )
+
+
 def tfidf_similarity(
     model: PipelineModel,
     corpus: DataFrame,

@@ -2380,3 +2380,44 @@ def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """)
+
+
+# ---------------------------------------------------------------------------
+# Exact relational TF-IDF (SURVEY §2.13 text analysis): top-k terms
+# per document by tf * ln((N+1)/(df+1)) — the oracle-able sibling of
+# the hashed MLlib pipeline (ml/text_features.tfidf_pipeline). Score
+# rounded to 6dp before ranking so ordering is engine-stable; ties
+# broken by token.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q67_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf_count
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df_count FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf_count, dfreq.df_count,
+             ROUND(tf.tf_count * LN((n.n_docs + 1.0) / (dfreq.df_count + 1.0)), 6)
+               AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf_count, df_count, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
+      FROM scored) WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def q67_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import tfidf_top_terms
+
+    t = load_tables(spark, sf_dir)
+    return tfidf_top_terms(t.documents, k=3)

@@ -86,3 +86,39 @@ def test_exact_sum_is_partial_aggregated(spark):
     df = t.lineitem.groupBy("l_returnflag").agg(exact_sum("l_extendedprice").alias("s"))
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The shuffle-join sibling of DPP: a selective dim filter must
+    inject a bloom-filter semi-filter on the fact side BEFORE the
+    shuffle (row-level runtime pruning on a non-partition column).
+    The 10 GB applicationSideScanSizeThreshold default is what keeps
+    this off for toy scans — lowering it here simulates the 100 TB
+    fact table; clusters keep the default."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF_SMOKE)
+        dim = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = t.lineitem.join(dim, t.lineitem.l_orderkey == dim.o_orderkey)
+        plan = plan_of(j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        want = (
+            t.lineitem.join(
+                t.orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                t.lineitem.l_orderkey == t.orders.o_orderkey,
+            ).count()
+        )
+        assert j.count() == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -35,3 +35,31 @@ def test_count_vectorizer_and_ngrams(spark):
     cv = [s for s in model.stages if type(s).__name__ == "CountVectorizerModel"][0]
     assert len(cv.vocabulary) > 10  # real bigram vocabulary
     assert all(" " in term for term in cv.vocabulary[:10])  # bigrams
+
+
+def test_tfidf_top_terms_exact(spark):
+    from nsl_kdd_spark.ml.text_features import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles Data; spark broadcasts"),
+            (2, "data data everywhere"),
+            (3, "the spark engine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rnk): r for r in out.collect()}
+    # doc 1: "spark" tf=2 but df=2; exclusive terms (broadcasts,
+    # shuffles, df=1) score ln(2) each = 0.693147; spark scores
+    # 2*ln(4/3) = 0.575364 -> alphabetical tie-break wins
+    assert rows[(1, 1)].token == "broadcasts"
+    assert rows[(1, 2)].token == "shuffles"
+    assert rows[(1, 1)].score == 0.693147
+    # doc 2: "everywhere" (df=1) beats "data" tf=2 df=2 (2*ln(4/3))
+    assert rows[(2, 1)].token == "everywhere"
+    assert rows[(2, 2)].token == "data"
+    assert rows[(2, 2)].score == round(2 * 0.2876820724517809, 6)
+    # per-doc cap respected, case folded + punctuation split
+    assert out.count() == 6
+    assert out.filter(F.col("token") == "Data").count() == 0
