@@ -110,3 +110,38 @@ def unpivot(
         *ids, *[F.col(c).cast("double").alias(c) for c in values]
     )
     return casted.unpivot(list(ids), list(values), var_name, value_name)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    reproducible-at-scale alternative to ``randomSplit`` (SURVEY §2.10
+    M11): assignment depends only on (salt, key), so it is stable
+    across runs, engines, partitionings, and data arrival order, and
+    new rows never reshuffle old ones between splits. Uses the first
+    16 bits of md5 (65536 buckets); weights are cut at cumulative
+    bucket thresholds. Pure column expressions — no shuffle, no UDF."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    total = sum(w for _, w in splits)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = hv < int(cum / total * 65536)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -2421,3 +2421,101 @@ def q67_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return tfidf_top_terms(t.documents, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (relational.hash_split): content-hash
+# train/val/test assignment — stable across runs/engines/partitioning,
+# unlike seeded randomSplit (q39). Oracle re-derives the same 16-bit
+# md5 bucket; per-split count + key checksum prove the ASSIGNMENT
+# matches row-for-row, not just the split sizes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q68_hash_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+        ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1)) AS hv
+      FROM documents
+    )
+    SELECT CASE WHEN hv < 52428 THEN 'train'
+                WHEN hv < 58982 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           SUM(doc_id) AS key_checksum,
+           SUM(n_chars) AS sum_chars
+    FROM h GROUP BY 1 ORDER BY split
+    """,
+)
+def q68_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        relational.hash_split(t.documents, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("key_checksum"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (operators/merge.apply_changes): anti-join + unionByName,
+# no full-outer join. The change set bumps every 7th order's price
+# (full-row upsert image) and tombstones every 11th-mod-3 order;
+# post-merge per-status profile proves row survival, replacement, and
+# deletion all landed. Oracle states MERGE as the same anti+union.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q69_cdc_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'D' AS op
+      FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+    ), merged AS (
+      SELECT t.* FROM orders t ANTI JOIN changes c USING (o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM changes WHERE op <> 'D'
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_checksum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def q69_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.merge import apply_changes
+
+    t = load_tables(spark, sf_dir)
+    updates = (
+        t.orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", (F.col("o_totalprice") + 100.0).cast("double"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = t.orders.filter(
+        (F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") % 7 != 0)
+    ).withColumn("op", F.lit("D"))
+    merged = apply_changes(t.orders, updates.unionByName(deletes), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            exact_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

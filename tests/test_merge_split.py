@@ -1,0 +1,71 @@
+"""Merge/upsert (operators/merge) + deterministic hash split
+(relational.hash_split): semantics the oracle queries (q68/q69)
+exercise at corpus scale, pinned here on hand-built rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators.merge import apply_changes, upsert
+from nsl_kdd_spark.operators.relational import hash_split
+
+
+def test_upsert_replaces_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    source = spark.createDataFrame([(2, "B"), (4, "d")], ["id", "v"])
+    out = {r.id: r.v for r in upsert(target, source, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_upsert_rejects_column_mismatch(spark):
+    target = spark.createDataFrame([(1, "a")], ["id", "v"])
+    source = spark.createDataFrame([(1, "a", 9)], ["id", "v", "extra"])
+    with pytest.raises(ValueError, match="column mismatch"):
+        upsert(target, source, ["id"])
+
+
+def test_apply_changes_upserts_and_deletes(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "D"), (4, "d", "U")], ["id", "v", "op"]
+    )
+    out = {r.id: r.v for r in apply_changes(target, changes, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}  # 3 deleted
+
+
+def test_apply_changes_requires_op_column(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    with pytest.raises(ValueError, match="op column"):
+        apply_changes(df, df, ["id"])
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k")
+    b = hash_split(df.repartition(7, "k"), "k")
+    assert a.select("k", "split").subtract(b.select("k", "split")).count() == 0
+    # proportions roughly honor the 80/10/10 weights
+    counts = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
+    assert counts["train"] / 2000 == pytest.approx(0.8, abs=0.05)
+    assert counts["val"] / 2000 == pytest.approx(0.1, abs=0.03)
+    # salt moves rows between splits
+    salted = hash_split(df, "k", salt="s1")
+    moved = (
+        a.select("k", "split")
+        .subtract(salted.select("k", "split"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_hash_split_new_rows_never_reshuffle_old(spark):
+    small = spark.range(500).withColumnRenamed("id", "k")
+    grown = spark.range(5000).withColumnRenamed("id", "k")
+    a = hash_split(small, "k").select("k", "split")
+    b = hash_split(grown, "k").select("k", "split").filter(F.col("k") < 500)
+    assert a.subtract(b).count() == 0
