@@ -199,3 +199,42 @@ def write_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    upper_seconds: int = 300,
+    watermark: str = "10 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: pair each left
+    row with right rows sharing ``key`` where ``0 <= right.ts - left.ts
+    <= upper_seconds`` (attribution joins: click -> purchase-within-N).
+
+    Streaming contract: BOTH sides are watermarked and the join
+    predicate carries the time bounds — that is what lets the state
+    store GC matched/expired rows instead of buffering each side
+    forever (the unbounded-state trap of a bare stream-stream join).
+    On batch inputs the same expression runs as a plain join, so batch
+    oracles check the identical function. Right-side columns are
+    suffixed to keep output names unique."""
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(ts_col, watermark)
+    r = right.select(
+        F.col(key).alias(f"{key}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col(key) == F.col(f"{key}{suffix}"))
+        & (F.col(f"{ts_col}{suffix}") >= F.col(ts_col))
+        & (
+            F.col(f"{ts_col}{suffix}")
+            <= F.col(ts_col) + F.expr(f"INTERVAL {upper_seconds} SECONDS")
+        )
+    )
+    return left.join(r, cond, "inner")

@@ -77,3 +77,32 @@ def test_dynamic_partition_pruning_on_dim_filtered_join(spark):
             ).count()
         )
         assert j.count() == want
+
+
+def test_jsonl_roundtrip_with_schema_and_corrupt_capture(spark):
+    from nsl_kdd_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    with tempfile.TemporaryDirectory() as d:
+        write_jsonl(docs, f"{d}/docs", partition_by=["lang"], compression="gzip")
+        schema = docs.schema
+        back = read_jsonl(spark, f"{d}/docs", schema)
+        assert back.count() == docs.count()
+        a = docs.select("doc_id", "text").subtract(back.select("doc_id", "text"))
+        assert a.count() == 0
+
+        # malformed lines land in the corrupt column, not silently null
+        with open(f"{d}/bad.jsonl", "w") as f:
+            f.write('{"doc_id": 1, "text": "ok"}\n')
+            f.write("{not json at all\n")
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        s = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_bad", StringType()),
+        ])
+        got = read_jsonl(spark, f"{d}/bad.jsonl", s, corrupt_col="_bad")
+        rows = {r.doc_id: r for r in got.collect()}
+        assert rows[1]._bad is None and rows[1].text == "ok"
+        bad = [r for r in got.collect() if r.doc_id is None]
+        assert len(bad) == 1 and bad[0]._bad.startswith("{not json")

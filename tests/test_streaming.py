@@ -81,3 +81,39 @@ def test_stream_static_enrich_and_foreach_batch_sink(spark, tmp_path):
     assert sorted(map(tuple, got.select("event_id", "tier").collect())) == \
            sorted(map(tuple, want.select("event_id", "tier").collect()))
     assert got.select("__batch_id").distinct().count() >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """click -> purchase-within-10-min attribution as a real
+    stream-stream join (two file sources, both watermarked, interval
+    predicate) must produce exactly the batch join's rows."""
+    from nsl_kdd_spark.streaming.events import interval_join
+
+    def split_sides(df):
+        return (
+            df.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id"),
+            df.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id"),
+        )
+
+    sl, sr = split_sides(read_events_stream(spark, SF_SMOKE))
+    # second independent source: stream self-joins need two sources
+    sr = split_sides(read_events_stream(spark, SF_SMOKE))[1]
+    joined = interval_join(sl, sr, key="user_id", upper_seconds=600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attrib")
+
+    events = load_tables(spark, SF_SMOKE).events
+    bl, br = split_sides(events)
+    want = interval_join(bl, br, key="user_id", upper_seconds=600)
+    assert want.count() > 0
+    assert got.count() == want.count()
+    key_cols = ["event_id", "event_id_r"]
+    assert got.select(key_cols).subtract(want.select(key_cols)).count() == 0
+    assert want.select(key_cols).subtract(got.select(key_cols)).count() == 0
