@@ -2519,3 +2519,48 @@ def q69_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range rolling window (SURVEY §2.5 frames row): trailing-hour
+# event count + exact sum per user via RANGE BETWEEN — the value-based
+# frame the row-based lag/rank queries (q18/q56) don't touch. Range
+# frames include order-value peers on both engines, so ties are
+# semantics, not nondeterminism.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q70_rolling_range_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_s,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q70_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t.events.withColumn("epoch_s", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("sum_1h"),
+    ).orderBy("event_id")
