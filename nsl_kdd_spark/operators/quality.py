@@ -1,0 +1,95 @@
+"""Data-quality operators (engine extension; complements the
+reference's manual EDA crosstabs, ``SURVEY.md §2.4 A2-A4``).
+
+Two tiers:
+
+- ``observe_quality``: piggybacks audit counters (row count, per-col
+  null/violation counts) on whatever action runs next via
+  ``DataFrame.observe`` — the metrics are computed inside the existing
+  job, ZERO extra passes over the data. This is the 100 TB way to get
+  "how many nulls did this write ship" without re-scanning.
+- ``table_diff``: keyed reconciliation of two table versions
+  (added / removed / changed / unchanged) as one full-outer join with
+  null-safe column compares — the audit primitive behind CDC merges
+  (``operators/merge``) and backfill verification.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observe_quality(
+    df: DataFrame,
+    null_cols: Sequence[str] = (),
+    violations: Mapping[str, Column] | None = None,
+    name: str = "quality",
+) -> tuple[DataFrame, Observation]:
+    """Attach quality counters to ``df``. Returns (df, observation);
+    after the next action on ``df``, ``observation.get`` holds
+    ``n_rows``, ``null_<col>`` per requested column, and
+    ``bad_<name>`` per violation predicate (count of rows where the
+    predicate is TRUE)."""
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    for mname, pred in (violations or {}).items():
+        metrics.append(F.sum(pred.cast("long")).alias(f"bad_{mname}"))
+    return df.observe(obs, *metrics), obs
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table versions: one row per key present in
+    either side, tagged ``change_type`` in {added, removed, changed,
+    unchanged}. Comparison is null-safe (``<=>``); key columns come
+    out un-prefixed, compared columns as ``old_<c>`` / ``new_<c>``.
+    One shuffle on the keys (both sides), no collect."""
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    key_cols = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k) for k in keys
+    ]
+    return j.select(
+        *key_cols,
+        change_type.alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

@@ -2564,3 +2564,62 @@ def q70_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w)
         .cast("double").alias("sum_1h"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Table reconciliation (operators/quality.table_diff): keyed diff of
+# two table versions — the audit primitive behind CDC merge (q69) and
+# backfill verification. The "new" version bumps every 7th order's
+# price and drops every 11th-mod-3; the diff must classify exactly
+# those keys as changed/removed, everything else unchanged. Oracle
+# states the same full-outer null-safe compare.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q71_table_diff",
+    oracle="""
+    WITH newv AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice + 100.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0)
+    ), d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 'changed' ELSE 'unchanged' END AS change_type
+      FROM orders o FULL OUTER JOIN newv n USING (o_orderkey)
+    )
+    SELECT change_type, COUNT(*) AS n, SUM(o_orderkey) AS key_checksum
+    FROM d GROUP BY 1 ORDER BY change_type
+    """,
+)
+def q71_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.quality import table_diff
+
+    t = load_tables(spark, sf_dir)
+    newv = t.orders.filter(
+        ~((F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") % 7 != 0))
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            (F.col("o_totalprice") + 100.0).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = table_diff(
+        t.orders, newv, ["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )

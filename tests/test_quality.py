@@ -1,0 +1,41 @@
+"""Data-quality tier: observe()-piggybacked audit counters (zero
+extra passes) and keyed table reconciliation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators.quality import observe_quality, table_diff
+
+
+def test_observe_quality_counts_in_one_action(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, "b", -1.0), (3, None, 2.0), (4, "d", None)],
+        ["id", "name", "score"],
+    )
+    observed, obs = observe_quality(
+        df,
+        null_cols=["name", "score"],
+        violations={"negative_score": F.col("score") < 0},
+    )
+    assert observed.count() == 4  # the only action — metrics ride on it
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_name"] == 2
+    assert got["null_score"] == 1
+    assert got["bad_negative_score"] == 1
+
+
+def test_table_diff_classifies_all_four_ways(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0), (5, 50.0)], ["k", "v"]
+    )
+    d = {r.k: r for r in table_diff(old, new, ["k"]).collect()}
+    assert d[1].change_type == "removed"
+    assert d[2].change_type == "changed" and d[2].old_v == 20.0 and d[2].new_v == 25.0
+    assert d[3].change_type == "unchanged"  # null <=> null is a match
+    assert d[4].change_type == "unchanged"
+    assert d[5].change_type == "added" and d[5].old_v is None
