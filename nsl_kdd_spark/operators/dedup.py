@@ -415,3 +415,44 @@ def simhash_pairs(
         )
     )
     return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_distance: int = 2,
+    block_chars: int = 1,
+) -> DataFrame:
+    """Fuzzy string matching: distinct values of ``col`` paired when
+    levenshtein distance <= ``max_distance``, blocked on the first
+    ``block_chars`` characters (the recall/cost knob: pairs differing
+    in their prefix are not candidates — state this in the product
+    contract). The length-difference pre-filter is lossless:
+    ``lev(a,b) >= abs(len(a)-len(b))``, so it only drops pairs the
+    distance filter would drop anyway, before the quadratic step.
+    Per-block self-join keeps the candidate space sum(block^2), never
+    n^2; values (not rows) are joined, so upstream duplicates cost
+    nothing."""
+    vals = (
+        df.select(F.col(col).alias("val"))
+        .where(F.col("val").isNotNull())
+        .distinct()
+        .select("val", F.substring("val", 1, block_chars).alias("__blk"))
+        .persist()
+    )
+    a = vals.select(F.col("val").alias("val_a"), "__blk")
+    b = vals.select(F.col("val").alias("val_b"), "__blk")
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .filter(
+            F.abs(F.length("val_a") - F.length("val_b")) <= max_distance
+        )
+        .select(
+            "val_a",
+            "val_b",
+            F.levenshtein("val_a", "val_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .orderBy("val_a", "val_b")
+    )

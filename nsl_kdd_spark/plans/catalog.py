@@ -2623,3 +2623,33 @@ def q71_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (dedup.fuzzy_pairs): near-identical part names
+# by levenshtein <= 4, first-char blocked (recall knob), lossless
+# length-band pre-filter before the quadratic step. Both engines
+# implement classic edit distance, so the distances hash-match.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q72_fuzzy_pairs",
+    oracle="""
+    WITH vals AS (
+      SELECT DISTINCT p_name AS val FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT a.val AS val_a, b.val AS val_b,
+           CAST(levenshtein(a.val, b.val) AS BIGINT) AS distance
+    FROM vals a JOIN vals b
+      ON substr(a.val, 1, 1) = substr(b.val, 1, 1)
+     AND a.val < b.val
+     AND abs(length(a.val) - length(b.val)) <= 4
+    WHERE levenshtein(a.val, b.val) <= 4
+    ORDER BY val_a, val_b
+    """,
+)
+def q72_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import fuzzy_pairs
+
+    t = load_tables(spark, sf_dir)
+    return fuzzy_pairs(t.part, "p_name", max_distance=4)

@@ -39,3 +39,22 @@ def test_table_diff_classifies_all_four_ways(spark):
     assert d[3].change_type == "unchanged"  # null <=> null is a match
     assert d[4].change_type == "unchanged"
     assert d[5].change_type == "added" and d[5].old_v is None
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from nsl_kdd_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("kitten",), ("sitten",), ("kittens",), ("kite",), (None,), ("kitten",)],
+        ["name"],
+    )
+    got = {(r.val_a, r.val_b): r.distance for r in
+           fuzzy_pairs(df, "name", max_distance=2).collect()}
+    # same-prefix pairs within distance 2; duplicates and nulls ignored
+    assert got[("kite", "kitten")] == 2
+    assert got[("kitten", "kittens")] == 1
+    # "sitten" is 1 edit from kitten but blocked out by first char:
+    # the documented recall knob
+    assert not any("sitten" in p for p in got)
+    # length band is lossless under the distance cap
+    assert ("kite", "kittens") not in got  # lev 3 > 2
