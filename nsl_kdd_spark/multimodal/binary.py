@@ -117,3 +117,115 @@ def synthesize_media(spark, df: DataFrame, text_col: str, id_col: str) -> DataFr
         F.length(F.col(text_col)).cast("long").alias("n_bytes"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("mime", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("ts_ms", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched payload->payload resize. ``resize_fn`` is the real
+    codec hook (bytes, w, h) -> bytes; ``strict=True`` raises where a
+    real PIL/ffmpeg call would go. The deterministic fake
+    truncates/cycles bytes to exactly w*h so output size is checkable.
+    1:1 row mapping — payload column is REPLACED, metadata re-derived,
+    so downstream column pruning still skips blobs it doesn't need."""
+    if strict and resize_fn is None:
+        raise NotImplementedError(
+            "real resize needs an image library; pass resize_fn or use "
+            "the deterministic fake (strict=False)"
+        )
+
+    def fake(b: bytes, w: int, h: int) -> bytes:
+        n = w * h
+        if not b:
+            return bytes(n)
+        reps = (n + len(b) - 1) // len(b)
+        return (b * reps)[:n]
+
+    fn = resize_fn or fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf["payload"].map(lambda b: fn(b, width, height))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "mime": pdf["mime"],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "payload": out,
+            })
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    frame_bytes: int = 16,
+    extract_fn: Callable[[bytes], list] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame sampling: one input video row -> up to ``max_frames``
+    frame rows (every ``every_n``-th frame) — the 1->N mapInPandas
+    shape a real ffmpeg extractor uses (a batch may emit more rows
+    than it received; Arrow handles the fan-out, no explode of
+    pre-materialized arrays needed). ``extract_fn`` maps payload ->
+    list of frame payloads; the deterministic fake chops the payload
+    into ``frame_bytes`` chunks. ``ts_ms`` assumes 25 fps on the
+    PRE-sampling frame index, as a real extractor would report."""
+    if strict and extract_fn is None:
+        raise NotImplementedError(
+            "real frame extraction needs ffmpeg; pass extract_fn or "
+            "use the deterministic fake (strict=False)"
+        )
+
+    def fake(b: bytes) -> list:
+        if not b:
+            return []
+        return [
+            b[i : i + frame_bytes] for i in range(0, len(b), frame_bytes)
+        ]
+
+    fn = extract_fn or fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                frames = fn(b)[::every_n][:max_frames]
+                for k, fb in enumerate(frames):
+                    src_idx = k * every_n
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(src_idx * 40)  # 25 fps -> 40 ms/frame
+                    payloads.append(fb)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_idx": idxs,
+                "ts_ms": tss,
+                "payload": payloads,
+            })
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -45,3 +45,38 @@ def test_strict_decode_is_stubbed(spark):
     media = synthesize_media(spark, docs, "text", "doc_id")
     with pytest.raises(NotImplementedError):
         decode_media(media, strict=True)
+
+
+def test_resize_media_deterministic_fake(spark):
+    docs = load_tables(spark, SF_SMOKE).documents.limit(20)
+    media = synthesize_media(spark, docs, "text", "doc_id")
+    from nsl_kdd_spark.multimodal.binary import resize_media
+
+    out = resize_media(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.payload) == 32 for r in rows)  # exactly w*h bytes
+    assert all(r.width == 8 and r.height == 4 for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r.media_id: r.payload for r in resize_media(media, 8, 4).collect()}
+    assert all(again[r.media_id] == r.payload for r in rows)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 4, strict=True)
+
+
+def test_sample_frames_one_to_many(spark):
+    docs = load_tables(spark, SF_SMOKE).documents.limit(5)
+    media = synthesize_media(spark, docs, "text", "doc_id")
+    from nsl_kdd_spark.multimodal.binary import sample_frames
+
+    out = sample_frames(media, every_n=2, max_frames=3, frame_bytes=16)
+    per = {r[0]: r[1] for r in out.groupBy("media_id").count().collect()}
+    n_bytes = {r.media_id: r.n_bytes for r in media.collect()}
+    for mid, cnt in per.items():
+        total_frames = (n_bytes[mid] + 15) // 16
+        assert cnt == min((total_frames + 1) // 2, 3)
+    # frame timestamps reflect the pre-sampling index at 25 fps
+    f = {(r.media_id, r.frame_idx): r.ts_ms for r in out.collect()}
+    assert all(f[(m, i)] == i * 2 * 40 for (m, i) in f)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, strict=True)
