@@ -122,3 +122,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """A global orderBy must distribute via range partitioning (a
+    sampled-boundaries Exchange), never collapse to one partition —
+    the difference between a distributed sort and a single-node one
+    at 100 TB."""
+    t = load_tables(spark, SF_SMOKE)
+    df = t.lineitem.orderBy("l_extendedprice")
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
