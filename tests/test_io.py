@@ -106,3 +106,24 @@ def test_jsonl_roundtrip_with_schema_and_corrupt_capture(spark):
         assert rows[1]._bad is None and rows[1].text == "ok"
         bad = [r for r in got.collect() if r.doc_id is None]
         assert len(bad) == 1 and bad[0]._bad.startswith("{not json")
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """Corpus shards evolve (a new column appears mid-pipeline):
+    mergeSchema read must union the schemas, null-filling the old
+    shards — and a plain read of new-schema shards must still prune
+    to requested columns."""
+    t = load_tables(spark, SF_SMOKE)
+    with tempfile.TemporaryDirectory() as d:
+        old = t.documents.select("doc_id", "text")
+        new = t.documents.select("doc_id", "text").withColumn(
+            "quality", F.length("text").cast("double")
+        )
+        old.write.parquet(f"{d}/c/batch=1")
+        new.write.parquet(f"{d}/c/batch=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{d}/c")
+        assert set(merged.columns) == {"doc_id", "text", "quality", "batch"}
+        assert merged.count() == 2 * t.documents.count()
+        nulls = merged.filter(F.col("quality").isNull())
+        assert nulls.count() == t.documents.count()
+        assert {r.batch for r in nulls.select("batch").distinct().collect()} == {1}
