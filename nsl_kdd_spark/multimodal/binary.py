@@ -3,12 +3,13 @@ north-star).
 
 Design: media payloads are opaque ``binary`` columns + a typed metadata
 struct; decode / feature-extraction runs as Arrow-batched
-``mapInPandas`` (one Python worker call per batch, not per row). The
-Spark side — schema, partitioning, batch shape — is real and tested;
-the actual codec call is stubbed (no image/audio libs in this
-container): ``decode_fn=None`` uses a deterministic fake (byte stats),
-and ``decode_media(strict=True)`` raises NotImplementedError where a
-real libjpeg/ffmpeg call would go.
+``mapInPandas`` (one Python worker call per batch, not per row).
+``decode_fn=None, strict=False`` uses a deterministic fake (byte
+stats); ``strict=True`` runs the REAL built-in codecs
+(``codecs.py``: dependency-free PPM/BMP decode + nearest-neighbor
+resize in numpy) and raises ``UnsupportedMediaError`` for formats
+that need external libraries (jpeg/png/video) — the pluggable-codec
+seam a real deployment fills with libjpeg/ffmpeg.
 
 Scale notes: payload columns dominate IO — keep them OUT of the scan
 unless needed (column pruning does this automatically when metadata
@@ -80,15 +81,16 @@ def decode_media(
     """Arrow-batched decode/feature-extract over binary payloads.
 
     ``decode_fn`` maps payload bytes -> feature dict; None selects the
-    deterministic fake. ``strict=True`` marks the real-codec path:
-    raises NotImplementedError (no media libraries in this
-    environment) — the call site and batch plumbing are the tested
-    artifact."""
+    deterministic fake. ``strict=True`` is the real-codec path: the
+    built-in dependency-free codecs (``codecs.py``: PPM/BMP decode via
+    numpy) handle payloads they recognize and raise
+    ``UnsupportedMediaError`` (a NotImplementedError) for formats that
+    need external libraries (jpeg/png/video) — plug those into
+    ``codecs.CODECS`` or pass ``decode_fn``."""
     if strict and decode_fn is None:
-        raise NotImplementedError(
-            "real media decoding needs an image/audio library; "
-            "pass decode_fn or use the deterministic fake (strict=False)"
-        )
+        from nsl_kdd_spark.multimodal.codecs import image_features
+
+        decode_fn = image_features
     fn = decode_fn or _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -148,12 +150,16 @@ def resize_media(
     real PIL/ffmpeg call would go. The deterministic fake
     truncates/cycles bytes to exactly w*h so output size is checkable.
     1:1 row mapping — payload column is REPLACED, metadata re-derived,
-    so downstream column pruning still skips blobs it doesn't need."""
+    so downstream column pruning still skips blobs it doesn't need.
+
+    ``strict=True`` uses the built-in PPM/BMP codecs (decode ->
+    nearest-neighbor resample -> re-encode same format); unsupported
+    formats raise ``UnsupportedMediaError`` where a PIL/ffmpeg call
+    would plug in."""
     if strict and resize_fn is None:
-        raise NotImplementedError(
-            "real resize needs an image library; pass resize_fn or use "
-            "the deterministic fake (strict=False)"
-        )
+        from nsl_kdd_spark.multimodal.codecs import image_resize
+
+        resize_fn = image_resize
 
     def fake(b: bytes, w: int, h: int) -> bytes:
         n = w * h

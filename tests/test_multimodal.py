@@ -40,11 +40,14 @@ def test_metadata_stays_jvm_side(spark):
     assert all(r["n_bytes"] > 0 and r["crc"] is not None for r in rows)
 
 
-def test_strict_decode_is_stubbed(spark):
+def test_strict_decode_rejects_unknown_formats(spark):
+    # text payloads are not a recognized image format: the strict
+    # path must fail loudly (executor-side UnsupportedMediaError),
+    # never silently fall back to the fake
     docs = load_tables(spark, SF_SMOKE).documents.limit(1)
     media = synthesize_media(spark, docs, "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        decode_media(media, strict=True)
+    with pytest.raises(Exception, match="no built-in codec"):
+        decode_media(media, strict=True).collect()
 
 
 def test_resize_media_deterministic_fake(spark):
@@ -60,8 +63,8 @@ def test_resize_media_deterministic_fake(spark):
     # deterministic: same input -> same bytes
     again = {r.media_id: r.payload for r in resize_media(media, 8, 4).collect()}
     assert all(again[r.media_id] == r.payload for r in rows)
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 8, 4, strict=True)
+    with pytest.raises(Exception, match="no built-in codec"):
+        resize_media(media, 8, 4, strict=True).collect()
 
 
 def test_sample_frames_one_to_many(spark):
@@ -80,3 +83,101 @@ def test_sample_frames_one_to_many(spark):
     assert all(f[(m, i)] == i * 2 * 40 for (m, i) in f)
     with pytest.raises(NotImplementedError):
         sample_frames(media, strict=True)
+
+
+# ---------------------------------------------------------------------------
+# Real built-in codecs (PPM/BMP): the strict path end-to-end
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w, phase=0):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 7 + phase), (y * 11 + phase), (x + y + phase)], axis=-1)
+    return (img % 256).astype(np.uint8)
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        bmp_decode, bmp_encode, ppm_decode, ppm_encode,
+    )
+
+    for h, w in [(1, 1), (4, 3), (5, 7), (16, 16)]:  # odd widths hit BMP row padding
+        img = _gradient(h, w)
+        assert np.array_equal(ppm_decode(ppm_encode(img)), img)
+        assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+
+
+def test_codec_cross_format_same_pixels():
+    # the digest is over DECODED pixels, so the same image encoded as
+    # ppm and as bmp must yield identical features
+    from nsl_kdd_spark.multimodal.codecs import bmp_encode, image_features, ppm_encode
+
+    img = _gradient(9, 13)
+    f_ppm = image_features(ppm_encode(img))
+    f_bmp = image_features(bmp_encode(img))
+    assert f_ppm == f_bmp
+
+
+def test_ppm_header_comments_and_detect():
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import detect_format, ppm_decode
+
+    img = _gradient(2, 2)
+    raw = b"P6\n# a comment\n2 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(ppm_decode(raw), img)
+    assert detect_format(raw) == "ppm"
+    assert detect_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert detect_format(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert detect_format(b"garbage") == "unknown"
+
+
+def _media_df(spark, payloads):
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+
+    rows = [
+        (i, "image", "image/x-portable-pixmap", len(p), bytearray(p))
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_strict_decode_real_codec_through_arrow(spark):
+    # mixed ppm + bmp payloads through the real mapInPandas path;
+    # executor-side features must equal a local decode
+    from nsl_kdd_spark.multimodal.codecs import bmp_encode, image_features, ppm_encode
+
+    payloads = [ppm_encode(_gradient(6, 5, i)) for i in range(4)]
+    payloads += [bmp_encode(_gradient(3, 7, i)) for i in range(4)]
+    media = _media_df(spark, payloads)
+    got = {r.media_id: r for r in decode_media(media, strict=True).collect()}
+    assert len(got) == 8
+    for i, p in enumerate(payloads):
+        want = image_features(p)
+        assert got[i].digest == want["digest"]
+        assert got[i].feat_mean == want["feat_mean"]
+        assert got[i].feat_first == want["feat_first"]
+        assert got[i].n_bytes == len(p)
+
+
+def test_strict_resize_real_codec_through_arrow(spark):
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import resize_media
+    from nsl_kdd_spark.multimodal.codecs import (
+        bmp_decode, bmp_encode, ppm_decode, ppm_encode, resize_nearest,
+    )
+
+    imgs = {0: _gradient(12, 10), 1: _gradient(5, 9, 3)}
+    media = _media_df(spark, [ppm_encode(imgs[0]), bmp_encode(imgs[1])])
+    out = {r.media_id: r for r in resize_media(media, width=8, height=6, strict=True).collect()}
+    # format preserved, dims recorded, pixels == local nearest-neighbor
+    got0 = ppm_decode(bytes(out[0].payload))
+    got1 = bmp_decode(bytes(out[1].payload))
+    assert got0.shape == (6, 8, 3) and got1.shape == (6, 8, 3)
+    assert np.array_equal(got0, resize_nearest(imgs[0], 8, 6))
+    assert np.array_equal(got1, resize_nearest(imgs[1], 8, 6))
+    assert out[0].width == 8 and out[0].height == 6
