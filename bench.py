@@ -44,6 +44,71 @@ HEADLINE = [
 ]
 
 
+def scaled_documents(spark, sf_dir: str, replicas: int):
+    """Replicate the documents table with per-replica token rewrites.
+
+    Each replica prefixes every token with ``r{i}_`` so shingle sets
+    are disjoint ACROSS replicas while Jaccard/minhash/simhash
+    structure WITHIN a replica is preserved exactly. True-pair count
+    therefore scales linearly with replicas — the honest fixture for
+    measuring whether the dedup tier is sub-quadratic in doc count
+    (VERDICT r01 'Next round' #6): a quadratic all-pairs plan grows
+    16x from 5x->20x replicas, a linear candidate-bound plan ~4x."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    parts = []
+    for i in range(replicas):
+        tag = F.lit(f"r{i}_")
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda t: F.concat(tag, t)),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
+    """q28/q29/q61-shaped dedup ops at 4x doc counts (5 vs 20
+    replicas of the sf documents table). Reported as extra rows in
+    the bench JSON; BASELINE.md records the expected growth ratios."""
+    from nsl_kdd_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    timings: dict[str, float] = {}
+    for replicas, label in ((5, "25k"), (20, "100k")):
+        docs = scaled_documents(spark, sf_dir, replicas).persist()
+        docs.count()  # materialize outside the op timing
+        ops = {
+            f"dedup{label}_jaccard": lambda d=docs: jaccard_pairs(
+                d, "doc_id", "text", n=3, threshold=0.8
+            ),
+            f"dedup{label}_minhash": lambda d=docs: minhash_lsh_pairs(
+                d, "doc_id", "text",
+                num_hashes=8, band_size=4, threshold=0.8, shingle_n=3,
+            ),
+            f"dedup{label}_simhash": lambda d=docs: simhash_pairs(
+                d, "doc_id", "text", max_hamming=3, bits=32, bands=4
+            ),
+        }
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        docs.unpersist()
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -51,6 +116,9 @@ def main() -> None:
         app_name="nsl-kdd-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # local[32] runs all executor threads inside the driver JVM:
+        # the 100k-doc dedup tier needs real executor-sized heap
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -68,6 +136,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # dedup tier past the stage-overhead floor: 25k vs 100k docs
+    timings.update(dedup_scale_timings(spark, sf_dir))
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold cache",

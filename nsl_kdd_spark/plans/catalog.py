@@ -149,7 +149,7 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_right=True,
     )
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
-    return (
+    out = (
         df.groupBy("n_name")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -157,6 +157,16 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+    # driver-visible plan gate: this row goes RED if the star join
+    # stops broadcasting dims, the date filter stops reaching the
+    # orders scan, or any join degenerates to a cartesian product
+    from nsl_kdd_spark.plans.gates import assert_plan
+
+    return assert_plan(out, {
+        "broadcast_dims": lambda p: p.count("BroadcastHashJoin") >= 3,
+        "orderdate_pushdown": lambda p: "PushedFilters: [IsNotNull(o_orderdate)" in p,
+        "no_cartesian": lambda p: "CartesianProduct" not in p,
+    })
 
 
 # ---------------------------------------------------------------------------

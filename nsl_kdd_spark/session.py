@@ -31,6 +31,11 @@ _ENGINE_CONF: dict[str, str] = {
     # Stable session timezone so timestamp results match the DuckDB
     # oracle regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Spark's default driver memory is 1g; in local mode the driver JVM
+    # IS the executor, so size it like one (overridable per-process via
+    # SPARK_GRAFT_DRIVER_MEM; a real cluster sets executor memory via
+    # spark-submit and this conf only affects the driver).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 

@@ -127,3 +127,44 @@ def test_parquet_schema_evolution_merge(spark):
         nulls = merged.filter(F.col("quality").isNull())
         assert nulls.count() == t.documents.count()
         assert {r.batch for r in nulls.select("batch").distinct().collect()} == {1}
+
+
+def test_orc_roundtrip_partitioned_and_pruned(spark):
+    from nsl_kdd_spark.sources.orc import read_orc, write_orc
+
+    orders = load_tables(spark, SF_SMOKE).orders
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(orders, f"{d}/orders", partition_by=["o_orderstatus"],
+                  sort_within_partitions=["o_orderdate"])
+        back = read_orc(spark, f"{d}/orders")
+        assert back.count() == orders.count()
+        assert sorted(back.columns) == sorted(orders.columns)
+        # values survive the round trip (spot-check an aggregate)
+        want = orders.agg(F.sum("o_orderkey")).first()[0]
+        assert back.agg(F.sum("o_orderkey")).first()[0] == want
+        # partition pruning works on the ORC layout too
+        q = back.filter(F.col("o_orderstatus") == "F")
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_orc_predicate_pushdown_and_column_pruning(spark):
+    from nsl_kdd_spark.sources.orc import read_orc, write_orc
+
+    li = load_tables(spark, SF_SMOKE).lineitem
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(li, f"{d}/li", bloom_filter_columns=["l_orderkey"])
+        back = read_orc(spark, f"{d}/li", columns=["l_orderkey", "l_quantity"])
+        q = back.filter(F.col("l_quantity") < 5)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        # filter reaches the ORC scan; schema carries only 2 columns
+        assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity" in plan
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+        assert "l_extendedprice" not in read_schema
+        want = li.filter(F.col("l_quantity") < 5).count()
+        assert q.count() == want

@@ -44,6 +44,43 @@ def test_apply_changes_requires_op_column(spark):
         apply_changes(df, df, ["id"])
 
 
+def test_upsert_duplicate_keys_raise_by_default(spark):
+    target = spark.createDataFrame([(1, "a")], ["id", "v"])
+    source = spark.createDataFrame([(2, "x"), (2, "y")], ["id", "v"])
+    with pytest.raises(ValueError, match="multiple images per key"):
+        upsert(target, source, ["id"])
+    # validate=False restores the permissive (zero-extra-job) path
+    out = upsert(target, source, ["id"], validate=False).collect()
+    assert len(out) == 3
+
+
+def test_upsert_seq_col_last_writer_wins(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    # seq only on the source side: consumed by resolution, then dropped
+    source = spark.createDataFrame(
+        [(2, "old", 10), (2, "new", 20), (4, "d", 5)], ["id", "v", "seq"]
+    )
+    out = {r.id: r.v for r in upsert(target, source, ["id"], seq_col="seq").collect()}
+    assert out == {1: "a", 2: "new", 4: "d"}
+
+
+def test_apply_changes_seq_col_resolves_op_conflicts(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "U", 1), (2, None, "D", 2),   # delete after update -> gone
+            (3, None, "D", 1), (3, "C", "U", 2),   # update after delete -> kept
+        ],
+        ["id", "v", "op", "lsn"],
+    )
+    out = {r.id: r.v for r in
+           apply_changes(target, changes, ["id"], seq_col="lsn").collect()}
+    assert out == {1: "a", 3: "C"}
+    # without seq_col the same batch is a contract violation
+    with pytest.raises(ValueError, match="multiple images per key"):
+        apply_changes(target, changes.drop("lsn"), ["id"])
+
+
 def test_hash_split_deterministic_and_partitioning_invariant(spark):
     df = spark.range(2000).withColumnRenamed("id", "k")
     a = hash_split(df, "k")
