@@ -168,3 +168,32 @@ def test_orc_predicate_pushdown_and_column_pruning(spark):
         assert "l_extendedprice" not in read_schema
         want = li.filter(F.col("l_quantity") < 5).count()
         assert q.count() == want
+
+
+def test_compaction_merges_fragmented_table(spark):
+    from nsl_kdd_spark.sources.compact import (
+        compact_parquet, plan_compaction, table_file_stats,
+    )
+
+    orders = load_tables(spark, SF_SMOKE).orders
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders"
+        # fragment: 64 shards of a small table
+        orders.repartition(64).write.parquet(path)
+        before = table_file_stats(spark, path)
+        assert before["n_files"] == 64
+        want_sum = orders.agg(F.sum("o_orderkey")).first()[0]
+
+        res = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        assert res["compacted"] and res["target_files"] == 1
+        after = table_file_stats(spark, path)
+        assert after["n_files"] == 1
+        # data survives byte-for-byte (count + checksum)
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+        assert back.agg(F.sum("o_orderkey")).first()[0] == want_sum
+        # second run is a no-op: layout already healthy
+        res2 = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        assert not res2["compacted"]
+        # healthy layouts are never touched even when small
+        assert not plan_compaction(spark, path, 1 << 30)["needed"]

@@ -100,3 +100,33 @@ def test_knn_bruteforce_arrow_scorer_same_neighbors(spark):
     fold = knn_bruteforce(e, q, k=5).select("query_id", "vec_id", "rank")
     arrow = knn_bruteforce(e, q, k=5, scorer="arrow").select("query_id", "vec_id", "rank")
     assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_pq_adc_recall_and_refine(spark):
+    """PQ/ADC tier: raw ADC top-k finds a majority of the exact
+    neighbors; exact-refined shortlist recovers most of the rest.
+    64x compression (64-dim float64 -> 8 int8-range codes)."""
+    from nsl_kdd_spark.operators.pq import encode_pq, knn_pq, train_codebooks
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(e, queries, k=5)
+
+    cb = train_codebooks(e, dim=64, m=8, k=256, sample=2000)
+    assert cb.shape == (8, 256, 8)
+    codes = encode_pq(e, cb)
+    row = codes.first()
+    assert len(row["code"]) == 8 and all(0 <= c < 256 for c in row["code"])
+
+    # these synthetic embeddings are near-random (weakly separated
+    # neighbors), the hard case for quantization: raw ADC ranks about
+    # half the true top-5, the exact-refined shortlist nearly all
+    adc = knn_pq(e, queries, k=5, dim=64, codebooks=cb, codes=codes)
+    assert _recall(adc, exact) >= 0.4
+
+    refined = knn_pq(e, queries, k=5, dim=64, codebooks=cb, codes=codes, refine=8)
+    assert _recall(refined, exact) >= 0.9  # 40-candidate exact re-score
+
+    for df in (adc, refined):
+        for r in df.groupBy("query_id").count().collect():
+            assert r["count"] <= 5
