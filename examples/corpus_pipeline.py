@@ -51,6 +51,47 @@ def main() -> None:
     write_jsonl(split, f"{out_dir}/docs", partition_by=["split"])
     print(f"wrote JSONL shards to {out_dir}/docs (partitioned by split)")
 
+    # --- day 2: incremental ingest against the standing registry ---
+    # (operators/registry.py: new batch dedups against accumulated
+    # signatures + itself, never recomputing over the corpus)
+    from nsl_kdd_spark.operators.registry import build_registry, dedup_batch
+
+    registry = build_registry(kept, "doc_id", "text")
+    redeliveries = kept.limit(100).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    novel = kept.limit(100).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(F.split("text", " "), lambda t: F.concat(F.lit("v2_"), t)),
+            " ",
+        ).alias("text"),
+    )
+    batch = redeliveries.unionByName(novel)
+    res = dedup_batch(batch, registry, corpus_text=kept, threshold=0.7)
+    print(
+        "day-2 ingest:",
+        {
+            "batch": batch.count(),
+            "dup_vs_registry": res.dup_vs_registry.count(),
+            "dup_within_batch": res.dup_within_batch.count(),
+            "accepted": res.accepted.count(),
+            "registry_size": res.updated_registry.count(),
+        },
+    )
+
+    # --- layout maintenance: compact the fragmented parquet store ---
+    from nsl_kdd_spark.sources.compact import compact_parquet
+
+    corpus_now = kept.select("doc_id", "text").unionByName(
+        res.accepted.select("doc_id", "text")
+    )
+    corpus_now.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/corpus_parquet"
+    )
+    stats = compact_parquet(spark, f"{out_dir}/corpus_parquet")
+    print("compaction:", stats)
+
 
 if __name__ == "__main__":
     main()
