@@ -97,8 +97,10 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 d, "doc_id", "text",
                 num_hashes=8, band_size=4, threshold=0.8, shingle_n=3,
             ),
+            # 64-bit signatures: bucket space (2^16 per band) sized to
+            # the 100k corpus — see simhash_pairs sizing note
             f"dedup{label}_simhash": lambda d=docs: simhash_pairs(
-                d, "doc_id", "text", max_hamming=3, bits=32, bands=4
+                d, "doc_id", "text", max_hamming=3, bits=64, bands=4
             ),
         }
         for name, fn in ops.items():

@@ -347,7 +347,16 @@ def simhash_pairs(
     - neither — full cross join; only for small corpora / oracles.
 
     Candidates are always verified with the exact
-    ``bit_count(xor)``. Returns (id_a, id_b, hamming <= max_hamming)."""
+    ``bit_count(xor)``. Returns (id_a, id_b, hamming <= max_hamming).
+
+    Sizing: expected bucket occupancy is ``n / 2^(bits/bands)``, and
+    candidate count grows as ``bands * n^2 / 2^(bits/bands)`` for
+    unrelated docs — so BITS MUST SCALE WITH CORPUS SIZE. Keep
+    ``2^(bits/bands)`` a few times larger than ``n``: 32-bit/4-band
+    (8-bit buckets) is fine to ~10k docs, 64-bit/4-band (16-bit
+    buckets) to ~1M; beyond that add a ``block_col`` shard. Measured
+    (BASELINE.md, 100k docs): 32/4 costs 29 s, 64/4 costs ~7 s —
+    the band width, not the data, was the cost."""
     cols = [id_col] + ([block_col] if block_col else [])
     sigs = simhash(df.select(*cols, text_col), id_col, text_col, bits)
     if block_col:
