@@ -33,10 +33,14 @@ from nsl_kdd_spark.operators.dedup import (
 
 @dataclass
 class DedupBatchResult:
-    accepted: DataFrame          # new rows that survived both dedup tiers
-    dup_vs_registry: DataFrame   # (new_id, registry_id, score)
-    dup_within_batch: DataFrame  # (kept_id, dropped_id, score)
-    updated_registry: DataFrame  # registry ∪ accepted signatures
+    accepted: DataFrame           # new rows that survived both dedup tiers
+    dup_vs_registry: DataFrame    # (new_id, registry_id, score)
+    dup_within_batch: DataFrame   # (kept_id, dropped_id, score)
+    updated_registry: DataFrame   # registry ∪ accepted signatures
+    accepted_signatures: DataFrame  # just the accepted rows' signatures
+    # (append-only registry maintenance: write accepted_signatures as a
+    # new shard instead of rewriting updated_registry — the streaming
+    # ingest path in streaming/ingest.py does exactly that)
 
 
 def _bands(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
@@ -192,4 +196,5 @@ def dedup_batch(
         dup_vs_registry=dup_vs_registry,
         dup_within_batch=dup_within,
         updated_registry=registry.unionByName(accepted_sigs),
+        accepted_signatures=accepted_sigs,
     )

@@ -2668,6 +2668,86 @@ def q72_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental registry dedup (operators/registry.py): the day-2 ingest
+# shape — new batch vs standing signature registry. Oracle mirrors the
+# q29 minhash SQL but joins NEW bands against OLD bands (the cross
+# tier), so the banded candidate set and exact-jaccard verification
+# are both checked engine-vs-engine.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q73_registry_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || t)) AS mh0, min(md5('1:' || t)) AS mh1,
+             min(md5('2:' || t)) AS mh2, min(md5('3:' || t)) AS mh3,
+             min(md5('4:' || t)) AS mh4, min(md5('5:' || t)) AS mh5,
+             min(md5('6:' || t)) AS mh6, min(md5('7:' || t)) AS mh7
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        '0|' || mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3,
+        '1|' || mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS registry_id
+      FROM bands n JOIN bands o ON n.bucket = o.bucket
+      WHERE n.doc_id >= 250 AND o.doc_id < 250
+    )
+    SELECT new_id, registry_id,
+           len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+           (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+             AS score
+    FROM cand JOIN sh a ON cand.new_id = a.doc_id
+              JOIN sh b ON cand.registry_id = b.doc_id
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.8
+    ORDER BY new_id, registry_id
+    """,
+)
+def q73_registry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.registry import build_registry, dedup_batch
+
+    docs = load_tables(spark, sf_dir).documents
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    reg = build_registry(old, "doc_id", "text", num_hashes=8, shingle_n=3)
+    res = dedup_batch(
+        new, reg, corpus_text=old,
+        num_hashes=8, band_size=4, threshold=0.8, shingle_n=3,
+    )
+    return res.dup_vs_registry.orderBy("new_id", "registry_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ/ADC ANN (operators/pq.py): deterministic seeded codebooks +
+# exact-refined shortlist. Quantizer assignments aren't SQL-
+# expressible, so this is a rows-only entry (like q33/q62); recall
+# floors are pytest-gated in test_similarity_recall.
+# ---------------------------------------------------------------------------
+
+@query("q74_pq_ann")
+def q74_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.pq import knn_pq
+
+    e = load_tables(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5)
+    return knn_pq(e, queries, k=5, dim=64, m=8, codebook_k=32, refine=8)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -117,3 +117,46 @@ def test_stream_stream_interval_join_matches_batch(spark):
     key_cols = ["event_id", "event_id_r"]
     assert got.select(key_cols).subtract(want.select(key_cols)).count() == 0
     assert want.select(key_cols).subtract(got.select(key_cols)).count() == 0
+
+
+def test_deduplicating_ingest_stream(spark, tmp_path):
+    """Streaming registry ingest: JSONL shards drain through
+    availableNow batches; redeliveries of already-accepted docs are
+    rejected, novel docs accumulate, registry tracks the corpus."""
+    import json
+
+    from nsl_kdd_spark.streaming.ingest import ingest_documents_stream, read_corpus
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    docs1 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight"},
+        {"doc_id": 2, "text": "colorless green ideas sleep furiously beneath the winter moon"},
+    ]
+    (src / "batch1.jsonl").write_text("\n".join(json.dumps(d) for d in docs1))
+
+    kw = dict(
+        schema="doc_id long, text string",
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=8, band_size=1, threshold=0.5, shingle_n=2,
+    )
+    q = ingest_documents_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in read_corpus(spark, kw["corpus_path"]).collect()} == {1, 2}
+
+    # second drop: one near-redelivery of doc 1, one novel, one internal dup pair
+    docs2 = [
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy cat tonight"},
+        {"doc_id": 11, "text": "entirely new material about tuning shuffle partitions in spark"},
+        {"doc_id": 12, "text": "entirely new material about tuning shuffle partitions in flink"},
+    ]
+    (src / "batch2.jsonl").write_text("\n".join(json.dumps(d) for d in docs2))
+    q = ingest_documents_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+
+    corpus = {r.doc_id for r in read_corpus(spark, kw["corpus_path"]).collect()}
+    assert corpus == {1, 2, 11}  # 10 = registry dup, 12 = within-batch dup
+    registry = {r.doc_id for r in read_corpus(spark, kw["registry_path"]).collect()}
+    assert registry == corpus
