@@ -123,8 +123,10 @@ def jaccard_pairs(
 
     # canonical order: rarest shingle first (max pruning power);
     # freq table is |distinct shingles| rows — broadcast it so the
-    # (id, shingle) index isn't shuffled just to pick up counts
-    ex = sh.select("__id", F.explode("__shs").alias("__sh"))
+    # (id, shingle) index isn't shuffled just to pick up counts.
+    # ex feeds BOTH the freq agg and the join side: persist it or the
+    # tokenize+shingle+explode lineage executes twice
+    ex = sh.select("__id", F.explode("__shs").alias("__sh")).persist()
     freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
     ordered = (
         ex.join(F.broadcast(freq), on="__sh")
