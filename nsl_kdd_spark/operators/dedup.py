@@ -240,8 +240,23 @@ def minhash_lsh_pairs(
     candidates are then verified with the exact jaccard of their
     shingle sets via a second pass. ``max_bucket_size`` caps the
     per-bucket join fan-out (see ``_cap_buckets``). Returns verified
-    (id_a, id_b, jaccard >= threshold)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    (id_a, id_b, jaccard >= threshold).
+
+    The shingle arrays are materialized ONCE and feed both the
+    signature aggregate and the verification joins — tokenization is
+    the scan-proportional cost here, so running it twice would double
+    the dominant term."""
+    shingle_expr = (
+        word_shingles(text_col, shingle_n) if shingle_n > 1 else distinct_tokens(text_col)
+    )
+    shs = df.select(F.col(id_col).alias("__id"), shingle_expr.alias("__ts")).persist()
+    tok = shs.select("__id", F.explode("__ts").alias("__t"))
+    sigs = tok.groupBy("__id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__t")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
     n_bands = num_hashes // band_size
     bands = sigs.select(
         "__id",
@@ -267,12 +282,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    shingle = (
-        word_shingles(text_col, shingle_n) if shingle_n > 1 else distinct_tokens(text_col)
-    )
-    toks = df.select(F.col(id_col).alias("__id"), shingle.alias("__ts")).persist()
-    ta = toks.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
-    tb = toks.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
+    ta = shs.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
+    tb = shs.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
     verified = (
         cand.join(ta, "id_a").join(tb, "id_b")
         .select(
