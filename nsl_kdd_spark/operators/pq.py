@@ -238,3 +238,220 @@ def knn_pq(
         )
         .orderBy(query_id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization (the classic
+# composition — Jégou et al. 2011's IVFADC). The coarse quantizer
+# routes each vector to a cell; PQ encodes the RESIDUAL (vector minus
+# cell centroid), which is much better-centered than the raw vector,
+# so the same code budget quantizes tighter. Queries probe only the
+# n_probe nearest cells and score via per-(query, cell) ADC tables.
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 64,
+    sample: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> dict:
+    """Driver-side index training on a bounded sample: coarse KMeans
+    over full vectors, then PQ codebooks over residuals pooled across
+    cells (shared codebooks — the standard memory/quality trade)."""
+    assert dim % m == 0
+    sub = dim // m
+    rows = corpus.select(to_double_array(vec_col).alias("v")).limit(sample).collect()
+    x = _normalize(np.array([r["v"] for r in rows], dtype=np.float64))
+    coarse = _kmeans_np(x, n_cells, seed)
+    d2 = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    resid = x - coarse[d2.argmin(1)]
+    codebooks = np.stack([
+        _kmeans_np(resid[:, i * sub : (i + 1) * sub], k, seed + 100 + i)
+        for i in range(m)
+    ])
+    return {"coarse": coarse, "codebooks": codebooks}
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    index: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Arrow pass: (id, cell, residual PQ code)."""
+    coarse, cb = index["coarse"], index["codebooks"]
+    m, k, sub = cb.shape
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", ShortType()),
+        StructField("code", ArrayType(ShortType())),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            v = _normalize(np.stack(pdf["__v"].to_numpy()))
+            d2 = ((v[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+            cells = d2.argmin(1)
+            resid = v - coarse[cells]
+            codes = np.empty((len(v), m), dtype=np.int16)
+            for i in range(m):
+                s = resid[:, i * sub : (i + 1) * sub]
+                codes[:, i] = (
+                    ((s[:, None, :] - cb[i][None, :, :]) ** 2).sum(-1).argmin(1)
+                )
+            yield pd.DataFrame({
+                "vec_id": pdf["__id"],
+                "cell": cells.astype(np.int16),
+                "code": list(codes),
+            })
+
+    prepared = corpus.select(
+        F.col(id_col).cast("long").alias("__id"), to_double_array(vec_col).alias("__v")
+    )
+    return prepared.mapInPandas(batches, schema=schema)
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codebook_k: int = 64,
+    sample: int = 10_000,
+    seed: int = 42,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    index: dict | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k: probe ``n_probe`` cells per query, ADC-score
+    residual codes against per-(query, cell) lookup tables (LUTs are
+    n_queries x n_probe x m x k driver-side floats — tiny), optional
+    exact shortlist refinement. The scan path reads codes only and
+    skips ~(1 - n_probe/n_cells) of every batch."""
+    if index is None:
+        index = train_ivfpq(
+            corpus, dim, n_cells=n_cells, m=m, k=codebook_k,
+            sample=sample, seed=seed, vec_col=vec_col,
+        )
+    if codes is None:
+        codes = encode_ivfpq(corpus, index, id_col=id_col, vec_col=vec_col)
+    coarse, cb = index["coarse"], index["codebooks"]
+    n_cells = len(coarse)
+    mm, kk, sub = cb.shape
+
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("__qid"), to_double_array(vec_col).alias("__qv")
+    ).collect()
+    qids = np.array([r["__qid"] for r in qrows], dtype=np.int64)
+    qvs = _normalize(np.array([r["__qv"] for r in qrows], dtype=np.float64))
+    qd2 = ((qvs[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(qd2, axis=1)[:, :n_probe]  # [nq, n_probe]
+    # LUT[qi, pi, i, kk]: ADC table of query residual vs codebooks,
+    # where the query residual is vs the PROBED cell's centroid
+    qresid = qvs[:, None, :] - coarse[probes]      # [nq, n_probe, dim]
+    luts = np.stack([
+        (
+            (qresid[:, :, i * sub : (i + 1) * sub][:, :, None, :] - cb[i][None, None, :, :])
+            ** 2
+        ).sum(-1)
+        for i in range(mm)
+    ], axis=2)                                     # [nq, n_probe, m, kk]
+    shortlist = k * refine if refine > 0 else k
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("approx_d2", DoubleType()),
+    ])
+
+    def score(it):
+        import pandas as pd
+
+        for pdf in it:
+            cells = pdf["cell"].to_numpy()
+            c = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                for pi in range(n_probe):
+                    mask = cells == probes[qi, pi]
+                    if not mask.any():
+                        continue
+                    cm = c[mask]
+                    d2 = np.zeros(len(cm))
+                    for i in range(mm):
+                        d2 += luts[qi, pi, i][cm[:, i]]
+                    take = min(shortlist, len(cm))
+                    sel = np.argpartition(d2, take - 1)[:take]
+                    out_q.append(np.full(take, qids[qi]))
+                    out_v.append(ids[mask][sel])
+                    out_d.append(d2[sel])
+            if not out_q:
+                yield pd.DataFrame({"query_id": [], "vec_id": [], "approx_d2": []}).astype(
+                    {"query_id": "int64", "vec_id": "int64", "approx_d2": "float64"}
+                )
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "approx_d2": np.concatenate(out_d),
+            })
+
+    scored = codes.mapInPandas(score, schema=out_schema).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+    if refine <= 0:
+        return (
+            top.filter(F.col("rank") <= k)
+            .select(
+                F.col("query_id").alias(query_id_col),
+                F.col("vec_id").alias(id_col),
+                (1.0 - F.col("approx_d2") / 2.0).alias("cos_sim"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .orderBy(query_id_col, "rank")
+        )
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), to_double_array(vec_col).alias("__cv")
+    )
+    qdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), to_double_array(vec_col).alias("__qv")
+    )
+    exact = (
+        top.select("query_id", "vec_id")
+        .join(vecs, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias(query_id_col),
+            F.col("vec_id").alias(id_col),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy(query_id_col, "rank")
+    )

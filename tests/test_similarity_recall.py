@@ -130,3 +130,30 @@ def test_pq_adc_recall_and_refine(spark):
     for df in (adc, refined):
         for r in df.groupBy("query_id").count().collect():
             assert r["count"] <= 5
+
+
+def test_ivfpq_residual_recall(spark):
+    """IVF-PQ: residual quantization + cell probing. Probing half the
+    cells with refined shortlist recovers most exact neighbors; the
+    codes table carries (cell, code) only."""
+    from nsl_kdd_spark.operators.pq import encode_ivfpq, knn_ivfpq, train_ivfpq
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(e, queries, k=5)
+
+    idx = train_ivfpq(e, dim=64, n_cells=8, m=8, k=64, sample=2000)
+    assert idx["coarse"].shape == (8, 64) and idx["codebooks"].shape == (8, 64, 8)
+    codes = encode_ivfpq(e, idx)
+    row = codes.first()
+    assert 0 <= row["cell"] < 8 and len(row["code"]) == 8
+
+    got = knn_ivfpq(e, queries, k=5, dim=64, n_cells=8, n_probe=4,
+                    index=idx, codes=codes, refine=8)
+    assert _recall(got, exact) >= 0.55  # bounded by cell recall at n_probe=4
+
+    full_probe = knn_ivfpq(e, queries, k=5, dim=64, n_cells=8, n_probe=8,
+                           index=idx, codes=codes, refine=8)
+    assert _recall(full_probe, exact) >= 0.9  # all cells probed -> PQ-only loss
+    for r in got.groupBy("query_id").count().collect():
+        assert r["count"] <= 5
