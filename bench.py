@@ -139,14 +139,17 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # dedup tier past the stage-overhead floor: 25k vs 100k docs
-    timings.update(dedup_scale_timings(spark, sf_dir))
+    # dedup tier past the stage-overhead floor: 25k vs 100k docs.
+    # Reported SEPARATELY from the headline metric so "value" stays
+    # comparable round-over-round (BASELINE.md documents both tables).
+    dedup = dedup_scale_timings(spark, sf_dir)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold cache",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "dedup_scale": dedup,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
