@@ -115,3 +115,41 @@ def _spark():
             app_name="nsl-kdd-spark-tests", master="local[4]", shuffle_partitions=4
         )
     return _session
+
+
+# --- codec properties (pure numpy — no Spark job per example, so
+# hypothesis can afford real example counts) ---
+
+img_dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@settings(max_examples=50, deadline=None)
+@given(img_dims, st.integers(0, 2**32 - 1))
+def test_ppm_bmp_roundtrip_any_shape(dims, seed):
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        bmp_decode, bmp_encode, ppm_decode, ppm_encode,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(ppm_decode(ppm_encode(img)), img)
+    assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(img_dims, img_dims, st.integers(0, 2**32 - 1))
+def test_resize_shape_and_identity(src_dims, dst_dims, seed):
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import resize_nearest
+
+    (h, w), (th, tw) = src_dims, dst_dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resize_nearest(img, tw, th)
+    assert out.shape == (th, tw, 3)
+    # resizing to the same shape is the identity (pixel-center mapping)
+    assert np.array_equal(resize_nearest(img, w, h), img)
