@@ -105,6 +105,8 @@ def encode_pq(
 
     def batches(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             v = _normalize(np.stack(pdf["__v"].to_numpy()))
             codes = np.empty((len(v), m), dtype=np.int16)
             for i in range(m):
@@ -175,6 +177,8 @@ def knn_pq(
         import pandas as pd
 
         for pdf in it:
+            if not len(pdf):
+                continue
             c = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # [n, m]
             n = len(c)
             # gather: d2[q, n] = sum_i luts[q, i, c[n, i]]
@@ -297,6 +301,8 @@ def encode_ivfpq(
         import pandas as pd
 
         for pdf in it:
+            if not len(pdf):
+                continue
             v = _normalize(np.stack(pdf["__v"].to_numpy()))
             d2 = ((v[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
             cells = d2.argmin(1)
@@ -382,6 +388,8 @@ def knn_ivfpq(
         import pandas as pd
 
         for pdf in it:
+            if not len(pdf):
+                continue
             cells = pdf["cell"].to_numpy()
             c = np.stack(pdf["code"].to_numpy()).astype(np.int64)
             ids = pdf["vec_id"].to_numpy()

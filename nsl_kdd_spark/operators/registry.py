@@ -41,6 +41,15 @@ class DedupBatchResult:
     # (append-only registry maintenance: write accepted_signatures as a
     # new shard instead of rewriting updated_registry — the streaming
     # ingest path in streaming/ingest.py does exactly that)
+    _persisted: tuple = ()
+
+    def cleanup(self) -> None:
+        """Release the internal persists once outputs are consumed.
+        Long-lived callers (streaming ingest: one dedup_batch per
+        micro-batch) must call this or cached signature/shingle
+        tables accumulate until LRU eviction."""
+        for df in self._persisted:
+            df.unpersist()
 
 
 def _bands(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
@@ -197,4 +206,5 @@ def dedup_batch(
         dup_within_batch=dup_within,
         updated_registry=registry.unionByName(accepted_sigs),
         accepted_signatures=accepted_sigs,
+        _persisted=(new_sigs, ts),
     )

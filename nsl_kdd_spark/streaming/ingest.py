@@ -87,9 +87,12 @@ def ingest_documents_stream(
             threshold=threshold, shingle_n=shingle_n,
         )
         accepted = res.accepted.persist()
-        _write_partition(accepted, corpus_path, batch_id)
-        _write_partition(res.accepted_signatures, registry_path, batch_id)
-        accepted.unpersist()
+        try:
+            _write_partition(accepted, corpus_path, batch_id)
+            _write_partition(res.accepted_signatures, registry_path, batch_id)
+        finally:
+            accepted.unpersist()
+            res.cleanup()  # drop per-batch signature/shingle caches
 
     stream = (
         spark.readStream.schema(schema)
