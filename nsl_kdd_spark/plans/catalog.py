@@ -2748,6 +2748,50 @@ def q74_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ordered-event funnel (operators/funnel.py): sequential earliest-
+# completion matching, first-touch windowed. Oracle mirrors the
+# step-by-step min-after-previous CTE chain.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q75_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 2 DAY
+      GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+      SELECT e.user_id, s2.t1, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 2 DAY
+      GROUP BY e.user_id, s2.t1
+    )
+    SELECT * FROM (
+      SELECT 1::BIGINT AS step_idx, 'view' AS step,
+             (SELECT COUNT(*) FROM s1)::BIGINT AS users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    ) ORDER BY step_idx
+    """,
+)
+def q75_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.funnel import funnel_steps
+
+    events = load_tables(spark, sf_dir).events
+    return funnel_steps(
+        events, ["view", "click", "purchase"], within="2 DAY"
+    ).orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -202,3 +202,36 @@ def test_resample_ffill_fills_gap_buckets(spark):
     ).collect()
     rows = [(r["bucket"], r["n_events"], r["total"], r["total_ffill"]) for r in out]
     assert rows == [(0, 1, 5.0, 5.0), (10, 0, None, 5.0), (20, 1, 7.0, 7.0)]
+
+
+def test_funnel_ordering_and_window_semantics(spark):
+    """Funnel counts require strict event ORDER (click before view
+    doesn't convert) and the conversion window anchors at the user's
+    FIRST step-1 event (first-touch attribution)."""
+    from nsl_kdd_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1: clean view -> click -> purchase inside 1 day
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # u2: click BEFORE view -> only step 1 counts
+        (2, "2024-01-01 00:00:00", "click"),
+        (2, "2024-01-01 01:00:00", "view"),
+        # u3: converts, but outside the 1-day window from FIRST view
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-03 00:00:00", "click"),
+        # u4: never views
+        (4, "2024-01-01 00:00:00", "purchase"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r.step: r.users for r in
+           funnel_steps(events, ["view", "click", "purchase"], within="1 DAY").collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+    # unwindowed: u3's late click now converts
+    out2 = {r.step: r.users for r in
+            funnel_steps(events, ["view", "click", "purchase"]).collect()}
+    assert out2 == {"view": 3, "click": 2, "purchase": 1}
