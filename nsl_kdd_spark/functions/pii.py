@@ -1,0 +1,82 @@
+"""PII detection and redaction expressions (LLM-training-data tier).
+
+A 100 TB pre-training corpus must be scrubbed of emails, phone
+numbers, IP addresses and national-ID-shaped strings before anything
+else happens to it. Like the rest of ``functions/``, everything here
+is a Catalyst column expression (``regexp_count`` / ``regexp_replace``
+— JVM-side, whole-stage-codegen'd, no Python in the hot path), so
+redaction runs at scan speed and composes with the corpus funnel
+(operators/corpus.py) as just another projection.
+
+Pattern dialect: every regex stays inside the Java-regex ∩ RE2 common
+subset (character classes, bounded repetition, ``\\b`` word
+boundaries; no lookarounds, no backreferences) so the DuckDB oracle
+replays the exact same patterns — the cross-engine agreement IS the
+test that the patterns mean what we think they mean.
+
+Reference parity: the reference notebook has no PII tier (it is an
+IDS notebook); this extends SURVEY.md §2.13's text-analysis family
+per the mandate to cover training-data-pipeline operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters for redact_pii: longer/more-specific first so an SSN
+# isn't half-eaten by the phone pattern, and an email's domain isn't
+# re-matched as a hostname.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern in the column."""
+    return F.regexp_count(_col(col), F.lit(PII_PATTERNS[kind]))
+
+
+def pii_total(col: Column | str) -> Column:
+    """Total PII hits across all pattern kinds (pre-redaction count,
+    applied in PII_PATTERNS order on the progressively-redacted text
+    so overlapping patterns aren't double-counted)."""
+    c = _col(col)
+    total = F.lit(0)
+    for kind in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return total
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace every PII match with a ``<KIND>`` placeholder.
+
+    Spark's ``regexp_replace`` is global (all occurrences), matching
+    DuckDB's ``regexp_replace(..., 'g')``. Patterns apply in
+    PII_PATTERNS order: specific → general, each over the output of
+    the previous, so placeholders never re-match later patterns
+    (placeholder alphabet ``<A-Z>`` is disjoint from every pattern).
+    """
+    c = _col(col)
+    for kind in kinds or tuple(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def has_pii(col: Column | str) -> Column:
+    """Boolean gate for filter-style scrubbing (drop instead of
+    redact). Kept as a separate expression so the filter can sit in
+    front of the expensive funnel stages and push down to the scan."""
+    c = _col(col)
+    out = F.lit(False)
+    for pat in PII_PATTERNS.values():
+        out = out | (F.regexp_count(c, F.lit(pat)) > 0)
+    return out

@@ -16,6 +16,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(col: Column | str, as_type: str = "long") -> Column:
+    """Epoch seconds from any timestamp flavor (or numeric passthrough).
+
+    Spark 4 forbids a direct TIMESTAMP_NTZ -> numeric cast, and the
+    driver's parquet fixtures carry ``events.ts`` as NTZ. Routing
+    through TIMESTAMP first is a no-op for TIMESTAMP/LTZ inputs and
+    reinterprets NTZ wall-clock in the session timezone — pinned UTC in
+    session.py — which is exactly DuckDB's ``epoch(ts)``. Numeric
+    inputs survive unchanged (numeric -> timestamp -> numeric round
+    trips in UTC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast(as_type)
+
+
 def exact_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent SUM: cast to decimal(precision, scale), sum,
     return as double (exact conversion for business magnitudes)."""

@@ -65,8 +65,11 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
+        from nsl_kdd_spark.functions.scalar import epoch_seconds
+
         in_tol = (
-            F.col("__ats").cast("double") - F.col("__match.__rts").cast("double")
+            epoch_seconds(F.col("__ats"), "double")
+            - epoch_seconds(F.col("__match.__rts"), "double")
         ) <= F.lit(float(tolerance_seconds))
         out = out.withColumn("__match", F.when(in_tol, F.col("__match")))
     for c in right_values:

@@ -31,7 +31,11 @@ def point_in_window_join(
     Column names must be disjoint between the two inputs (alias
     beforehand). ``how='left'`` keeps anchors with no points (null
     point columns)."""
-    band = lambda c: F.floor(c.cast("double") / width_seconds).cast("long")  # noqa: E731
+    from nsl_kdd_spark.functions.scalar import epoch_seconds
+
+    band = lambda c: F.floor(  # noqa: E731
+        epoch_seconds(c, "double") / width_seconds
+    ).cast("long")
 
     a = anchors.withColumn(
         "__band",
@@ -39,7 +43,8 @@ def point_in_window_join(
     )
     p = points.withColumn("__band", band(F.col(point_ts)))
     in_range = (F.col(point_ts) >= F.col(anchor_ts)) & (
-        F.col(point_ts).cast("double") < F.col(anchor_ts).cast("double") + width_seconds
+        epoch_seconds(F.col(point_ts), "double")
+        < epoch_seconds(F.col(anchor_ts), "double") + width_seconds
     )
     joined = a.join(p, on=["__band"], how="inner").filter(in_range).drop("__band")
     if how == "inner":

@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 def to_bucket(ts_col: Column | str, step_seconds: int) -> Column:
     """Epoch-aligned bucket start (long seconds): floor(epoch/step)*step.
     Integer ``div`` keeps the math exact and engine-portable."""
-    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return (c.cast("long") - (c.cast("long") % F.lit(step_seconds))).cast("long")
+    from nsl_kdd_spark.functions.scalar import epoch_seconds
+
+    e = epoch_seconds(ts_col, "long")
+    return (e - (e % F.lit(step_seconds))).cast("long")
 
 
 def resample_ffill(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nsl_kdd_spark.functions.scalar import (
+    epoch_seconds,
     exact_avg,
     exact_stddev,
     exact_sum,
@@ -2562,7 +2563,7 @@ def q70_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    e = t.events.withColumn("epoch_s", F.col("ts").cast("long"))
+    e = t.events.withColumn("epoch_s", epoch_seconds("ts", "long"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("epoch_s")

@@ -94,9 +94,11 @@ def sessionize_by_gap(
     flag -> running sum). Returns the input plus ``session_id``
     (key-scoped ordinal). Same semantics as ``session_agg`` but keeps
     row granularity — the building block for per-session features."""
+    from nsl_kdd_spark.functions.scalar import epoch_seconds
+
     w = Window.partitionBy(key_col).orderBy(ts_col)
     gap_flag = F.when(
-        F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+        epoch_seconds(ts_col, "double") - F.lag(epoch_seconds(ts_col, "double")).over(w)
         > gap_seconds,
         1,
     ).otherwise(0)
