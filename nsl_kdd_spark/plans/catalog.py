@@ -2154,7 +2154,7 @@ def _profile_block(col: str, is_num: bool) -> str:
     return f"""
     SELECT '{col}' AS col_name,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT {col}) AS n_distinct,
            CAST(MIN({col}) AS VARCHAR) AS min_value,
            CAST(MAX({col}) AS VARCHAR) AS max_value,
@@ -2459,8 +2459,8 @@ def q67_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN hv < 58982 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n,
-           SUM(doc_id) AS key_checksum,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(doc_id) AS BIGINT) AS key_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM h GROUP BY 1 ORDER BY split
     """,
 )
@@ -2505,7 +2505,8 @@ def q68_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderdate, o_orderpriority
       FROM changes WHERE op <> 'D'
     )
-    SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_checksum,
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM merged GROUP BY 1 ORDER BY o_orderstatus
     """,
@@ -2607,7 +2608,8 @@ def q70_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'changed' ELSE 'unchanged' END AS change_type
       FROM orders o FULL OUTER JOIN newv n USING (o_orderkey)
     )
-    SELECT change_type, COUNT(*) AS n, SUM(o_orderkey) AS key_checksum
+    SELECT change_type, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
     FROM d GROUP BY 1 ORDER BY change_type
     """,
 )

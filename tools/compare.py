@@ -72,6 +72,7 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             d_cols = [d[0] for d in res.description]
+            d_types = [str(t) for t in res.types]
             d_rows = [tuple(r) for r in res.fetchall()]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
@@ -79,6 +80,14 @@ def main() -> int:
             continue
 
         ok = True
+        # DuckDB widens SUM(BIGINT) to HUGEINT (int128); the driver's
+        # value hash serializes HUGEINT differently from Spark's BIGINT,
+        # so an uncast integer SUM passes here but fails the gate.
+        huge = [c for c, t in zip(d_cols, d_types) if t in ("HUGEINT", "INT128")]
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                  f"wrap with CAST(... AS BIGINT)")
+            ok = False
         if len(s_rows) != len(d_rows):
             print(f"FAIL {name}: row count {len(s_rows)} vs {len(d_rows)}")
             ok = False
