@@ -96,6 +96,12 @@ def jaccard_pairs(
     count join. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__shs"))
+    if prefix_filter:
+        # shingle construction (HOF transform + concat) is the dominant
+        # per-row cost and feeds two consumers (freq agg + ordered
+        # build); persist the COMPACT per-doc array form — one row per
+        # doc, not the exploded index — so it runs once
+        sh = sh.persist()
     if not prefix_filter:
         sizes = sh.select("__id", F.size("__shs").alias("__sz"))
         idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
@@ -123,10 +129,8 @@ def jaccard_pairs(
 
     # canonical order: rarest shingle first (max pruning power);
     # freq table is |distinct shingles| rows — broadcast it so the
-    # (id, shingle) index isn't shuffled just to pick up counts.
-    # ex feeds BOTH the freq agg and the join side: persist it or the
-    # tokenize+shingle+explode lineage executes twice
-    ex = sh.select("__id", F.explode("__shs").alias("__sh")).persist()
+    # (id, shingle) index isn't shuffled just to pick up counts
+    ex = sh.select("__id", F.explode("__shs").alias("__sh"))
     freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
     ordered = (
         ex.join(F.broadcast(freq), on="__sh")
@@ -137,26 +141,30 @@ def jaccard_pairs(
                 lambda s: s["__sh"],
             ).alias("__shs")
         )
-        # referenced 3x below (prefix index + both verify sides): persist
-        # or the shingle+sort lineage re-executes per reference
+        # the prefix index below is self-joined (two physical scans):
+        # persist the compact per-doc form so the shingle+sort lineage
+        # runs once
         .persist()
     )
+    # PPJoin carry-payload shape: the exploded prefix index carries the
+    # full ordered shingle array, so the candidate self-join VERIFIES
+    # inline — no distinct + no re-join of the doc table (two fewer
+    # shuffles of the corpus than candidates-then-lookup). A pair is
+    # emitted once per shared prefix shingle (bounded by prefix_len);
+    # the cheap post-filter groupBy dedupes scalar rows only.
     prefix_len = F.floor(F.size("__shs") * F.lit(1.0 - threshold)).cast("int") + 1
     pre = ordered.select(
-        "__id", "__shs", F.slice("__shs", 1, prefix_len).alias("__prefix")
+        "__id", "__shs", F.explode(F.slice("__shs", 1, prefix_len)).alias("__sh")
     )
-    idx = pre.select("__id", F.explode("__prefix").alias("__sh"))
-    cand = (
-        idx.select(F.col("__id").alias("id_a"), "__sh")
-        .join(idx.select(F.col("__id").alias("id_b"), "__sh"), on="__sh")
+    pa = pre.select(
+        F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"), "__sh"
+    )
+    pb = pre.select(
+        F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"), "__sh"
+    )
+    scored = (
+        pa.join(pb, on="__sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    full_a = ordered.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
-    full_b = ordered.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
-    verified = (
-        cand.join(full_a, "id_a").join(full_b, "id_b")
         .select(
             "id_a", "id_b",
             (
@@ -164,8 +172,13 @@ def jaccard_pairs(
                 / F.size(F.array_union("__sa", "__sb"))
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.first("jaccard").alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def minhash_signatures(
@@ -242,24 +255,30 @@ def minhash_lsh_pairs(
     per-bucket join fan-out (see ``_cap_buckets``). Returns verified
     (id_a, id_b, jaccard >= threshold).
 
-    The shingle arrays are materialized ONCE and feed both the
-    signature aggregate and the verification joins — tokenization is
-    the scan-proportional cost here, so running it twice would double
-    the dominant term."""
+    One tokenize pass total: the signature aggregate computes the k
+    min-hashes AND collects the distinct shingle set in the same
+    grouped agg, so the verification payload rides the one per-doc
+    table (persisted — the band index is self-joined, two physical
+    scans) instead of re-joining the corpus per candidate. The band
+    self-join carries both shingle sets and verifies inline — no
+    distinct + no candidate-lookup joins."""
     shingle_expr = (
         word_shingles(text_col, shingle_n) if shingle_n > 1 else distinct_tokens(text_col)
     )
-    shs = df.select(F.col(id_col).alias("__id"), shingle_expr.alias("__ts")).persist()
-    tok = shs.select("__id", F.explode("__ts").alias("__t"))
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(shingle_expr).alias("__t")
+    )
     sigs = tok.groupBy("__id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__t")))).alias(f"mh{i}")
             for i in range(num_hashes)
-        ]
-    )
+        ],
+        F.collect_set("__t").alias("__ts"),
+    ).persist()
     n_bands = num_hashes // band_size
     bands = sigs.select(
         "__id",
+        "__ts",
         F.explode(
             F.array(
                 *[
@@ -274,18 +293,15 @@ def minhash_lsh_pairs(
         ).alias("__bucket"),
     )
     bands = _cap_buckets(bands, ["__bucket"], max_bucket_size)
-    bands = bands.persist()  # self-joined below
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), on="__bucket")
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
-        .distinct()
+    xa = bands.select(
+        F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"), "__bucket"
     )
-    ta = shs.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
-    tb = shs.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
-    verified = (
-        cand.join(ta, "id_a").join(tb, "id_b")
+    xb = bands.select(
+        F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"), "__bucket"
+    )
+    scored = (
+        xa.join(xb, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
             (
@@ -293,8 +309,13 @@ def minhash_lsh_pairs(
                 / F.size(F.array_union("__ta", "__tb"))
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.first("jaccard").alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 _HEX = "0123456789abcdef"
@@ -393,33 +414,38 @@ def simhash_pairs(
                 for s, w in zip(starts, widths)
             ]
         )
+        # the signature is 8 bytes — carry it through the band join and
+        # verify inline, instead of distinct-ing candidates and joining
+        # the signature table back twice
         bucketed = sigs.select(
             id_col,
+            "simhash",
             *([block_col] if block_col else []),
             F.posexplode(band_vals).alias("__bi", "__bv"),
         )
         key = ["__bi", "__bv"] + ([block_col] if block_col else [])
-        bucketed = _cap_buckets(bucketed, key, max_bucket_size).persist()
-        xa = bucketed.select(F.col(id_col).alias("id_a"), *key)
-        xb = bucketed.select(F.col(id_col).alias("id_b"), *key)
-        cand = (
+        bucketed = _cap_buckets(bucketed, key, max_bucket_size)
+        xa = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), *key
+        )
+        xb = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), *key
+        )
+        pairs = (
             xa.join(xb, on=key)
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
-        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
-        pairs = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
             .select(
                 "id_a",
                 "id_b",
                 F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
             )
+            .filter(F.col("hamming") <= max_hamming)
         )
-        return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+        return (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.first("hamming").alias("hamming"))
+            .orderBy("id_a", "id_b")
+        )
     a = sigs.select(*[F.col(c).alias(f"{c}_a") for c in sigs.columns])
     b = sigs.select(*[F.col(c).alias(f"{c}_b") for c in sigs.columns])
     on = (
