@@ -120,10 +120,13 @@ def dedup_stream(
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
-    The file source wants a *directory*, and the raw file stores
-    TIMESTAMP(NANOS); stage the file into a scratch dir and read ts as
-    long (legacy conf), converting to a microsecond timestamp with the
-    same integer-div truncation as the batch reader."""
+    The file source wants a *directory*: stage the file into a scratch
+    dir. Timestamp resolution is PROBED from the file via a batch read
+    (the fixtures have shipped both TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS)): a normal-resolution file streams with its own
+    schema; a NANOS file — which Spark 4's reader rejects — falls back
+    to the legacy read-nanos-as-long conf plus the same integer-div
+    ns->us truncation the batch reader applies."""
     import shutil
     import tempfile
 
@@ -131,10 +134,27 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         DoubleType, LongType, StringType, StructField, StructType,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", stage)
+    shutil.copy(path, stage)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        schema = None  # TIMESTAMP(NANOS): rejected by the plain reader
+    if schema is not None and not any(
+        f.name == "ts" and f.dataType.typeName() == "long" for f in schema.fields
+    ):
+        # watermarks demand TIMESTAMP (LTZ); with the session pinned
+        # UTC the NTZ->LTZ cast is wall-clock-preserving, so stream
+        # results collect identically to the batch NTZ reader's
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = StructType([
         StructField("event_id", LongType()),
         StructField("ts", LongType()),
