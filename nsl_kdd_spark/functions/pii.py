@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b",
+    # \b-anchored at the start so a match can't begin mid-digit-run
+    # (a 16-digit card-shaped run must not leak its head as "digits +
+    # <PHONE>"); the optional country-code group also admits the bare
+    # 3-3-4 form (555-123-4567). (?: ) and \b are in the Java ∩ RE2
+    # subset.
+    # second group {2,4} admits international city codes (+44 20 7946
+    # 0958) without eating SSNs (3-2-4 fails the {3,4} third group).
+    "phone": r"\+?\b(?:[0-9]{1,3}[- ])?[0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{4}\b",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }
 
@@ -66,7 +73,14 @@ def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None) -> Colum
     (placeholder alphabet ``<A-Z>`` is disjoint from every pattern).
     """
     c = _col(col)
-    for kind in kinds or tuple(PII_PATTERNS):
+    # iterate in PII_PATTERNS order even when ``kinds`` is a subset
+    # passed out of order — the specific-before-general invariant is
+    # the module's contract, not the caller's problem
+    wanted = set(kinds) if kinds is not None else set(PII_PATTERNS)
+    unknown = wanted - set(PII_PATTERNS)
+    if unknown:
+        raise KeyError(f"unknown PII kinds: {sorted(unknown)}")
+    for kind in (k for k in PII_PATTERNS if k in wanted):
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return c
 

@@ -23,9 +23,14 @@ def epoch_seconds(col: Column | str, as_type: str = "long") -> Column:
     driver's parquet fixtures carry ``events.ts`` as NTZ. Routing
     through TIMESTAMP first is a no-op for TIMESTAMP/LTZ inputs and
     reinterprets NTZ wall-clock in the session timezone — pinned UTC in
-    session.py — which is exactly DuckDB's ``epoch(ts)``. Numeric
-    inputs survive unchanged (numeric -> timestamp -> numeric round
-    trips in UTC)."""
+    session.py — which is exactly DuckDB's ``epoch(ts)``.
+
+    Numeric inputs: integral types round-trip unchanged; a DOUBLE
+    input with ``as_type='long'`` goes double -> timestamp -> long and
+    TRUNCATES sub-second fractions (ADVICE r02) — cast fractional
+    epochs yourself if you need rounding semantics. The numeric <->
+    timestamp casts rely on session.py pinning ansi.enabled=false; an
+    ANSI-on session would reject them."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("timestamp").cast(as_type)
 

@@ -3026,6 +3026,105 @@ def q80_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrub (functions/pii.py): per-kind counts, progressive
+# no-double-count total, full redaction, and the filter gate — over
+# the documents table with deterministic injected PII (the synthetic
+# corpus has none). The oracle replays the EXACT same Java∩RE2
+# patterns through DuckDB, so cross-engine agreement validates the
+# pattern semantics themselves (ADVICE r02: module was unwired).
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from nsl_kdd_spark.functions.pii import PII_PATTERNS
+
+    per_kind, total_terms, redacted = [], [], "t"
+    for kind, pat in PII_PATTERNS.items():
+        lit = pat.replace("'", "''")
+        per_kind.append(
+            f"CAST(len(regexp_extract_all(t, '{lit}')) AS BIGINT) AS n_{kind}"
+        )
+        total_terms.append(f"len(regexp_extract_all({redacted}, '{lit}'))")
+        redacted = f"regexp_replace({redacted}, '{lit}', '<{kind.upper()}>', 'g')"
+    has = " OR ".join(
+        f"len(regexp_extract_all(t, '{p.replace(chr(39), chr(39) * 2)}')) > 0"
+        for p in PII_PATTERNS.values()
+    )
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0 THEN ' id 987-65-4321' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(per_kind)},
+           CAST({" + ".join(total_terms)} AS BIGINT) AS n_total,
+           ({has}) AS pii_flag,
+           {redacted} AS redacted
+    FROM aug ORDER BY doc_id
+    """
+
+
+@query("q81_pii_scrub", oracle=_pii_oracle())
+def q81_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.pii import (
+        PII_PATTERNS,
+        has_pii,
+        pii_count,
+        pii_total,
+        redact_pii,
+    )
+
+    t = load_tables(spark, sf_dir)
+    aug = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" id 987-65-4321")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        *[
+            pii_count("t", kind).cast("long").alias(f"n_{kind}")
+            for kind in PII_PATTERNS
+        ],
+        pii_total("t").cast("long").alias("n_total"),
+        has_pii("t").alias("pii_flag"),
+        redact_pii("t").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

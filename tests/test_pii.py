@@ -1,0 +1,107 @@
+"""PII pattern semantics (functions/pii.py) — the ADVICE r02 items:
+anchored phone matching, 3-3-4 support, kinds-order invariance, and
+cross-engine (Spark vs DuckDB RE2) pattern agreement. The catalog's
+q81_pii_scrub replays the same patterns at corpus scale; these tests
+pin the single-string edge cases a corpus row may never hit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.pii import (
+    PII_PATTERNS,
+    has_pii,
+    pii_count,
+    pii_total,
+    redact_pii,
+)
+
+
+def _one(spark, text: str, col):
+    return spark.createDataFrame([(text,)], "t string").select(col.alias("v")).first().v
+
+
+CASES = [
+    # (text, kind, expected_count)
+    ("mail me at a.b+c@example.co.uk today", "email", 1),
+    ("no at-sign here", "email", 0),
+    ("ssn 123-45-6789 on file", "ssn", 1),
+    ("+1 555 123 4567", "phone", 1),
+    ("call 555-123-4567", "phone", 1),  # 3-3-4, no country code
+    ("intl +44 20 7946 0958", "phone", 1),
+    ("server at 10.0.0.1 and 192.168.1.255", "ipv4", 2),
+]
+
+
+@pytest.mark.parametrize("text,kind,n", CASES)
+def test_pii_count_cases(spark, text, kind, n):
+    assert _one(spark, text, pii_count("t", kind)) == n
+
+
+def test_phone_does_not_start_mid_digit_run(spark):
+    """A 16-digit card-shaped run must not redact from its head: the
+    leading \\b means no match can begin inside the run (ADVICE r02 —
+    the old pattern turned '912345-…' into '912<PHONE>')."""
+    redacted = _one(spark, "9123456789012345 intact", redact_pii("t"))
+    assert redacted == "9123456789012345 intact"
+
+
+def test_redact_all_kinds(spark):
+    text = "a@b.com ssn 123-45-6789 call 555-123-4567 ip 10.0.0.1"
+    out = _one(spark, text, redact_pii("t"))
+    assert out == "<EMAIL> ssn <SSN> call <PHONE> ip <IPV4>"
+
+
+def test_redact_kinds_order_invariant(spark):
+    """Caller-supplied kinds order must not break the
+    specific-before-general sequencing (ADVICE r02)."""
+    text = "a@b.com and 123-45-6789"
+    fwd = _one(spark, text, redact_pii("t", kinds=("email", "ssn")))
+    rev = _one(spark, text, redact_pii("t", kinds=("ssn", "email")))
+    assert fwd == rev == "<EMAIL> and <SSN>"
+
+
+def test_redact_unknown_kind_raises(spark):
+    with pytest.raises(KeyError):
+        redact_pii("t", kinds=("email", "passport"))
+
+
+def test_total_no_double_count(spark):
+    """SSN is phone-shaped-adjacent; progressive redaction must count
+    each span once."""
+    text = "id 123-45-6789 tel 555-123-4567"
+    assert _one(spark, text, pii_total("t")) == 2
+    assert _one(spark, text, has_pii("t")) is True
+    assert _one(spark, "clean text", has_pii("t")) is False
+
+
+def test_patterns_agree_with_re2(spark, duck):
+    """Every pattern must mean the same thing to Java regex and RE2
+    (DuckDB) — counts and redactions compared per case."""
+    texts = [t for t, _, _ in CASES] + [
+        "9123456789012345 intact",
+        "912345-678-9012-3456",
+        "a@b.com ssn 123-45-6789 call 555-123-4567 ip 10.0.0.1",
+        "edge +1-555-123-4567, v4 255.255.255.255.",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        "t",
+        *[pii_count("t", k).alias(f"n_{k}") for k in PII_PATTERNS],
+        redact_pii("t").alias("red"),
+    ).collect()
+    for row in got:
+        for k, pat in PII_PATTERNS.items():
+            d = duck.sql(
+                "SELECT len(regexp_extract_all(?, ?))", params=[row.t, pat]
+            ).fetchone()[0]
+            assert row[f"n_{k}"] == d, (row.t, k)
+        red = row.t
+        for k, pat in PII_PATTERNS.items():
+            red_q = duck.sql(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                params=[red, pat, f"<{k.upper()}>"],
+            ).fetchone()[0]
+            red = red_q
+        assert row.red == red, row.t
