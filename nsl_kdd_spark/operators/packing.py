@@ -1,0 +1,173 @@
+"""Sequence packing for training-data pipelines: distributed prefix
+sums and token-budget binning.
+
+Pre-training dataloaders consume fixed-size token windows; the corpus
+prep step must therefore assign every document a position in a packed
+token stream (concat-and-chunk, the GPT-style approach — documents may
+straddle window boundaries) or a whole-document bin (next-fit, for
+no-truncation fine-tuning sets).
+
+The primitive under both is a GLOBAL running total. A bare
+``Window.orderBy(...)`` computes it by moving every row to ONE
+partition (Spark warns exactly this), which is the single most common
+100 TB scale trap. ``with_global_cumsum`` instead does the classic
+two-phase distributed prefix sum:
+
+1. range-repartition by the order key (range partition i holds keys
+   sorted before partition i+1's — RangePartitioner is
+   order-preserving);
+2. per-partition window cumsum (parallel, partition-local);
+3. per-partition totals — numPartitions rows — prefix-summed on the
+   driver and joined back broadcast.
+
+Cost: one range shuffle + one broadcast join, fully parallel; the same
+shape DuckDB/Trino use for large window frames.
+
+No reference-notebook counterpart (the reference has no packing tier);
+this extends SURVEY.md §2.13's training-data mandate. Oracle parity:
+q82 checks the whole pipeline against DuckDB's native
+``SUM(...) OVER (ORDER BY ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running SUM(value_col) over rows globally ordered by
+    ``order_col`` (INCLUSIVE of the current row), without a
+    single-partition window sort.
+
+    ``order_col`` must be unique: rows tying on the order key may land
+    in different range partitions, which would make their relative
+    order — and therefore their cumsum — partitioning-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persist is CORRECTNESS here, not caching: repartitionByRange
+    # samples its boundaries and spark_partition_id is nondeterministic,
+    # so the totals pass and the cumsum pass must observe the SAME
+    # materialized partitioning (at cluster scale: DISK_ONLY or a
+    # staged write serves the same purpose)
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # numPartitions rows: driver-side prefix sum is control flow, not data
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in part.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid] or 0
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map()
+    )
+    return part.withColumn(
+        out_col, F.sum(F.col(value_col)).over(w) + off[F.col("__pid")]
+    ).drop("__pid")
+
+
+def pack_chunks(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: lay documents end-to-end in
+    ``order_col`` order and cut the stream every ``budget`` units.
+
+    Adds:
+      - ``stream_end``: running total of ``size_col`` (position just
+        past this doc in the packed stream),
+      - ``first_bin`` / ``last_bin``: 0-based chunk ids this doc
+        touches (docs may straddle boundaries — the zero-waste
+        pre-training layout),
+      - ``n_bins``: chunks spanned,
+      - ``offset_in_first``: start position inside ``first_bin``.
+
+    Zero-size docs attach to the chunk they fall on (first_bin ==
+    last_bin, n_bins == 1).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out = with_global_cumsum(
+        df, order_col, size_col, out_col="stream_end", num_partitions=num_partitions
+    )
+    start = F.col("stream_end") - F.col(size_col)
+    first = F.floor(start / budget).cast("long")
+    last = F.greatest(
+        first, F.floor((F.col("stream_end") - 1) / budget).cast("long")
+    )
+    return (
+        out.withColumn("first_bin", first)
+        .withColumn("last_bin", last)
+        .withColumn("n_bins", (F.col("last_bin") - F.col("first_bin") + 1))
+        .withColumn("offset_in_first", (start % budget).cast("long"))
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Whole-document next-fit packing: walk docs in ``order_col``
+    order, open a new bin whenever the current doc would overflow
+    ``budget``; docs are never split (fine-tuning sets, eval shards).
+
+    Next-fit is inherently sequential, so it runs per RANGE PARTITION
+    via ``applyInPandas`` — bins never span partitions, which wastes at
+    most one partial bin per partition (negligible when each partition
+    carries many bins) and keeps the operator embarrassingly parallel.
+    Bin ids are ``(partition << 32) | local_bin`` longs: globally
+    unique, stable under re-runs, no coordination.
+
+    Docs larger than ``budget`` get a bin of their own (oversized, the
+    caller decides whether to truncate or drop).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import pandas as pd
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    schema_out = part.drop("__pid").schema.add("bin_id", "long").add("bin_fill", "long")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pid = int(pdf["__pid"].iloc[0])
+        bins, fills = [], []
+        local_bin, fill = 0, 0
+        for size in pdf[size_col]:
+            size = int(size)
+            if fill > 0 and fill + size > budget:
+                local_bin += 1
+                fill = 0
+            fill += size
+            bins.append((pid << 32) | local_bin)
+            fills.append(fill)
+        out = pdf.drop(columns=["__pid"])
+        out["bin_id"] = pd.Series(bins, dtype="int64")
+        out["bin_fill"] = pd.Series(fills, dtype="int64")
+        return out
+
+    return part.groupBy("__pid").applyInPandas(pack, schema=schema_out)

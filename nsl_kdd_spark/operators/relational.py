@@ -145,3 +145,24 @@ def hash_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def sample_hash(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 16 bits
+    of ``md5(salt || key)`` fall below ``fraction`` of the bucket
+    space. Unlike ``df.sample`` the decision is a pure function of
+    (salt, key): reproducible across runs/engines/partitionings,
+    composable with incremental ingest (a doc's fate never changes as
+    the corpus grows), and oracle-checkable row-for-row — the
+    properties a training-corpus subsample actually needs. Vary
+    ``salt`` for independent resamples. No shuffle, no RNG state."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return df.filter(hv < int(fraction * 65536))

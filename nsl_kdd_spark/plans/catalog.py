@@ -3125,6 +3125,81 @@ def q81_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): concat-and-chunk token
+# layout via the two-phase DISTRIBUTED prefix sum (range partition ->
+# local window -> broadcast offsets) — never a single-partition global
+# window. The oracle states the same semantics with DuckDB's native
+# windowed running sum, so the whole distributed decomposition is
+# checked row-for-row against the sequential definition.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q82_pack_chunks",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS stream_end
+      FROM documents
+    )
+    SELECT doc_id, n_chars, stream_end,
+           CAST((stream_end - n_chars) // 4096 AS BIGINT) AS first_bin,
+           CAST(GREATEST((stream_end - n_chars) // 4096,
+                         (stream_end - 1) // 4096) AS BIGINT) AS last_bin,
+           CAST(GREATEST((stream_end - n_chars) // 4096,
+                         (stream_end - 1) // 4096)
+                - (stream_end - n_chars) // 4096 + 1 AS BIGINT) AS n_bins,
+           CAST((stream_end - n_chars) % 4096 AS BIGINT) AS offset_in_first
+    FROM c ORDER BY doc_id
+    """,
+)
+def q82_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.packing import pack_chunks
+
+    t = load_tables(spark, sf_dir)
+    return (
+        pack_chunks(t.documents, "doc_id", "n_chars", budget=4096)
+        .select(
+            "doc_id", "n_chars", "stream_end",
+            "first_bin", "last_bin", "n_bins", "offset_in_first",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (relational.sample_hash): reproducible
+# Bernoulli subsample as a pure function of (salt, key) — the
+# engine-portable alternative to seeded df.sample. Oracle re-derives
+# the identical 16-bit md5 bucket, so MEMBERSHIP matches row-for-row,
+# not just the sample size.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q83_hash_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1)) < 16384
+    ORDER BY doc_id
+    """,
+)
+def q83_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.relational import sample_hash
+
+    t = load_tables(spark, sf_dir)
+    return (
+        sample_hash(t.documents, "doc_id", fraction=0.25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -1,0 +1,84 @@
+"""Sequence packing (operators/packing.py): distributed prefix sum
+equivalence and next-fit bin invariants. q82 oracle-checks pack_chunks
+against DuckDB's windowed running sum; these tests pin the pieces the
+oracle can't see — partition-count independence and the no-split
+next-fit contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators.packing import (
+    pack_chunks,
+    pack_next_fit,
+    with_global_cumsum,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_cumsum_matches_single_partition_window(spark):
+    docs = _docs(spark)
+    got = {
+        r.doc_id: r.c
+        for r in with_global_cumsum(docs, "doc_id", "n_chars", "c").collect()
+    }
+    rows = sorted(
+        docs.select("doc_id", "n_chars").collect(), key=lambda r: r.doc_id
+    )
+    run = 0
+    for r in rows:
+        run += r.n_chars
+        assert got[r.doc_id] == run
+
+
+def test_cumsum_partition_count_invariant(spark):
+    docs = _docs(spark)
+    a = with_global_cumsum(docs, "doc_id", "n_chars", "c", num_partitions=1)
+    b = with_global_cumsum(docs, "doc_id", "n_chars", "c", num_partitions=7)
+    assert sorted(map(tuple, a.select("doc_id", "c").collect())) == sorted(
+        map(tuple, b.select("doc_id", "c").collect())
+    )
+
+
+def test_pack_chunks_covers_stream_without_gaps(spark):
+    budget = 1000
+    out = pack_chunks(_docs(spark), "doc_id", "n_chars", budget).collect()
+    total = sum(r.n_chars for r in out)
+    n_bins_expected = (total + budget - 1) // budget
+    assert max(r.last_bin for r in out) == n_bins_expected - 1
+    for r in out:
+        start = r.stream_end - r.n_chars
+        assert r.first_bin == start // budget
+        assert 0 <= r.offset_in_first < budget
+        assert r.n_bins == r.last_bin - r.first_bin + 1
+
+
+def test_pack_next_fit_respects_budget_and_order(spark):
+    budget = 2000
+    docs = _docs(spark).filter(F.col("n_chars") <= budget)
+    out = pack_next_fit(docs, "doc_id", "n_chars", budget).collect()
+    assert len(out) == docs.count()
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_chars
+    assert all(v <= budget for v in fills.values())
+    # docs in one bin are contiguous in doc_id order: sort rows by
+    # doc_id, bin ids must be non-decreasing within a partition
+    by_part: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_part.setdefault(r.bin_id >> 32, []).append(r.bin_id & 0xFFFFFFFF)
+    for seq in by_part.values():
+        assert seq == sorted(seq)
+
+
+def test_pack_next_fit_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 10)], "id long, sz long"
+    )
+    out = {r.id: r for r in pack_next_fit(df, "id", "sz", budget=50).collect()}
+    assert out[2].bin_id not in (out[1].bin_id, out[3].bin_id)
+    assert out[2].bin_fill == 99
