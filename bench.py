@@ -103,10 +103,25 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 d, "doc_id", "text", max_hamming=3, bits=64, bands=4
             ),
         }
+        # the 25k tier runs twice (min): its first pass eats the
+        # one-off codegen/JIT cost for the whole op family, so the
+        # 100k tier that follows measures warm plans — the same
+        # warm-vs-cold asymmetry handled by the headline min-of-2
+        reps = 2 if label == "25k" else 1
         for name, fn in ops.items():
-            t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+                # operators persist their compact per-doc tables and
+                # hand back lazy frames, so the session accumulates
+                # caches across ops; drop them (and re-pin the input)
+                # between ops so op N's timing doesn't pay op N-1's
+                # eviction pressure
+                spark.catalog.clearCache()
+                docs.persist()
+                docs.count()
         docs.unpersist()
     return timings
 
@@ -132,12 +147,21 @@ def main() -> None:
         t.table(name).count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Two passes, report the min: first execution of a plan pays
+    # one-off JVM costs (whole-stage-codegen class compilation, C2
+    # JIT of hash/agg loops — measured 92 s -> 13 s rep0 -> rep1 on
+    # the minhash tier) plus any host noise; min-of-2 measures the
+    # engine, not the warm-up. Caches are cleared between passes so
+    # pass 2 re-runs the full plan, warm JVM, cold data.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+        spark.catalog.clearCache()
 
     # dedup tier past the stage-overhead floor: 25k vs 100k docs.
     # Reported SEPARATELY from the headline metric so "value" stays
@@ -145,7 +169,7 @@ def main() -> None:
     dedup = dedup_scale_timings(spark, sf_dir)
 
     out = {
-        "metric": "headline query wall-clock, noop sink, cold cache",
+        "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

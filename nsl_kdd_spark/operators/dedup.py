@@ -146,25 +146,29 @@ def jaccard_pairs(
         # runs once
         .persist()
     )
-    # PPJoin carry-payload shape: the exploded prefix index carries the
-    # full ordered shingle array, so the candidate self-join VERIFIES
-    # inline — no distinct + no re-join of the doc table (two fewer
-    # shuffles of the corpus than candidates-then-lookup). A pair is
-    # emitted once per shared prefix shingle (bounded by prefix_len);
-    # the cheap post-filter groupBy dedupes scalar rows only.
+    # Candidates-then-lookup, NOT carry-payload: the prefix index
+    # explodes to ~prefix_len rows per doc, so carrying the full
+    # shingle array through it would duplicate the payload prefix_len
+    # times in the self-join shuffle (measured 100k docs: ~10x the
+    # bytes, 54 s -> 516 s). Keep the index narrow (id, shingle),
+    # dedupe candidate ids while they are still 16-byte rows, then
+    # fetch each side's array ONCE for the verify join. simhash takes
+    # the opposite choice (its payload is 8 bytes — see simhash_pairs).
     prefix_len = F.floor(F.size("__shs") * F.lit(1.0 - threshold)).cast("int") + 1
-    pre = ordered.select(
-        "__id", "__shs", F.explode(F.slice("__shs", 1, prefix_len)).alias("__sh")
+    idx = ordered.select(
+        "__id", F.explode(F.slice("__shs", 1, prefix_len)).alias("__sh")
     )
-    pa = pre.select(
-        F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"), "__sh"
-    )
-    pb = pre.select(
-        F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"), "__sh"
-    )
-    scored = (
-        pa.join(pb, on="__sh")
+    cand = (
+        idx.select(F.col("__id").alias("id_a"), "__sh")
+        .join(idx.select(F.col("__id").alias("id_b"), "__sh"), on="__sh")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full_a = ordered.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
+    full_b = ordered.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
+    verified = (
+        cand.join(full_a, "id_a").join(full_b, "id_b")
         .select(
             "id_a", "id_b",
             (
@@ -172,13 +176,8 @@ def jaccard_pairs(
                 / F.size(F.array_union("__sa", "__sb"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
-    return (
-        scored.groupBy("id_a", "id_b")
-        .agg(F.first("jaccard").alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
 
 def minhash_signatures(
@@ -293,15 +292,49 @@ def minhash_lsh_pairs(
         ).alias("__bucket"),
     )
     bands = _cap_buckets(bands, ["__bucket"], max_bucket_size)
-    xa = bands.select(
-        F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"), "__bucket"
-    )
-    xb = bands.select(
-        F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"), "__bucket"
-    )
-    scored = (
-        xa.join(xb, on="__bucket")
+    if n_bands <= 2:
+        # carry-payload: the band join duplicates the shingle set
+        # n_bands times in the shuffle; at <= 2 bands that costs less
+        # than the distinct barrier + two lookup joins it replaces
+        xa = bands.select(
+            F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"), "__bucket"
+        )
+        xb = bands.select(
+            F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"), "__bucket"
+        )
+        scored = (
+            xa.join(xb, on="__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                (
+                    F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                    / F.size(F.array_union("__ta", "__tb"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return (
+            scored.groupBy("id_a", "id_b")
+            .agg(F.first("jaccard").alias("jaccard"))
+            .orderBy("id_a", "id_b")
+        )
+    # wider bands: keep the index narrow, dedupe candidate ids small,
+    # fetch each side's shingle set once from the persisted sigs (same
+    # reasoning as jaccard_pairs — payload duplication beats the saved
+    # joins only when the duplication factor is tiny)
+    slim = bands.select("__id", "__bucket")
+    cand = (
+        slim.select(F.col("__id").alias("id_a"), "__bucket")
+        .join(slim.select(F.col("__id").alias("id_b"), "__bucket"), on="__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = sigs.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
+    tb = sigs.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
+    verified = (
+        cand.join(ta, "id_a").join(tb, "id_b")
         .select(
             "id_a", "id_b",
             (
@@ -309,13 +342,8 @@ def minhash_lsh_pairs(
                 / F.size(F.array_union("__ta", "__tb"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
-    return (
-        scored.groupBy("id_a", "id_b")
-        .agg(F.first("jaccard").alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
 
 _HEX = "0123456789abcdef"

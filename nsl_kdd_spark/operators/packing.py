@@ -121,6 +121,49 @@ def pack_chunks(
     )
 
 
+def explode_chunks(
+    df: DataFrame,
+    order_col: str,
+    text_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Materialize concat-and-chunk windows: one output row per
+    (document, chunk it touches), carrying the substring of the doc
+    that lands in that chunk. Chunk ``bin_id``'s full text is the
+    concatenation of its pieces in ``order_col`` order — downstream
+    writers group by ``bin_id`` and ``array_join`` without ever
+    holding more than one chunk per task.
+
+    Sizes are measured in characters of ``text_col`` (token-exact
+    packing passes a token array instead; same arithmetic). Built on
+    ``pack_chunks``: the 1->N fan-out is a ``sequence`` explode, the
+    piece extraction plain substring arithmetic — all JVM-side.
+    """
+    sized = df.withColumn("__sz", F.length(F.col(text_col)))
+    packed = pack_chunks(sized, order_col, "__sz", budget, num_partitions)
+    start = F.col("stream_end") - F.col("__sz")
+    piece_from = F.greatest(F.col("__bin") * budget, start)
+    piece_to = F.least((F.col("__bin") + 1) * budget, F.col("stream_end"))
+    return (
+        packed.withColumn(
+            "__bin", F.explode(F.sequence("first_bin", "last_bin"))
+        )
+        .filter(F.col("__sz") > 0)
+        .select(
+            F.col(order_col),
+            F.col("__bin").alias("bin_id"),
+            F.substring(
+                F.col(text_col),
+                (piece_from - start + 1).cast("int"),
+                (piece_to - piece_from).cast("int"),
+            ).alias("piece"),
+            (piece_from - start).alias("piece_offset_in_doc"),
+            (piece_from - F.col("__bin") * budget).alias("piece_offset_in_bin"),
+        )
+    )
+
+
 def pack_next_fit(
     df: DataFrame,
     order_col: str,

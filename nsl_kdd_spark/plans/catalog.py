@@ -3200,6 +3200,54 @@ def q83_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunk materialization (packing.explode_chunks): the 1->N fan-out
+# that actually emits training windows — each doc splits into the
+# substring pieces landing in each chunk it straddles. Oracle
+# re-derives the same layout with a windowed running sum +
+# generate_series + substr, so boundary arithmetic (straddles,
+# offsets, piece lengths) is checked character-for-character.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q84_chunk_pieces",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS sz,
+             CAST(SUM(length(text)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS stream_end
+      FROM documents
+    ), b AS (
+      SELECT doc_id, text, sz, stream_end, stream_end - sz AS strt,
+             CAST((stream_end - sz) // 2048 AS BIGINT) AS first_bin,
+             CAST(GREATEST((stream_end - sz) // 2048,
+                           (stream_end - 1) // 2048) AS BIGINT) AS last_bin
+      FROM c WHERE sz > 0
+    )
+    SELECT doc_id,
+           CAST(t.bin AS BIGINT) AS bin_id,
+           substr(text,
+                  CAST(GREATEST(t.bin * 2048, strt) - strt + 1 AS BIGINT),
+                  CAST(LEAST((t.bin + 1) * 2048, stream_end)
+                       - GREATEST(t.bin * 2048, strt) AS BIGINT)) AS piece,
+           CAST(GREATEST(t.bin * 2048, strt) - strt AS BIGINT)
+             AS piece_offset_in_doc,
+           CAST(GREATEST(t.bin * 2048, strt) - t.bin * 2048 AS BIGINT)
+             AS piece_offset_in_bin
+    FROM b, unnest(generate_series(first_bin, last_bin)) AS t(bin)
+    ORDER BY doc_id, bin_id
+    """,
+)
+def q84_chunk_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.packing import explode_chunks
+
+    t = load_tables(spark, sf_dir)
+    return explode_chunks(t.documents, "doc_id", "text", budget=2048).orderBy(
+        "doc_id", "bin_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
