@@ -164,6 +164,35 @@ def explode_chunks(
     )
 
 
+def assemble_bins(pieces: DataFrame, budget: int | None = None) -> DataFrame:
+    """Collapse ``explode_chunks`` output into one row per chunk:
+    (bin_id, text, n_docs, n_chars). Pieces concatenate in
+    ``piece_offset_in_bin`` order inside a single grouped agg — one
+    shuffle keyed by bin_id, each task holds one chunk's pieces (a
+    chunk is at most ``budget`` chars by construction, so per-group
+    memory is bounded regardless of corpus size)."""
+    out = (
+        pieces.groupBy("bin_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("piece_offset_in_bin", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("piece")).alias("n_chars"),
+        )
+    )
+    if budget is not None:
+        # every chunk except the stream's last must be exactly full
+        out = out.withColumn("full", F.col("n_chars") == budget)
+    return out
+
+
 def pack_next_fit(
     df: DataFrame,
     order_col: str,

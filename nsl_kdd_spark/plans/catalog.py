@@ -3248,6 +3248,55 @@ def q84_chunk_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunk assembly (packing.assemble_bins): pieces -> one row per packed
+# training window, concatenated in offset order inside one grouped agg
+# (per-group memory bounded by the budget). Oracle is DuckDB's ordered
+# string_agg over the same piece derivation — full-window text equality
+# is the strongest possible packing check.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q85_bin_texts",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS sz,
+             CAST(SUM(length(text)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS stream_end
+      FROM documents
+    ), b AS (
+      SELECT doc_id, text, sz, stream_end, stream_end - sz AS strt,
+             CAST((stream_end - sz) // 2048 AS BIGINT) AS first_bin,
+             CAST(GREATEST((stream_end - sz) // 2048,
+                           (stream_end - 1) // 2048) AS BIGINT) AS last_bin
+      FROM c WHERE sz > 0
+    ), p AS (
+      SELECT doc_id,
+             CAST(t.bin AS BIGINT) AS bin_id,
+             substr(text,
+                    CAST(GREATEST(t.bin * 2048, strt) - strt + 1 AS BIGINT),
+                    CAST(LEAST((t.bin + 1) * 2048, stream_end)
+                         - GREATEST(t.bin * 2048, strt) AS BIGINT)) AS piece,
+             CAST(GREATEST(t.bin * 2048, strt) - t.bin * 2048 AS BIGINT) AS off
+      FROM b, unnest(generate_series(first_bin, last_bin)) AS t(bin)
+    )
+    SELECT bin_id,
+           string_agg(piece, '' ORDER BY off) AS text,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(piece)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(piece)) AS BIGINT) = 2048 AS full
+    FROM p GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def q85_bin_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.packing import assemble_bins, explode_chunks
+
+    t = load_tables(spark, sf_dir)
+    pieces = explode_chunks(t.documents, "doc_id", "text", budget=2048)
+    return assemble_bins(pieces, budget=2048).orderBy("bin_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -75,6 +75,33 @@ def test_pack_next_fit_respects_budget_and_order(spark):
         assert seq == sorted(seq)
 
 
+def test_explode_chunks_reconstructs_documents(spark):
+    """Concatenating a doc's pieces in offset order must reproduce the
+    doc exactly; concatenating a bin's pieces must fill the budget for
+    every bin but the last."""
+    from nsl_kdd_spark.operators.packing import assemble_bins, explode_chunks
+
+    budget = 512
+    docs = _docs(spark)
+    pieces = explode_chunks(docs, "doc_id", "text", budget).collect()
+    by_doc: dict[int, list] = {}
+    for r in pieces:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, rs in by_doc.items():
+        rebuilt = "".join(
+            r.piece for r in sorted(rs, key=lambda r: r.piece_offset_in_doc)
+        )
+        assert rebuilt == texts[doc_id]
+    bins = assemble_bins(
+        explode_chunks(docs, "doc_id", "text", budget), budget
+    ).collect()
+    last = max(r.bin_id for r in bins)
+    for r in bins:
+        assert r.n_chars == budget or r.bin_id == last
+        assert len(r.text) == r.n_chars
+
+
 def test_pack_next_fit_oversized_doc_gets_own_bin(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, 99), (3, 10)], "id long, sz long"
