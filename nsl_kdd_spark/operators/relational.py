@@ -166,3 +166,25 @@ def sample_hash(
         10,
     ).cast("int")
     return df.filter(hv < int(fraction * 65536))
+
+
+def sample_hash_weighted(
+    df: DataFrame, key_col: str, weight_col, salt: str = ""
+) -> DataFrame:
+    """Per-row-probability deterministic sample: keep a row iff its
+    16-bit md5 bucket falls below ``weight * 65536``, where ``weight``
+    is a column/expression in [0, 1] (values outside clamp). The
+    corpus-curation shape: weight = quality score keeps good documents
+    with high probability and noise with low, while staying a pure
+    function of (salt, key) — reproducible, incremental-ingest-safe,
+    and oracle-checkable row-for-row, none of which holds for RNG
+    acceptance sampling. IEEE double arithmetic on the weight makes
+    the threshold engine-portable."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return df.filter(hv < F.floor(w * 65536).cast("int"))

@@ -3200,6 +3200,40 @@ def q83_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted deterministic sampling (relational.sample_hash_weighted):
+# per-row keep probability from a quality proxy — the corpus-curation
+# downsample. Oracle re-derives bucket AND weight threshold, so the
+# engine-portability of the IEEE weight arithmetic is itself under
+# test, row-for-row.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q86_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1))
+      < CAST(floor(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) * 65536) AS INT)
+    ORDER BY doc_id
+    """,
+)
+def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.relational import sample_hash_weighted
+
+    t = load_tables(spark, sf_dir)
+    return (
+        sample_hash_weighted(
+            t.documents, "doc_id", F.col("n_chars").cast("double") / 500.0
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunk materialization (packing.explode_chunks): the 1->N fan-out
 # that actually emits training windows — each doc splits into the
 # substring pieces landing in each chunk it straddles. Oracle

@@ -150,3 +150,18 @@ def test_global_sort_is_range_partitioned(spark):
     plan = plan_of(df)
     assert "rangepartitioning" in plan.lower()
     assert "singlepartition" not in plan.lower()
+
+
+def test_packing_cumsum_avoids_single_partition_window(spark):
+    """The distributed prefix sum must run its window PER RANGE
+    PARTITION (partitionBy __pid) — a bare global-order window would
+    emit an Exchange SinglePartition and serialize the whole table
+    through one task. Also: no Python workers anywhere in the path."""
+    from nsl_kdd_spark.operators.packing import pack_chunks
+
+    t = load_tables(spark, SF_SMOKE)
+    df = pack_chunks(t.documents, "doc_id", "n_chars", budget=4096)
+    plan = plan_of(df)
+    assert "singlepartition" not in plan.lower()
+    assert "rangepartitioning" in plan.lower()
+    assert "EvalPython" not in plan
