@@ -180,6 +180,25 @@ def jaccard_pairs(
     return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
 
+def _minhash_min_exprs(col: str, num_hashes: int) -> list[Column]:
+    """k MinHash aggregates from ceil(k/4) md5 calls: each seeded
+    digest yields four independent 32-bit hashes (8 hex chars each —
+    md5's diffusion makes digest chunks behave as independent hash
+    functions, the standard one-hash-many-pieces construction).
+    Fixed-width lowercase hex compares lexicographically == numerically,
+    so ``min`` over the substring IS min over the 32-bit value. Hashing
+    dominates the signature agg's per-row cost; 4 hashes per digest
+    cuts it ~4x without changing the LSH structure."""
+    out: list[Column] = []
+    for j in range((num_hashes + 3) // 4):
+        digest = F.md5(F.concat(F.lit(f"{j}:"), F.col(col)))
+        for k in range(min(4, num_hashes - 4 * j)):
+            out.append(
+                F.min(F.substring(digest, 1 + 8 * k, 8)).alias(f"mh{4 * j + k}")
+            )
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -196,20 +215,16 @@ def minhash_signatures(
     ``shingle_n=1`` recovers token-set minhash for corpora where
     that's wanted.
 
-    Hash family: ``md5(seed || ':' || shingle)`` compared as hex
-    strings — engine-portable (md5 is identical everywhere) and
-    uniform. One explode + one grouped agg with k min() columns: a
-    single shuffle regardless of k."""
+    Hash family: 32-bit chunks of ``md5(seed || ':' || shingle)``
+    compared as hex strings — engine-portable (md5 is identical
+    everywhere), uniform, and 4 hashes per digest (see
+    ``_minhash_min_exprs``). One explode + one grouped agg with k
+    min() columns: a single shuffle regardless of k."""
     shingle = (
         word_shingles(text_col, shingle_n) if shingle_n > 1 else distinct_tokens(text_col)
     )
     tok = df.select(F.col(id_col).alias("__id"), F.explode(shingle).alias("__t"))
-    return tok.groupBy("__id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__t")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    return tok.groupBy("__id").agg(*_minhash_min_exprs("__t", num_hashes))
 
 
 def _cap_buckets(
@@ -268,10 +283,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"), F.explode(shingle_expr).alias("__t")
     )
     sigs = tok.groupBy("__id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__t")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ],
+        *_minhash_min_exprs("__t", num_hashes),
         F.collect_set("__t").alias("__ts"),
     ).persist()
     n_bands = num_hashes // band_size

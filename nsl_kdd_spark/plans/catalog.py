@@ -1043,10 +1043,14 @@ def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(s) AS t FROM sh
     ), sig AS (
       SELECT doc_id,
-             min(md5('0:' || t)) AS mh0, min(md5('1:' || t)) AS mh1,
-             min(md5('2:' || t)) AS mh2, min(md5('3:' || t)) AS mh3,
-             min(md5('4:' || t)) AS mh4, min(md5('5:' || t)) AS mh5,
-             min(md5('6:' || t)) AS mh6, min(md5('7:' || t)) AS mh7
+             min(substr(md5('0:' || t), 1, 8))  AS mh0,
+             min(substr(md5('0:' || t), 9, 8))  AS mh1,
+             min(substr(md5('0:' || t), 17, 8)) AS mh2,
+             min(substr(md5('0:' || t), 25, 8)) AS mh3,
+             min(substr(md5('1:' || t), 1, 8))  AS mh4,
+             min(substr(md5('1:' || t), 9, 8))  AS mh5,
+             min(substr(md5('1:' || t), 17, 8)) AS mh6,
+             min(substr(md5('1:' || t), 25, 8)) AS mh7
       FROM tok GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, unnest([
@@ -2694,10 +2698,14 @@ def q72_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(s) AS t FROM sh
     ), sig AS (
       SELECT doc_id,
-             min(md5('0:' || t)) AS mh0, min(md5('1:' || t)) AS mh1,
-             min(md5('2:' || t)) AS mh2, min(md5('3:' || t)) AS mh3,
-             min(md5('4:' || t)) AS mh4, min(md5('5:' || t)) AS mh5,
-             min(md5('6:' || t)) AS mh6, min(md5('7:' || t)) AS mh7
+             min(substr(md5('0:' || t), 1, 8))  AS mh0,
+             min(substr(md5('0:' || t), 9, 8))  AS mh1,
+             min(substr(md5('0:' || t), 17, 8)) AS mh2,
+             min(substr(md5('0:' || t), 25, 8)) AS mh3,
+             min(substr(md5('1:' || t), 1, 8))  AS mh4,
+             min(substr(md5('1:' || t), 9, 8))  AS mh5,
+             min(substr(md5('1:' || t), 17, 8)) AS mh6,
+             min(substr(md5('1:' || t), 25, 8)) AS mh7
       FROM tok GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, unnest([
