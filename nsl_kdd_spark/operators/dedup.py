@@ -100,8 +100,11 @@ def jaccard_pairs(
         # shingle construction (HOF transform + concat) is the dominant
         # per-row cost and feeds two consumers (freq agg + ordered
         # build); persist the COMPACT per-doc array form — one row per
-        # doc, not the exploded index — so it runs once
-        sh = sh.persist()
+        # doc, not the exploded index — so it runs once. Hashing to
+        # longs BEFORE the persist shrinks the cached form too.
+        sh = sh.select(
+            "__id", F.transform("__shs", lambda s: F.xxhash64(s)).alias("__shs")
+        ).persist()
     if not prefix_filter:
         sizes = sh.select("__id", F.size("__shs").alias("__sz"))
         idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
@@ -127,9 +130,16 @@ def jaccard_pairs(
         )
         return jac.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
-    # canonical order: rarest shingle first (max pruning power);
-    # freq table is |distinct shingles| rows — broadcast it so the
-    # (id, shingle) index isn't shuffled just to pick up counts
+    # Work on 64-bit shingle HASHES from here down: freq keys, sort
+    # keys, prefix-index join keys, and the verify arrays all become
+    # 8-byte longs instead of ~20-char strings (cheaper shuffle, sort,
+    # and intersect). Lossless for the filter — prefix filtering only
+    # needs SOME deterministic total order — and exact for the jaccard
+    # VALUE absent xxhash64 collisions (~n_distinct^2 / 2^64; ~1e-6 at
+    # 5M shingles), since |A∩B| / |A∪B| depends on cardinalities only.
+    # Canonical order stays rarest-first (max pruning power); freq
+    # table is |distinct shingles| rows — broadcast it so the
+    # (id, hash) index isn't shuffled just to pick up counts.
     ex = sh.select("__id", F.explode("__shs").alias("__sh"))
     freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
     ordered = (
