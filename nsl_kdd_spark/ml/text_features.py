@@ -146,3 +146,62 @@ def tfidf_similarity(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, size: int, min_freq: int = 1
+) -> DataFrame:
+    """Top-``size`` token vocabulary by (freq DESC, token ASC):
+    (token, token_id 0..size-1, freq). The frequency agg and the top-k
+    selection are fully distributed (orderBy+limit = TakeOrdered, no
+    global window); the RANK assignment runs a single-partition window
+    only over the already-LIMITED result — bounded by ``size`` by
+    construction, so the one-task stage holds a vocabulary, never a
+    corpus."""
+    from pyspark.sql import Window
+
+    from nsl_kdd_spark.functions.text import tokens
+
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+
+
+def encode_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Text -> token-id arrays via the vocabulary: (id, token_ids,
+    n_tokens, n_unk). The tokenizer step of a training-data pipeline:
+    posexplode keeps positions, the vocab joins BROADCAST (it is
+    size-bounded), and the array reassembles in position order inside
+    one grouped agg — corpus shuffles once, keyed by doc id."""
+    from nsl_kdd_spark.functions.text import tokens
+
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "token")
+    )
+    joined = pos.join(
+        F.broadcast(vocab.select("token", "token_id")), on="token", how="left"
+    ).withColumn("__tid", F.coalesce(F.col("token_id"), F.lit(unk_id)))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("__tid") == unk_id).cast("long")).alias("n_unk"),
+        )
+    )

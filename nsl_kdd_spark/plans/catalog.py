@@ -3339,6 +3339,52 @@ def q85_bin_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer (ml/text_features.build_vocab + encode_tokens): top-k
+# vocabulary by (freq DESC, token ASC) and text -> token-id arrays
+# with UNK = -1. Scale shape: distributed TakeOrdered for the top-k,
+# rank window only over the LIMITED vocab, broadcast-join encode,
+# positional reassembly in one grouped agg. Oracle re-derives vocab
+# and per-position ids with DuckDB's ordered list agg — id arrays
+# compare element-for-element.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q87_vocab_encode",
+    oracle="""
+    WITH freq AS (
+      SELECT t.tok AS token, COUNT(*) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      GROUP BY 1
+    ), vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+               AS token_id
+      FROM freq ORDER BY freq DESC, token LIMIT 100
+    ), words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, t.i AS ord, w[t.i] AS token
+      FROM words, unnest(generate_series(1, len(w))) AS t(i)
+    ), enc AS (
+      SELECT doc_id, ord, COALESCE(v.token_id, -1) AS tid
+      FROM pos LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           list(tid ORDER BY ord) AS token_ids,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q87_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import build_vocab, encode_tokens
+
+    t = load_tables(spark, sf_dir)
+    vocab = build_vocab(t.documents, "text", size=100)
+    return encode_tokens(t.documents, "doc_id", "text", vocab).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
