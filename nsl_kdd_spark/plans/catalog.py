@@ -3406,19 +3406,26 @@ def q87_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than a rows-only driver row would.
 # ---------------------------------------------------------------------------
 
+# Round-3 swaps: three in-window rows whose surfaces are already
+# driver-validated in CORRECTNESS_r01/r02 (archived in-repo) and
+# overlap stronger siblings made room for the round-3 flagship
+# extension tiers: q14 replace/fillna (P9/P10 also exercised by
+# q11/q13/q23's sentinel paths) -> q82 distributed-prefix-sum packing;
+# q20 set-ops (built-in surface, r1/r2 green) -> q81 PII scrub;
+# q50 from_json (overlaps q16's JSON surface) -> q87 tokenizer.
 DRIVER_WINDOW = [
     "q01_pricing_summary", "q02_group_count", "q03_revenue_by_nation",
     "q04_crosstab", "q05_describe", "q06_distinct_count",
     "q07_grouped_avg", "q08_topk_per_group", "q09_semi_join",
     "q10_anti_join", "q11_label_map", "q12_one_hot", "q13_zscore",
-    "q14_replace_fillna", "q15_vote_blend", "q16_json_extract",
-    "q18_window_lag", "q19_rollup", "q20_set_ops", "q21_binary_metrics",
+    "q82_pack_chunks", "q15_vote_blend", "q16_json_extract",
+    "q18_window_lag", "q19_rollup", "q81_pii_scrub", "q21_binary_metrics",
     "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q25_lang_id",
     "q26_fingerprint", "q27_dedup_exact", "q28_jaccard_pairs",
     "q29_minhash_lsh", "q31_knn_bruteforce",
     "q32_cosine_neardup", "q34_tumbling_window",
     "q36_session_window", "q37_sessionize", "q41_correlation",
-    "q50_from_json", "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
+    "q87_vocab_encode", "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q58_dedup_components", "q59_range_join", "q61_simhash_banded",
     "q67_tfidf_terms", "q68_hash_split", "q69_cdc_merge",
     "q70_rolling_range_window", "q71_table_diff", "q72_fuzzy_pairs",

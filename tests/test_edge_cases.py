@@ -175,8 +175,15 @@ def test_minhash_bucket_cap_drops_template_cluster_only(spark):
         (101, "completely different unique sentence about spark shuffles at scales"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    uncapped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
-    capped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_bucket_size=5)
+    # band_size=1 (8 singleton bands): candidate recall for a 0.78-
+    # jaccard pair is near-certain for any hash family, so the test
+    # exercises the CAP semantics, not band-collision luck
+    uncapped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, band_size=1
+    )
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, band_size=1, max_bucket_size=5
+    )
     un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
     cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in un and (100, 101) in cp
