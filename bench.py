@@ -103,11 +103,11 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 d, "doc_id", "text", max_hamming=3, bits=64, bands=4
             ),
         }
-        # the 25k tier runs twice (min): its first pass eats the
-        # one-off codegen/JIT cost for the whole op family, so the
-        # 100k tier that follows measures warm plans — the same
-        # warm-vs-cold asymmetry handled by the headline min-of-2
-        reps = 2 if label == "25k" else 1
+        # min-of-2 at BOTH scales: the first pass of a plan shape eats
+        # one-off codegen/JIT, and host noise bursts (hypervisor steal)
+        # can hit any single execution — measured 5 s vs 152 s on the
+        # same warm op. The second pass costs ~the true op time.
+        reps = 2
         for name, fn in ops.items():
             for _ in range(reps):
                 t0 = time.perf_counter()
