@@ -109,3 +109,37 @@ def test_pack_next_fit_oversized_doc_gets_own_bin(spark):
     out = {r.id: r for r in pack_next_fit(df, "id", "sz", budget=50).collect()}
     assert out[2].bin_id not in (out[1].bin_id, out[3].bin_id)
     assert out[2].bin_fill == 99
+
+
+def test_sample_hash_monotone_subset_and_determinism(spark):
+    """sample_hash(f1) ⊆ sample_hash(f2) for f1 <= f2 (same salt) —
+    the md5-bucket threshold is monotone, which is what makes grown
+    samples supersets instead of reshuffles; different salts draw
+    independent samples."""
+    from nsl_kdd_spark.operators.relational import sample_hash
+
+    docs = _docs(spark)
+    s10 = {r.doc_id for r in sample_hash(docs, "doc_id", 0.10).select("doc_id").collect()}
+    s30 = {r.doc_id for r in sample_hash(docs, "doc_id", 0.30).select("doc_id").collect()}
+    assert s10 <= s30
+    n = docs.count()
+    assert abs(len(s30) / n - 0.30) < 0.10
+    again = {r.doc_id for r in sample_hash(docs, "doc_id", 0.10).select("doc_id").collect()}
+    assert again == s10
+    other = {r.doc_id for r in sample_hash(docs, "doc_id", 0.10, salt="x").select("doc_id").collect()}
+    assert other != s10
+
+
+def test_sample_hash_weighted_extremes(spark):
+    """weight 0 keeps nothing, weight 1 keeps everything, and a mixed
+    weight column keeps exactly the rows whose bucket clears their own
+    threshold."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.relational import sample_hash, sample_hash_weighted
+
+    docs = _docs(spark)
+    assert sample_hash_weighted(docs, "doc_id", F.lit(0.0)).count() == 0
+    assert sample_hash_weighted(docs, "doc_id", F.lit(1.0)).count() == docs.count()
+    half = sample_hash_weighted(docs, "doc_id", F.lit(0.5))
+    assert half.count() == sample_hash(docs, "doc_id", 0.5).count()
