@@ -72,12 +72,14 @@ def with_global_cumsum(
         run += totals[pid] or 0
     w = Window.partitionBy("__pid").orderBy(order_col)
     off = (
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("__pid")
+        ]
         if offsets
-        else F.create_map()
+        else F.lit(0)  # empty input: typed no-op (map() has VOID keys)
     )
     return part.withColumn(
-        out_col, F.sum(F.col(value_col)).over(w) + off[F.col("__pid")]
+        out_col, F.sum(F.col(value_col)).over(w) + off
     ).drop("__pid")
 
 

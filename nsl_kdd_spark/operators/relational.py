@@ -188,3 +188,29 @@ def sample_hash_weighted(
         10,
     ).cast("int")
     return df.filter(hv < F.floor(w * 65536).cast("int"))
+
+
+def sample_hash_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible
+    ``sampleBy``): each stratum gets its own keep fraction, membership
+    stays a pure function of (salt, key). The corpus-balancing shape —
+    e.g. downsample over-represented languages — with row-for-row
+    reproducibility seeded RNG sampling can't give. Strata absent from
+    ``fractions`` keep with probability ``default``."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    frac = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in fractions.items() for x in kv]
+        )[F.col(strata_col)],
+        F.lit(float(default)),
+    )
+    return sample_hash_weighted(df, key_col, frac, salt=salt)

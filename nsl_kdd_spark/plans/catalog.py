@@ -3339,6 +3339,46 @@ def q85_bin_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stratified deterministic sampling (relational.sample_hash_stratified):
+# per-language keep fractions — the corpus-balancing sampleBy with
+# row-for-row reproducibility (upgrades the q42 surface, whose seeded
+# sampleBy is engine-specific rows-only, to a full oracle pair).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q88_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+        ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1)) AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang FROM h
+    WHERE hv < CAST(floor(
+      CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.8 WHEN 'zh' THEN 0.8
+                WHEN 'fr' THEN 0.8 ELSE 0.1 END * 65536) AS INT)
+    ORDER BY doc_id
+    """,
+)
+def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.relational import sample_hash_stratified
+
+    t = load_tables(spark, sf_dir)
+    return (
+        sample_hash_stratified(
+            t.documents, "doc_id", "lang",
+            {"en": 0.25, "de": 0.8, "zh": 0.8, "fr": 0.8},
+            default=0.1,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer (ml/text_features.build_vocab + encode_tokens): top-k
 # vocabulary by (freq DESC, token ASC) and text -> token-id arrays
 # with UNK = -1. Scale shape: distributed TakeOrdered for the top-k,

@@ -143,3 +143,35 @@ def test_sample_hash_weighted_extremes(spark):
     assert sample_hash_weighted(docs, "doc_id", F.lit(1.0)).count() == docs.count()
     half = sample_hash_weighted(docs, "doc_id", F.lit(0.5))
     assert half.count() == sample_hash(docs, "doc_id", 0.5).count()
+
+
+def test_packing_and_cumsum_empty_input(spark):
+    """Empty corpora must flow through the prefix sum and packers
+    without special-casing (day-0 pipelines, filtered-to-empty
+    partitions)."""
+    from nsl_kdd_spark.operators.packing import (
+        pack_chunks,
+        pack_next_fit,
+        with_global_cumsum,
+    )
+
+    empty = _docs(spark).filter("doc_id < 0")
+    assert with_global_cumsum(empty, "doc_id", "n_chars", "c").count() == 0
+    assert pack_chunks(empty, "doc_id", "n_chars", 100).count() == 0
+    assert pack_next_fit(empty, "doc_id", "n_chars", 100).count() == 0
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    from nsl_kdd_spark.operators.relational import (
+        sample_hash,
+        sample_hash_stratified,
+    )
+
+    docs = _docs(spark)
+    out = sample_hash_stratified(
+        docs, "doc_id", "lang", {"en": 0.3}, default=0.0
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    en = docs.filter("lang = 'en'")
+    want = {r.doc_id for r in sample_hash(en, "doc_id", 0.3).select("doc_id").collect()}
+    assert got == want  # non-en strata fully dropped, en matches uniform 0.3
