@@ -103,17 +103,19 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 d, "doc_id", "text", max_hamming=3, bits=64, bands=4
             ),
         }
-        # min-of-2 at BOTH scales: the first pass of a plan shape eats
-        # one-off codegen/JIT, and host noise bursts (hypervisor steal)
-        # can hit any single execution — measured 5 s vs 152 s on the
-        # same warm op. The second pass costs ~the true op time.
-        reps = 2
+        # min-of-2 at BOTH scales, plus one adaptive retry when the
+        # two passes disagree >3x: the first pass of a plan shape eats
+        # one-off codegen/JIT, and host noise bursts (hypervisor
+        # steal) can swallow BOTH passes — measured 5 s vs 152 s on
+        # the same warm op. Bounded at 3 executions per op.
         for name, fn in ops.items():
-            for _ in range(reps):
+            seen: list[float] = []
+            while len(seen) < 2 or (
+                len(seen) < 3 and max(seen) > 3 * min(seen)
+            ):
                 t0 = time.perf_counter()
                 fn().write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 3)
-                timings[name] = min(timings.get(name, dt), dt)
+                seen.append(round(time.perf_counter() - t0, 3))
                 # operators persist their compact per-doc tables and
                 # hand back lazy frames, so the session accumulates
                 # caches across ops; drop them (and re-pin the input)
@@ -122,6 +124,7 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 spark.catalog.clearCache()
                 docs.persist()
                 docs.count()
+            timings[name] = min(seen)
         docs.unpersist()
     return timings
 
@@ -134,8 +137,15 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
         # local[32] runs all executor threads inside the driver JVM:
-        # the 100k-doc dedup tier needs real executor-sized heap
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+        # the 100k-doc dedup tier needs real executor-sized heap, and
+        # the many codegen'd plans this bench compiles need JIT code
+        # cache headroom (the 240m default can fill -> interpreter
+        # fallback -> order-of-magnitude slowdowns late in the run)
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.driver.extraJavaOptions":
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -154,14 +164,23 @@ def main() -> None:
     # engine, not the warm-up. Caches are cleared between passes so
     # pass 2 re-runs the full plan, warm JVM, cold data.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(2):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            runs[name].append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
+    # adaptive third pass for queries whose two timings disagree >3x
+    # (a noise burst swallowed one of them); bounded, usually empty
+    for name in HEADLINE:
+        if max(runs[name]) > 3 * min(runs[name]):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    spark.catalog.clearCache()
+    timings = {name: min(ts) for name, ts in runs.items()}
 
     # dedup tier past the stage-overhead floor: 25k vs 100k docs.
     # Reported SEPARATELY from the headline metric so "value" stays
