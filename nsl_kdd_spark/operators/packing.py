@@ -211,7 +211,11 @@ def pack_next_fit(
     most one partial bin per partition (negligible when each partition
     carries many bins) and keeps the operator embarrassingly parallel.
     Bin ids are ``(partition << 32) | local_bin`` longs: globally
-    unique, stable under re-runs, no coordination.
+    unique with no coordination (stable across runs insofar as the
+    range partitioner draws the same boundaries for the same input,
+    which holds for Spark's seed-fixed boundary sampling; persist or
+    write the result when downstream stages must see one fixed
+    assignment).
 
     Docs larger than ``budget`` get a bin of their own (oversized, the
     caller decides whether to truncate or drop).
