@@ -39,6 +39,30 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Upsert-log compaction: keep each key's most recent row (max
+    ``order_col``; ties broken by ``tiebreak_col`` descending, so the
+    result is deterministic when version stamps repeat). One window
+    keyed by the natural key — the same shape CDC readers use to
+    collapse an append log to current state, and the batch twin of
+    ``streaming.dedup_stream``."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(order_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column.
 

@@ -3425,6 +3425,82 @@ def q87_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Upsert-log compaction (dedup.latest_per_key): each user's most
+# recent event — the CDC collapse-to-current-state primitive, ties on
+# ts broken by event_id so the answer is deterministic. Oracle states
+# the same keyed arg-max.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q89_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q89_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import latest_per_key
+
+    t = load_tables(spark, sf_dir)
+    return (
+        latest_per_key(t.events, "user_id", "ts", tiebreak_col="event_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-leakage-safe split (relational.hash_split on a GROUP key):
+# hashing the customer key sends ALL of a customer's orders to one
+# split — the supervised-learning guard against entity leakage across
+# train/test. Oracle re-derives assignment AND proves the invariant
+# (one split per customer) with the same grouped count.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q90_group_split",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ((strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)),4,1)) - 1)) AS hv
+      FROM orders
+    ), s AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN hv < 52428 THEN 'train'
+                  WHEN hv < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def q90_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        relational.hash_split(t.orders, "o_custkey")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -106,3 +106,36 @@ def test_hash_split_new_rows_never_reshuffle_old(spark):
     a = hash_split(small, "k").select("k", "split")
     b = hash_split(grown, "k").select("k", "split").filter(F.col("k") < 500)
     assert a.subtract(b).count() == 0
+
+
+def test_group_key_split_has_no_entity_leakage(spark):
+    """Splitting on the GROUP key must put every entity's rows in
+    exactly one split (q90's invariant, here checked per-entity, not
+    just in aggregate)."""
+    from nsl_kdd_spark.operators.relational import hash_split
+    from nsl_kdd_spark.sources.parquet import load_tables
+    from tests.conftest import SF_SMOKE
+
+    orders = load_tables(spark, SF_SMOKE).orders
+    split = hash_split(orders, "o_custkey")
+    multi = (
+        split.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert multi.count() == 0
+    assert split.select("split").distinct().count() == 3
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    from nsl_kdd_spark.operators.dedup import latest_per_key
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k long, v long, payload string",
+    )
+    # add a distinct tiebreak column: max v wins, then max tb
+    df = df.withColumn("tb", F.length("payload"))
+    out = {r.k: r for r in latest_per_key(df, "k", "v", "payload").collect()}
+    assert out[1].payload == "b"  # v=10 tie -> payload 'b' > 'a'
+    assert out[2].payload == "d"
