@@ -112,3 +112,18 @@ def exact_hash(col: Column | str) -> Column:
     """Exact-content hash for byte-identical dedup."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c)
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """All word n-grams of a text IN ORDER, duplicates kept (the
+    counting variant of ``dedup.word_shingles``, which distincts).
+    Short texts (< n tokens) short-circuit to empty: Spark's
+    ``sequence(1, 0)`` counts DOWN, so the guard is mandatory."""
+    w = tokens(col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

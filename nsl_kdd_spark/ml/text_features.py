@@ -205,3 +205,30 @@ def encode_tokens(
             F.sum((F.col("__tid") == unk_id).cast("long")).alias("n_unk"),
         )
     )
+
+
+def ngram_topk(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent word
+    n-grams, ties broken lexicographically so the cut at rank k is
+    deterministic. Output: (gram, freq).
+
+    Scale shape (100 TB): explode -> hash-partial count (map-side
+    combine collapses each executor's repeats before the shuffle) ->
+    TakeOrderedAndProject for the global top-k — no global sort, no
+    window. The shuffle volume is the DISTINCT n-gram count, not the
+    corpus token count. When even that is too wide (n >= 5 on web
+    text), cap the key space first with a frequency floor
+    (``HAVING count >= f``) or a count-min-sketch pre-pass; the exact
+    tier here is the oracle-checkable ground truth.
+    """
+    from nsl_kdd_spark.functions.text import word_ngrams
+
+    return (
+        df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(k)
+    )

@@ -578,3 +578,90 @@ def fuzzy_pairs(
         .filter(F.col("distance") <= max_distance)
         .orderBy("val_a", "val_b")
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 5,
+    max_docs: int = 1,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated-span removal (C4/RefinedWeb style).
+
+    Splits each document into NON-overlapping ``span_words``-word
+    chunks, counts how many DISTINCT documents each chunk appears in
+    corpus-wide, drops every chunk seen in more than ``max_docs``
+    documents, and reassembles the surviving chunks in original order.
+    This is the "remove any span that occurs verbatim elsewhere in the
+    corpus" cleanup step of LLM pretraining pipelines (C4 uses
+    three-sentence spans; this corpus has no sentence boundaries, so
+    the span unit is a fixed word count). Non-overlapping spans make
+    reassembly lossless; within-document repeats are kept (the rule
+    fires on cross-document duplication only).
+
+    Output: ``(id_col, clean_text, n_dropped, n_spans)``. Documents
+    with zero tokens produce no spans and are absent from the output —
+    guard upstream if empty docs must survive.
+
+    Scale shape (100 TB): one explode -> grouped distinct-count on the
+    span key -> one join back -> one grouped reassembly; never a cross
+    join. With ``hash_spans=True`` the count/join key is
+    ``xxhash64(span)`` (8 bytes instead of the span text, ~5x less
+    frequency-shuffle traffic; collision odds ~n^2/2^64 — a collision
+    can only over-drop, never corrupt). Default keys on the span text
+    itself so the result is bit-identical to the DuckDB oracle. The
+    duplicated-span set is typically tiny relative to the corpus (only
+    spans repeated across documents), so the join back is
+    broadcast-eligible and AQE converts it at runtime.
+    """
+    toks = tokens(text_col)
+    n_spans = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                i.alias("ord"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * span_words + 1, span_words)
+                ).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ord:int,span:string>>"))
+
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(spans).alias("s")
+    ).select("__id", F.col("s.ord").alias("__ord"), F.col("s.span").alias("__span"))
+
+    key = F.xxhash64("__span") if hash_spans else F.col("__span")
+    dup = (
+        exploded.groupBy(key.alias("__k"))
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__k")
+        .withColumn("__dup", F.lit(True))
+    )
+    flagged = exploded.join(dup, on=key == dup["__k"], how="left").drop("__k")
+    return (
+        flagged.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__dup").isNull(),
+                                F.struct(F.col("__ord"), F.col("__span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dropped"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )

@@ -112,3 +112,51 @@ def apply_changes(
     if seq_col is not None and seq_col not in target.columns:
         upserts = upserts.drop(seq_col)
     return keep.unionByName(upserts)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    Collapses an append-only event/change stream into versioned
+    dimension rows: consecutive events whose ``attr_cols`` are all
+    unchanged fold into one row; each surviving version carries
+    ``effective_from`` (its first event's timestamp), ``effective_to``
+    (the NEXT version's start, NULL for the open version) and
+    ``is_current``. The standard warehouse primitive for "what did
+    this entity look like at time T" — pair with a range/as-of join
+    (operators/asof.py) to resolve point-in-time lookups.
+
+    Change detection compares each event to its predecessor
+    null-safely (``eqNullSafe``: NULL -> NULL is "no change",
+    NULL <-> value is a change). ``tiebreak_col`` makes same-timestamp
+    orderings deterministic.
+
+    Scale shape (100 TB): two stacked windows over the SAME
+    (keys x order) partitioning — Catalyst plans one Exchange + one
+    Sort and runs both WindowExecs on it, so the log shuffles once.
+    No self-join, no collect.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w)
+        changed = changed | ~prev.eqNullSafe(F.col(a))
+    first = F.row_number().over(w) == 1
+    versions = df.withColumn("__new_version", first | changed).filter(
+        F.col("__new_version")
+    )
+    return (
+        versions.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .drop("__new_version")
+    )

@@ -3501,6 +3501,129 @@ def q90_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicated-span removal (dedup.dedup_spans): the C4/RefinedWeb
+# "delete any span that occurs verbatim in another document" cleanup.
+# Non-overlapping 5-word chunks, cross-document frequency on the span
+# key, anti-set + ordered reassembly — explode/agg/join/agg, no cross
+# join. The oracle re-derives chunking, the duplicate set, and the
+# reassembled text with DuckDB list slicing + ordered string_agg, so
+# the cleaned TEXT itself is compared, not just counts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q91_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id, t.i AS ord,
+             array_to_string(w[(t.i*5+1):(t.i*5+5)], ' ') AS span
+      FROM toks,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS BIGINT) - 1)) AS t(i)
+      WHERE len(w) > 0
+    ), dup AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ), flagged AS (
+      SELECT s.doc_id, s.ord, s.span, d.span IS NOT NULL AS is_dup
+      FROM spans s LEFT JOIN dup d USING (span)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_dup THEN span END,
+                               ' ' ORDER BY ord), '') AS clean_text,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COUNT(*) AS n_spans
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q91_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import dedup_spans
+
+    t = load_tables(spark, sf_dir)
+    return dedup_spans(
+        t.documents, "doc_id", "text", span_words=5, max_docs=1
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters (text_features.ngram_topk): top-k word bigrams
+# by exact count, ties broken lexicographically. Partial-agg ->
+# TakeOrdered; shuffle volume is the distinct-gram count. Oracle
+# states the same count + deterministic cut.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q92_ngram_topk",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT array_to_string(w[t.i:t.i+1], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT gram, COUNT(*) AS freq
+    FROM g GROUP BY gram
+    ORDER BY freq DESC, gram LIMIT 25
+    """,
+)
+def q92_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import ngram_topk
+
+    t = load_tables(spark, sf_dir)
+    return ngram_topk(t.documents, "text", n=2, k=25)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build (merge.scd2_history): collapse the event log
+# into type-2 dimension versions of each user's event_type —
+# consecutive repeats fold, each version carries
+# effective_from/effective_to/is_current. Two stacked windows on one
+# Exchange. Oracle: identical lag-change-detect + lead SQL.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q93_scd2_history",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), keep AS (
+      SELECT user_id, event_type, ts
+      FROM v WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             AS effective_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             AS is_current
+    FROM keep
+    ORDER BY user_id, effective_from
+    """,
+)
+def q93_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.merge import scd2_history
+
+    t = load_tables(spark, sf_dir)
+    return (
+        scd2_history(
+            t.events, ["user_id"], "ts", ["event_type"],
+            tiebreak_col="event_id",
+        )
+        .select(
+            "user_id", "event_type", "effective_from", "effective_to",
+            "is_current",
+        )
+        .orderBy("user_id", "effective_from")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -3529,6 +3652,12 @@ def q90_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q11/q13/q23's sentinel paths) -> q82 distributed-prefix-sum packing;
 # q20 set-ops (built-in surface, r1/r2 green) -> q81 PII scrub;
 # q50 from_json (overlaps q16's JSON surface) -> q87 tokenizer.
+# Late-round-3 swaps, same rule (outgoing row green in BOTH archived
+# driver records, sibling still in-window): q26 fingerprint (text
+# family held by q24/q25) -> q91 span dedup (C4-style duplicated-span
+# removal, the flagship corpus-cleanup tier); q37 sessionize (session
+# family held by q36) -> q93 SCD2 history (completes the CDC tier:
+# q69 merge + q71 diff + q89 compaction + versioned history).
 DRIVER_WINDOW = [
     "q01_pricing_summary", "q02_group_count", "q03_revenue_by_nation",
     "q04_crosstab", "q05_describe", "q06_distinct_count",
@@ -3537,10 +3666,10 @@ DRIVER_WINDOW = [
     "q82_pack_chunks", "q15_vote_blend", "q16_json_extract",
     "q18_window_lag", "q19_rollup", "q81_pii_scrub", "q21_binary_metrics",
     "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q25_lang_id",
-    "q26_fingerprint", "q27_dedup_exact", "q28_jaccard_pairs",
+    "q91_span_dedup", "q27_dedup_exact", "q28_jaccard_pairs",
     "q29_minhash_lsh", "q31_knn_bruteforce",
     "q32_cosine_neardup", "q34_tumbling_window",
-    "q36_session_window", "q37_sessionize", "q41_correlation",
+    "q36_session_window", "q93_scd2_history", "q41_correlation",
     "q87_vocab_encode", "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q58_dedup_components", "q59_range_join", "q61_simhash_banded",
     "q67_tfidf_terms", "q68_hash_split", "q69_cdc_merge",

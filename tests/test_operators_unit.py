@@ -235,3 +235,85 @@ def test_funnel_ordering_and_window_semantics(spark):
     out2 = {r.step: r.users for r in
             funnel_steps(events, ["view", "click", "purchase"]).collect()}
     assert out2 == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_dedup_spans_drops_cross_doc_keeps_within_doc(spark):
+    # span width 2: doc 1 = [ "a b", "a b" ] (within-doc repeat, kept);
+    # docs 2+3 share "x y" (cross-doc, dropped for both).
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y p q"), (3, "x y r s")],
+        "id long, text string",
+    )
+    from nsl_kdd_spark.operators.dedup import dedup_spans
+
+    out = {
+        r["id"]: (r["clean_text"], r["n_dropped"], r["n_spans"])
+        for r in dedup_spans(df, "id", "text", span_words=2).collect()
+    }
+    assert out[1] == ("a b a b", 0, 2)
+    assert out[2] == ("p q", 1, 2)
+    assert out[3] == ("r s", 1, 2)
+
+
+def test_dedup_spans_all_dropped_yields_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "id long, text string"
+    )
+    from nsl_kdd_spark.operators.dedup import dedup_spans
+
+    out = {r["id"]: r["clean_text"] for r in
+           dedup_spans(df, "id", "text", span_words=2).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_dedup_spans_hash_key_matches_text_key(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} common tail {i % 3}") for i in range(12)],
+        "id long, text string",
+    )
+    from nsl_kdd_spark.operators.dedup import dedup_spans
+
+    a = sorted(map(tuple, dedup_spans(df, "id", "text", 2).collect()))
+    b = sorted(
+        map(tuple, dedup_spans(df, "id", "text", 2, hash_spans=True).collect())
+    )
+    assert a == b
+
+
+def test_ngram_topk_ties_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b a"), (2, "a b"), (3, "solo")], "id long, text string"
+    )
+    from nsl_kdd_spark.ml.text_features import ngram_topk
+
+    out = [tuple(r) for r in ngram_topk(df, "text", n=2, k=2).collect()]
+    # grams: doc1 -> "b a","a b","b a"; doc2 -> "a b"; doc3 -> none
+    assert out == [("a b", 2), ("b a", 2)]
+
+
+def test_scd2_history_folds_and_versions(spark):
+    from nsl_kdd_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", 100),
+            (1, 20, "A", 101),  # unchanged -> folds into v1
+            (1, 30, "B", 102),  # change -> v2
+            (1, 40, None, 103),  # change to NULL -> v3
+            (1, 50, None, 104),  # NULL -> NULL folds (eqNullSafe)
+            (2, 10, "Z", 105),
+        ],
+        "k long, ts long, attr string, seq long",
+    )
+    out = scd2_history(df, ["k"], "ts", ["attr"], tiebreak_col="seq")
+    rows = [
+        (r["k"], r["attr"], r["effective_from"], r["effective_to"],
+         r["is_current"])
+        for r in out.orderBy("k", "effective_from").collect()
+    ]
+    assert rows == [
+        (1, "A", 10, 30, False),
+        (1, "B", 30, 40, False),
+        (1, None, 40, None, True),
+        (2, "Z", 10, None, True),
+    ]
