@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from nsl_kdd_spark.functions.vector import (
     cosine,
     cosine_arrow,
+    dot,
+    norm,
     sign_bits_hex,
     to_double_array,
 )
@@ -274,4 +276,84 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic deduplication (SemDedup, Abbas et al. 2023): cluster
+    the embedding space, then drop any item whose cosine similarity to
+    a LOWER-id item in the SAME cluster reaches ``threshold``. Returns
+    every input id with its cluster and a ``kept`` flag.
+
+    Centroids are the embeddings of the ``n_centroids`` smallest ids —
+    a deterministic, training-free seeding that both engines (and any
+    re-run, at any partitioning) derive identically; swap in
+    ``ml.cluster.kmeans_assign`` centers when assignment quality
+    matters more than cross-engine reproducibility. Assignment is a
+    pure argmax EXPRESSION over the literal centroid list (ties ->
+    lowest cluster id via first-match ``array_position``): no join, no
+    shuffle, whole-stage codegen.
+
+    Scale shape (100 TB): the quadratic step is confined within
+    clusters — cost sum(|cluster|^2), never n^2 — and ``n_centroids``
+    is the knob that bounds it (SemDedup runs k ~ 10k-100k at web
+    scale so clusters stay ~1k items). The intra-cluster join is an
+    equi-join on cluster id; the dropped-id set joins back broadcast.
+    Zero-norm vectors yield NaN cosine, which never reaches the
+    threshold — they are always kept; clean upstream if that matters.
+    """
+    import math
+
+    src = df.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+    cents = src.orderBy(id_col).limit(n_centroids).collect()  # tiny by construction
+    # Centroid norms fold driver-side with the same sequential
+    # accumulation the JVM fold uses, so dot/(|v|*|c|) stays
+    # bit-identical to cosine() and to DuckDB's list_cosine_similarity.
+    cnorms = [
+        math.sqrt(sum(float(x) * float(x) for x in r["__v"])) for r in cents
+    ]
+    sims = F.array(
+        *[
+            dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]]))
+            / (F.col("__n") * F.lit(cn))
+            for r, cn in zip(cents, cnorms)
+        ]
+    )
+    assigned = (
+        src.withColumn("__n", norm(F.col("__v")))
+        .withColumn("__sims", sims)
+        .withColumn(
+            "__cid",
+            (
+                F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+                - 1
+            ).cast("long"),
+        )
+        .drop("__n", "__sims")
+        .persist()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), "__cid", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), "__cid", F.col("__v").alias("__vb")
+    )
+    dropped = (
+        a.join(b, "__cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return assigned.join(dropped, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("__cid").alias("cluster_id"),
+        F.col("__drop").isNull().alias("kept"),
     )

@@ -3624,6 +3624,53 @@ def q93_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (similarity.semantic_dedup): SemDedup-style — assign
+# each embedding to its nearest seed centroid (argmax expression over
+# literal centroids, no shuffle), drop items with a >= 0.3 cosine
+# twin of lower id in the same cluster. Oracle replays centroid
+# choice, argmax (same tie rule), intra-cluster pairs, and the keep
+# flag with DuckDB's list_cosine_similarity — bit-exact per q31/q32.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q94_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT v AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM e ORDER BY vec_id LIMIT 8
+    ), s AS (
+      SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+      FROM e, c
+    ), r AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM s
+    ), a AS (
+      SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id, e.v
+      FROM r JOIN e USING (vec_id) WHERE rn = 1
+    ), d AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y
+        ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.3
+    )
+    SELECT a.vec_id, a.cluster_id, d.vec_id IS NULL AS kept
+    FROM a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id
+    """,
+)
+def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup(
+        t.embeddings, "vec_id", "embedding", n_centroids=8, threshold=0.3
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -317,3 +317,29 @@ def test_scd2_history_folds_and_versions(spark):
         (1, None, 40, None, True),
         (2, "Z", 10, None, True),
     ]
+
+
+def test_semantic_dedup_drops_near_twin_keeps_lowest(spark):
+    from nsl_kdd_spark.operators.similarity import semantic_dedup
+
+    # ids 1,2 seed the two centroids (orthogonal); 3 is a near-twin of
+    # 1's direction (dropped); 4 = [0,-1] scores 0 vs centroid 0 and
+    # -1 vs centroid 1, so argmax lands it in cluster 0, kept (no
+    # >=0.9 twin there).
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),
+            (4, [0.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (1, True)
+    assert out[3][0] == 0 and out[3][1] is False
+    assert out[4] == (0, True)
