@@ -232,3 +232,55 @@ def ngram_topk(
         .orderBy(F.desc("freq"), F.asc("gram"))
         .limit(k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Unigram language-model quality score: per-document average
+    negative log-likelihood under the CORPUS's own unigram
+    distribution — the cheap KenLM-perplexity stand-in used to rank
+    pretraining documents (high avg NLL = rare-token-heavy / noisy).
+
+    Output: (id, n_tokens, nll_mnats, avg_nll) where ``nll_mnats`` is
+    the total NLL in micro-nats. Per-token log-probs are quantized to
+    integer micro-nats BEFORE aggregation, so the document sum is an
+    integer sum — order-independent, bit-identical across engines,
+    partitionings and retries (the fixed-point twin of the decimal
+    ``exact_*`` tier; a float sum of logs would differ at 1e-16 by
+    accumulation order). Quantization error is bounded by
+    0.5e-6 nat/token.
+
+    Scale shape (100 TB): token explode -> one grouped count for the
+    distribution (map-side combine), one scalar total, one equi-join
+    tokens->log-probs (vocab-sized right side: broadcast when it fits,
+    shuffle join + AQE otherwise), one grouped doc sum. No windows, no
+    collect of anything row-scaled.
+    """
+    from nsl_kdd_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+    total = freq.agg(F.sum("__f")).collect()[0][0]  # scalar
+    lp = freq.select(
+        "token",
+        F.round(
+            F.log(F.col("__f").cast("double") / F.lit(float(total)))
+            * F.lit(float(scale))
+        )
+        .cast("long")
+        .alias("__iln"),
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("__iln")).alias("nll_mnats"),
+            (
+                (-F.sum("__iln")).cast("double")
+                / F.lit(float(scale))
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )

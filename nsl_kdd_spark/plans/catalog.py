@@ -3671,6 +3671,97 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram LM quality score (text_features.unigram_logprob): per-doc
+# average negative log-likelihood under the corpus's own unigram
+# distribution — the cheap perplexity stand-in for ranking
+# pretraining docs. Log-probs quantize to integer micro-nats BEFORE
+# summing, so the aggregate is order-independent and hash-exact
+# (fixed-point twin of the decimal exact_* tier).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q95_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ), freq AS (
+      SELECT token, COUNT(*) AS f FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq
+    ), lp AS (
+      SELECT token,
+             CAST(round(ln(CAST(f AS DOUBLE) / CAST(total AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS iln
+      FROM freq, tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(-SUM(iln) AS BIGINT) AS nll_mnats,
+           CAST(-SUM(iln) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_nll
+    FROM tok JOIN lp USING (token)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import unigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return unigram_logprob(t.documents, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (layout.zvalue): Morton bit-interleave of
+# (custkey, order day), bucketed by the z-value's upper bits — per-bucket
+# min/max of BOTH dims stay tight, which is exactly the file-level
+# data-skipping property the layout buys. Oracle replays the same
+# 32-term interleave arithmetic.
+# ---------------------------------------------------------------------------
+
+from nsl_kdd_spark.operators.layout import zvalue_oracle_sql as _zsql  # noqa: E402
+
+@query(
+    "q96_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_custkey AS ck,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS dd
+      FROM orders
+    ), z AS (
+      SELECT ck, dd, ({_zsql(["ck", "dd"], 16)}) AS zv FROM d
+    )
+    SELECT (zv >> 16) AS zbucket,
+           COUNT(*) AS n_orders,
+           MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+           MIN(dd) AS dd_min, MAX(dd) AS dd_max
+    FROM z GROUP BY 1 ORDER BY zbucket
+    """,
+)
+def q96_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.layout import zvalue
+
+    t = load_tables(spark, sf_dir)
+    d = t.orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("dd"),
+    )
+    z = d.withColumn("zv", zvalue(["ck", "dd"], 16))
+    return (
+        z.groupBy(F.shiftright("zv", 16).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("dd").alias("dd_min"),
+            F.max("dd").alias("dd_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

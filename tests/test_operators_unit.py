@@ -343,3 +343,52 @@ def test_semantic_dedup_drops_near_twin_keeps_lowest(spark):
     assert out[2] == (1, True)
     assert out[3][0] == 0 and out[3][1] is False
     assert out[4] == (0, True)
+
+
+def test_zvalue_interleaves_bits(spark):
+    from nsl_kdd_spark.operators.layout import zvalue
+
+    import pytest
+
+    df = spark.createDataFrame([(2, 1)], "x long, y long")
+    # x=0b10 -> bit1 at pos 2; y=0b01 -> bit0 at pos 1 => 4 + 2 = 6
+    assert df.select(zvalue(["x", "y"], 2).alias("z")).first()["z"] == 6
+    # masking: values overflowing `bits` wrap, never corrupt other cols
+    df2 = spark.createDataFrame([(6, 0)], "x long, y long")  # 0b110 & 0b11 = 0b10
+    assert df2.select(zvalue(["x", "y"], 2).alias("z")).first()["z"] == 4
+    with pytest.raises(ValueError):
+        zvalue(["x", "y"], 32)
+
+
+def test_zorder_sort_groups_neighbors(spark):
+    from nsl_kdd_spark.operators.layout import zorder_sort, zvalue
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    # range partitioning on the z-value makes the concatenated
+    # partition order the GLOBAL curve order
+    rows = zorder_sort(df.repartition(4), ["x", "y"], bits=3,
+                       num_partitions=2).collect()
+    zsorted = [tuple(r) for r in rows]
+
+    def morton(p):
+        return sum(((p[0] >> b) & 1) << (2 * b) for b in range(3)) + sum(
+            ((p[1] >> b) & 1) << (2 * b + 1) for b in range(3)
+        )
+
+    assert zsorted == sorted(pts, key=morton)
+
+
+def test_unigram_logprob_fixed_point_exact(spark):
+    import math
+
+    from nsl_kdd_spark.ml.text_features import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], "id long, text string"
+    )
+    out = {r["id"]: r for r in unigram_logprob(df, "id", "text").collect()}
+    iln = round(math.log(2 / 4) * 1e6)  # both tokens have p = 0.5
+    assert out[1]["n_tokens"] == 3 and out[1]["nll_mnats"] == -3 * iln
+    assert out[2]["n_tokens"] == 1 and out[2]["nll_mnats"] == -iln
+    assert abs(out[1]["avg_nll"] - (-iln / 1e6)) < 1e-9

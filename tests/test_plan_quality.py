@@ -165,3 +165,36 @@ def test_packing_cumsum_avoids_single_partition_window(spark):
     assert "singlepartition" not in plan.lower()
     assert "rangepartitioning" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_span_dedup_joins_never_cartesian(spark):
+    # q91: dup-set join must be an equi-join (hash or broadcast-hash);
+    # a BroadcastNestedLoop/Cartesian here means the span key was lost
+    df = QUERIES["q91_span_dedup"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_assignment_is_expression_only(spark):
+    # q94: centroid assignment must NOT be a join — the only joins are
+    # the cluster-keyed pair join and the dropped-id join back
+    df = QUERIES["q94_semantic_dedup"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_zorder_zvalue_stays_in_codegen(spark):
+    # q96: the 32-term interleave must fold into the projection, not
+    # spill to a Python worker or a join
+    df = QUERIES["q96_zorder_layout"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    import re
+
+    # partial-agg shuffle + final ordering only (formatted plans list
+    # each node twice: tree + detail — count the detail headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
