@@ -41,6 +41,10 @@ HEADLINE = [
     "q54_asof_join",
     "q65_resample_ffill",
     "q66_grouping_sets",
+    # round-3 corpus tier: span-level dedup, semantic dedup, LM scoring
+    "q91_span_dedup",
+    "q94_semantic_dedup",
+    "q95_unigram_logprob",
 ]
 
 

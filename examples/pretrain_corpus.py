@@ -1,7 +1,8 @@
 """End-to-end pre-training corpus preparation: the round-3 tiers
 chained in production order over the documents table.
 
-    scrub PII -> quality gate -> exact + near dedup -> decontaminate
+    scrub PII -> quality gate (heuristic + unigram-LM NLL)
+    -> exact + span + near dedup -> decontaminate
     -> deterministic split/sample -> pack into token windows
     -> tokenize
 
@@ -25,8 +26,16 @@ from pyspark.sql import functions as F
 
 from nsl_kdd_spark.functions.pii import redact_pii
 from nsl_kdd_spark.functions.text import quality_score
-from nsl_kdd_spark.ml.text_features import build_vocab, encode_tokens
-from nsl_kdd_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+from nsl_kdd_spark.ml.text_features import (
+    build_vocab,
+    encode_tokens,
+    unigram_logprob,
+)
+from nsl_kdd_spark.operators.dedup import (
+    dedup_exact,
+    dedup_spans,
+    minhash_lsh_pairs,
+)
 from nsl_kdd_spark.operators.decontam import decontaminate
 from nsl_kdd_spark.operators.packing import assemble_bins, explode_chunks
 from nsl_kdd_spark.operators.relational import hash_split, sample_hash_weighted
@@ -55,9 +64,24 @@ def main() -> None:
     gated = scored.filter(F.col("q") >= 0.2)
     kept = sample_hash_weighted(gated, "doc_id", F.col("q"), salt="curation")
 
-    # 3. dedup: exact tier first (cheap), then minhash near-dup pairs
-    #    -> drop the higher id of each verified pair
+    # 2b. LM-score gate: drop the most perplexing 5% (rare-token noise)
+    #     — the cutoff comes from a mergeable sketch, not a global sort
+    nll = unigram_logprob(kept, "doc_id", "text")
+    p95 = nll.agg(F.percentile_approx("avg_nll", 0.95, 10_000)).first()[0]
+    kept = kept.join(
+        nll.filter(F.col("avg_nll") <= p95).select("doc_id"), "doc_id"
+    )
+
+    # 3. dedup: exact tier first (cheap), then C4-style duplicated-span
+    #    removal, then minhash near-dup pairs -> drop the higher id of
+    #    each verified pair
     exact = dedup_exact(kept, "text", "doc_id")
+    spans = dedup_spans(exact, "doc_id", "text", span_words=10)
+    exact = exact.drop("text").join(
+        spans.filter(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+    )
     pairs = minhash_lsh_pairs(exact, "doc_id", "text",
                               num_hashes=8, band_size=4, threshold=0.8)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()

@@ -84,3 +84,42 @@ def corpus_clean(
         "n_after_neardup long, n_kept long",
     )
     return {"kept": s4, "funnel": funnel}
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    tag_col: str = "source_name",
+) -> DataFrame:
+    """Pretraining-mixture assembly: deterministically subsample each
+    source corpus to its target fraction and union the results, tagged
+    with the source name. The "30% web / 30% code / 40% books" step of
+    a training-data pipeline, built on ``relational.sample_hash`` so
+    membership is a pure function of (salt, source, key): re-runs,
+    repartitionings, and incremental re-ingests of any one source
+    never change another source's sample, and upsampling a source
+    (raising its fraction) GROWS its sample as a superset — no
+    resample churn. Per-source salts (``salt + name``) keep the
+    sources' hash streams independent.
+
+    Scale shape (100 TB): each source scans once with a scan-level
+    filter (no shuffle, no RNG state, no coordination); the union is
+    plan-level only. Mixing ratios over token budgets rather than doc
+    counts: pair with ``sample_hash_weighted`` using a per-doc
+    token-count-aware weight, same contract.
+    """
+    from functools import reduce
+
+    from nsl_kdd_spark.operators.relational import sample_hash
+
+    missing = set(sources) - set(fractions)
+    if missing:
+        raise ValueError(f"mix_corpora: no fraction for {sorted(missing)}")
+    parts = [
+        sample_hash(df, key_col, fractions[name], salt=salt + name)
+        .withColumn(tag_col, F.lit(name))
+        for name, df in sorted(sources.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -214,3 +214,51 @@ def sample_hash_stratified(
         F.lit(float(default)),
     )
     return sample_hash_weighted(df, key_col, frac, salt=salt)
+
+
+def rank_bins(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Curriculum/quality binning: global rank by (score, id) folded
+    into ``n_bins`` equal-count buckets (bin 0 = lowest scores). The
+    "order documents easy->hard, then schedule by decile" primitive of
+    curriculum training, and the exact-tier alternative to
+    approx-quantile cutoffs when bucket populations must be equal and
+    reproducible.
+
+    The global rank comes from ``packing.with_global_cumsum`` — range
+    partition on the (score, id) key, per-partition window, driver-side
+    prefix sum over numPartitions totals — so there is NO
+    single-partition global sort; the id tie-break makes ranks (and
+    therefore bins) partitioning-invariant. Bin assignment is integer
+    arithmetic (``(rank-1) * n_bins // total``), bit-identical on any
+    engine. Adds ``rank`` (1-based) and ``out_col``.
+    """
+    from nsl_kdd_spark.operators.packing import with_global_cumsum
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    total = df.count()  # scalar action; bounds are control flow
+    if total == 0:
+        return df.withColumn("rank", F.lit(None).cast("long")).withColumn(
+            out_col, F.lit(None).cast("int")
+        )
+    d = df.withColumn(
+        "__ord", F.struct(F.col(score_col), F.col(id_col))
+    ).withColumn("__one", F.lit(1))
+    ranked = with_global_cumsum(d, "__ord", "__one", out_col="rank")
+    # integer `div`, not float `/`: float division can round across a
+    # bin boundary and disagree with integer-arithmetic engines
+    out = ranked.withColumn(
+        "__num", (F.col("rank") - 1) * F.lit(n_bins).cast("long")
+    ).withColumn(
+        out_col,
+        F.least(
+            F.expr(f"__num div {int(total)}").cast("int"), F.lit(n_bins - 1)
+        ),
+    )
+    return out.drop("__ord", "__one", "__num")

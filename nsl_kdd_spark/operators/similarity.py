@@ -335,19 +335,27 @@ def semantic_dedup(
                 - 1
             ).cast("long"),
         )
-        .drop("__n", "__sims")
+        .drop("__sims")
         .persist()
     )
+    # per-row norms ride the pair join so each candidate pair costs one
+    # dot fold, not one dot + two norm folds (same values -> bit-equal)
     a = assigned.select(
-        F.col(id_col).alias("__ida"), "__cid", F.col("__v").alias("__va")
+        F.col(id_col).alias("__ida"), "__cid",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__idb"), "__cid", F.col("__v").alias("__vb")
+        F.col(id_col).alias("__idb"), "__cid",
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
     dropped = (
         a.join(b, "__cid")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .filter(
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= F.lit(threshold)
+        )
         .select(F.col("__idb").alias(id_col))
         .distinct()
         .withColumn("__drop", F.lit(True))

@@ -3762,6 +3762,88 @@ def q96_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pretraining mixture (corpus.mix_corpora): three sources sampled at
+# 0.8/0.5/0.2 via per-source-salted deterministic hash membership and
+# unioned with a source tag. Scan-level filters, no shuffle, no RNG.
+# Oracle replays each source's md5 bucket arithmetic (same expression
+# family as q83) — row-for-row membership, not just counts.
+# ---------------------------------------------------------------------------
+
+def _md5_bucket_sql(salt: str, key: str) -> str:
+    h = f"md5(CONCAT('{salt}', CAST({key} AS VARCHAR)))"
+    return (
+        f"((strpos('0123456789abcdef', substr({h},1,1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({h},2,1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({h},3,1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h},4,1)) - 1))"
+    )
+
+
+@query(
+    "q97_corpus_mixture",
+    oracle=f"""
+    SELECT doc_id, 'src0' AS source_name FROM documents
+    WHERE source = 'src0' AND {_md5_bucket_sql("src0", "doc_id")} < {int(0.8 * 65536)}
+    UNION ALL
+    SELECT doc_id, 'src1' AS source_name FROM documents
+    WHERE source = 'src1' AND {_md5_bucket_sql("src1", "doc_id")} < {int(0.5 * 65536)}
+    UNION ALL
+    SELECT doc_id, 'src2' AS source_name FROM documents
+    WHERE source = 'src2' AND {_md5_bucket_sql("src2", "doc_id")} < {int(0.2 * 65536)}
+    ORDER BY doc_id
+    """,
+)
+def q97_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import mix_corpora
+
+    t = load_tables(spark, sf_dir)
+    srcs = {
+        name: t.documents.filter(F.col("source") == name)
+        for name in ("src0", "src1", "src2")
+    }
+    return (
+        mix_corpora(srcs, "doc_id", {"src0": 0.8, "src1": 0.5, "src2": 0.2})
+        .select("doc_id", "source_name")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum binning (relational.rank_bins): global (length, id) rank
+# folded into 10 equal-count bins WITHOUT a single-partition sort —
+# range partition + per-partition window + driver prefix sum over
+# numPartitions totals (the q82 cumsum machinery). Bin assignment is
+# integer arithmetic, so any engine lands every row in the same bin.
+# Oracle: row_number window + the same integer div.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q98_rank_bins",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+             COUNT(*) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+           CAST(LEAST(((rank - 1) * 10) // total, 9) AS INTEGER) AS bin
+    FROM r ORDER BY doc_id
+    """,
+)
+def q98_rank_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        relational.rank_bins(
+            t.documents.select("doc_id", "n_chars"), "n_chars", "doc_id",
+            n_bins=10,
+        )
+        .select("doc_id", "n_chars", "rank", "bin")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -392,3 +392,26 @@ def test_unigram_logprob_fixed_point_exact(spark):
     assert out[1]["n_tokens"] == 3 and out[1]["nll_mnats"] == -3 * iln
     assert out[2]["n_tokens"] == 1 and out[2]["nll_mnats"] == -iln
     assert abs(out[1]["avg_nll"] - (-iln / 1e6)) < 1e-9
+
+
+def test_mix_corpora_superset_and_independence(spark):
+    import pytest
+
+    from nsl_kdd_spark.operators.corpus import mix_corpora
+
+    a = spark.range(0, 200).withColumnRenamed("id", "k")
+    b = spark.range(0, 200).withColumnRenamed("id", "k")
+
+    def ids(frac_a, frac_b):
+        out = mix_corpora({"a": a, "b": b}, "k", {"a": frac_a, "b": frac_b})
+        return {
+            (r["source_name"], r["k"]) for r in out.collect()
+        }
+
+    small, big = ids(0.2, 0.5), ids(0.6, 0.5)
+    # raising a's fraction grows a's sample as a SUPERSET...
+    assert {p for p in small if p[0] == "a"} <= {p for p in big if p[0] == "a"}
+    # ...and never perturbs b's sample
+    assert {p for p in small if p[0] == "b"} == {p for p in big if p[0] == "b"}
+    with pytest.raises(ValueError, match="no fraction"):
+        mix_corpora({"a": a, "b": b}, "k", {"a": 0.5})

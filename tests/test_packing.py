@@ -175,3 +175,32 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
     en = docs.filter("lang = 'en'")
     want = {r.doc_id for r in sample_hash(en, "doc_id", 0.3).select("doc_id").collect()}
     assert got == want  # non-en strata fully dropped, en matches uniform 0.3
+
+
+def test_rank_bins_partition_invariant_and_balanced(spark):
+    from nsl_kdd_spark.operators.relational import rank_bins
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(100)], "id long, s double"
+    )
+    a = {r["id"]: (r["rank"], r["bin"])
+         for r in rank_bins(df.repartition(1), "s", "id", 4).collect()}
+    b = {r["id"]: (r["rank"], r["bin"])
+         for r in rank_bins(df.repartition(7), "s", "id", 4).collect()}
+    assert a == b  # bins are a pure function of the data, not layout
+    from collections import Counter
+
+    counts = Counter(v[1] for v in a.values())
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}  # equal-count bins
+    # ranks follow (score, id) order
+    ordered = sorted(a.items(), key=lambda kv: kv[1][0])
+    scores = [((k * 37) % 100, k) for k, _ in ordered]
+    assert scores == sorted(scores)
+
+
+def test_rank_bins_empty_input(spark):
+    from nsl_kdd_spark.operators.relational import rank_bins
+
+    df = spark.createDataFrame([], "id long, s double")
+    out = rank_bins(df, "s", "id", 4)
+    assert out.count() == 0 and {"rank", "bin"} <= set(out.columns)
