@@ -161,29 +161,27 @@ def main() -> None:
         t.table(name).count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Two passes, report the min: first execution of a plan pays
-    # one-off JVM costs (whole-stage-codegen class compilation, C2
-    # JIT of hash/agg loops — measured 92 s -> 13 s rep0 -> rep1 on
-    # the minhash tier) plus any host noise; min-of-2 measures the
-    # engine, not the warm-up. Caches are cleared between passes so
-    # pass 2 re-runs the full plan, warm JVM, cold data.
+    # Min-of-2 per query, reps BACK-TO-BACK: the first execution of a
+    # plan pays one-off JVM costs (whole-stage-codegen class
+    # compilation, C2 JIT of hash/agg loops — measured 92 s -> 13 s
+    # rep0 -> rep1 on the minhash tier); running rep1 immediately
+    # after rep0 measures the warm plan while its JIT'd methods are
+    # still resident (two full interleaved passes let the other ~18
+    # plans' codegen evict them — measured q01 5.1 s interleaved vs
+    # 2.0 s back-to-back, identical plan). Caches are cleared between
+    # reps, so every rep runs the full plan: warm JVM, cold data.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(2):
-        for name in HEADLINE:
-            fn = QUERIES[name]
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        # third rep only when the first two disagree >3x (noise burst)
+        while len(runs[name]) < 2 or (
+            len(runs[name]) < 3 and max(runs[name]) > 3 * min(runs[name])
+        ):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
-        spark.catalog.clearCache()
-    # adaptive third pass for queries whose two timings disagree >3x
-    # (a noise burst swallowed one of them); bounded, usually empty
-    for name in HEADLINE:
-        if max(runs[name]) > 3 * min(runs[name]):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs[name].append(round(time.perf_counter() - t0, 3))
-    spark.catalog.clearCache()
+            spark.catalog.clearCache()
     timings = {name: min(ts) for name, ts in runs.items()}
 
     # dedup tier past the stage-overhead floor: 25k vs 100k docs.

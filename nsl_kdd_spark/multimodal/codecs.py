@@ -146,6 +146,8 @@ def detect_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     return "unknown"
 
 
@@ -190,3 +192,81 @@ def image_resize(payload: bytes, width: int, height: int) -> bytes:
         )
     img = CODECS[fmt]["decode"](payload)
     return CODECS[fmt]["encode"](resize_nearest(img, width, height))
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio analog of PPM/BMP: a real, dependency-free
+# codec (stdlib ``wave`` + numpy) so the audio tier's strict path also
+# executes end-to-end. 16-bit PCM only; compressed audio (mp3/aac/...)
+# raises UnsupportedMediaError like jpeg/video do for images.
+# ---------------------------------------------------------------------------
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n_samples, n_channels) int16 array, framerate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise UnsupportedMediaError(
+                f"wav: only 16-bit PCM supported, got {8 * w.getsampwidth()}-bit"
+            )
+        frames = w.readframes(w.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2").reshape(
+            -1, w.getnchannels()
+        )
+        return samples, w.getframerate()
+
+
+def wav_encode(samples: np.ndarray, framerate: int) -> bytes:
+    """(n_samples, n_channels) int16 -> WAV bytes (16-bit PCM)."""
+    import io
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(np.ascontiguousarray(samples.astype("<i2")).tobytes())
+    return buf.getvalue()
+
+
+def audio_features(payload: bytes) -> dict:
+    """Real-codec feature hook for ``binary.decode_audio``: duration,
+    rate, channels, integer RMS loudness, and a digest of the DECODED
+    samples (container-invariant, like image_features)."""
+    if payload is None or len(payload) == 0:
+        return {
+            "digest": hashlib.md5(b"").hexdigest(), "duration_ms": 0,
+            "framerate": 0, "n_channels": 0, "rms": 0,
+        }
+    samples, rate = wav_decode(payload)
+    x = samples.astype(np.float64)
+    rms = int(np.sqrt(np.mean(x * x))) if x.size else 0
+    return {
+        "digest": hashlib.md5(np.ascontiguousarray(samples).tobytes()).hexdigest(),
+        "duration_ms": int(samples.shape[0] * 1000 // rate) if rate else 0,
+        "framerate": int(rate),
+        "n_channels": int(samples.shape[1]),
+        "rms": rms,
+    }
+
+
+def audio_resample(payload: bytes, target_rate: int) -> bytes:
+    """Linear-interpolation resample to ``target_rate``, re-encoded as
+    WAV. Pure numpy (np.interp per channel) — no Python sample loops;
+    runs inside the same Arrow batches as the image resize."""
+    samples, rate = wav_decode(payload)
+    if rate == target_rate:
+        return wav_encode(samples, rate)
+    n_out = max(1, int(round(samples.shape[0] * target_rate / rate)))
+    t_out = np.arange(n_out) * (samples.shape[0] - 1) / max(1, n_out - 1)
+    t_in = np.arange(samples.shape[0])
+    out = np.stack(
+        [np.interp(t_out, t_in, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    )
+    return wav_encode(np.round(out).astype("<i2"), target_rate)

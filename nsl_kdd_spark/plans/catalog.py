@@ -3877,7 +3877,11 @@ def q98_rank_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family held by q24/q25) -> q91 span dedup (C4-style duplicated-span
 # removal, the flagship corpus-cleanup tier); q37 sessionize (session
 # family held by q36) -> q93 SCD2 history (completes the CDC tier:
-# q69 merge + q71 diff + q89 compaction + versioned history).
+# q69 merge + q71 diff + q89 compaction + versioned history);
+# q32 blocked cosine pairs (green r01+r02; exact-cosine surface held
+# by q31) -> q94 semantic dedup (its SemDedup superset); q25 lang-id
+# (green r01+r02; text-quality family held by q24/q77/q81) -> q95
+# unigram-LM scoring (the fixed-point-exact quality tier).
 DRIVER_WINDOW = [
     "q01_pricing_summary", "q02_group_count", "q03_revenue_by_nation",
     "q04_crosstab", "q05_describe", "q06_distinct_count",
@@ -3885,10 +3889,10 @@ DRIVER_WINDOW = [
     "q10_anti_join", "q11_label_map", "q12_one_hot", "q13_zscore",
     "q82_pack_chunks", "q15_vote_blend", "q16_json_extract",
     "q18_window_lag", "q19_rollup", "q81_pii_scrub", "q21_binary_metrics",
-    "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q25_lang_id",
+    "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q95_unigram_logprob",
     "q91_span_dedup", "q27_dedup_exact", "q28_jaccard_pairs",
     "q29_minhash_lsh", "q31_knn_bruteforce",
-    "q32_cosine_neardup", "q34_tumbling_window",
+    "q94_semantic_dedup", "q34_tumbling_window",
     "q36_session_window", "q93_scd2_history", "q41_correlation",
     "q87_vocab_encode", "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q58_dedup_components", "q59_range_join", "q61_simhash_banded",

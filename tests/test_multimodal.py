@@ -181,3 +181,61 @@ def test_strict_resize_real_codec_through_arrow(spark):
     assert np.array_equal(got0, resize_nearest(imgs[0], 8, 6))
     assert np.array_equal(got1, resize_nearest(imgs[1], 8, 6))
     assert out[0].width == 8 and out[0].height == 6
+
+
+def _make_wav(freq_hz: float, rate: int = 8000, n: int = 8000,
+              amp: int = 16000) -> bytes:
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import wav_encode
+
+    t = np.arange(n) / rate
+    return wav_encode(
+        (np.sin(2 * np.pi * freq_hz * t) * amp).astype("<i2"), rate
+    )
+
+
+def test_decode_audio_real_wav_through_arrow_path(spark):
+    from nsl_kdd_spark.multimodal.binary import decode_audio
+
+    rows = [
+        (1, "audio", "audio/wav", None, _make_wav(440.0)),
+        (2, "audio", "audio/wav", None, _make_wav(220.0, n=4000)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, n_bytes long, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert out[1]["duration_ms"] == 1000 and out[1]["framerate"] == 8000
+    assert out[2]["duration_ms"] == 500 and out[2]["n_channels"] == 1
+    # 16000-amplitude sine -> RMS ~ 16000/sqrt(2) ~ 11313
+    assert abs(out[1]["rms"] - 11313) <= 2
+    assert out[1]["digest"] != out[2]["digest"]
+
+
+def test_resample_audio_preserves_duration_and_tone(spark):
+    from nsl_kdd_spark.multimodal.binary import decode_audio, resample_audio
+
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/wav", None, _make_wav(440.0))],
+        "media_id long, kind string, mime string, n_bytes long, payload binary",
+    )
+    down = resample_audio(df, 4000)
+    feats = decode_audio(down.select("media_id", "kind", "payload")).first()
+    assert feats["framerate"] == 4000
+    assert abs(feats["duration_ms"] - 1000) <= 1
+    # loudness survives linear-interp downsampling (440 Hz << 2 kHz Nyquist)
+    assert abs(feats["rms"] - 11313) <= 150
+
+
+def test_decode_audio_rejects_compressed_formats(spark):
+    import pytest
+
+    from nsl_kdd_spark.multimodal.binary import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/mpeg", None, b"\xff\xfb\x90\x00" + bytes(64))],
+        "media_id long, kind string, mime string, n_bytes long, payload binary",
+    )
+    with pytest.raises(Exception, match="wav|Error|unknown"):
+        decode_audio(df).collect()
