@@ -153,3 +153,72 @@ def test_resize_shape_and_identity(src_dims, dst_dims, seed):
     assert out.shape == (th, tw, 3)
     # resizing to the same shape is the identity (pixel-center mapping)
     assert np.array_equal(resize_nearest(img, w, h), img)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dedup_spans_reassembly_and_partition_invariance(token_lists):
+    from nsl_kdd_spark.operators.dedup import dedup_spans
+
+    spark = _spark()
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out1 = {r["id"]: tuple(r)[1:] for r in
+            dedup_spans(df.coalesce(1), "id", "text", span_words=2).collect()}
+    out7 = {r["id"]: tuple(r)[1:] for r in
+            dedup_spans(df.repartition(7), "id", "text", span_words=2).collect()}
+    # layout never changes the result
+    assert out1 == out7
+    originals = dict(rows)
+    for i, (clean, n_dropped, n_spans) in out1.items():
+        toks, kept = originals[i].split(" "), clean.split(" ") if clean else []
+        # surviving text is a subsequence of the original tokens
+        it = iter(toks)
+        assert all(any(k == t for t in it) for k in kept)
+        # with a duplication threshold no doc can exceed, nothing drops
+    hi = {r["id"]: r["clean_text"] for r in
+          dedup_spans(df, "id", "text", span_words=2, max_docs=10**6).collect()}
+    for i, text in rows:
+        if text:
+            assert hi[i] == text
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.integers(0, 50),           # ts
+            st.sampled_from(["A", "B", None]),  # attr
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_history_covers_timeline_without_overlap(events):
+    from nsl_kdd_spark.operators.merge import scd2_history
+
+    spark = _spark()
+    rows = [(k, t, a, i) for i, (k, t, a) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string, seq long")
+    out = scd2_history(df, ["k"], "ts", ["attr"], tiebreak_col="seq") \
+        .orderBy("k", "effective_from", "seq").collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        # versions tile the key's timeline: each closes where next opens
+        for a, b in zip(versions, versions[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert not a["is_current"]
+        assert versions[-1]["is_current"] and versions[-1]["effective_to"] is None
+        # consecutive versions always differ in the tracked attribute
+        for a, b in zip(versions, versions[1:]):
+            if a["effective_from"] != b["effective_from"]:  # real transition
+                assert a["attr"] != b["attr"]
