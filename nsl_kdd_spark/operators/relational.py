@@ -262,3 +262,34 @@ def rank_bins(
         ),
     )
     return out.drop("__ord", "__one", "__num")
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Reproducible corpus shuffle: global position = rank of
+    ``md5(salt || key)`` (ties broken by the key). The training-order
+    step after packing/sharding — every re-run, engine, and
+    partitioning derives the SAME order, and changing ``salt`` gives
+    an independent epoch permutation with zero RNG state.
+
+    The rank is the q82/q98 distributed prefix-sum (range partition on
+    the hash key + per-partition window + driver offset map) — no
+    single-partition global sort, so the shuffle scales like any
+    range-partitioned sort. Positions are 1-based and dense.
+    """
+    from nsl_kdd_spark.operators.packing import with_global_cumsum
+
+    d = df.withColumn(
+        "__ord",
+        F.struct(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            F.col(key_col),
+        ),
+    ).withColumn("__one", F.lit(1))
+    return with_global_cumsum(d, "__ord", "__one", out_col=out_col).drop(
+        "__ord", "__one"
+    )

@@ -3844,6 +3844,39 @@ def q98_rank_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (relational.shuffle_deterministic):
+# global training order = rank of md5(salt || id), computed with the
+# distributed prefix-sum (no single-partition sort). Every engine and
+# partitioning derives the same epoch permutation; a new salt is a
+# new epoch. Oracle: row_number over the same md5 order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q99_shuffle_order",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             md5(CONCAT('epoch1', CAST(doc_id AS VARCHAR))) AS sk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM s ORDER BY doc_id
+    """,
+)
+def q99_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        relational.shuffle_deterministic(
+            t.documents.select("doc_id"), "doc_id", salt="epoch1"
+        )
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -32,3 +32,35 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic shard layout: shard = 16-bit md5 bucket of
+    (salt, key) mod ``n_shards``, written as ``shard=<i>/`` partition
+    directories. Assignment is a pure function of (salt, key) — the
+    same document lands in the same shard on every re-run and every
+    engine, so incremental re-ingests append to stable shards and
+    training jobs can address shards by name. Bucket-mod keeps shard
+    populations near-even (multinomial balance) without any global
+    count or sort; one shuffle on the shard key co-locates each
+    shard's rows before the write."""
+    from pyspark.sql import functions as F
+
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    out = df.withColumn("shard", hv % n_shards)
+    out.repartition(n_shards, "shard").write.mode(mode).partitionBy(
+        "shard"
+    ).parquet(path)

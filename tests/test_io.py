@@ -197,3 +197,22 @@ def test_compaction_merges_fragmented_table(spark):
         assert not res2["compacted"]
         # healthy layouts are never touched even when small
         assert not plan_compaction(spark, path, 1 << 30)["needed"]
+
+
+def test_write_shards_stable_and_balanced(spark, tmp_path):
+    from nsl_kdd_spark.sources.sinks import write_shards
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "shards")
+    write_shards(df, out, n_shards=8, key_col="k")
+    back = spark.read.parquet(out)
+    counts = {r["shard"]: r["n"] for r in
+              back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8))
+    assert min(counts.values()) > 60  # multinomial balance, 1000/8=125
+    # same key -> same shard on rewrite with different layout
+    write_shards(df.repartition(13), out + "2", n_shards=8, key_col="k")
+    m1 = {r["k"]: r["shard"] for r in back.collect()}
+    m2 = {r["k"]: r["shard"]
+          for r in spark.read.parquet(out + "2").collect()}
+    assert m1 == m2

@@ -204,3 +204,18 @@ def test_rank_bins_empty_input(spark):
     df = spark.createDataFrame([], "id long, s double")
     out = rank_bins(df, "s", "id", 4)
     assert out.count() == 0 and {"rank", "bin"} <= set(out.columns)
+
+
+def test_shuffle_deterministic_is_a_permutation_and_layout_invariant(spark):
+    from nsl_kdd_spark.operators.relational import shuffle_deterministic
+
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shuffle_pos"] for r in
+         shuffle_deterministic(df.coalesce(1), "k", salt="e1").collect()}
+    b = {r["k"]: r["shuffle_pos"] for r in
+         shuffle_deterministic(df.repartition(9), "k", salt="e1").collect()}
+    assert a == b                              # layout-invariant
+    assert sorted(a.values()) == list(range(1, 301))  # dense permutation
+    c = {r["k"]: r["shuffle_pos"] for r in
+         shuffle_deterministic(df, "k", salt="e2").collect()}
+    assert c != a                              # new salt = new epoch
