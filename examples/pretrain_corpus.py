@@ -4,7 +4,7 @@ chained in production order over the documents table.
     scrub PII -> quality gate (heuristic + unigram-LM NLL)
     -> exact + span + near dedup -> decontaminate
     -> deterministic split/sample -> pack into token windows
-    -> tokenize
+    -> tokenize -> epoch-shuffle -> stable shards
 
 Every stage is a pure DataFrame transform from the library; the chain
 is one lazy plan per materialization point, so Catalyst prunes and
@@ -38,7 +38,12 @@ from nsl_kdd_spark.operators.dedup import (
 )
 from nsl_kdd_spark.operators.decontam import decontaminate
 from nsl_kdd_spark.operators.packing import assemble_bins, explode_chunks
-from nsl_kdd_spark.operators.relational import hash_split, sample_hash_weighted
+from nsl_kdd_spark.operators.relational import (
+    hash_split,
+    sample_hash_weighted,
+    shuffle_deterministic,
+)
+from nsl_kdd_spark.sources.sinks import write_shards
 from nsl_kdd_spark.session import get_session
 from nsl_kdd_spark.sources.parquet import load_tables
 
@@ -108,15 +113,21 @@ def main() -> None:
     vocab = build_vocab(train, "text", size=5000)
     encoded = encode_tokens(train, "doc_id", "text", vocab)
 
+    # 8. reproducible training order + stable shard layout
+    ordered = shuffle_deterministic(encoded, "doc_id", salt="epoch0")
+
     windows.write.mode("overwrite").parquet(f"{out_dir}/windows")
-    encoded.write.mode("overwrite").parquet(f"{out_dir}/token_ids")
+    write_shards(ordered, f"{out_dir}/token_ids", n_shards=4,
+                 key_col="doc_id")
 
     n_windows = spark.read.parquet(f"{out_dir}/windows").count()
-    n_encoded = spark.read.parquet(f"{out_dir}/token_ids").count()
+    sharded = spark.read.parquet(f"{out_dir}/token_ids")
+    n_encoded = sharded.count()
+    n_shards = sharded.select("shard").distinct().count()
     print(f"documents        {n0}")
     print(f"train after funnel  {n_train}")
     print(f"packed windows   {n_windows}")
-    print(f"tokenized docs   {n_encoded}")
+    print(f"tokenized docs   {n_encoded} in {n_shards} shards")
     print(f"output           {out_dir}")
     spark.stop()
 

@@ -3877,6 +3877,53 @@ def q99_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget accounting (mixture planning input): per-source doc
+# and token totals plus each source's integer share of the corpus
+# token budget in parts-per-million — the numbers a mixture designer
+# feeds into mix_corpora fractions. Exact integer arithmetic
+# throughout (ppm via integer div), single grouped pass + one scalar.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q100_token_budget",
+    oracle="""
+    WITH pertok AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM pertok GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((n_tokens * 1000000) // total AS BIGINT) AS token_ppm
+    FROM per, tot ORDER BY source
+    """,
+)
+def q100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import token_count
+
+    t = load_tables(spark, sf_dir)
+    per = (
+        t.documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens")).collect()[0][0]  # scalar
+    return (
+        per.withColumn(
+            "token_ppm",
+            F.expr(f"(n_tokens * 1000000) div {int(total)}"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -3914,16 +3961,21 @@ def q99_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q32 blocked cosine pairs (green r01+r02; exact-cosine surface held
 # by q31) -> q94 semantic dedup (its SemDedup superset); q25 lang-id
 # (green r01+r02; text-quality family held by q24/q77/q81) -> q95
-# unigram-LM scoring (the fixed-point-exact quality tier).
+# unigram-LM scoring (the fixed-point-exact quality tier);
+# q09 semi-join (green r01+r02; semi/anti family held by q10, semi
+# also inside q57's funnel) -> q97 mixture; q18 lag window (green
+# r01+r02; window family held by q70's RANGE frames) -> q98 rank
+# bins; q27 exact dedup (green r01+r02; exact tier runs inside the
+# in-window q57 funnel) -> q96 z-order layout.
 DRIVER_WINDOW = [
     "q01_pricing_summary", "q02_group_count", "q03_revenue_by_nation",
     "q04_crosstab", "q05_describe", "q06_distinct_count",
-    "q07_grouped_avg", "q08_topk_per_group", "q09_semi_join",
+    "q07_grouped_avg", "q08_topk_per_group", "q97_corpus_mixture",
     "q10_anti_join", "q11_label_map", "q12_one_hot", "q13_zscore",
     "q82_pack_chunks", "q15_vote_blend", "q16_json_extract",
-    "q18_window_lag", "q19_rollup", "q81_pii_scrub", "q21_binary_metrics",
+    "q98_rank_bins", "q19_rollup", "q81_pii_scrub", "q21_binary_metrics",
     "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q95_unigram_logprob",
-    "q91_span_dedup", "q27_dedup_exact", "q28_jaccard_pairs",
+    "q91_span_dedup", "q96_zorder_layout", "q28_jaccard_pairs",
     "q29_minhash_lsh", "q31_knn_bruteforce",
     "q94_semantic_dedup", "q34_tumbling_window",
     "q36_session_window", "q93_scd2_history", "q41_correlation",
