@@ -160,3 +160,59 @@ def scd2_history(
         .withColumn("is_current", F.col("effective_to").isNull())
         .drop("__new_version")
     )
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Incrementally maintain a ``scd2_history`` table from a new
+    micro-batch of change events.
+
+    Only the entities TOUCHED by the batch are recomputed: their
+    existing history rows convert back to change events (one event per
+    version, at ``effective_from``), union with the batch's events,
+    and rebuild through ``scd2_history``; untouched entities pass
+    through by anti-join. Cost scales with the batch's key footprint,
+    not the history size — the O(batch) contract the dedup registry
+    tier establishes (``operators/registry.py``), applied to
+    dimension maintenance. Invariant (pinned by test): replaying any
+    split of an event log through this function equals the one-shot
+    ``scd2_history`` of the whole log — for ANY split, including late
+    events for already-closed intervals, because a touched key is
+    always rebuilt from its full retained timeline. Two caveats: the
+    replayed versions carry a NULL tiebreak, so same-(key, ts) events
+    split ACROSS batches may order differently than one-shot (keep
+    same-ts events in one batch, or make ts unique); and
+    retention-trimmed history cannot replay what it no longer holds.
+
+    ``history`` may be empty (bootstrap) but must carry exactly the
+    q93 projection of ``scd2_history``'s output: ``keys + attr_cols +
+    effective_from/effective_to/is_current`` (extra payload columns
+    would be lost through the version->event replay — project them
+    out or carry them as attrs). The usual deployment is
+    ``foreachBatch`` with this function writing back per-key
+    partitions (see ``streaming/ingest.py`` for the idempotent
+    overwrite pattern).
+    """
+    keylist = list(keys)
+    touched = batch.select(*keylist).distinct()
+    keep = history.join(touched, keylist, "left_anti")
+    affected_hist = history.join(touched, keylist, "inner")
+    # versions -> change events: one event per version at its start
+    replay_cols = [*keylist, *attr_cols]
+    as_events = affected_hist.select(
+        *replay_cols, F.col("effective_from").alias(ts_col),
+        *([F.lit(None).cast("long").alias(tiebreak_col)] if tiebreak_col and
+          tiebreak_col not in replay_cols else []),
+    )
+    batch_events = batch.select(*as_events.columns)
+    rebuilt = scd2_history(
+        as_events.unionByName(batch_events),
+        keylist, ts_col, attr_cols, tiebreak_col=tiebreak_col,
+    ).select(*keep.columns)
+    return keep.unionByName(rebuilt)

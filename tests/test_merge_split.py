@@ -139,3 +139,38 @@ def test_latest_per_key_deterministic_tiebreak(spark):
     out = {r.k: r for r in latest_per_key(df, "k", "v", "payload").collect()}
     assert out[1].payload == "b"  # v=10 tie -> payload 'b' > 'a'
     assert out[2].payload == "d"
+
+
+def test_scd2_apply_batch_replay_equals_one_shot(spark):
+    from nsl_kdd_spark.operators.merge import scd2_apply_batch, scd2_history
+
+    events = [
+        (k, t, ["A", "B", "C"][(k + t) % 3], k * 100 + t)
+        for k in range(3)
+        for t in range(0, 50, 5)
+    ]
+    df = spark.createDataFrame(events, "k long, ts long, attr string, seq long")
+    cols = ["k", "attr", "effective_from", "effective_to", "is_current"]
+    want = sorted(
+        map(tuple, scd2_history(df, ["k"], "ts", ["attr"], "seq")
+            .select(*cols).collect())
+    )
+    history = spark.createDataFrame(
+        [], "k long, attr string, effective_from long, "
+            "effective_to long, is_current boolean"
+    )
+    # three ts-range batches, then a LATE batch that reopens key 0
+    batches = [
+        df.filter("ts < 20"),
+        df.filter("ts >= 20 and ts < 40 and not (k = 0 and ts = 25)"),
+        df.filter("ts >= 40"),
+        df.filter("k = 0 and ts = 25"),  # late arrival, closed interval
+    ]
+    for b in batches:
+        history = spark.createDataFrame(
+            scd2_apply_batch(history, b, ["k"], "ts", ["attr"], "seq")
+            .collect(),
+            history.schema,
+        )  # materialize like a foreachBatch write-back would
+    got = sorted(map(tuple, history.select(*cols).collect()))
+    assert got == want
