@@ -260,8 +260,12 @@ def unigram_logprob(
     from nsl_kdd_spark.functions.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
-    total = freq.agg(F.sum("__f")).collect()[0][0]  # scalar
+    # freq is vocab-sized: persist so the total, the log-prob table,
+    # and the join probe all reuse ONE corpus aggregation instead of
+    # re-running the explode per consumer (the corpus-sized `tok`
+    # stays unpersisted by design — two scans beat caching 100 TB)
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f")).persist()
+    total = freq.agg(F.sum("__f")).collect()[0][0] or 1  # scalar; 1 on empty
     lp = freq.select(
         "token",
         F.round(

@@ -255,11 +255,18 @@ def audio_features(payload: bytes) -> dict:
     }
 
 
-def audio_resample(payload: bytes, target_rate: int) -> bytes:
+def audio_resample(payload: bytes, target_rate: int) -> bytes | None:
     """Linear-interpolation resample to ``target_rate``, re-encoded as
     WAV. Pure numpy (np.interp per channel) — no Python sample loops;
-    runs inside the same Arrow batches as the image resize."""
+    runs inside the same Arrow batches as the image resize. Degenerate
+    payloads mirror ``audio_features``'s tolerance: None/empty pass
+    through unchanged, a zero-frame WAV re-encodes (still zero frames)
+    at the target rate."""
+    if payload is None or len(payload) == 0:
+        return payload
     samples, rate = wav_decode(payload)
+    if samples.shape[0] == 0:
+        return wav_encode(samples, target_rate)
     if rate == target_rate:
         return wav_encode(samples, rate)
     n_out = max(1, int(round(samples.shape[0] * target_rate / rate)))

@@ -601,9 +601,13 @@ def dedup_spans(
     reassembly lossless; within-document repeats are kept (the rule
     fires on cross-document duplication only).
 
-    Output: ``(id_col, clean_text, n_dropped, n_spans)``. Documents
-    with zero tokens produce no spans and are absent from the output —
-    guard upstream if empty docs must survive.
+    Output: ``(id_col, clean_text, n_dropped, n_spans)``. NULL-text
+    documents produce no spans and are absent from the output.
+    Empty-STRING text is one empty token (``split('') == ['']``, the
+    SQL convention both engines share), so such docs appear with one
+    empty span — and two empty docs duplicate each other's '' span
+    and get it dropped like real text. Filter empty/NULL texts
+    upstream if either behavior is unwanted.
 
     Scale shape (100 TB): one explode -> grouped distinct-count on the
     span key -> one join back -> one grouped reassembly; never a cross

@@ -182,13 +182,21 @@ def scd2_apply_batch(
     tier establishes (``operators/registry.py``), applied to
     dimension maintenance. Invariant (pinned by test): replaying any
     split of an event log through this function equals the one-shot
-    ``scd2_history`` of the whole log — for ANY split, including late
-    events for already-closed intervals, because a touched key is
-    always rebuilt from its full retained timeline. Two caveats: the
-    replayed versions carry a NULL tiebreak, so same-(key, ts) events
-    split ACROSS batches may order differently than one-shot (keep
-    same-ts events in one batch, or make ts unique); and
-    retention-trimmed history cannot replay what it no longer holds.
+    ``scd2_history`` of the whole log for splits that arrive in
+    non-decreasing per-key event time: folded (unchanged-attribute)
+    events never influence later versions, so replaying version
+    STARTS + newer events reconstructs the timeline exactly. LATE
+    events are still applied — the touched key rebuilds from its full
+    retained timeline — but the result is the best reconstruction
+    from retained version starts, NOT always the one-shot answer: a
+    late event landing inside a span whose unchanged repeats were
+    folded away cannot resurrect those repeats (SCD2 is lossy
+    compression; keep the raw log if exact late replay matters). Two
+    further caveats: replayed versions carry a NULL tiebreak, so
+    same-(key, ts) events split ACROSS batches may order differently
+    than one-shot (keep same-ts events in one batch, or make ts
+    unique); and retention-trimmed history cannot replay what it no
+    longer holds.
 
     ``history`` may be empty (bootstrap) but must carry exactly the
     q93 projection of ``scd2_history``'s output: ``keys + attr_cols +
@@ -205,10 +213,14 @@ def scd2_apply_batch(
     affected_hist = history.join(touched, keylist, "inner")
     # versions -> change events: one event per version at its start
     replay_cols = [*keylist, *attr_cols]
+    tb_type = (
+        batch.schema[tiebreak_col].dataType
+        if tiebreak_col and tiebreak_col not in replay_cols
+        else None
+    )
     as_events = affected_hist.select(
         *replay_cols, F.col("effective_from").alias(ts_col),
-        *([F.lit(None).cast("long").alias(tiebreak_col)] if tiebreak_col and
-          tiebreak_col not in replay_cols else []),
+        *([F.lit(None).cast(tb_type).alias(tiebreak_col)] if tb_type else []),
     )
     batch_events = batch.select(*as_events.columns)
     rebuilt = scd2_history(

@@ -41,6 +41,7 @@ def with_global_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Running SUM(value_col) over rows globally ordered by
     ``order_col`` (INCLUSIVE of the current row), without a
@@ -78,9 +79,14 @@ def with_global_cumsum(
         if offsets
         else F.lit(0)  # empty input: typed no-op (map() has VOID keys)
     )
-    return part.withColumn(
+    out = part.withColumn(
         out_col, F.sum(F.col(value_col)).over(w) + off
     ).drop("__pid")
+    if total_col is not None:
+        # the grand total fell out of the totals pass for free —
+        # expose it so callers don't pay a separate count()/sum() scan
+        out = out.withColumn(total_col, F.lit(run).cast("long"))
+    return out
 
 
 def pack_chunks(

@@ -242,15 +242,14 @@ def rank_bins(
 
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    total = df.count()  # scalar action; bounds are control flow
-    if total == 0:
-        return df.withColumn("rank", F.lit(None).cast("long")).withColumn(
-            out_col, F.lit(None).cast("int")
-        )
     d = df.withColumn(
         "__ord", F.struct(F.col(score_col), F.col(id_col))
     ).withColumn("__one", F.lit(1))
-    ranked = with_global_cumsum(d, "__ord", "__one", out_col="rank")
+    # the cumsum pass already aggregates per-partition totals — its
+    # grand total IS the row count, so no separate count() scan
+    ranked = with_global_cumsum(
+        d, "__ord", "__one", out_col="rank", total_col="__total"
+    )
     # integer `div`, not float `/`: float division can round across a
     # bin boundary and disagree with integer-arithmetic engines
     out = ranked.withColumn(
@@ -258,10 +257,10 @@ def rank_bins(
     ).withColumn(
         out_col,
         F.least(
-            F.expr(f"__num div {int(total)}").cast("int"), F.lit(n_bins - 1)
+            F.expr("__num div __total").cast("int"), F.lit(n_bins - 1)
         ),
     )
-    return out.drop("__ord", "__one", "__num")
+    return out.drop("__ord", "__one", "__num", "__total")
 
 
 def shuffle_deterministic(

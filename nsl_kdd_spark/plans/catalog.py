@@ -3590,18 +3590,23 @@ def q92_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     ), keep AS (
-      SELECT user_id, event_type, ts
-      FROM v WHERE prev IS DISTINCT FROM event_type
+      -- rn = 1 keeps a NULL-attr first event (NULL IS DISTINCT FROM
+      -- NULL is false); the lead window reuses the event_id tiebreak
+      -- so same-ts versions order exactly like the Spark side
+      SELECT user_id, event_type, ts, event_id
+      FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            ts AS effective_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS effective_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-             AS is_current
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
     FROM keep
     ORDER BY user_id, effective_from
     """,

@@ -141,11 +141,29 @@ def test_latest_per_key_deterministic_tiebreak(spark):
     assert out[2].payload == "d"
 
 
-def test_scd2_apply_batch_replay_equals_one_shot(spark):
-    from nsl_kdd_spark.operators.merge import scd2_apply_batch, scd2_history
+def _replay(spark, batches, tiebreak="seq"):
+    from nsl_kdd_spark.operators.merge import scd2_apply_batch
 
+    history = spark.createDataFrame(
+        [], "k long, attr string, effective_from long, "
+            "effective_to long, is_current boolean"
+    )
+    for b in batches:
+        history = spark.createDataFrame(
+            scd2_apply_batch(history, b, ["k"], "ts", ["attr"], tiebreak)
+            .collect(),
+            history.schema,
+        )  # materialize like a foreachBatch write-back would
+    return history
+
+
+def test_scd2_apply_batch_in_order_replay_equals_one_shot_with_folding(spark):
+    from nsl_kdd_spark.operators.merge import scd2_history
+
+    # attrs REPEAT (A,A,B,B,C,...) so versions fold across batch
+    # boundaries — the case the guarantee must survive
     events = [
-        (k, t, ["A", "B", "C"][(k + t) % 3], k * 100 + t)
+        (k, t, ["A", "A", "B", "B", "C"][(t // 5) % 5], k * 100 + t)
         for k in range(3)
         for t in range(0, 50, 5)
     ]
@@ -155,22 +173,34 @@ def test_scd2_apply_batch_replay_equals_one_shot(spark):
         map(tuple, scd2_history(df, ["k"], "ts", ["attr"], "seq")
             .select(*cols).collect())
     )
-    history = spark.createDataFrame(
-        [], "k long, attr string, effective_from long, "
-            "effective_to long, is_current boolean"
-    )
-    # three ts-range batches, then a LATE batch that reopens key 0
-    batches = [
-        df.filter("ts < 20"),
-        df.filter("ts >= 20 and ts < 40 and not (k = 0 and ts = 25)"),
-        df.filter("ts >= 40"),
-        df.filter("k = 0 and ts = 25"),  # late arrival, closed interval
+    batches = [df.filter("ts < 12"), df.filter("ts >= 12 and ts < 37"),
+               df.filter("ts >= 37")]
+    got = sorted(map(tuple, _replay(spark, batches).select(*cols).collect()))
+    assert got == want
+
+
+def test_scd2_apply_batch_late_event_rebuild_and_string_tiebreak(spark):
+    from nsl_kdd_spark.operators.merge import scd2_history
+
+    # attr changes EVERY event, so version starts retain the full
+    # timeline and even a late arrival replays to the one-shot answer
+    # (with folding, a late event inside a folded span is documented
+    # as lossy — not asserted here). Tiebreak is a STRING column.
+    events = [
+        (k, t, ["A", "B", "C"][(k + t // 5) % 3], f"e{k * 100 + t:04d}")
+        for k in range(2)
+        for t in range(0, 40, 5)
     ]
-    for b in batches:
-        history = spark.createDataFrame(
-            scd2_apply_batch(history, b, ["k"], "ts", ["attr"], "seq")
-            .collect(),
-            history.schema,
-        )  # materialize like a foreachBatch write-back would
-    got = sorted(map(tuple, history.select(*cols).collect()))
+    df = spark.createDataFrame(events, "k long, ts long, attr string, seq string")
+    cols = ["k", "attr", "effective_from", "effective_to", "is_current"]
+    want = sorted(
+        map(tuple, scd2_history(df, ["k"], "ts", ["attr"], "seq")
+            .select(*cols).collect())
+    )
+    batches = [
+        df.filter("ts < 20 and not (k = 0 and ts = 15)"),
+        df.filter("ts >= 20"),
+        df.filter("k = 0 and ts = 15"),  # late arrival, closed interval
+    ]
+    got = sorted(map(tuple, _replay(spark, batches).select(*cols).collect()))
     assert got == want

@@ -239,3 +239,31 @@ def test_decode_audio_rejects_compressed_formats(spark):
     )
     with pytest.raises(Exception, match="wav|Error|unknown"):
         decode_audio(df).collect()
+
+
+def test_resample_audio_degenerate_payloads_pass_through(spark):
+    from nsl_kdd_spark.multimodal.binary import decode_audio, resample_audio
+    from nsl_kdd_spark.multimodal.codecs import wav_encode
+
+    import numpy as np
+
+    zero_frames = wav_encode(np.zeros((0, 1), dtype="<i2"), 8000)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", None, zero_frames),
+            (2, "audio", "audio/wav", None, None),
+            (3, "audio", "audio/wav", None, b""),
+        ],
+        "media_id long, kind string, mime string, n_bytes long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resample_audio(df, 4000).collect()}
+    # zero-frame WAV re-encodes at the target rate; None/empty unchanged
+    feats = decode_audio(
+        spark.createDataFrame(
+            [(1, "audio", out[1]["payload"])],
+            "media_id long, kind string, payload binary",
+        )
+    ).first()
+    assert feats["framerate"] == 4000 and feats["duration_ms"] == 0
+    assert out[2]["payload"] is None
+    assert out[3]["payload"] == b""
