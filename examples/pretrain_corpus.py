@@ -8,8 +8,10 @@ chained in production order over the documents table.
 
 Every stage is a pure DataFrame transform from the library; the chain
 is one lazy plan per materialization point, so Catalyst prunes and
-pushes across stage boundaries. Stage-by-stage row counts print via
-``df.observe`` piggybacking on the single write — no extra actions.
+pushes across stage boundaries. The summary counts at the end each
+cost an action (count / read-back) — fine for a demo; a production
+run would attach ``operators/quality.observe_quality`` counters to
+the writes instead so the stats ride the existing jobs.
 
 Usage: python examples/pretrain_corpus.py [sf_dir] [out_dir]
 """

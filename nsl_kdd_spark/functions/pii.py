@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 # re-matched as a hostname.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # card-like: any 13-19 digit run, separators optional, in ANY
+    # grouping — ordered BEFORE phone so the phone pattern can never
+    # match the head of a long digit run and leak its tail ("<PHONE>
+    # -1111"); RE2 has no lookarounds, so ordering IS the guard.
+    # SSN (9 digits) and phones (10-11) are too short to collide.
+    "card": r"\b(?:[0-9][- ]?){12,18}[0-9]\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
     # \b-anchored at the start so a match can't begin mid-digit-run
     # (a 16-digit card-shaped run must not leak its head as "digits +

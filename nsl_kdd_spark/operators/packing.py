@@ -52,15 +52,21 @@ def with_global_cumsum(
     order — and therefore their cumsum — partitioning-dependent.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist is CORRECTNESS here, not caching: repartitionByRange
-    # samples its boundaries and spark_partition_id is nondeterministic,
-    # so the totals pass and the cumsum pass must observe the SAME
-    # materialized partitioning (at cluster scale: DISK_ONLY or a
-    # staged write serves the same purpose)
+    # materialization is CORRECTNESS here, not caching:
+    # repartitionByRange samples its boundaries and
+    # spark_partition_id is nondeterministic, so the totals pass and
+    # the cumsum pass must observe the SAME materialized partitioning.
+    # localCheckpoint (eager) rather than persist: checkpoint blocks
+    # are released by the ContextCleaner when the caller drops the
+    # result, while persist() pins blocks in the CacheManager until an
+    # explicit unpersist — which a function returning a lazy frame has
+    # no safe place to call, so repeated cumsum calls would leak a
+    # full input copy each (review r03). At cluster scale a staged
+    # write serves the same purpose.
     part = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     # numPartitions rows: driver-side prefix sum is control flow, not data
     totals = {
@@ -148,7 +154,13 @@ def explode_chunks(
     ``pack_chunks``: the 1->N fan-out is a ``sequence`` explode, the
     piece extraction plain substring arithmetic — all JVM-side.
     """
-    sized = df.withColumn("__sz", F.length(F.col(text_col)))
+    # zero-size docs contribute 0 to the cumsum, so dropping them
+    # BEFORE the pack changes nothing downstream (every other doc's
+    # stream_end/bins are identical) and skips their window+explode
+    # work (review r03)
+    sized = df.withColumn("__sz", F.length(F.col(text_col))).filter(
+        F.col("__sz") > 0
+    )
     packed = pack_chunks(sized, order_col, "__sz", budget, num_partitions)
     start = F.col("stream_end") - F.col("__sz")
     piece_from = F.greatest(F.col("__bin") * budget, start)
@@ -157,7 +169,6 @@ def explode_chunks(
         packed.withColumn(
             "__bin", F.explode(F.sequence("first_bin", "last_bin"))
         )
-        .filter(F.col("__sz") > 0)
         .select(
             F.col(order_col),
             F.col("__bin").alias("bin_id"),

@@ -112,6 +112,23 @@ def unpivot(
     return casted.unpivot(list(ids), list(values), var_name, value_name)
 
 
+def md5_bucket16(key_col: str, salt: str = "") -> "Column":
+    """The ONE 16-bit md5 bucket expression every deterministic
+    splitter/sampler/sharder keys on (``md5(salt || key)`` first 4 hex
+    digits as an int in [0, 65536)). Centralized because the
+    cross-function guarantees — split/sample consistency, superset
+    growth under a raised fraction, stable shard addressing, and the
+    q68/q83/q86/q88/q90/q97 oracles that replay the same arithmetic —
+    all require these call sites to stay bit-identical (review r03)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -130,11 +147,7 @@ def hash_split(
     new rows never reshuffle old ones between splits. Uses the first
     16 bits of md5 (65536 buckets); weights are cut at cumulative
     bucket thresholds. Pure column expressions — no shuffle, no UDF."""
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    hv = md5_bucket16(key_col, salt)
     total = sum(w for _, w in splits)
     expr = None
     cum = 0.0
@@ -160,11 +173,7 @@ def sample_hash(
     ``salt`` for independent resamples. No shuffle, no RNG state."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    hv = md5_bucket16(key_col, salt)
     return df.filter(hv < int(fraction * 65536))
 
 
@@ -182,11 +191,7 @@ def sample_hash_weighted(
     the threshold engine-portable."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    hv = md5_bucket16(key_col, salt)
     return df.filter(hv < F.floor(w * 65536).cast("int"))
 
 

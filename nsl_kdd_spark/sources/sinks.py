@@ -51,16 +51,9 @@ def write_shards(
     populations near-even (multinomial balance) without any global
     count or sort; one shuffle on the shard key co-locates each
     shard's rows before the write."""
-    from pyspark.sql import functions as F
+    from nsl_kdd_spark.operators.relational import md5_bucket16
 
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
-        ),
-        16,
-        10,
-    ).cast("int")
-    out = df.withColumn("shard", hv % n_shards)
+    out = df.withColumn("shard", md5_bucket16(key_col, salt) % n_shards)
     out.repartition(n_shards, "shard").write.mode(mode).partitionBy(
         "shard"
     ).parquet(path)

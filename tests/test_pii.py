@@ -39,12 +39,21 @@ def test_pii_count_cases(spark, text, kind, n):
     assert _one(spark, text, pii_count("t", kind)) == n
 
 
-def test_phone_does_not_start_mid_digit_run(spark):
-    """A 16-digit card-shaped run must not redact from its head: the
-    leading \\b means no match can begin inside the run (ADVICE r02 —
-    the old pattern turned '912345-…' into '912<PHONE>')."""
-    redacted = _one(spark, "9123456789012345 intact", redact_pii("t"))
-    assert redacted == "9123456789012345 intact"
+def test_card_shaped_runs_never_leak_fragments(spark):
+    """A 16-digit card-shaped run must never leak a head or tail
+    around a partial match (ADVICE r02: '912<PHONE>'; review r03:
+    '<PHONE>-1111'). The card pattern, ordered before phone, consumes
+    the whole run in ANY grouping."""
+    for text, want in [
+        ("9123456789012345 intact", "<CARD> intact"),
+        ("card 4111-1111-1111-1111 on file", "card <CARD> on file"),
+        ("912345-678-9012-3456", "<CARD>"),
+        ("9123 4567 8901 2345 ok", "<CARD> ok"),
+    ]:
+        assert _one(spark, text, redact_pii("t")) == want
+    # phones and SSNs are too short to be card-matched
+    assert _one(spark, "call 555-123-4567", redact_pii("t")) == "call <PHONE>"
+    assert _one(spark, "ssn 123-45-6789", redact_pii("t")) == "ssn <SSN>"
 
 
 def test_redact_all_kinds(spark):
