@@ -29,12 +29,18 @@ from pyspark.sql import functions as F
 # re-matched as a hostname.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # card-like: any 13-19 digit run, separators optional, in ANY
-    # grouping — ordered BEFORE phone so the phone pattern can never
+    # card-like, ordered BEFORE phone so the phone pattern can never
     # match the head of a long digit run and leak its tail ("<PHONE>
-    # -1111"); RE2 has no lookarounds, so ordering IS the guard.
-    # SSN (9 digits) and phones (10-11) are too short to collide.
-    "card": r"\b(?:[0-9][- ]?){12,18}[0-9]\b",
+    # -1111"); RE2 has no lookarounds, so ordering IS the guard. Two
+    # alternatives: a DASH-grouped-or-contiguous 13-19 digit run (a
+    # dash never joins two distinct numbers in prose, so this cannot
+    # bridge adjacent phones the way a space-tolerant run would and
+    # swallow number lists / trailing years — review r03), and the
+    # space-grouped 4-4-4-4 card form (exactly four 4-digit groups,
+    # which adjacent phone numbers cannot produce). Mixed dash+space
+    # groupings fall through to the phone pattern and may partially
+    # redact — documented residual of lookaround-free RE2.
+    "card": r"\b(?:[0-9](?:-?[0-9]){12,18}|(?:[0-9]{4} ){3}[0-9]{4})\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
     # \b-anchored at the start so a match can't begin mid-digit-run
     # (a 16-digit card-shaped run must not leak its head as "digits +
@@ -43,7 +49,14 @@ PII_PATTERNS: dict[str, str] = {
     # subset.
     # second group {2,4} admits international city codes (+44 20 7946
     # 0958) without eating SSNs (3-2-4 fails the {3,4} third group).
-    "phone": r"\+?\b(?:[0-9]{1,3}[- ])?[0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{4}\b",
+    # one alternative per separator style: a [- ] class would let a
+    # trailing space pull an unrelated following number (a year, the
+    # next phone) into the match ('555-123-4567 2024' -> one match);
+    # consistent-separator alternatives can't cross that boundary
+    "phone": (
+        r"\+?\b(?:[0-9]{1,3}-)?[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}\b"
+        r"|\+?\b(?:[0-9]{1,3} )?[0-9]{2,4} [0-9]{3,4} [0-9]{4}\b"
+    ),
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }
 

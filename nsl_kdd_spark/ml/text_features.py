@@ -260,11 +260,15 @@ def unigram_logprob(
     from nsl_kdd_spark.functions.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    # freq is vocab-sized: persist so the total, the log-prob table,
-    # and the join probe all reuse ONE corpus aggregation instead of
-    # re-running the explode per consumer (the corpus-sized `tok`
-    # stays unpersisted by design — two scans beat caching 100 TB)
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f")).persist()
+    # freq is vocab-sized: materialize it (eager localCheckpoint, so
+    # blocks release when the caller drops the result — persist would
+    # pin a cache entry per call with no safe unpersist site) and the
+    # total, log-prob table, and join probe all reuse ONE corpus
+    # aggregation (the corpus-sized `tok` stays unmaterialized by
+    # design — two scans beat caching 100 TB)
+    freq = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f")).localCheckpoint()
+    )
     total = freq.agg(F.sum("__f")).collect()[0][0] or 1  # scalar; 1 on empty
     lp = freq.select(
         "token",

@@ -42,6 +42,7 @@ def with_global_cumsum(
     out_col: str = "cumsum",
     num_partitions: int | None = None,
     total_col: str | None = None,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Running SUM(value_col) over rows globally ordered by
     ``order_col`` (INCLUSIVE of the current row), without a
@@ -56,18 +57,26 @@ def with_global_cumsum(
     # repartitionByRange samples its boundaries and
     # spark_partition_id is nondeterministic, so the totals pass and
     # the cumsum pass must observe the SAME materialized partitioning.
-    # localCheckpoint (eager) rather than persist: checkpoint blocks
-    # are released by the ContextCleaner when the caller drops the
-    # result, while persist() pins blocks in the CacheManager until an
-    # explicit unpersist — which a function returning a lazy frame has
-    # no safe place to call, so repeated cumsum calls would leak a
-    # full input copy each (review r03). At cluster scale a staged
-    # write serves the same purpose.
-    part = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    # materialize="checkpoint" (default): eager localCheckpoint —
+    # blocks release via the ContextCleaner when the caller drops the
+    # result, while persist() pins CacheManager entries with no safe
+    # unpersist site in a function returning a lazy frame (one leaked
+    # input copy PER CALL, review r03). The trade: checkpoint blocks
+    # are not lineage-recoverable, so an executor loss afterwards
+    # fails the downstream action instead of recomputing — on
+    # high-churn clusters (spot nodes, dynamic allocation) pass
+    # materialize="persist" and unpersist via spark.catalog.clearCache
+    # between pipeline stages, or stage the frame to storage yourself.
+    base = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    if materialize == "persist":
+        part = base.persist()
+        part.count()
+    elif materialize == "checkpoint":
+        part = base.localCheckpoint()
+    else:
+        raise ValueError(f"materialize must be checkpoint|persist, got {materialize!r}")
     # numPartitions rows: driver-side prefix sum is control flow, not data
     totals = {
         r["__pid"]: r["__t"]

@@ -112,6 +112,14 @@ def unpivot(
     return casted.unpivot(list(ids), list(values), var_name, value_name)
 
 
+def md5_key(key_col: str, salt: str = "") -> "Column":
+    """``md5(salt || key)`` as a hex string — the shared hash every
+    deterministic sampler/splitter/sharder AND the epoch shuffle key
+    on. One definition so the salting/cast scheme can never diverge
+    between consumers (review r03)."""
+    return F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+
+
 def md5_bucket16(key_col: str, salt: str = "") -> "Column":
     """The ONE 16-bit md5 bucket expression every deterministic
     splitter/sampler/sharder keys on (``md5(salt || key)`` first 4 hex
@@ -120,13 +128,9 @@ def md5_bucket16(key_col: str, salt: str = "") -> "Column":
     growth under a raised fraction, stable shard addressing, and the
     q68/q83/q86/q88/q90/q97 oracles that replay the same arithmetic —
     all require these call sites to stay bit-identical (review r03)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
-        ),
-        16,
-        10,
-    ).cast("int")
+    return F.conv(F.substring(md5_key(key_col, salt), 1, 4), 16, 10).cast(
+        "int"
+    )
 
 
 def hash_split(
@@ -288,11 +292,7 @@ def shuffle_deterministic(
     from nsl_kdd_spark.operators.packing import with_global_cumsum
 
     d = df.withColumn(
-        "__ord",
-        F.struct(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-            F.col(key_col),
-        ),
+        "__ord", F.struct(md5_key(key_col, salt), F.col(key_col))
     ).withColumn("__one", F.lit(1))
     return with_global_cumsum(d, "__ord", "__one", out_col=out_col).drop(
         "__ord", "__one"

@@ -3917,8 +3917,9 @@ def q100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count("text")).alias("n_tokens"),
         )
+        .localCheckpoint()  # source-count-sized; one corpus pass total
     )
-    total = per.agg(F.sum("n_tokens")).collect()[0][0]  # scalar
+    total = per.agg(F.sum("n_tokens")).collect()[0][0] or 1  # scalar
     return (
         per.withColumn(
             "token_ppm",

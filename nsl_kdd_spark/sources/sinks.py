@@ -51,9 +51,20 @@ def write_shards(
     populations near-even (multinomial balance) without any global
     count or sort; one shuffle on the shard key co-locates each
     shard's rows before the write."""
+    from pyspark.sql import functions as F
+
     from nsl_kdd_spark.operators.relational import md5_bucket16
 
-    out = df.withColumn("shard", md5_bucket16(key_col, salt) % n_shards)
+    # NULL keys would hash to NULL and land in the writer's
+    # __HIVE_DEFAULT_PARTITION__ escape dir, off the shard=<0..n-1>
+    # address space — route them through the empty-string key instead
+    # (deterministic like everything else here)
+    keyed = df.withColumn(
+        "__sk", F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    )
+    out = keyed.withColumn(
+        "shard", md5_bucket16("__sk", salt) % n_shards
+    ).drop("__sk")
     out.repartition(n_shards, "shard").write.mode(mode).partitionBy(
         "shard"
     ).parquet(path)

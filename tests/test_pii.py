@@ -56,6 +56,20 @@ def test_card_shaped_runs_never_leak_fragments(spark):
     assert _one(spark, "ssn 123-45-6789", redact_pii("t")) == "ssn <SSN>"
 
 
+def test_card_pattern_never_bridges_adjacent_numbers(spark):
+    """Space-tolerant digit runs would bridge ADJACENT distinct
+    numbers into one partial card match and leak the tail (review
+    r03: 'call <CARD>-6543'); the dash-run + spaced-4-group card
+    alternatives cannot, and benign number lists survive."""
+    cases = [
+        ("call 555-123-4567 555-987-6543", "call <PHONE> <PHONE>"),
+        ("score 10 20 30 40 50 60 7 points", "score 10 20 30 40 50 60 7 points"),
+        ("555-123-4567 2024", "<PHONE> 2024"),
+    ]
+    for text, want in cases:
+        assert _one(spark, text, redact_pii("t")) == want
+
+
 def test_redact_all_kinds(spark):
     text = "a@b.com ssn 123-45-6789 call 555-123-4567 ip 10.0.0.1"
     out = _one(spark, text, redact_pii("t"))
