@@ -160,3 +160,56 @@ def test_deduplicating_ingest_stream(spark, tmp_path):
     assert corpus == {1, 2, 11}  # 10 = registry dup, 12 = within-batch dup
     registry = {r.doc_id for r in read_corpus(spark, kw["registry_path"]).collect()}
     assert registry == corpus
+
+
+def test_streaming_scd2_maintenance_equals_one_shot(spark, tmp_path):
+    """foreachBatch + merge.scd2_apply_batch maintains a SCD2 table
+    from a micro-batched change stream; after the stream drains, the
+    table equals the one-shot scd2_history of the full log."""
+    import json
+
+    from nsl_kdd_spark.operators.merge import scd2_apply_batch, scd2_history
+
+    events = [
+        {"k": k, "ts": t, "attr": ["A", "A", "B", "C", "C"][(t // 10) % 5],
+         "seq": k * 1000 + t}
+        for k in range(3)
+        for t in range(0, 100, 10)
+    ]
+    src = tmp_path / "scd2_events"
+    src.mkdir()
+    # two drop files -> at least two micro-batches in arrival order
+    half = len(events) // 2
+    for i, chunk in enumerate((events[:half], events[half:])):
+        (src / f"part{i}.jsonl").write_text(
+            "\n".join(json.dumps(e) for e in sorted(chunk, key=lambda e: e["ts"]))
+        )
+
+    schema = "k long, ts long, attr string, seq long"
+    state = {"history": spark.createDataFrame(
+        [], "k long, attr string, effective_from long, "
+            "effective_to long, is_current boolean")}
+
+    def apply_batch(batch_df, _batch_id):
+        state["history"] = spark.createDataFrame(
+            scd2_apply_batch(
+                state["history"], batch_df, ["k"], "ts", ["attr"], "seq"
+            ).collect(),
+            state["history"].schema,
+        )
+
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    q = stream.writeStream.foreachBatch(apply_batch) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    df = spark.createDataFrame(events)
+    cols = ["k", "attr", "effective_from", "effective_to", "is_current"]
+    want = sorted(map(tuple, scd2_history(
+        df.select("k", "ts", "attr", "seq"), ["k"], "ts", ["attr"], "seq"
+    ).select(*cols).collect()))
+    got = sorted(map(tuple, state["history"].select(*cols).collect()))
+    assert got == want
