@@ -292,3 +292,80 @@ def unigram_logprob(
             ).alias("avg_nll"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Bigram-conditional LM quality score: per-document average
+    negative log of P(w_i | w_{i-1}) = count(w_{i-1} w_i) /
+    count_as_prefix(w_{i-1}), estimated from the corpus itself — one
+    modeling step up from ``unigram_logprob`` (it scores token ORDER,
+    so shuffled or template-stitched text ranks as improbable even
+    when its token frequencies look natural). The first token of each
+    document has no predecessor and is skipped; documents with < 2
+    tokens emit n_bigrams = 0 and a NULL avg_nll.
+
+    The same fixed-point contract as the unigram tier: per-bigram
+    log-probs quantize to integer micro-nats BEFORE the sum, so the
+    aggregate is order-independent and bit-identical across engines.
+    The denominator counts w_{i-1} AS A PREFIX (i.e. bigram
+    occurrences grouped by first token), so probabilities are properly
+    normalized: sum_w P(w | prev) = 1.
+
+    Scale shape (100 TB): one explode to bigram pairs, one grouped
+    count for the bigram table, one derived prefix count (second
+    grouped agg over the bigram table — vocab^2-bounded, not corpus-
+    bounded), one join back, one grouped doc sum. The bigram table is
+    materialized once (eager localCheckpoint, ContextCleaner-released)
+    and feeds both the probability table and nothing else corpus-sized.
+    """
+    from nsl_kdd_spark.functions.text import word_ngrams
+
+    pairs = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("bigram")
+    )
+    bfreq = (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("__bf"))
+        .localCheckpoint()
+    )
+    prefix = F.substring_index(F.col("bigram"), " ", 1)
+    pfreq = bfreq.groupBy(prefix.alias("__p")).agg(
+        F.sum("__bf").alias("__pf")
+    )
+    lp = (
+        bfreq.join(pfreq, on=prefix == F.col("__p"))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    F.col("__bf").cast("double") / F.col("__pf").cast("double")
+                )
+                * F.lit(float(scale))
+            )
+            .cast("long")
+            .alias("__iln"),
+        )
+    )
+    scored = (
+        pairs.join(lp, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("__iln")).alias("nll_mnats"),
+            (
+                (-F.sum("__iln")).cast("double")
+                / F.lit(float(scale))
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
+    # docs with < 2 tokens produce no pairs — join them back so the
+    # output covers every input id (n_bigrams 0, NULL scores)
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+    )

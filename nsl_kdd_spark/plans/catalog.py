@@ -3930,6 +3930,53 @@ def q100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram-conditional LM score (text_features.bigram_logprob): per-doc
+# avg -ln P(w_i | w_{i-1}) with the corpus's own bigram table —
+# scores token ORDER, one modeling step up from q95's unigram tier.
+# Same fixed-point micro-nat contract (order-independent, hash-exact);
+# prefix counts derive from the bigram table so P normalizes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q101_bigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id, w[t.i] || ' ' || w[t.i+1] AS bigram
+      FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ), bf AS (
+      SELECT bigram, COUNT(*) AS bf FROM pairs GROUP BY bigram
+    ), pf AS (
+      SELECT string_split(bigram, ' ')[1] AS p, CAST(SUM(bf) AS BIGINT) AS pf
+      FROM bf GROUP BY 1
+    ), lp AS (
+      SELECT bigram,
+             CAST(round(ln(CAST(bf AS DOUBLE) / CAST(pf AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS iln
+      FROM bf JOIN pf ON string_split(bf.bigram, ' ')[1] = pf.p
+    ), agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(-SUM(iln) AS BIGINT) AS nll_mnats,
+             CAST(-SUM(iln) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_nll
+      FROM pairs JOIN lp USING (bigram) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           agg.nll_mnats, agg.avg_nll
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def q101_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import bigram_logprob
+
+    t = load_tables(spark, sf_dir)
+    return bigram_logprob(t.documents, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -415,3 +415,28 @@ def test_mix_corpora_superset_and_independence(spark):
     assert {p for p in small if p[0] == "b"} == {p for p in big if p[0] == "b"}
     with pytest.raises(ValueError, match="no fraction"):
         mix_corpora({"a": a, "b": b}, "k", {"a": 0.5})
+
+
+def test_bigram_logprob_order_sensitivity_and_short_docs(spark):
+    import math
+
+    from nsl_kdd_spark.ml.text_features import bigram_logprob
+
+    # corpus: "a b" x3 and "b a" x1 -> P(b|a)=3/3=1 (from prefix 'a'),
+    # P(a|b)=1/1=1 -> every bigram NLL 0; doc 4 is too short.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b b a"), (4, "solo")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in bigram_logprob(df, "id", "text").collect()}
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_nll"] is None
+    # doc 3 bigrams: "a b", "b b", "b a" -> prefix b has bf{b b:1,b a:1}
+    # wait for THIS corpus: pairs = a b (x3), a b/b b/b a from doc3.
+    # P(b|a)=4/4? recompute: bigram counts: "a b":3(doc1,2)+1(doc3)=4,
+    # "b b":1, "b a":1; prefix a: 4; prefix b: 2.
+    iln_ab = round(math.log(4 / 4) * 1e6)   # 0
+    iln_bb = round(math.log(1 / 2) * 1e6)
+    iln_ba = round(math.log(1 / 2) * 1e6)
+    assert out[1]["nll_mnats"] == -iln_ab and out[1]["n_bigrams"] == 1
+    assert out[3]["nll_mnats"] == -(iln_ab + iln_bb + iln_ba)
+    assert out[3]["n_bigrams"] == 3
