@@ -277,3 +277,28 @@ def audio_resample(payload: bytes, target_rate: int) -> bytes | None:
         axis=1,
     )
     return wav_encode(np.round(out).astype("<i2"), target_rate)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (aHash variant): decode -> grayscale -> 8x8
+# nearest-resample -> mean threshold -> 64-bit signature. Near-duplicate
+# images (re-encoded, slightly edited, format-converted) land within a
+# small hamming distance; the signature feeds the SAME banded pairing
+# machinery the text tier uses (dedup.simhash_pairs shape). All
+# dependency-free: our own PPM/BMP decode + numpy.
+# ---------------------------------------------------------------------------
+
+def phash64(payload: bytes) -> int:
+    """64-bit perceptual hash of an image payload (average hash over
+    an 8x8 grayscale thumbnail; container-invariant: the same pixels
+    in PPM and BMP produce the same hash). Raises
+    UnsupportedMediaError for formats without a built-in codec."""
+    img = decode_image(payload)
+    gray = img.astype(np.float64).mean(axis=2)
+    thumb = resize_nearest(gray[..., None], 8, 8)[..., 0]
+    bits = (thumb > thumb.mean()).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out

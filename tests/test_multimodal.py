@@ -267,3 +267,35 @@ def test_resample_audio_degenerate_payloads_pass_through(spark):
     assert feats["framerate"] == 4000 and feats["duration_ms"] == 0
     assert out[2]["payload"] is None
     assert out[3]["payload"] == b""
+
+
+def test_media_near_dup_finds_perceptual_twins_across_formats(spark):
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import media_near_dup
+    from nsl_kdd_spark.multimodal.codecs import bmp_encode, ppm_encode
+
+    grad = (
+        np.linspace(0, 255, 32)[None, :, None]
+        .repeat(32, axis=0).repeat(3, axis=2).astype(np.uint8)
+    )
+    tweaked = grad.copy()
+    tweaked[0, 0] = 255  # imperceptible edit
+    flipped = np.ascontiguousarray(np.flip(grad, axis=1))
+    rows = [
+        (1, "image", "image/bmp", None, bmp_encode(grad)),
+        (2, "image", "image/x-ppm", None, ppm_encode(grad)),     # format twin
+        (3, "image", "image/bmp", None, bmp_encode(tweaked)),    # near twin
+        (4, "image", "image/bmp", None, bmp_encode(flipped)),    # different
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, n_bytes long, payload binary"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in media_near_dup(df).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == 0  # same pixels, different container
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_near_dup(df, max_hamming=4, bands=4)
