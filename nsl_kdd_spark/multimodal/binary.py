@@ -317,6 +317,7 @@ def media_near_dup(
     max_hamming: int = 3,
     bands: int = 4,
     id_col: str = "media_id",
+    hash_fn: Callable[[bytes], int] | None = None,
 ) -> DataFrame:
     """Perceptual image near-duplicate pairs: Arrow-batched
     ``codecs.phash64`` per payload, then the SAME banded-signature
@@ -332,7 +333,10 @@ def media_near_dup(
     never an all-pairs comparison; re-encoded/format-converted copies
     collide because the hash is computed from DECODED pixels.
     """
-    from nsl_kdd_spark.multimodal.codecs import phash64
+    if hash_fn is None:
+        from nsl_kdd_spark.multimodal.codecs import phash64
+
+        hash_fn = phash64  # images; pass codecs.audio_hash64 for audio
 
     if not 0 <= max_hamming < bands:
         raise ValueError(
@@ -344,7 +348,7 @@ def media_near_dup(
         for pdf in it:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "phash": pdf["payload"].map(phash64).astype("int64"),
+                "phash": pdf["payload"].map(hash_fn).astype("int64"),
             })
 
     sigs = df.mapInPandas(

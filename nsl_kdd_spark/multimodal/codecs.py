@@ -302,3 +302,29 @@ def phash64(payload: bytes) -> int:
         if b:
             out |= 1 << i
     return out
+
+
+def audio_hash64(payload: bytes) -> int:
+    """64-bit audio fingerprint: channel-mean the samples, split the
+    track into 64 equal windows, bit = window RMS above the median
+    window RMS. The loudness CONTOUR is rate- and amplitude-relative,
+    so a resampled or volume-scaled copy of the same audio lands
+    within a small hamming distance while different material diverges
+    — the audio analog of ``phash64``, feeding the same banded
+    pairing (``binary.media_near_dup(hash_fn=audio_hash64)``)."""
+    samples, _rate = wav_decode(payload)
+    if samples.shape[0] == 0:
+        return 0
+    mono = samples.astype(np.float64).mean(axis=1)
+    n = mono.shape[0]
+    edges = (np.arange(65) * n) // 64
+    rms = np.array([
+        np.sqrt(np.mean(mono[a:b] ** 2)) if b > a else 0.0
+        for a, b in zip(edges[:-1], edges[1:])
+    ])
+    bits = rms > np.median(rms)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out

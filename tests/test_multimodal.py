@@ -299,3 +299,28 @@ def test_media_near_dup_finds_perceptual_twins_across_formats(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         media_near_dup(df, max_hamming=4, bands=4)
+
+
+def test_media_near_dup_audio_fingerprint(spark):
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import media_near_dup, resample_audio
+    from nsl_kdd_spark.multimodal.codecs import audio_hash64, wav_encode
+
+    t = np.arange(16000) / 16000.0
+    env = (np.sin(2 * np.pi * 3 * t) > 0).astype(float) * 0.8 + 0.2
+    tone = (np.sin(2 * np.pi * 440 * t) * env * 16000).astype("<i2")
+    other = (np.sin(2 * np.pi * 440 * t) * np.roll(env, 4000) * 16000).astype("<i2")
+    base = spark.createDataFrame(
+        [(1, "audio", "audio/wav", wav_encode(tone, 16000)),
+         (3, "audio", "audio/wav", wav_encode(other, 16000))],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    # id 2 = id 1 downsampled to 8 kHz: same loudness contour
+    down = resample_audio(base.filter("media_id = 1"), 8000).select(
+        (F.col("media_id") + 1).alias("media_id"), "kind", "mime", "payload"
+    )
+    df = base.select("media_id", "kind", "mime", "payload").unionByName(down)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             media_near_dup(df, hash_fn=audio_hash64).collect()}
+    assert pairs == {(1, 2)}
