@@ -32,30 +32,43 @@ PII_PATTERNS: dict[str, str] = {
     # card-like, ordered BEFORE phone so the phone pattern can never
     # match the head of a long digit run and leak its tail ("<PHONE>
     # -1111"); RE2 has no lookarounds, so ordering IS the guard. Two
-    # alternatives: a DASH-grouped-or-contiguous 13-19 digit run (a
-    # dash never joins two distinct numbers in prose, so this cannot
-    # bridge adjacent phones the way a space-tolerant run would and
-    # swallow number lists / trailing years — review r03), and the
-    # space-grouped 4-4-4-4 card form (exactly four 4-digit groups,
-    # which adjacent phone numbers cannot produce). Mixed dash+space
-    # groupings fall through to the phone pattern and may partially
-    # redact — documented residual of lookaround-free RE2.
-    "card": r"\b(?:[0-9](?:-?[0-9]){12,18}|(?:[0-9]{4} ){3}[0-9]{4})\b",
+    # alternatives: a DASH-grouped-or-contiguous run of >= 13 digits
+    # (a dash never joins two distinct numbers in prose, so this
+    # cannot bridge adjacent phones or swallow number lists; UNBOUNDED
+    # above so a 20+-digit dashed run redacts whole instead of leaking
+    # a tail past a 19-digit partial match — review r03 x2), and the
+    # space-grouped 4-4-4-4 form RESTRICTED to real card IIN leading
+    # digits [3-6] (Visa/MC/Amex/Discover/JCB/Diners), so year lists
+    # ("2019 2020 2021 2022") and most id sequences survive. Residuals
+    # of lookaround-free RE2, pinned in tests: spaced 4-digit groups
+    # that DO start 3-6 ("3000 4000 5000 6000") over-redact, and
+    # non-IIN spaced runs ("9123 4567 8901 2345") fall through to a
+    # partial phone match.
+    "card": r"\b(?:[0-9](?:-?[0-9]){12,}|[3-6][0-9]{3}(?: [0-9]{4}){3})\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
     # \b-anchored at the start so a match can't begin mid-digit-run
     # (a 16-digit card-shaped run must not leak its head as "digits +
     # <PHONE>"); the optional country-code group also admits the bare
     # 3-3-4 form (555-123-4567). (?: ) and \b are in the Java ∩ RE2
     # subset.
-    # second group {2,4} admits international city codes (+44 20 7946
-    # 0958) without eating SSNs (3-2-4 fails the {3,4} third group).
+    # the bare (cc-less) first group is {2,3}: admitting 4 digits
+    # there makes every spaced 4-4-4 run phone-shaped and redacts year
+    # lists ("2019 2020 2021"); international city codes still match
+    # via the cc parse (+44 20 7946 0958 -> cc=44). Recall trade: a
+    # 4-digit area code with NO country code ("0151 123 4567") is not
+    # matched. SSNs stay safe (3-2-4 fails the {3,4} third group).
     # one alternative per separator style: a [- ] class would let a
     # trailing space pull an unrelated following number (a year, the
     # next phone) into the match ('555-123-4567 2024' -> one match);
-    # consistent-separator alternatives can't cross that boundary
+    # consistent-separator alternatives can't cross that boundary.
+    # The country-code group is LAZY (??): a greedy optional cc shifts
+    # the groups right on 3-segment numbers and swallows a following
+    # 4-digit number ('555 123 4567 2024' -> cc=555, tail=2024 —
+    # review r03); lazy tries the cc-less parse first and only engages
+    # the cc when the bare form cannot match (+44 20 7946 0958).
     "phone": (
-        r"\+?\b(?:[0-9]{1,3}-)?[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}\b"
-        r"|\+?\b(?:[0-9]{1,3} )?[0-9]{2,4} [0-9]{3,4} [0-9]{4}\b"
+        r"\+?\b(?:[0-9]{1,3}-)??[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}\b"
+        r"|\+?\b(?:[0-9]{1,3} )??[0-9]{2,3} [0-9]{3,4} [0-9]{4}\b"
     ),
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }

@@ -318,76 +318,59 @@ def media_near_dup(
     bands: int = 4,
     id_col: str = "media_id",
     hash_fn: Callable[[bytes], int] | None = None,
+    kind: str | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Perceptual image near-duplicate pairs: Arrow-batched
-    ``codecs.phash64`` per payload, then the SAME banded-signature
-    pairing the text tier uses (``dedup.simhash_pairs`` shape) — the
-    64-bit hash splits into ``bands`` equal slices, candidates share
-    at least one slice, and an exact ``bit_count(xor)`` verifies.
-    Pigeonhole-lossless for ``max_hamming < bands`` (k < bands bit
-    flips cannot touch every band); the defaults (3, 4) keep that
-    guarantee. Returns (id_a, id_b, hamming).
+    """Perceptual media near-duplicate pairs: Arrow-batched 64-bit
+    fingerprints (``codecs.phash64`` for images by default; pass
+    ``codecs.audio_hash64`` for audio), then the shared
+    ``dedup.banded_hamming_pairs`` backend — banding, the pigeonhole
+    guarantee (``max_hamming < bands``), and the hot-bucket cap
+    (degenerate fingerprints, e.g. constant-color images all hashing
+    identically, would otherwise turn one bucket's self-join
+    quadratic) all live in the text tier's one implementation.
+    Returns (id_a, id_b, hamming).
 
-    Scale shape (100 TB of images): ONE decode pass produces 8-byte
+    Rows with NULL/empty payloads are skipped (they have no content
+    to fingerprint); pass ``kind`` to restrict a mixed-modality table
+    to one fingerprint domain — a payload whose FORMAT the codec
+    registry lacks still raises, the strict-codec policy.
+
+    Scale shape (100 TB of media): ONE decode pass produces 8-byte
     signatures; everything after operates on longs — band equi-join,
     never an all-pairs comparison; re-encoded/format-converted copies
-    collide because the hash is computed from DECODED pixels.
+    collide because the hash is computed from DECODED content.
     """
+    from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
+
     if hash_fn is None:
         from nsl_kdd_spark.multimodal.codecs import phash64
 
-        hash_fn = phash64  # images; pass codecs.audio_hash64 for audio
+        hash_fn = phash64
 
-    if not 0 <= max_hamming < bands:
-        raise ValueError(
-            f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
-            f"got {max_hamming} vs {bands}"
-        )
+    src = df
+    if kind is not None:
+        src = src.filter(F.col("kind") == kind)
+    src = src.filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    ).select(F.col(id_col).alias("__mid"), "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
+                "__mid": pdf["__mid"],
                 "phash": pdf["payload"].map(hash_fn).astype("int64"),
             })
 
-    sigs = df.mapInPandas(
+    sigs = src.mapInPandas(
         batches,
         schema=StructType([
-            StructField("media_id", LongType()),
+            StructField("__mid", LongType()),
             StructField("phash", LongType()),
         ]),
     )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = sigs.select(
-        F.col("media_id").alias("__id"),
-        "phash",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned("phash", i * width).bitwiseAND(mask)
-                for i in range(bands)
-            ])
-        ).alias("__band", "__val"),
-    )
-    a = banded.select(
-        F.col("__id").alias("id_a"), F.col("phash").alias("__ha"),
-        "__band", "__val",
-    )
-    b = banded.select(
-        F.col("__id").alias("id_b"), F.col("phash").alias("__hb"),
-        "__band", "__val",
-    )
-    return (
-        a.join(b, ["__band", "__val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha", "__hb")
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+    return banded_hamming_pairs(
+        sigs, "__mid", "phash",
+        bands=bands, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )

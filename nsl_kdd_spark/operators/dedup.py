@@ -669,3 +669,62 @@ def dedup_spans(
             F.count(F.lit(1)).alias("n_spans"),
         )
     )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from PRE-COMPUTED 64-bit signatures: split each
+    long into ``bands`` equal slices, candidates share at least one
+    slice (pigeonhole-lossless for ``max_hamming < bands``), exact
+    ``bit_count(xor)`` verifies. Returns (id_a, id_b, hamming).
+
+    The shared pairing backend for every 64-bit-signature tier —
+    simhash-style text signatures, perceptual image/audio hashes
+    (``multimodal.media_near_dup``) — so the banding/pigeonhole logic
+    and the ``max_bucket_size`` hot-bucket cap (degenerate signatures,
+    e.g. constant-color images all hashing to 0, would otherwise make
+    one bucket's self-join quadratic) live in ONE place.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
+            f"got {max_hamming} vs {bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(mask)
+                for i in range(bands)
+            ])
+        ).alias("__band", "__val"),
+    )
+    banded = _cap_buckets(banded, ["__band", "__val"], max_bucket_size)
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sig").alias("__ha"),
+        "__band", "__val",
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sig").alias("__hb"),
+        "__band", "__val",
+    )
+    return (
+        a.join(b, ["__band", "__val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
