@@ -295,6 +295,16 @@ def test_media_near_dup_finds_perceptual_twins_across_formats(spark):
              for r in media_near_dup(df).collect()}
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert pairs[(1, 2)] == 0  # same pixels, different container
+    # non-default id column + NULL payload rows are handled
+    renamed = df.withColumnRenamed("media_id", "image_id").unionByName(
+        spark.createDataFrame(
+            [(9, "image", "image/bmp", None, None)],
+            "image_id long, kind string, mime string, n_bytes long, payload binary",
+        )
+    )
+    pairs2 = {(r["id_a"], r["id_b"])
+              for r in media_near_dup(renamed, id_col="image_id").collect()}
+    assert pairs2 == {(1, 2), (1, 3), (2, 3)}
     import pytest
 
     with pytest.raises(ValueError, match="pigeonhole"):
