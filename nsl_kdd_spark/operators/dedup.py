@@ -188,7 +188,18 @@ def jaccard_pairs(
     # dedupe candidate ids while they are still 16-byte rows, then
     # fetch each side's array ONCE for the verify join. simhash takes
     # the opposite choice (its payload is 8 bytes — see simhash_pairs).
-    prefix_len = F.floor(F.size("__shs") * F.lit(1.0 - threshold)).cast("int") + 1
+    # prefix bound = |s| - ceil(t*|s|) + 1. The float form
+    # floor(|s|*(1-t)) equals that EXCEPT when t*|s| is an exact
+    # integer and binary rounding pulls |s|*(1-t) a hair BELOW it
+    # (10 * (1-0.8) = 1.9999999999999996 -> floor 1, prefix one
+    # SHORT -> a boundary pair like jaccard == 0.8 with A ⊂ B loses
+    # its only shared prefix element; observed at sf0.1). The 1e-9
+    # nudge only ever crosses an integer in exactly that case, so the
+    # bound stays lossless and never widens by a full element.
+    prefix_len = (
+        F.floor(F.size("__shs") * F.lit(1.0 - threshold) + F.lit(1e-9)).cast("int")
+        + 1
+    )
     idx = ordered.select(
         "__id", F.explode(F.slice("__shs", 1, prefix_len)).alias("__sh")
     )

@@ -440,3 +440,22 @@ def test_bigram_logprob_order_sensitivity_and_short_docs(spark):
     assert out[1]["nll_mnats"] == -iln_ab and out[1]["n_bigrams"] == 1
     assert out[3]["nll_mnats"] == -(iln_ab + iln_bb + iln_ba)
     assert out[3]["n_bigrams"] == 3
+
+
+def test_jaccard_prefix_filter_keeps_exact_threshold_boundary_pair(spark):
+    """jaccard == t exactly, with A's shingles a subset of B's: the
+    float form of the prefix bound (floor(|s|*(1-t))) rounds BELOW the
+    integer when t*|s| is exact (10*(1-0.8) -> 1.999...96) and loses
+    the pair's only shared prefix element (found at sf0.1; fixed with
+    an epsilon nudge). 10 distinct trigrams vs 8, intersection 8."""
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+
+    a = "small join join merge scan group a big join key"
+    b = a + " dup dup"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    out = [(r["id_a"], r["id_b"], r["jaccard"])
+           for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()]
+    assert out == [(1, 2, 0.8)]
