@@ -3990,6 +3990,65 @@ def q101_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time lookup over SCD2 history (the read pattern q93's
+# versions exist for): "what was every user's event_type at time T"
+# = one interval predicate over the history — no window, no as-of
+# sort at read time; the history build already paid the ordering.
+# T is the fixture's mid-range (events span Jan 2024); half-open
+# [from, to) intervals make the answer unique per key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q102_point_in_time",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), keep AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ), hist AS (
+      SELECT user_id, event_type,
+             ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+      FROM keep
+    )
+    SELECT user_id, event_type AS state_at_t, effective_from
+    FROM hist
+    WHERE effective_from <= TIMESTAMP '2024-01-15 12:00:00'
+      AND (effective_to IS NULL
+           OR effective_to > TIMESTAMP '2024-01-15 12:00:00')
+    ORDER BY user_id
+    """,
+)
+def q102_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.merge import scd2_history
+
+    t = load_tables(spark, sf_dir)
+    at = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    hist = scd2_history(
+        t.events, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
+    )
+    return (
+        hist.filter(
+            (F.col("effective_from") <= at)
+            & (F.col("effective_to").isNull() | (F.col("effective_to") > at))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_t"),
+            "effective_from",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
