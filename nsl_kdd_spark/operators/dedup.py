@@ -193,12 +193,17 @@ def jaccard_pairs(
     # integer and binary rounding pulls |s|*(1-t) a hair BELOW it
     # (10 * (1-0.8) = 1.9999999999999996 -> floor 1, prefix one
     # SHORT -> a boundary pair like jaccard == 0.8 with A ⊂ B loses
-    # its only shared prefix element; observed at sf0.1). The 1e-9
-    # nudge only ever crosses an integer in exactly that case, so the
-    # bound stays lossless and never widens by a full element.
+    # its only shared prefix element; observed at sf0.1). The nudge
+    # has an ABSOLUTE term for small sizes and a RELATIVE term so the
+    # compensation keeps pace with the product's ulp for huge shingle
+    # sets (double error is relative; a fixed 1e-9 stops covering it
+    # past |s|*(1-t) ~ 4e6 — review r03). Both terms are orders of
+    # magnitude below 1, so the bound can only round UP to the exact
+    # integer, never cross to the next one: lossless, never wider
+    # than one extra element.
+    approx = F.size("__shs") * F.lit(1.0 - threshold)
     prefix_len = (
-        F.floor(F.size("__shs") * F.lit(1.0 - threshold) + F.lit(1e-9)).cast("int")
-        + 1
+        F.floor(approx + F.lit(1e-9) + approx * F.lit(1e-12)).cast("int") + 1
     )
     idx = ordered.select(
         "__id", F.explode(F.slice("__shs", 1, prefix_len)).alias("__sh")

@@ -200,10 +200,10 @@ def _describe_oracle_block(col: str) -> str:
     SELECT '{col}' AS "column",
            CAST(COUNT({col}) AS DOUBLE) AS count,
            CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col}) AS mean,
-           ROUND(SQRT((CAST(SUM(CAST({col} AS DECIMAL(18,2)) * CAST({col} AS DECIMAL(18,2))) AS DOUBLE)
+           FLOOR(SQRT((CAST(SUM(CAST({col} AS DECIMAL(18,2)) * CAST({col} AS DECIMAL(18,2))) AS DOUBLE)
                  - CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)
                    * CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT({col}) AS DOUBLE))
-                / (CAST(COUNT({col}) AS DOUBLE) - 1.0)), 6) AS stddev,
+                / (CAST(COUNT({col}) AS DOUBLE) - 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS stddev,
            CAST(MIN({col}) AS DOUBLE) AS min,
            CAST(MAX({col}) AS DOUBLE) AS max
     FROM lineitem
@@ -226,9 +226,15 @@ def q05_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg(c).alias(f"{c}__mean"),
             # decimal sums are exact at any SF, but the final
             # decimal->double conversions can differ by 1 ulp between
-            # engines once sums exceed 2^53 (observed at sf0.1);
-            # rounding the DERIVED stat pins bit-equality at every SF
-            F.round(exact_stddev(c), 6).alias(f"{c}__stddev"),
+            # engines once sums exceed 2^53 (observed at sf0.1). The
+            # quantization is spelled as floor(x*1e6 + 0.5)/1e6 on
+            # BOTH engines — the same IEEE ops in the same order, so
+            # the outputs are structurally identical doubles (a
+            # built-in round() would re-introduce engine-specific
+            # double-rounding algorithms — review r03)
+            (
+                F.floor(exact_stddev(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias(f"{c}__stddev"),
             F.min(c).cast("double").alias(f"{c}__min"),
             F.max(c).cast("double").alias(f"{c}__max"),
         ]
@@ -1467,8 +1473,8 @@ def _pearson_sql(x: str, y: str) -> str:
              CAST(RANK() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ry
       FROM lineitem
     )
-    SELECT (SELECT ROUND({_pearson_sql('l_quantity', 'l_extendedprice')}, 9) FROM lineitem) AS pearson,
-           (SELECT ROUND({_pearson_sql('rx', 'ry')}, 9) FROM ranked) AS spearman
+    SELECT (SELECT FLOOR(({_pearson_sql('l_quantity', 'l_extendedprice')}) * 1000000000.0 + 0.5) / 1000000000.0 FROM lineitem) AS pearson,
+           (SELECT FLOOR(({_pearson_sql('rx', 'ry')}) * 1000000000.0 + 0.5) / 1000000000.0 FROM ranked) AS spearman
     """,
 )
 def q41_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,19 +1483,21 @@ def q41_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window
 
-    # round the derived stat (not the exact sums): the decimal ->
+    # quantize the derived stat (not the exact sums): the decimal ->
     # double conversions inside the combine can differ by 1 ulp
-    # between engines at large SF
+    # between engines at large SF; floor(x*1e9+0.5)/1e9 runs the SAME
+    # IEEE ops on both engines (see q05)
+    def _q9(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
     pearson_df = t.lineitem.agg(
-        F.round(exact_corr("l_quantity", "l_extendedprice"), 9).alias("pearson")
+        _q9(exact_corr("l_quantity", "l_extendedprice")).alias("pearson")
     )
     ranked = t.lineitem.select(
         F.rank().over(Window.orderBy("l_quantity")).cast("double").alias("rx"),
         F.rank().over(Window.orderBy("l_extendedprice")).cast("double").alias("ry"),
     )
-    spearman_df = ranked.agg(
-        F.round(exact_corr("rx", "ry"), 9).alias("spearman")
-    )
+    spearman_df = ranked.agg(_q9(exact_corr("rx", "ry")).alias("spearman"))
     return pearson_df.crossJoin(spearman_df)
 
 
@@ -3018,8 +3026,8 @@ def q79_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            i::BIGINT AS dim,
-           ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-             / COUNT(*), 6) AS centroid,
+           (CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0) / COUNT(*) AS centroid,
            COUNT(*)::BIGINT AS n
     FROM embeddings, unnest(generate_series(1, 64)) t(i)
     GROUP BY label, i ORDER BY label, dim
@@ -3031,14 +3039,23 @@ def q80_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
         .agg(
-            # float->decimal(18,9) element rounding can split between
-            # engines on exact half-boundaries at scale; round the
-            # derived mean so the oracle agrees at every SF
-            F.round(
-                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
+            # per-element INTEGER quantization (floor(x*1e9+0.5), the
+            # q95 fixed-point pattern): identical IEEE ops on both
+            # engines produce identical integers, integer sums are
+            # order-free, and the final two divisions are the same
+            # double ops — exact parity at ANY scale, with no
+            # decimal-cast half-boundary or output-rounding budget to
+            # outgrow (review r03)
+            (
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(1e9)
+                )
+                / F.count(F.lit(1))
             ).alias("centroid"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -3594,12 +3611,15 @@ def q92_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into type-2 dimension versions of each user's event_type —
 # consecutive repeats fold, each version carries
 # effective_from/effective_to/is_current. Two stacked windows on one
-# Exchange. Oracle: identical lag-change-detect + lead SQL.
+# Exchange. Oracle: identical lag-change-detect + lead SQL, shared
+# with q102 via _scd2_history_sql so the two cannot drift.
 # ---------------------------------------------------------------------------
 
-@query(
-    "q93_scd2_history",
-    oracle="""
+def _scd2_history_sql() -> str:
+    """The SCD2 history derivation as shareable CTE SQL — used by the
+    q93 and q102 oracles verbatim (the _describe_oracle_block
+    pattern), so the two oracles for one operator stay in lockstep."""
+    return """
     WITH v AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER
@@ -3613,14 +3633,21 @@ def q92_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- so same-ts versions order exactly like the Spark side
       SELECT user_id, event_type, ts, event_id
       FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type
-    )
-    SELECT user_id, event_type,
-           ts AS effective_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS effective_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             IS NULL AS is_current
-    FROM keep
+    ), hist AS (
+      SELECT user_id, event_type,
+             ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+      FROM keep
+    )"""
+
+
+@query(
+    "q93_scd2_history",
+    oracle=_scd2_history_sql() + """
+    SELECT user_id, event_type, effective_from, effective_to,
+           effective_to IS NULL AS is_current
+    FROM hist
     ORDER BY user_id, effective_from
     """,
 )
@@ -4000,24 +4027,7 @@ def q101_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q102_point_in_time",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-             row_number() OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
-    ), keep AS (
-      SELECT user_id, event_type, ts, event_id
-      FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type
-    ), hist AS (
-      SELECT user_id, event_type,
-             ts AS effective_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS effective_to
-      FROM keep
-    )
+    oracle=_scd2_history_sql() + """
     SELECT user_id, event_type AS state_at_t, effective_from
     FROM hist
     WHERE effective_from <= TIMESTAMP '2024-01-15 12:00:00'
