@@ -115,6 +115,80 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the ranking function behind classic search retrieval and a
+    standard corpus-vs-query relevance filter for pretraining data.
+
+    Output: (id, n_terms, bm25_u) for documents matching >=1 term,
+    where ``bm25_u`` is the BM25 score in integer micro-units:
+    per-(doc, term) partial scores are quantized to micro-units BEFORE
+    the per-doc sum, so the aggregate is an integer sum —
+    order-independent and bit-identical across engines (the q95
+    fixed-point pattern). Per-term formula (idf per Robertson/Sparck
+    Jones, +1 so it stays positive):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d, t) = idf(t) * tf * (k1 + 1)
+                  / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Scale shape (100 TB): one token explode feeds two grouped counts
+    (per-doc length, per-doc-term tf — both map-side combined); the
+    df table is query-sized and the corpus stats are one row, so both
+    broadcast back onto the tf table. The corpus never shuffles on
+    anything but (doc, token); no windows, no driver collect.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(list(query_terms)))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__total")
+    )
+    # written as the exact expression tree the oracle SQL states, so
+    # the double math is IEEE-identical before quantization
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("__total").cast("double") / F.col("__n").cast("double")
+    denom = F.col("tf") + F.lit(k1) * (
+        1.0 - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "token",
+            F.round(term_score * F.lit(float(scale))).cast("long").alias("__su"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__su").alias("bm25_u"),
+        )
+    )
+
+
 def tfidf_similarity(
     model: PipelineModel,
     corpus: DataFrame,
@@ -369,3 +443,50 @@ def bigram_logprob(
         .join(scored, id_col, "left")
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+    max_postings: int | None = None,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Build an inverted index: one row per term with its document
+    frequency, total term frequency, and the sorted posting list of
+    document ids — the retrieval-side structure BM25/TF-IDF queries
+    probe, and the exact-dedup primitive for "which docs contain this
+    shingle".
+
+    Output: (token, df_count, cf_count, postings) with ``postings`` a
+    sorted array<id>. ``min_df``/``max_df`` drop rare/stopword terms
+    (the vocabulary-pruning knob); ``max_postings`` truncates each
+    list to the first k doc ids AFTER sorting — a documented cap, not
+    a silent one, for hot terms whose full posting list would blow a
+    single row at corpus scale.
+
+    Scale shape: one (doc, token) grouped count (map-side combined),
+    then one token-keyed aggregation building the list. Posting lists
+    for planet-scale hot terms should instead stay EXPLODED (keep the
+    (token, doc) table bucketed by token) — this materialized-array
+    form is for vocabulary-bounded indexes; the cap keeps the row
+    bounded either way.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    idx = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.sum("tf").alias("cf_count"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+    if max_df is not None:
+        idx = idx.filter(F.col("df_count") <= max_df)
+    idx = idx.filter(F.col("df_count") >= min_df)
+    if max_postings is not None:
+        idx = idx.withColumn("postings", F.slice("postings", 1, max_postings))
+    return idx.orderBy("token")

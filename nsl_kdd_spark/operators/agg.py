@@ -154,3 +154,59 @@ def profile(df: DataFrame, columns: Sequence[str], exact_scale: int | None = Non
         .select("s.*")
         .orderBy("col_name")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group winsorized summary: clip ``value_col`` to the group's
+    [p_lo, p_hi] exact percentiles, report the clipped mean/sum plus
+    clip counts — the standard outlier-robust normalization before
+    feature scaling or reward modeling.
+
+    Output per group: (group, n, n_lo, n_hi, lo, hi, sum_u, mean_u)
+    where ``sum_u``/``mean_u`` are the clipped sum/mean in integer
+    micro-units (each clipped value quantized BEFORE the sum — the
+    fixed-point exact tier, order-independent across engines). ``lo``
+    / ``hi`` are the interpolated percentile bounds (exact
+    ``F.percentile``, the q52-verified cross-engine semantics).
+
+    Scale shape: ONE grouped pass computes both percentile bounds
+    (exact percentile is memory-hungry at 100 TB — swap for
+    ``approx_percentile`` there, same plan); bounds are a
+    group-cardinality table that broadcasts back onto the fact table;
+    the clipped re-aggregation is a second map-side-combined pass. No
+    windows over the fact table.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(p_lo)).alias("lo"),
+        F.percentile(v, F.lit(p_hi)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .select(
+            group_col,
+            "lo",
+            "hi",
+            (v < F.col("lo")).cast("long").alias("__is_lo"),
+            (v > F.col("hi")).cast("long").alias("__is_hi"),
+            F.round(clipped * F.lit(float(scale))).cast("long").alias("__cu"),
+        )
+        .groupBy(group_col, "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__is_lo").alias("n_lo"),
+            F.sum("__is_hi").alias("n_hi"),
+            F.sum("__cu").alias("sum_u"),
+            F.expr("sum(__cu) div count(1)").alias("mean_u"),
+        )
+        .select(group_col, "n", "n_lo", "n_hi", "lo", "hi", "sum_u", "mean_u")
+        .orderBy(group_col)
+    )

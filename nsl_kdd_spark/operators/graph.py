@@ -87,6 +87,89 @@ def connected_components(
     return labels.orderBy("node")
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pm: int = 850,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration damped PageRank, exact fixed-point arithmetic.
+
+    Returns (node, rank) for every node appearing in ``edges``, where
+    ``rank`` is a BIGINT in units of ``1/scale`` (ranks sum to ~scale).
+    All arithmetic is integer (``div`` floor division, damping as a
+    permille integer), so the result is bit-identical across engines,
+    partitionings and retries — the fixed-point twin of the decimal
+    ``exact_*`` tier. Per iteration, for every node v:
+
+        share(u)   = rank(u) div outdeg(u)          (u with out-edges)
+        contrib(v) = sum over in-edges u->v of share(u)
+        dangling   = sum of rank(u) over sink nodes (outdeg = 0)
+        rank'(v)   = ((1000 - d) * (scale div N)
+                      + d * (contrib(v) + dangling div N)) div 1000
+
+    Dangling mass is redistributed uniformly (the standard treatment),
+    so bipartite sink-heavy graphs keep total rank ~constant.
+
+    Scale shape (100 TB): the loop is driver control flow only; each
+    iteration is one equi-join edges->ranks (shuffle on node key) +
+    one grouped integer sum + a 1-row dangling aggregate cross-joined
+    back (no driver scalar round-trip). Rank tables are
+    ``localCheckpoint``ed per iteration to truncate the self-referential
+    lineage — on a real cluster use reliable ``checkpoint()``. For
+    web-scale graphs pre-partition edges by ``dst`` and ranks by
+    ``node`` so the per-iteration shuffle reuses one partitioning.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint()
+    )
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0).cast("long").alias("rank"))
+    teleport = scale // n
+    ranks = base.withColumn("rank", F.lit(teleport).cast("long"))
+
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .filter(F.col("outdeg") > 0)
+            .select("dst", F.expr("rank div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dang = ranks.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"({(1000 - damping_pm) * teleport} "
+                    f"+ {damping_pm} * (coalesce(contrib, 0) "
+                    f"+ (dang div {n}))) div 1000"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks.select("node", "rank")
+
+
 def component_sizes(components: DataFrame) -> DataFrame:
     """(component, n_nodes), largest first — the dedup-cluster report."""
     return (

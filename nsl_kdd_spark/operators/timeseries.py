@@ -223,3 +223,56 @@ def rolling_ewma(
         .withColumn("ewma", num / den)
         .drop("__lst")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k_x10: int = 30,
+) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation:
+    a point is an outlier when ``|v - median| > (k_x10/10) * MAD`` —
+    the classic distribution-free rule (k=3 by default), immune to the
+    outliers themselves unlike z-scores (``functions.scalar.zscore``).
+
+    Output per group: (group, n, med, mad, n_outliers, outlier_ppm).
+    Medians are exact interpolated percentiles (q52-verified
+    cross-engine semantics); the flag compares doubles both engines
+    derive through the identical expression tree, and the counts/ppm
+    are integers — deterministic under any partitioning.
+
+    Scale shape: two grouped percentile passes (median, then median of
+    absolute deviations — inherently sequential), each map-side
+    partial; the per-group median tables broadcast back. At 100 TB
+    swap exact percentile for ``approx_percentile`` with a pinned
+    accuracy, same plan shape.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    dev = df.join(F.broadcast(med), group_col)
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), group_col)
+        .select(
+            group_col,
+            "med",
+            "mad",
+            (
+                F.abs(v - F.col("med"))
+                > (F.lit(k_x10).cast("double") / F.lit(10.0)) * F.col("mad")
+            ).cast("long").alias("__out"),
+        )
+    )
+    return (
+        flagged.groupBy(group_col, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__out").alias("n_outliers"),
+            F.expr("(sum(__out) * 1000000) div count(1)").alias("outlier_ppm"),
+        )
+        .select(group_col, "n", "med", "mad", "n_outliers", "outlier_ppm")
+        .orderBy(group_col)
+    )

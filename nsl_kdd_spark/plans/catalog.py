@@ -4059,6 +4059,284 @@ def q102_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank (operators/graph.pagerank): fixed-iteration damped
+# centrality over the customer->supplier purchase graph, exact
+# fixed-point integer arithmetic (ranks in 1e-12 units) so the
+# iterative join+agg loop hash-matches DuckDB's unrolled-CTE replay
+# bit-for-bit — the iterative-graph sibling of q58's connected
+# components. Keys are disambiguated even/odd so customer and
+# supplier ids share one node space.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    tele = f"(SELECT {_PR_SCALE} // n FROM nn)"
+    n_sq = "(SELECT n FROM nn)"
+    parts = [f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ), deg AS (
+      SELECT nodes.node, COALESCE(d.c, 0) AS outdeg
+      FROM nodes LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d
+        ON d.src = nodes.node
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, outdeg, {tele} AS rank FROM deg)"""]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+    r{k}_h AS (
+      SELECT d.node, d.outdeg,
+        (150 * {tele}
+         + 850 * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(rank), 0) FROM r{k - 1}
+                     WHERE outdeg = 0) // {n_sq})) // 1000 AS rank_h
+      FROM deg d
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // r.outdeg) AS contrib
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY e.dst
+      ) c ON c.node = d.node
+    ), r{k} AS (
+      SELECT node, outdeg, CAST(rank_h AS BIGINT) AS rank FROM r{k}_h
+    )""")
+    parts.append(f"""
+    SELECT node, rank FROM r{_PR_ITERS}
+    ORDER BY rank DESC, node LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@query("q103_pagerank", oracle=_pagerank_oracle())
+def q103_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping_pm=850, scale=_PR_SCALE
+    )
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (ml/text_features.bm25_scores): Okapi BM25
+# of every document against a query bag — the search-ranking
+# complement of q67's TF-IDF. Per-term partials are quantized to
+# integer micro-units before the per-doc sum (the q95 fixed-point
+# pattern), so scores are order-independent and hash-match.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "stream", "merge", "window")
+
+
+@query(
+    "q104_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents
+    ), clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM clean GROUP BY 1),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM clean
+      WHERE token IN {_BM25_TERMS!r} GROUP BY 1, 2
+    ), dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM dl
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+                  * CAST(dl.dl AS DOUBLE)
+                  / (CAST(stats.total AS DOUBLE) / CAST(stats.n AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS su
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(su) AS BIGINT) AS bm25_u
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_u DESC, doc_id LIMIT 15
+    """,
+)
+def q104_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import bm25_scores
+
+    t = load_tables(spark, sf_dir)
+    return (
+        bm25_scores(t.documents, list(_BM25_TERMS), k1=1.2, b=0.75)
+        .orderBy(F.desc("bm25_u"), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (operators/cohort.cohort_retention): users bucketed
+# by first-activity ISO week x activity-week offset — the engagement
+# matrix every product-analytics stack derives from the event log.
+# Counts + integer-ppm ratios only, so rows hash-match exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q105_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events
+    ), first AS (
+      SELECT u, MIN(p) AS cohort FROM activity GROUP BY u
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort
+    ), ret AS (
+      SELECT f.cohort,
+             (CAST(floor(epoch(a.p)) AS BIGINT)
+              - CAST(floor(epoch(f.cohort)) AS BIGINT)) // 604800
+               AS week_offset,
+             COUNT(*) AS n_users
+      FROM activity a JOIN first f ON a.u = f.u
+      GROUP BY 1, 2 HAVING week_offset <= 12
+    )
+    SELECT CAST(r.cohort AS TIMESTAMP) AS cohort,
+           r.week_offset, r.n_users, s.cohort_size,
+           (r.n_users * 1000000) // s.cohort_size AS retention_ppm
+    FROM ret r JOIN sizes s ON r.cohort = s.cohort
+    ORDER BY r.cohort, r.week_offset
+    """,
+)
+def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.cohort import cohort_retention
+
+    t = load_tables(spark, sf_dir)
+    return cohort_retention(
+        t.events, "user_id", "ts", period="week", max_offset=12
+    ).withColumnRenamed("offset", "week_offset")
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats (agg.winsorize): clip to per-group exact
+# [p01, p99] percentiles (the q52-verified interpolation semantics),
+# then fixed-point clipped sums — outlier-robust normalization before
+# feature scaling. Bounds are doubles both engines derive identically;
+# every aggregate is an integer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q106_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+      SELECT l.l_returnflag, b.lo, b.hi,
+             CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END AS is_hi,
+             CAST(ROUND(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)
+                        * 1000000.0) AS BIGINT) AS cu
+      FROM lineitem l JOIN bounds b USING (l_returnflag)
+    )
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(is_lo) AS BIGINT) AS n_lo,
+           CAST(SUM(is_hi) AS BIGINT) AS n_hi,
+           lo, hi,
+           CAST(SUM(cu) AS BIGINT) AS sum_u,
+           CAST(SUM(cu) AS BIGINT) // COUNT(*) AS mean_u
+    FROM c GROUP BY l_returnflag, lo, hi
+    ORDER BY l_returnflag
+    """,
+)
+def q106_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return agg.winsorize(
+        t.lineitem, "l_extendedprice", "l_returnflag", 0.01, 0.99
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier profile (timeseries.mad_outliers): median-absolute-
+# deviation rule |v - med| > 3 * MAD per event type — the robust
+# anomaly screen (z-scores move with the outliers; MAD doesn't).
+# Medians via the q52-verified exact percentile; counts/ppm integer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q107_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    ), flagged AS (
+      SELECT e.event_type, m.med, d.mad,
+             CASE WHEN abs(e.value - m.med) > (30.0 / 10.0) * d.mad
+                  THEN 1 ELSE 0 END AS o
+      FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n, med, mad,
+           CAST(SUM(o) AS BIGINT) AS n_outliers,
+           (CAST(SUM(o) AS BIGINT) * 1000000) // COUNT(*) AS outlier_ppm
+    FROM flagged GROUP BY event_type, med, mad
+    ORDER BY event_type
+    """,
+)
+def q107_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.timeseries import mad_outliers
+
+    t = load_tables(spark, sf_dir)
+    return mad_outliers(t.events, "value", "event_type", k_x10=30)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (ml/text_features.inverted_index): term -> (df, cf,
+# sorted posting list) — the retrieval structure BM25 probes and the
+# doc-containment primitive for shingle lookups. Array outputs
+# compare element-wise across engines (both sides sort explicitly).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q108_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks
+      WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT token, COUNT(*) AS df_count,
+           CAST(SUM(tf) AS BIGINT) AS cf_count,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM tf GROUP BY token
+    HAVING COUNT(*) >= 5
+    ORDER BY token
+    """,
+)
+def q108_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import inverted_index
+
+    t = load_tables(spark, sf_dir)
+    return inverted_index(t.documents, min_df=5)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

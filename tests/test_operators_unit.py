@@ -459,3 +459,120 @@ def test_jaccard_prefix_filter_keeps_exact_threshold_boundary_pair(spark):
     out = [(r["id_a"], r["id_b"], r["jaccard"])
            for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()]
     assert out == [(1, 2, 0.8)]
+
+
+def test_pagerank_star_graph_and_dangling(spark):
+    """Star graph 1->{2,3,4}: the hub is a source, leaves are sinks
+    (dangling); leaves end equal by symmetry, total rank stays ~scale
+    because dangling mass is redistributed, and results are exact
+    integers (repeatable bit-for-bit)."""
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["src", "dst"]
+    )
+    r = {row.node: row.rank for row in pagerank(edges, iterations=5).collect()}
+    assert set(r) == {1, 2, 3, 4}
+    assert r[2] == r[3] == r[4]
+    assert r[2] > r[1]  # leaves absorb the hub's mass
+    total = sum(r.values())
+    # integer floor-division leaks < a few units per node per iteration
+    assert abs(total - 10**12) < 100 * 5 * 4
+    r2 = {row.node: row.rank for row in pagerank(edges, iterations=5).collect()}
+    assert r == r2  # bit-exact repeatability
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """A directed cycle is perfectly symmetric: every node must hold
+    exactly the same rank after any number of iterations."""
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    ranks = [row.rank for row in pagerank(edges, iterations=3).collect()]
+    assert len(set(ranks)) == 1
+
+
+def test_bm25_favors_term_dense_short_doc(spark):
+    """Same tf in a shorter doc scores higher (length normalization),
+    and a doc with zero query terms is absent."""
+    from nsl_kdd_spark.ml.text_features import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark filler"),
+            (2, "spark spark " + "filler " * 20),
+            (3, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].bm25_u > out[2].bm25_u
+    assert out[1].n_terms == 1
+
+
+def test_cohort_retention_offsets_and_ppm(spark):
+    from nsl_kdd_spark.operators.cohort import cohort_retention
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),  # week of Jan 1 (Monday)
+            (1, "2024-01-08 09:00:00"),  # next week -> offset 1
+            (2, "2024-01-02 10:00:00"),  # same cohort, never returns
+            (3, "2024-01-09 10:00:00"),  # second cohort
+        ],
+        ["user_id", "ts_s"],
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    rows = {
+        (r.cohort.isoformat(), r.offset): (r.n_users, r.cohort_size, r.retention_ppm)
+        for r in cohort_retention(events, max_offset=12).collect()
+    }
+    assert rows[("2024-01-01T00:00:00", 0)] == (2, 2, 1000000)
+    assert rows[("2024-01-01T00:00:00", 1)] == (1, 2, 500000)
+    assert rows[("2024-01-08T00:00:00", 0)] == (1, 1, 1000000)
+    assert len(rows) == 3
+
+
+def test_winsorize_clips_both_tails(spark):
+    from nsl_kdd_spark.operators.agg import winsorize
+
+    vals = [(float(i), "g") for i in range(1, 100)] + [(10_000.0, "g"), (-10_000.0, "g")]
+    df = spark.createDataFrame(vals, ["v", "g"])
+    row = winsorize(df, "v", "g", 0.01, 0.99).collect()[0]
+    assert row.n == 101
+    assert row.n_lo == 1 and row.n_hi == 1
+    # clipped sum must be far below the raw sum (raw has +-10k spikes)
+    assert row.sum_u < 6_000 * 1_000_000
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    from nsl_kdd_spark.operators.timeseries import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0), ("b", 5.0), ("b", 5.0)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {r.event_type: r for r in mad_outliers(df, "value", "event_type").collect()}
+    assert out["a"].n_outliers == 1          # only the 1000 spike
+    assert out["b"].n_outliers == 0          # zero MAD, zero deviation
+    assert out["a"].outlier_ppm == 1_000_000 // 6
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    from nsl_kdd_spark.ml.text_features import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "b a"), (1, "a a c"), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    idx = {r.token: r for r in inverted_index(docs).collect()}
+    assert idx["a"].postings == [1, 2, 3]
+    assert idx["a"].df_count == 3 and idx["a"].cf_count == 4
+    assert idx["b"].postings == [2, 3]
+    capped = {
+        r.token: r.postings
+        for r in inverted_index(docs, max_postings=2).collect()
+    }
+    assert capped["a"] == [1, 2]
