@@ -45,6 +45,9 @@ HEADLINE = [
     "q91_span_dedup",
     "q94_semantic_dedup",
     "q95_unigram_logprob",
+    # round-4 tier: iterative graph centrality + retrieval scoring
+    "q103_pagerank",
+    "q104_bm25",
 ]
 
 

@@ -4380,11 +4380,16 @@ def q108_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r01+r02; window family held by q70's RANGE frames) -> q98 rank
 # bins; q27 exact dedup (green r01+r02; exact tier runs inside the
 # in-window q57 funnel) -> q96 z-order layout.
+# Round-4 swaps, same rule: q02 group-count (green r01+r02; the A1
+# surface is implicit in every in-window counting aggregate —
+# q04/q07/q68/q105) -> q103 PageRank (fixed-point iterative graph,
+# the q58 sibling); q12 one-hot (green r01+r02; D2/M4 gated by
+# pipeline tests + q11's mapping surface) -> q104 BM25 scoring.
 DRIVER_WINDOW = [
-    "q01_pricing_summary", "q02_group_count", "q03_revenue_by_nation",
+    "q01_pricing_summary", "q103_pagerank", "q03_revenue_by_nation",
     "q04_crosstab", "q05_describe", "q06_distinct_count",
     "q07_grouped_avg", "q08_topk_per_group", "q97_corpus_mixture",
-    "q10_anti_join", "q11_label_map", "q12_one_hot", "q13_zscore",
+    "q10_anti_join", "q11_label_map", "q104_bm25", "q13_zscore",
     "q82_pack_chunks", "q15_vote_blend", "q16_json_extract",
     "q98_rank_bins", "q19_rollup", "q81_pii_scrub", "q21_binary_metrics",
     "q22_auc_roc", "q23_attribute_ratio", "q24_text_stats", "q95_unigram_logprob",
