@@ -84,3 +84,56 @@ def select_features(ar_rows: list, min_ar: float) -> list[str]:
     """Driver-side threshold selection (A10, README.md:1171): input is
     the tiny collected (feature, ratio) list."""
     return [r["feature"] for r in ar_rows if r["ratio"] is not None and r["ratio"] >= min_ar]
+
+
+def mutual_information(
+    df,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+):
+    """Mutual information I(X;Y) between two categorical columns, in
+    integer micro-nats — the model-free dependence screen that
+    complements Attribute Ratio above (AR ranks features by
+    class-conditional means; MI catches non-linear association).
+
+    I(X;Y) = sum over cells (n_xy/N) * ln(n_xy * N / (n_x * n_y)).
+    Each cell's contribution is quantized to micro-nats BEFORE the
+    sum (the fixed-point tier), so the aggregate is an integer sum —
+    bit-identical across engines and partitionings. Output one row:
+    (n, n_cells, mi_unats).
+
+    Scale shape: one grouped count over (x, y) — map-side combined —
+    then two tiny marginal aggregations derived FROM the cell table
+    (never rescanning the fact table), broadcast back onto it.
+    Cell-table cardinality bounds everything; bucket
+    high-cardinality columns first.
+    """
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    mx = cells.groupBy("__x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("__y").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    term_u = F.round(
+        (F.col("n_xy").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            F.col("n_xy").cast("double") * F.col("n").cast("double")
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        )
+        * F.lit(float(scale))
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+        .select("n", term_u.alias("__tu"))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("__tu").alias("mi_unats"),
+        )
+        .select("n", "n_cells", "mi_unats")
+    )

@@ -78,3 +78,56 @@ def funnel_steps(
         [(i + 1, s, c) for i, (s, c) in enumerate(zip(steps, counts))],
         "step_idx long, step string, users long",
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) pair of CONSECUTIVE
+    events of the same user, the transition count and its probability
+    among all transitions leaving ``from_type`` (integer ppm — exact
+    across engines).
+
+    Ties in ``ts_col`` are broken by ``tiebreak_col`` (pass the event
+    id for a total order; without it, same-timestamp transitions are
+    engine-dependent and the result is only count-stable).
+
+    Scale shape (100 TB of events): ONE window sort per user
+    partition (the log shuffles once on the user key — unavoidable
+    for sequence semantics), then a map-side-combined pair count; the
+    per-from totals are a tiny table broadcast back. Heavy users skew
+    the user-key shuffle — salt or sessionize first if one user is a
+    measurable fraction of the log.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("(n * 1000000) div n_from").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -4337,6 +4337,104 @@ def q108_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Markov transition matrix (operators/funnel.event_transitions):
+# per-user consecutive-event pairs -> (from, to) counts + integer-ppm
+# transition probabilities — the behavioral-sequence complement of
+# the q75 funnel. One user-key window sort, then map-side pair
+# counts; ties broken by event_id for a total order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q109_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n, t.n_from,
+           (p.n * 1000000) // t.n_from AS p_ppm
+    FROM pairs p JOIN totals t USING (from_type)
+    ORDER BY p.from_type, p.to_type
+    """,
+)
+def q109_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.funnel import event_transitions
+
+    t = load_tables(spark, sf_dir)
+    return event_transitions(
+        t.events, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (ml/ar.mutual_information): model-free
+# dependence between two categoricals in integer micro-nats — the
+# fixed-point information-theory tier beside AR (q23) and Pearson
+# (q41). Each cell's (p * ln(p / q)) contribution quantizes before
+# the sum, so the result is one exact integer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q110_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n_xy
+      FROM orders GROUP BY 1, 2
+    ), mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT tot.n,
+        CAST(ROUND(
+          (CAST(c.n_xy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+          * LN(CAST(c.n_xy AS DOUBLE) * CAST(tot.n AS DOUBLE)
+               / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+          * 1000000.0) AS BIGINT) AS tu
+      FROM cells c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y
+      CROSS JOIN tot
+    )
+    SELECT n, COUNT(*) AS n_cells, CAST(SUM(tu) AS BIGINT) AS mi_unats
+    FROM terms GROUP BY n
+    """,
+)
+def q110_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.ar import mutual_information
+
+    t = load_tables(spark, sf_dir)
+    return mutual_information(t.orders, "o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketch): fixed-memory token-frequency
+# estimation — the 100 TB scale path beside the exact heavy-hitter
+# pass (q92), as HLL/GK (q63) is to exact distinct/percentiles.
+# xxhash64 seeding is Spark-specific -> rows-only driver check;
+# the overcount contract (est >= true, bounded overshoot) is pinned
+# in tests/test_operators_unit.py.
+# ---------------------------------------------------------------------------
+
+@query("q111_count_min")
+def q111_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sketch import count_min_build, count_min_estimate
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = count_min_build(toks, "token", depth=4, width=2048)
+    est = count_min_estimate(sketch, toks, "token", depth=4, width=2048)
+    return est.orderBy(F.desc("est"), "token").limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

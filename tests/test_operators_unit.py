@@ -3,6 +3,8 @@ in-memory frames — the SURVEY §5 per-operator test tier."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from nsl_kdd_spark.operators import agg, relational, windows
@@ -576,3 +578,71 @@ def test_inverted_index_postings_sorted_and_capped(spark):
         for r in inverted_index(docs, max_postings=2).collect()
     }
     assert capped["a"] == [1, 2]
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    from nsl_kdd_spark.operators.funnel import event_transitions
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, "view"), (1, 2, "cart"), (1, 3, "view"),
+            (2, 1, "view"), (2, 2, "cart"), (2, 3, "buy"),
+        ],
+        ["user_id", "tsec", "event_type"],
+    ).selectExpr(
+        "user_id", "CAST(timestamp_seconds(tsec) AS TIMESTAMP) AS ts",
+        "event_type", "tsec AS event_id",
+    )
+    rows = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p_ppm)
+        for r in event_transitions(
+            events, tiebreak_col="event_id"
+        ).collect()
+    }
+    # view->cart twice (both users), cart->view once, cart->buy once
+    assert rows[("view", "cart")] == (2, 2, 1_000_000)
+    assert rows[("cart", "view")] == (1, 2, 500_000)
+    assert rows[("cart", "buy")] == (1, 2, 500_000)
+    assert len(rows) == 3  # no cross-user pair (user1 ts3 -> user2 ts1)
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from nsl_kdd_spark.ml.ar import mutual_information
+
+    # perfectly dependent: y == x  ->  MI = H(X) = ln 2 for a 50/50 x
+    dep = spark.createDataFrame(
+        [("a", "a")] * 10 + [("b", "b")] * 10, ["x", "y"]
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r.n == 20 and r.n_cells == 2
+    assert abs(r.mi_unats - round(math.log(2) * 1e6)) <= 2
+    # independent uniform -> MI = 0 exactly (every cell term is 0)
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)], ["x", "y"]
+    )
+    assert mutual_information(ind, "x", "y").collect()[0].mi_unats == 0
+
+
+def test_count_min_never_undercounts(spark):
+    from nsl_kdd_spark.operators.sketch import count_min_build, count_min_estimate
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(2000)], ["k"]
+    )
+    exact = {r.k: r.c for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    sketch = count_min_build(df, "k", depth=4, width=256)
+    assert sketch.count() <= 4 * 256
+    est = {
+        r.k: r.est
+        for r in count_min_estimate(sketch, df, "k", depth=4, width=256).collect()
+    }
+    assert set(est) == set(exact)
+    for k, true in exact.items():
+        assert est[k] >= true                       # CMS never undercounts
+        assert est[k] <= true + (2000 * 4) // 256   # loose overshoot bound
+    # tight width -> estimates still exact-or-over, deterministic rerun
+    est2 = {
+        r.k: r.est
+        for r in count_min_estimate(sketch, df, "k", depth=4, width=256).collect()
+    }
+    assert est == est2
