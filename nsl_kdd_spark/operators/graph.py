@@ -177,3 +177,68 @@ def component_sizes(components: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "comp")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact global triangle count of the undirected simple graph in
+    ``edges`` (self-loops and duplicate/reverse edges collapsed).
+    Output one row: (n_edges, n_triangles).
+
+    Spark-first shape — degree orientation: each edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, which
+    bounds every out-neighborhood by O(sqrt(m)); wedges are built by
+    self-joining the ORIENTED edges on their source, so the wedge
+    count is sum(outdeg^2) = O(m^1.5) instead of sum(deg^2) — the
+    difference between feasible and not on a power-law graph where a
+    celebrity vertex alone would generate deg^2 ~ 10^12 wedges. The
+    wedge->closing-edge check is a semi-join against the canonical
+    edge set. Three shuffles total (degree agg, wedge join, closing
+    semi-join); no windows, no collect.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        canon.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .filter(F.col("o1.w") < F.col("o2.w"))
+        .select(F.col("o1.w").alias("x"), F.col("o2.w").alias("y"))
+    )
+    closed = wedges.join(
+        canon,
+        (F.least("x", "y") == F.col("a")) & (F.greatest("x", "y") == F.col("b")),
+        "left_semi",
+    )
+    out = canon.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return out

@@ -93,3 +93,44 @@ def table_diff(
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
     )
+
+
+def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Declarative data-quality expectations: evaluate every rule
+    (a boolean SQL predicate over the table's columns) in ONE pass
+    and report per-rule violation counts — the Delta-constraints /
+    Great-Expectations-style contract check, as a single aggregation.
+
+    Output: (rule, n_rows, n_violations, violation_ppm), one row per
+    rule in ``rules``' iteration order, ppm as exact integer
+    arithmetic. NULL predicate results count as violations (a rule
+    that cannot evaluate to TRUE is not satisfied — the SQL CHECK
+    convention would pass NULLs; data contracts must not).
+
+    Scale shape: all rules ride one map-side-combined aggregate over
+    one scan — adding a rule adds a column, not a pass. The per-rule
+    unpivot happens on the 1-row aggregate, not the fact table.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, pred in enumerate(rules.values()):
+        aggs.append(
+            F.sum(
+                F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__v{i}")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', __v{i}" for i, name in enumerate(rules)
+    )
+    return (
+        one.selectExpr(
+            "__n",
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)",
+        )
+        .select(
+            "rule",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            F.expr("(n_violations * 1000000) div __n").alias("violation_ppm"),
+        )
+    )

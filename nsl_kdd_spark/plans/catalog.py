@@ -4435,6 +4435,93 @@ def q111_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle count (operators/graph.triangle_count): exact triangles of
+# the part co-purchase graph via DEGREE ORIENTATION — out-neighborhoods
+# bounded O(sqrt(m)), wedge work O(m^1.5) instead of the celebrity-
+# vertex deg^2 blowup. Oracle states the naive a<b<c three-way join
+# (same semantics, feasible at fixture scale); the engine plan is the
+# one that survives a power-law graph.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q112_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ), tri AS (
+      SELECT COUNT(*) AS c
+      FROM raw e1 JOIN raw e2 ON e1.b = e2.a
+      JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM raw) AS n_edges,
+           (SELECT c FROM tri) AS n_triangles
+    """,
+)
+def q112_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    l1 = t.lineitem.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    l2 = t.lineitem.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+    )
+    return triangle_count(edges, "pa", "pb")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/quality.expect): declarative
+# rule table -> per-rule violation counts in ONE scan (adding a rule
+# adds a column, not a pass) — the Delta-constraints/Great-
+# Expectations contract check. NULL predicates count as violations.
+# ---------------------------------------------------------------------------
+
+_EXPECT_RULES = {
+    "positive_price": "o_totalprice > 0",
+    "valid_status": "o_orderstatus IN ('F', 'O', 'P')",
+    "date_in_range": (
+        "o_orderdate BETWEEN TIMESTAMP '1992-01-01'"
+        " AND TIMESTAMP '1998-12-31'"
+    ),
+    "custkey_present": "o_custkey IS NOT NULL",
+}
+
+
+def _expect_oracle() -> str:
+    sums = ",\n".join(
+        f"        CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT)"
+        f" AS v{i}"
+        for i, pred in enumerate(_EXPECT_RULES.values())
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS rule, n AS n_rows, v{i} AS n_violations,"
+        f" (v{i} * 1000000) // n AS violation_ppm FROM a"
+        for i, name in enumerate(_EXPECT_RULES)
+    )
+    return f"""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+{sums}
+      FROM orders
+    )
+    {arms}
+    ORDER BY rule
+    """
+
+
+@query("q113_expectations", oracle=_expect_oracle())
+def q113_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.quality import expect
+
+    t = load_tables(spark, sf_dir)
+    return expect(t.orders, _EXPECT_RULES).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -646,3 +646,33 @@ def test_count_min_never_undercounts(spark):
         for r in count_min_estimate(sketch, df, "k", depth=4, width=256).collect()
     }
     assert est == est2
+
+
+def test_triangle_count_known_graphs(spark):
+    from nsl_kdd_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles, 6 edges; feed reversed + duplicate edges to
+    # exercise canonicalization
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4 + k4[:3], ["id_a", "id_b"])
+    r = triangle_count(df).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (6, 4)
+    # path graph: no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    r = triangle_count(path).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (3, 0)
+
+
+def test_expect_null_predicate_counts_as_violation(spark):
+    from nsl_kdd_spark.operators.quality import expect
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], ["id", "price"]
+    )
+    rows = {r.rule: r for r in expect(
+        df, {"pos": "price > 0", "has_id": "id IS NOT NULL"}
+    ).collect()}
+    assert rows["pos"].n_violations == 2       # NULL and -5 both violate
+    assert rows["pos"].violation_ppm == 666_666
+    assert rows["has_id"].n_violations == 0
+    assert rows["pos"].n_rows == 3
