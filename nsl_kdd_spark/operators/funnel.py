@@ -110,6 +110,12 @@ def event_transitions(
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(user_col).orderBy(*order)
+    # the pair table is |types|^2 rows; materialize it (eager
+    # localCheckpoint, the q95 pattern) so the totals pass reads it
+    # instead of re-sorting the full event log — Spark does not reuse
+    # the window exchange across the two consumers, so without this
+    # the 100 TB log would shuffle+sort TWICE (caught by the plan
+    # gate: two Window nodes)
     pairs = (
         events.select(
             F.col(type_col).alias("from_type"),
@@ -118,6 +124,7 @@ def event_transitions(
         .filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
     return (

@@ -205,3 +205,57 @@ def test_zorder_zvalue_stays_in_codegen(spark):
     # partial-agg shuffle + final ordering only (formatted plans list
     # each node twice: tree + detail — count the detail headers)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_bm25_broadcasts_small_sides_no_python(spark):
+    """q104: the df table and corpus stats broadcast back onto the tf
+    table; the corpus-sized side never becomes a cartesian operand and
+    nothing crosses into Python workers."""
+    plan = plan_of(QUERIES["q104_bm25"](spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """q106: the per-group percentile bounds are a tiny table — the
+    re-join onto the fact table must be a broadcast hash join, never a
+    shuffle of lineitem on the group key."""
+    plan = plan_of(QUERIES["q106_winsorize"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangle_count_uses_semi_join_no_cartesian(spark):
+    """q112: the closing-edge check must stay a LeftSemi equi-join;
+    a cartesian/BNLJ node would mean the wedge set is crossing the
+    edge set."""
+    plan = plan_of(QUERIES["q112_triangle_count"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expectations_single_scan(spark):
+    """q113: all rules ride one aggregate over one scan of orders —
+    exactly one parquet scan node, no joins at all."""
+    import re
+
+    plan = plan_of(QUERIES["q113_expectations"](spark, SF_SMOKE))
+    # one scan NODE (the formatted plan names it twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_transitions_single_user_shuffle(spark):
+    """q109: sequence semantics need exactly one sort — the window
+    over (user, ts) runs ONCE, inside the eager pair-table
+    checkpoint; the downstream totals/ppm plan must contain no Window
+    and no parquet re-scan (both consumers read the materialized
+    |types|^2 table), with the totals broadcast back."""
+    plan = plan_of(QUERIES["q109_event_transitions"](spark, SF_SMOKE))
+    assert "Window" not in plan        # log is never re-sorted downstream
+    assert "Scan parquet" not in plan  # reads the checkpointed pair table
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # totals broadcast back
