@@ -365,3 +365,103 @@ def semantic_dedup(
         F.col("__cid").alias("cluster_id"),
         F.col("__drop").isNull().alias("kept"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each embedding becomes
+    (scale, array<tinyint>) with ``q_i = round(v_i / scale)``,
+    ``scale = max|v| / 127`` — 4x smaller than float32 (8x vs the
+    float64 scoring form), the storage/IO tier for 100 TB ANN where
+    the corpus is scanned far more often than it is written.
+
+    Output: (id, q_scale, q_vec). All-zero vectors get scale 0 and a
+    zero vector (dequantizes to itself). Everything is expression-only
+    (transform/aggregate HOFs) — no UDF, stays in codegen.
+    """
+    v = to_double_array(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        scale.alias("q_scale"),
+        F.transform(
+            v,
+            lambda x: F.when(
+                F.col("q_scale") > 0.0, F.round(x / F.col("q_scale"))
+            )
+            .otherwise(F.lit(0.0))
+            .cast("tinyint"),
+        ).alias("q_vec"),
+    )
+
+
+def knn_quantized(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int | None = None,
+    exact: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine neighbors scored on int8-quantized vectors, with
+    optional exact re-ranking: scan the small quantized corpus, take
+    ``rerank >= k`` candidates per query by approximate cosine, then
+    re-score only those against the full-precision vectors.
+
+    The approximate cosine cancels both scales (cos(a*x, b*y) =
+    cos(x, y) on the dequantized ints), so scoring uses the raw int
+    arrays directly — no dequantize pass. Candidate generation reads
+    ONLY the int8 table (the 4x-smaller scan that makes the tier
+    worth having); the rerank join touches len(queries) * rerank
+    full-precision rows, not the corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
+    )
+    c = quantized.select(
+        F.col(id_col),
+        F.transform("q_vec", lambda x: x.cast("double")).alias("__cv"),
+    )
+    approx = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            cosine(F.col("__qv"), F.col("__cv")).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_sim"), F.asc(id_col)
+    )
+    cands = (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (rerank or k))
+    )
+    if rerank is None or exact is None:
+        return cands.filter(F.col("rank") <= k).orderBy(query_id_col, "rank")
+    ex = exact.select(
+        F.col(id_col), to_double_array(vec_col).alias("__ev")
+    )
+    rescored = (
+        cands.select(query_id_col, id_col)
+        .join(ex, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col, id_col,
+            cosine(F.col("__qv"), F.col("__ev")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -4522,6 +4522,72 @@ def q113_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantized ANN (similarity.quantize_embeddings + knn_quantized):
+# int8 per-vector symmetric quantization (4x smaller corpus scan)
+# for candidate generation, exact re-rank of the survivors — the
+# storage/IO tier of the ANN family (q31 exact, q33 LSH, q62 IVF,
+# q74 PQ). Cosine cancels the per-vector scale, so candidates score
+# on raw int arrays; the final cos_sim values are the full-precision
+# ones and hash-match DuckDB (the q31 contract).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q114_quantized_ann",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS q_scale,
+             v
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS amax
+            FROM e)
+    ), c AS (
+      SELECT vec_id,
+             list_transform(
+               v, x -> CASE WHEN q_scale > 0
+                            THEN round(x / q_scale) ELSE 0.0 END) AS qv
+      FROM qz
+    ), q AS (
+      SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id < 5
+    ), approx AS (
+      SELECT q.query_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.fqv, c.qv) DESC, c.vec_id)
+               AS arank
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ), rescored AS (
+      SELECT a.query_id, a.vec_id,
+             list_cosine_similarity(q.fqv, e.v) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.query_id
+               ORDER BY list_cosine_similarity(q.fqv, e.v) DESC, a.vec_id)
+               AS rank
+      FROM approx a
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN q ON q.query_id = a.query_id
+      WHERE a.arank <= 15
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM rescored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q114_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import (
+        knn_quantized,
+        quantize_embeddings,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qz = quantize_embeddings(t.embeddings)
+    queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    return knn_quantized(
+        qz, queries_df, k=5, rerank=15, exact=t.embeddings
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -157,3 +157,42 @@ def test_ivfpq_residual_recall(spark):
     assert _recall(full_probe, exact) >= 0.9  # all cells probed -> PQ-only loss
     for r in got.groupBy("query_id").count().collect():
         assert r["count"] <= 5
+
+
+def test_quantized_tier_recall_and_roundtrip(spark):
+    """int8 tier: (1) quantization error bounded by scale/2 per
+    component; (2) quantized-only top-5 recall near-exact on real
+    embeddings; (3) with exact re-rank the result ties out to the
+    brute-force answer on the candidate-covered set."""
+    from nsl_kdd_spark.operators.similarity import (
+        knn_quantized,
+        quantize_embeddings,
+    )
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    qz = quantize_embeddings(e)
+    # roundtrip: |v - scale*q| <= scale/2 component-wise
+    joined = (
+        e.join(qz, "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    "q_vec",
+                    lambda v, q: F.abs(v - F.col("q_scale") * q.cast("double")),
+                )
+            ).alias("err"),
+            "q_scale",
+        )
+        .collect()
+    )
+    for r in joined:
+        assert r.err <= r.q_scale / 2 + 1e-12
+
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(e, queries, k=5)
+    approx_only = knn_quantized(qz, queries, k=5)
+    assert _recall(approx_only, exact) >= 0.9  # int8 barely moves cosine
+
+    reranked = knn_quantized(qz, queries, k=5, rerank=20, exact=e)
+    assert _recall(reranked, exact) >= 0.95
