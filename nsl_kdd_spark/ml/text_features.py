@@ -490,3 +490,129 @@ def inverted_index(
     if max_postings is not None:
         idx = idx.withColumn("postings", F.slice("postings", 1, max_postings))
     return idx.orderBy("token")
+
+
+def train_bpe(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_pair_freq: int = 2,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    TRAINING side of the tokenizer surface (``build_vocab`` /
+    ``encode_tokens`` cover encoding with a fixed vocabulary).
+
+    Classic word-level BPE: words start as character sequences; each
+    round merges the globally most frequent adjacent symbol pair
+    (ties broken lexicographically), greedy leftmost non-overlapping
+    within a word. Returns (rank, left, right, merged, pair_freq),
+    rank 0 first. Stops early when no pair reaches ``min_pair_freq``.
+
+    Spark-first shape (the 100 TB property): everything after the
+    first aggregation runs on the WORD VOCABULARY weighted by count —
+    corpus-sized data is touched exactly once, by the word count.
+    Each round is one explode+grouped-sum over the vocab (map-side
+    combined) and one expression-only array rewrite (``F.aggregate``
+    fold — greedy merge without leaving codegen); the single
+    collected row per round is the argmax pair (driver control flow,
+    the sanctioned tiny collect). Vocab tables localCheckpoint per
+    round to truncate lineage.
+
+    Rows-only in the driver gate (no SQL twin for the iterative
+    argmax); correctness is pinned against a pure-Python reference
+    implementation in tests/test_text_features.py.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), token_pattern)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        # split-at-every-boundary leaves a trailing "" element
+        # (Java split keeps trailing empties at limit -1) — drop it
+        .select(
+            F.filter(
+                F.split("word", "(?!^)"), lambda x: x != ""
+            ).alias("syms"),
+            "wc",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                        F.slice(
+                            "syms", 2, F.size("syms") - 1
+                        ).alias("r"),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("freq"))
+        )
+        top = (
+            pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()
+        )
+        if not top or top[0].freq < min_pair_freq:
+            break
+        left, right, freq = top[0].l, top[0].r, top[0].freq
+        merged = left + right
+        # greedy leftmost non-overlapping merge, as a pure fold:
+        # append x unless (last == left and x == right and the last
+        # element was not itself produced by a merge this round) —
+        # tracked by folding (symbols, flags) in lockstep
+        lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+        folded = F.aggregate(
+            "syms",
+            F.struct(
+                F.lit([]).cast("array<string>").alias("res"),
+                F.lit(False).alias("last_merged"),
+            ),
+            lambda acc, x: F.when(
+                (F.size(acc.res) > 0)
+                & ~acc.last_merged
+                & (F.element_at(acc.res, -1) == lit_l)
+                & (x == lit_r),
+                F.struct(
+                    F.concat(
+                        F.slice(acc.res, 1, F.size(acc.res) - 1),
+                        F.array(lit_m),
+                    ).alias("res"),
+                    F.lit(True).alias("last_merged"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc.res, F.array(x)).alias("res"),
+                    F.lit(False).alias("last_merged"),
+                )
+            ),
+            lambda acc: acc.res,
+        )
+        words = words.select(folded.alias("syms"), "wc").localCheckpoint()
+        merges.append((rank, left, right, merged, freq))
+    spark = docs.sparkSession
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("rank", LongType()),
+        StructField("left", StringType()),
+        StructField("right", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_freq", LongType()),
+    ])
+    return spark.createDataFrame(merges, schema)

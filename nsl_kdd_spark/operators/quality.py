@@ -134,3 +134,48 @@ def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             F.expr("(n_violations * 1000000) div __n").alias("violation_ppm"),
         )
     )
+
+
+def expect_windowed(
+    df: DataFrame,
+    ts_col: str,
+    rules: dict[str, str],
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Per-time-window expectations: the same one-pass rule evaluation
+    as :func:`expect`, grouped by tumbling event-time windows — the
+    drift monitor (a rule that is 0 ppm globally but 400k ppm in one
+    hour is a pipeline incident, not a data property). The aggregation
+    shape is watermark-compatible: in a stream, swap the groupBy key
+    for ``F.window`` over a withWatermark'd frame and the same plan
+    runs incrementally (the q34 pattern).
+
+    Output: (window_start, rule, n_rows, n_violations, violation_ppm).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, pred in enumerate(rules.values()):
+        aggs.append(
+            F.sum(
+                F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__v{i}")
+        )
+    one = (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("__w"))
+        .agg(*aggs)
+    )
+    stack = ", ".join(f"'{name}', __v{i}" for i, name in enumerate(rules))
+    return (
+        one.selectExpr(
+            "__w.start AS window_start",
+            "__n",
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)",
+        )
+        .select(
+            "window_start",
+            "rule",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            F.expr("(n_violations * 1000000) div __n").alias("violation_ppm"),
+        )
+        .orderBy("window_start", "rule")
+    )

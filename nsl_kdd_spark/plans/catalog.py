@@ -4588,6 +4588,72 @@ def q114_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Windowed expectations (quality.expect_windowed): the q113 rule pass
+# grouped by tumbling event-time windows — the drift monitor (a rule
+# clean globally but hot in one window is an incident). Aggregation
+# shape is watermark-compatible (the q34 streaming pattern).
+# ---------------------------------------------------------------------------
+
+_WEXPECT_RULES = {
+    "value_under_100": "value <= 100",
+    "not_error": "event_type <> 'error'",
+    "has_props": "props IS NOT NULL",
+}
+
+
+def _wexpect_oracle() -> str:
+    sums = ",\n".join(
+        f"        CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT)"
+        f" AS v{i}"
+        for i, pred in enumerate(_WEXPECT_RULES.values())
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT window_start, '{name}' AS rule, n AS n_rows,"
+        f" v{i} AS n_violations, (v{i} * 1000000) // n AS violation_ppm"
+        f" FROM a"
+        for i, name in enumerate(_WEXPECT_RULES)
+    )
+    return f"""
+    WITH a AS (
+      SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400)::TIMESTAMP
+               AS window_start,
+             COUNT(*) AS n,
+{sums}
+      FROM events GROUP BY 1
+    )
+    {arms}
+    ORDER BY window_start, rule
+    """
+
+
+@query("q115_windowed_expectations", oracle=_wexpect_oracle())
+def q115_windowed_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.quality import expect_windowed
+
+    t = load_tables(spark, sf_dir)
+    return expect_windowed(t.events, "ts", _WEXPECT_RULES, "1 day")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (ml/text_features.train_bpe): the learning
+# side of the tokenizer surface (q87 encodes with a fixed vocab).
+# After one corpus-sized word count, every round runs on the weighted
+# vocabulary: one explode+grouped-sum + one expression-only greedy
+# fold merge; the argmax pair is the sanctioned one-row collect.
+# No SQL twin for the iterative argmax -> rows-only driver check;
+# exact parity with a pure-Python reference BPE is pinned in
+# tests/test_text_features.py.
+# ---------------------------------------------------------------------------
+
+@query("q116_bpe_merges")
+def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import train_bpe
+
+    t = load_tables(spark, sf_dir)
+    return train_bpe(t.documents, num_merges=12).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

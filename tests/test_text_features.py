@@ -63,3 +63,70 @@ def test_tfidf_top_terms_exact(spark):
     # per-doc cap respected, case folded + punctuation split
     assert out.count() == 6
     assert out.filter(F.col("token") == "Data").count() == 0
+
+
+def _reference_bpe(word_counts, num_merges, min_pair_freq=2):
+    """Pure-Python BPE: the textbook algorithm the distributed
+    trainer must reproduce exactly (incl. lexicographic tie-break and
+    greedy leftmost non-overlapping merging)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), freq = best
+        if freq < min_pair_freq:
+            break
+        merged = l + r
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+        merges.append((rank, l, r, merged, freq))
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    from nsl_kdd_spark.ml.text_features import train_bpe
+
+    texts = [
+        "low lower lowest", "low low newer", "newest newer wider",
+        "low wider new", "aaaa aaa",  # overlap case: greedy leftmost
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _reference_bpe(counts, num_merges=8)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in train_bpe(docs, num_merges=8).orderBy("rank").collect()
+    ]
+    assert got == want
+    assert len(got) >= 4  # corpus is rich enough to actually learn
+
+
+def test_train_bpe_min_freq_stops_early(spark):
+    from nsl_kdd_spark.ml.text_features import train_bpe
+
+    docs = spark.createDataFrame([(0, "ab cd")], ["doc_id", "text"])
+    out = train_bpe(docs, num_merges=10, min_pair_freq=2).collect()
+    assert out == []  # every pair occurs once; nothing reaches 2
