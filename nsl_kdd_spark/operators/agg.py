@@ -210,3 +210,42 @@ def winsorize(
         .select(group_col, "n", "n_lo", "n_hi", "lo", "hi", "sum_u", "mean_u")
         .orderBy(group_col)
     )
+
+
+def sketch_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_k: int = 12,
+    all_label: str = "__ALL__",
+) -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL: one scan
+    builds a per-group sketch; the grand total UNIONS the group
+    sketches instead of rescanning — the pre-aggregation contract
+    that makes 100 TB distinct counts incremental (store the per-
+    day/per-partition sketch binaries, union at query time; adding a
+    day never touches history). ``approx_count_distinct`` (q06/q63)
+    answers one question per scan; sketches answer every rollup of
+    saved partials.
+
+    Output: (group, approx_distinct) per group plus an ``all_label``
+    row estimated from the UNION of the group sketches. Sketch
+    binaries are engine-specific -> rows-only driver check; the
+    rel-error contract vs exact counts is pinned in unit tests.
+    """
+    per = df.groupBy(F.col(group_col).cast("string").alias(group_col)).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("__sk")
+    )
+    per.persist()
+    per_est = per.select(
+        group_col,
+        F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
+    )
+    total = (
+        per.agg(F.hll_union_agg("__sk").alias("__u"))
+        .select(
+            F.lit(all_label).alias(group_col),
+            F.hll_sketch_estimate("__u").cast("long").alias("approx_distinct"),
+        )
+    )
+    return per_est.unionByName(total).orderBy(group_col)

@@ -62,13 +62,23 @@ def bucketed_write(
 
 
 def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
-    """Skew diagnosis: heaviest keys with counts + share. Run this
-    before choosing broadcast vs salt vs AQE-only."""
-    total = df.count()
+    """Skew diagnosis: heaviest keys with counts + integer-ppm share,
+    ties broken by key (total order, engine-reproducible). Run this
+    before choosing broadcast vs salt vs AQE-only; a key above ~1/32
+    of the table (one executor-thread's worth at 32 shuffle
+    partitions) is the salting signal.
+
+    One scan: the total derives from the per-key count table (tiny)
+    instead of a second ``df.count()`` pass over the fact table."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.col("n") / F.lit(float(total)))
-        .orderBy(F.desc("n"))
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n",
+            F.expr("(n * 1000000) div __total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), key)
         .limit(n)
     )

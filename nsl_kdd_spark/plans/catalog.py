@@ -4654,6 +4654,45 @@ def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew diagnosis (skew.top_keys): heaviest join keys with integer-ppm
+# share, one scan (total derived from the per-key count table) — the
+# measurement that decides broadcast vs salt vs AQE-only before a
+# 100 TB join, surfaced as a driver-checkable query.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q117_skew_topkeys",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.l_suppkey, c.n, (c.n * 1000000) // t.total AS share_ppm
+    FROM c CROSS JOIN t
+    ORDER BY c.n DESC, c.l_suppkey LIMIT 10
+    """,
+)
+def q117_skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.skew import top_keys
+
+    t = load_tables(spark, sf_dir)
+    return top_keys(t.lineitem, "l_suppkey", n=10)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch rollup (agg.sketch_rollup): per-group Datasketches
+# HLL + grand total by UNIONING the group sketches (no rescan) — the
+# incremental-distinct-count contract for 100 TB (store partial
+# sketch binaries, union at query time). Sketch internals are
+# engine-specific -> rows-only; rel-error pinned in unit tests.
+# ---------------------------------------------------------------------------
+
+@query("q118_sketch_rollup")
+def q118_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return agg.sketch_rollup(t.orders, "o_orderpriority", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

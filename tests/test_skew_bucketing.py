@@ -34,7 +34,10 @@ def test_top_keys_diagnosis(spark):
     t = load_tables(spark, SF_SMOKE)
     top = top_keys(t.lineitem, "l_returnflag", n=3).collect()
     assert len(top) == 3
-    assert abs(sum(r["share"] for r in top) - 1.0) < 1e-9  # 3 flags cover all
+    # 3 flags cover the whole table: ppm shares sum to ~1e6 (floor
+    # division loses < 1 ppm per row)
+    assert 1_000_000 - 3 <= sum(r["share_ppm"] for r in top) <= 1_000_000
+    assert top[0]["n"] >= top[1]["n"] >= top[2]["n"]
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -74,3 +77,29 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
     assert n == want
+
+
+def test_sketch_rollup_rel_error_and_merge(spark):
+    """Per-group HLL estimates within 5% of exact; the __ALL__ row is
+    a UNION of group sketches, not a rescan, and must land within 5%
+    of the true global distinct count (dedup across groups — a SUM of
+    the group estimates would overcount ~5x here)."""
+    from nsl_kdd_spark.operators.agg import sketch_rollup
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_SMOKE)
+    got = {
+        r[0]: r[1]
+        for r in sketch_rollup(t.orders, "o_orderpriority", "o_custkey").collect()
+    }
+    exact_all = t.orders.select("o_custkey").distinct().count()
+    exact_per = {
+        r[0]: r[1]
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()
+    }
+    assert abs(got["__ALL__"] - exact_all) <= 0.05 * exact_all
+    for k, v in exact_per.items():
+        assert abs(got[k] - v) <= 0.05 * v
+    assert got["__ALL__"] < sum(v for k, v in got.items() if k != "__ALL__")
