@@ -179,3 +179,44 @@ def expect_windowed(
         )
         .orderBy("window_start", "rule")
     )
+
+
+def table_digest(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Order-independent content digest of a table: one row
+    (n_rows, xor_digest, sum_digest) that changes if any row changes,
+    appears, or disappears — the O(1)-output audit primitive for
+    verifying a backfill/migration/CDC replica WITHOUT a row-level
+    diff (q71's table_diff localizes damage; this detects it for the
+    cost of one scan and an 24-byte comparison).
+
+    Per row: md5 over the ``sep``-joined string forms of ``cols``
+    (NULLs become a sentinel so (a, NULL) never collides with
+    (a, '')), folded to a 60-bit integer. Aggregates: XOR (cheap, but
+    duplicate-row PAIRS cancel) and a mod-prime sum carried in
+    DECIMAL(38,0) (exact at any row count, no silent int64 wrap) —
+    together they catch duplication, loss, and mutation. Both are
+    commutative-associative, so the digest is identical under any
+    partitioning, retry, or engine — md5 and string casts are the
+    cross-engine contract; cast float/timestamp columns to a
+    canonical string form yourself before digesting them.
+    """
+    use = cols or df.columns
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in use
+    ]
+    rh = (
+        F.conv(F.substring(F.md5(F.concat_ws(sep, *parts)), 1, 15), 16, 10)
+        .cast("long")
+    )
+    p = 1_000_000_007
+    return df.select(rh.alias("__rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("__rh").alias("xor_digest"),
+        (F.sum((F.col("__rh") % p).cast("decimal(38,0)")) % p)
+        .cast("long")
+        .alias("sum_digest"),
+    )

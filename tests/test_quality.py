@@ -58,3 +58,27 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     assert not any("sitten" in p for p in got)
     # length band is lossless under the distance cap
     assert ("kite", "kittens") not in got  # lev 3 > 2
+
+
+def test_table_digest_detects_every_mutation_class(spark):
+    from nsl_kdd_spark.operators.quality import table_digest
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], ["id", "v"]
+    )
+    d0 = tuple(table_digest(base).collect()[0])
+    # identical content, different row order / partitioning -> equal
+    d1 = tuple(table_digest(base.orderBy(F.desc("id")).repartition(7)).collect()[0])
+    assert d0 == d1
+    # mutation, deletion, duplication all move the digest
+    mut = spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], ["id", "v"])
+    assert tuple(table_digest(mut).collect()[0]) != d0
+    dele = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    assert tuple(table_digest(dele).collect()[0]) != d0
+    dup = base.unionAll(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    # XOR alone would cancel the duplicated pair on even counts; the
+    # mod-sum + row count still move
+    assert tuple(table_digest(dup).collect()[0]) != d0
+    # NULL sentinel: (3, NULL) vs (3, '') must differ
+    empt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], ["id", "v"])
+    assert tuple(table_digest(empt).collect()[0]) != d0
