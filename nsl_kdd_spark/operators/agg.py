@@ -175,6 +175,10 @@ def winsorize(
     fixed-point exact tier, order-independent across engines). ``lo``
     / ``hi`` are the interpolated percentile bounds (exact
     ``F.percentile``, the q52-verified cross-engine semantics).
+    NULL values are EXCLUDED up front — ``least``/``greatest`` skip
+    NULLs, so an unfiltered NULL would silently clip to ``lo`` and
+    bias the mean with fabricated data (review r04); ``n`` counts the
+    non-null measurements actually summarized.
 
     Scale shape: ONE grouped pass computes both percentile bounds
     (exact percentile is memory-hungry at 100 TB — swap for
@@ -184,6 +188,7 @@ def winsorize(
     windows over the fact table.
     """
     v = F.col(value_col).cast("double")
+    df = df.filter(v.isNotNull())
     bounds = df.groupBy(group_col).agg(
         F.percentile(v, F.lit(p_lo)).alias("lo"),
         F.percentile(v, F.lit(p_hi)).alias("hi"),
@@ -228,24 +233,29 @@ def sketch_rollup(
     answers one question per scan; sketches answer every rollup of
     saved partials.
 
-    Output: (group, approx_distinct) per group plus an ``all_label``
-    row estimated from the UNION of the group sketches. Sketch
-    binaries are engine-specific -> rows-only driver check; the
-    rel-error contract vs exact counts is pinned in unit tests.
+    Output: (group, approx_distinct, is_total) — one row per group
+    plus the union-of-sketches total flagged ``is_total = true`` and
+    labeled ``all_label`` (the flag, not the label, is the
+    discriminator: a genuine group value equal to the label cannot
+    be confused with the rollup row — review r04). Sketch binaries
+    are engine-specific -> rows-only driver check; the rel-error
+    contract vs exact counts is pinned in unit tests.
     """
     per = df.groupBy(F.col(group_col).cast("string").alias(group_col)).agg(
         F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("__sk")
     )
-    per.persist()
+    per = per.localCheckpoint()  # tiny; two consumers, releases on GC
     per_est = per.select(
         group_col,
         F.hll_sketch_estimate("__sk").cast("long").alias("approx_distinct"),
+        F.lit(False).alias("is_total"),
     )
     total = (
         per.agg(F.hll_union_agg("__sk").alias("__u"))
         .select(
             F.lit(all_label).alias(group_col),
             F.hll_sketch_estimate("__u").cast("long").alias("approx_distinct"),
+            F.lit(True).alias("is_total"),
         )
     )
-    return per_est.unionByName(total).orderBy(group_col)
+    return per_est.unionByName(total).orderBy("is_total", group_col)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_PERIOD_SECONDS = {"day": 86_400, "week": 604_800}
+_PERIOD_DAYS = {"day": 1, "week": 7}
 
 
 def cohort_retention(
@@ -31,8 +31,10 @@ def cohort_retention(
 
     ``cohort`` is the user's first activity period (``date_trunc``,
     ISO Monday weeks); ``offset`` counts whole periods between cohort
-    and activity period (epoch-difference div period-length, exact on
-    the truncated timestamps); ``retention_ppm`` is
+    and activity period as a CALENDAR-day difference (``datediff div
+    days-per-period``), so a DST transition inside the span cannot
+    shift the bucket the way an epoch-seconds difference would in a
+    non-UTC session (review r04); ``retention_ppm`` is
     ``n_users * 1_000_000 div cohort_size`` — integer arithmetic, no
     float ratio to diverge between engines.
 
@@ -43,9 +45,9 @@ def cohort_retention(
     independent aggregations — at scale, derive both from one
     (user, period) distinct projection if the log is wide.
     """
-    if period not in _PERIOD_SECONDS:
-        raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
-    step = _PERIOD_SECONDS[period]
+    if period not in _PERIOD_DAYS:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_DAYS)}")
+    step = _PERIOD_DAYS[period]
 
     activity = events.select(
         F.col(user_col).alias("user"),
@@ -58,10 +60,7 @@ def cohort_retention(
         .select(
             "user",
             "cohort",
-            F.expr(
-                f"(CAST(unix_timestamp(p) AS BIGINT)"
-                f" - CAST(unix_timestamp(cohort) AS BIGINT)) div {step}"
-            ).alias("offset"),
+            F.expr(f"datediff(p, cohort) div {step}").alias("offset"),
         )
         .filter(F.col("offset") <= max_offset)
         .groupBy("cohort", "offset")

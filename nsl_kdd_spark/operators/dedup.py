@@ -128,7 +128,7 @@ def jaccard_pairs(
         # longs BEFORE the persist shrinks the cached form too.
         sh = sh.select(
             "__id", F.transform("__shs", lambda s: F.xxhash64(s)).alias("__shs")
-        ).persist()
+        ).localCheckpoint()
     if not prefix_filter:
         sizes = sh.select("__id", F.size("__shs").alias("__sz"))
         idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
@@ -176,9 +176,11 @@ def jaccard_pairs(
             ).alias("__shs")
         )
         # the prefix index below is self-joined (two physical scans):
-        # persist the compact per-doc form so the shingle+sort lineage
-        # runs once
-        .persist()
+        # materialize the compact per-doc form so the shingle+sort
+        # lineage runs once (eager localCheckpoint: blocks release
+        # when the caller drops the result — a bare persist pins a
+        # CacheManager entry per call with no unpersist site)
+        .localCheckpoint()
     )
     # Candidates-then-lookup, NOT carry-payload: the prefix index
     # explodes to ~prefix_len rows per doc, so carrying the full
@@ -335,7 +337,7 @@ def minhash_lsh_pairs(
     sigs = tok.groupBy("__id").agg(
         *_minhash_min_exprs("__t", num_hashes),
         F.collect_set("__t").alias("__ts"),
-    ).persist()
+    ).localCheckpoint()
     n_bands = num_hashes // band_size
     bands = sigs.select(
         "__id",
@@ -485,7 +487,7 @@ def simhash_pairs(
     sigs = simhash(df.select(*cols, text_col), id_col, text_col, bits)
     if block_col:
         sigs = sigs.join(df.select(id_col, block_col), on=id_col)
-    sigs = sigs.persist()  # self-joined below
+    sigs = sigs.localCheckpoint()  # self-joined below; releases on GC
     if bands is not None:
         if bands <= max_hamming:
             raise ValueError(
@@ -576,7 +578,7 @@ def fuzzy_pairs(
         .where(F.col("val").isNotNull())
         .distinct()
         .select("val", F.substring("val", 1, block_chars).alias("__blk"))
-        .persist()
+        .localCheckpoint()
     )
     a = vals.select(F.col("val").alias("val_a"), "__blk")
     b = vals.select(F.col("val").alias("val_b"), "__blk")
@@ -712,6 +714,10 @@ def banded_hamming_pairs(
             f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
             f"got {max_hamming} vs {bands}"
         )
+    if bands > 64:
+        # width would floor to 0 -> every band value 0 -> the band
+        # join degenerates to an all-pairs self-join (review r04)
+        raise ValueError(f"bands={bands} exceeds the 64-bit signature")
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sigs.select(

@@ -204,7 +204,7 @@ def triangle_count(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = (
         canon.select(F.col("a").alias("v"))

@@ -95,6 +95,27 @@ def table_diff(
     )
 
 
+def _rule_aggs_and_stack(rules: dict[str, str]):
+    """Shared by expect/expect_windowed: one violation-sum per rule
+    plus the stack() spec. Rule names are free-form — escaped into
+    the SQL string literal — and an empty rule set is a loud error
+    (stack(0, ...) would be a ParseException anyway)."""
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, pred in enumerate(rules.values()):
+        aggs.append(
+            F.sum(
+                F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__v{i}")
+        )
+    stack = ", ".join(
+        "'" + name.replace("\\", "\\\\").replace("'", "\\'") + f"', __v{i}"
+        for i, name in enumerate(rules)
+    )
+    return aggs, stack
+
+
 def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """Declarative data-quality expectations: evaluate every rule
     (a boolean SQL predicate over the table's columns) in ONE pass
@@ -111,17 +132,8 @@ def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     one scan — adding a rule adds a column, not a pass. The per-rule
     unpivot happens on the 1-row aggregate, not the fact table.
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, pred in enumerate(rules.values()):
-        aggs.append(
-            F.sum(
-                F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
-            ).alias(f"__v{i}")
-        )
+    aggs, stack = _rule_aggs_and_stack(rules)
     one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{name}', __v{i}" for i, name in enumerate(rules)
-    )
     return (
         one.selectExpr(
             "__n",
@@ -152,18 +164,11 @@ def expect_windowed(
 
     Output: (window_start, rule, n_rows, n_violations, violation_ppm).
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, pred in enumerate(rules.values()):
-        aggs.append(
-            F.sum(
-                F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
-            ).alias(f"__v{i}")
-        )
+    aggs, stack = _rule_aggs_and_stack(rules)
     one = (
         df.groupBy(F.window(F.col(ts_col), window_duration).alias("__w"))
         .agg(*aggs)
     )
-    stack = ", ".join(f"'{name}', __v{i}" for i, name in enumerate(rules))
     return (
         one.selectExpr(
             "__w.start AS window_start",

@@ -336,7 +336,7 @@ def semantic_dedup(
             ).cast("long"),
         )
         .drop("__sims")
-        .persist()
+        .localCheckpoint()
     )
     # per-row norms ride the pair join so each candidate pair costs one
     # dot fold, not one dot + two norm folds (same values -> bit-equal)
@@ -421,6 +421,10 @@ def knn_quantized(
     worth having); the rerank join touches len(queries) * rerank
     full-precision rows, not the corpus.
     """
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank={rerank} < k={k} would silently truncate results"
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
     )

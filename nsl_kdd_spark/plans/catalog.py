@@ -4203,9 +4203,7 @@ def q104_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort
     ), ret AS (
       SELECT f.cohort,
-             (CAST(floor(epoch(a.p)) AS BIGINT)
-              - CAST(floor(epoch(f.cohort)) AS BIGINT)) // 604800
-               AS week_offset,
+             date_diff('day', f.cohort, a.p) // 7 AS week_offset,
              COUNT(*) AS n_users
       FROM activity a JOIN first f ON a.u = f.u
       GROUP BY 1, 2 HAVING week_offset <= 12

@@ -676,3 +676,28 @@ def test_expect_null_predicate_counts_as_violation(spark):
     assert rows["pos"].violation_ppm == 666_666
     assert rows["has_id"].n_violations == 0
     assert rows["pos"].n_rows == 3
+
+
+def test_round4_guards(spark):
+    import pytest
+
+    from nsl_kdd_spark.operators.agg import winsorize
+    from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
+    from nsl_kdd_spark.operators.similarity import knn_quantized
+
+    # bands > 64 would zero the band width -> all-pairs degeneration
+    sigs = spark.createDataFrame([(1, 5), (2, 9)], ["doc_id", "sig"])
+    with pytest.raises(ValueError, match="64-bit"):
+        banded_hamming_pairs(sigs, "doc_id", "sig", max_hamming=3, bands=80)
+
+    # rerank < k silently truncates results
+    with pytest.raises(ValueError, match="truncate"):
+        knn_quantized(sigs, sigs, k=10, rerank=5)
+
+    # NULL values are excluded from winsorize, not clipped to lo
+    df = spark.createDataFrame(
+        [(None, "g"), (10.0, "g"), (20.0, "g"), (30.0, "g")], ["v", "g"]
+    )
+    row = winsorize(df, "v", "g", 0.01, 0.99).collect()[0]
+    assert row.n == 3  # NULL excluded entirely
+    assert row.sum_u > 3 * 10_000_000  # no fabricated lo-valued row

@@ -82,3 +82,17 @@ def test_table_digest_detects_every_mutation_class(spark):
     # NULL sentinel: (3, NULL) vs (3, '') must differ
     empt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], ["id", "v"])
     assert tuple(table_digest(empt).collect()[0]) != d0
+
+
+def test_expect_quoted_rule_names_and_empty_guard(spark):
+    import pytest
+
+    from nsl_kdd_spark.operators.quality import expect
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    rows = {r.rule: r for r in expect(
+        df, {"customer's id present": "id IS NOT NULL"}
+    ).collect()}
+    assert rows["customer's id present"].n_violations == 0
+    with pytest.raises(ValueError, match="at least one rule"):
+        expect(df, {})

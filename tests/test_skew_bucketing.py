@@ -88,10 +88,9 @@ def test_sketch_rollup_rel_error_and_merge(spark):
     from pyspark.sql import functions as F
 
     t = load_tables(spark, SF_SMOKE)
-    got = {
-        r[0]: r[1]
-        for r in sketch_rollup(t.orders, "o_orderpriority", "o_custkey").collect()
-    }
+    rows = sketch_rollup(t.orders, "o_orderpriority", "o_custkey").collect()
+    got = {r[0]: r[1] for r in rows if not r["is_total"]}
+    got["__ALL__"] = next(r[1] for r in rows if r["is_total"])
     exact_all = t.orders.select("o_custkey").distinct().count()
     exact_per = {
         r[0]: r[1]
