@@ -259,3 +259,71 @@ def sketch_rollup(
         )
     )
     return per_est.unionByName(total).orderBy("is_total", group_col)
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares linear trend of ``y_col`` over time:
+    (group, n, slope_per_day, intercept) via the closed-form OLS
+    normal equations computed from EXACT decimal sums (the
+    ``exact_corr`` pattern — order-independent partials, one double
+    combine at the end, so results are bit-stable across engines and
+    partitionings where a streaming ``regr_slope`` is not).
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    x is quantized to integer MICRO-DAYS before any aggregation
+    (round-to-long on the identical double expression both engines
+    build — the q95 fixed-point rule; a double->DECIMAL cast here
+    diverged by 1 ulp between engines at a rounding boundary), so
+    every partial sum is an exact integer/decimal. The slope is the
+    ONE double-combined output (rounded 9, the q41-class residual
+    risk: sums above 2^53 convert to double with a possible last-ulp
+    engine difference); the anchor point (mean_x_mday, mean_y_u)
+    ships as EXACT integer division instead of an intercept — an
+    epoch-0 intercept amplifies that ulp onto a rounding boundary
+    (observed at the 10x replay), while the centroid is exact and
+    reconstructs it: intercept = mean_y - slope * mean_x. Groups
+    with a single point or constant x yield NULL slope (0/0),
+    surfaced rather than masked.
+
+    Scale shape: ONE map-side-combined grouped aggregate over one
+    scan; no windows, no joins.
+    """
+    from nsl_kdd_spark.functions.scalar import epoch_seconds
+
+    # integer micro-days: round((epoch / 86400) * 1e6)
+    dxu = (
+        F.round(
+            epoch_seconds(ts_col, "double") / F.lit(86400.0) * F.lit(1000000.0)
+        )
+        .cast("long")
+    )
+    dyu = F.round(F.col(y_col).cast("double") * F.lit(1000000.0)).cast("long")
+    proj = df.select(
+        F.col(group_col),
+        dxu.alias("__dxu"),
+        F.col(y_col).cast("decimal(18,2)").alias("__dy"),
+        dyu.alias("__dyu"),
+    )
+    dec = F.col("__dxu").cast("decimal(19,0)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(dec).cast("double")
+    sy = F.sum("__dy").cast("double")
+    sxx = F.sum((dec * dec).cast("decimal(38,0)")).cast("double")
+    sxy = F.sum((dec * F.col("__dy")).cast("decimal(38,2)")).cast("double")
+    slope_mu = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        proj.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(slope_mu * F.lit(1000000.0), 9).alias("slope_per_day"),
+            F.expr("sum(__dxu) div count(1)").alias("mean_x_udays"),
+            F.expr("sum(__dyu) div count(1)").alias("mean_y_u"),
+        )
+        .orderBy(group_col)
+    )

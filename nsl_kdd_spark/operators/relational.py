@@ -297,3 +297,42 @@ def shuffle_deterministic(
     return with_global_cumsum(d, "__ord", "__one", out_col=out_col).drop(
         "__ord", "__one"
     )
+
+
+def upsample_hash(
+    df: DataFrame,
+    key_col: str,
+    factor: float,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional upsampling: every row appears
+    ``floor(factor)`` times, plus once more iff its 16-bit md5 bucket
+    falls under the fractional part — the oversampling twin of
+    ``sample_hash`` (rare-source boosting in a pretraining mixture
+    needs factors > 1; ``mix_corpora`` only downsamples). The copy
+    count is a pure function of (salt, key): stable across runs,
+    engines, partitionings and corpus growth, so an epoch's
+    repetition pattern is reproducible and a source's boost can be
+    raised later with every existing copy preserved (supersets, the
+    q97 property). ``copy_col`` numbers the copies 1..n so downstream
+    shuffles/shards can distinguish them.
+
+    Scale shape: pure column expressions + one explode — no shuffle,
+    no UDF; output size is exactly factor * |df| in expectation with
+    deterministic per-key rounding, no RNG state to coordinate.
+    """
+    import math
+
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+    base = int(math.floor(factor))
+    frac_cut = int(round((factor - base) * 65536))
+    hv = md5_bucket16(key_col, salt)
+    n_copies = (F.lit(base) + (hv < F.lit(frac_cut)).cast("int")).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -4725,6 +4725,90 @@ def q119_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic upsampling (relational.upsample_hash): rare-source
+# boosting with factor > 1 — floor(factor) copies per row plus one
+# more iff the 16-bit md5 bucket falls under the fractional part.
+# The oversampling twin of the q83/q86/q88 sampling family; copy
+# assignment is row-for-row oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_MD5_BUCKET_SQL = """
+        ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1))
+"""
+
+
+@query(
+    "q120_upsample",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, n_chars,
+             2 + CASE WHEN {_MD5_BUCKET_SQL} < 16384 THEN 1 ELSE 0 END
+               AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(u.copy_idx AS BIGINT) AS copy_idx
+    FROM n, unnest(generate_series(1, n_copies)) AS u(copy_idx)
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def q120_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        relational.upsample_hash(
+            t.documents.select("doc_id", "n_chars"), "doc_id", 2.25
+        )
+        .select("doc_id", "n_chars", F.col("copy_idx").cast("long"))
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend (agg.grouped_trend): per-type least-squares slope
+# of event value over time from EXACT decimal sums (the q41 pearson
+# pattern) — closed-form normal equations, one grouped pass, engines
+# agree to the last rounded decimal.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q121_grouped_trend",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(ROUND(epoch(ts) / 86400.0 * 1000000.0) AS BIGINT)
+                  AS DECIMAL(19,0)) AS dxu,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS dyu,
+             CAST(value AS DECIMAL(18,2)) AS dy
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dxu) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(dxu AS BIGINT)) AS BIGINT) AS sxu,
+             CAST(SUM(dyu) AS BIGINT) AS syu,
+             CAST(SUM(dy) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(dxu AS DECIMAL(24,0)) * dxu
+                           AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(dxu AS DECIMAL(24,0)) * dy
+                           AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0, 9)
+             AS slope_per_day,
+           sxu // CAST(n AS BIGINT) AS mean_x_udays,
+           syu // CAST(n AS BIGINT) AS mean_y_u
+    FROM s ORDER BY event_type
+    """,
+)
+def q121_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return agg.grouped_trend(t.events, "event_type", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

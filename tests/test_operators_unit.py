@@ -701,3 +701,52 @@ def test_round4_guards(spark):
     row = winsorize(df, "v", "g", 0.01, 0.99).collect()[0]
     assert row.n == 3  # NULL excluded entirely
     assert row.sum_u > 3 * 10_000_000  # no fabricated lo-valued row
+
+
+def test_upsample_hash_deterministic_and_expected_rate(spark):
+    from nsl_kdd_spark.operators.relational import upsample_hash
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    up = upsample_hash(df, "k", 2.25)
+    n = up.count()
+    # every key appears 2 or 3 times; global rate ~2.25 +- md5 noise
+    per = up.groupBy("k").count()
+    assert per.filter(~F.col("count").isin(2, 3)).count() == 0
+    assert 2.15 * 2000 < n < 2.35 * 2000
+    # pure function of (salt, key): rerun identical; new salt differs
+    assert up.count() == n
+    assert (
+        upsample_hash(df, "k", 2.25, salt="v2")
+        .groupBy("k").count().exceptAll(per).count() > 0
+    )
+    # factor < 1 behaves like bernoulli sampling (0 or 1 copies)
+    down = upsample_hash(df, "k", 0.5)
+    assert 0.4 * 2000 < down.count() < 0.6 * 2000
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        upsample_hash(df, "k", 0.0)
+
+
+def test_grouped_trend_recovers_known_slope(spark):
+    from nsl_kdd_spark.operators.agg import grouped_trend
+
+    # y = 10 + 2.0 * day  -> slope_per_day == 2 exactly on exact sums
+    rows = [
+        ("a", 86400 * d, 10.0 + 2.0 * d) for d in range(10)
+    ] + [("b", 86400 * d, 7.5) for d in range(5)]  # flat
+    df = spark.createDataFrame(rows, ["g", "es", "v"]).selectExpr(
+        "g", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS ts", "v AS value"
+    )
+    out = {r.g: r for r in grouped_trend(df, "g", "ts", "value").collect()}
+    assert abs(out["a"].slope_per_day - 2.0) < 1e-9
+    # centroid anchor reconstructs the intercept exactly:
+    # intercept = mean_y - slope * mean_x = 10.0 for y = 10 + 2*day
+    mean_x_days = out["a"].mean_x_udays / 1e6
+    mean_y = out["a"].mean_y_u / 1e6
+    assert abs((mean_y - out["a"].slope_per_day * mean_x_days) - 10.0) < 1e-4
+    assert abs(out["b"].slope_per_day) < 1e-9
+    # single point -> NULL slope, surfaced not masked
+    one = spark.createDataFrame([("c", 0, 1.0)], ["g", "es", "v"]).selectExpr(
+        "g", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS ts", "v AS value"
+    )
+    assert grouped_trend(one, "g", "ts", "value").collect()[0].slope_per_day is None
