@@ -141,6 +141,55 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def graph_scale_timings(spark, sf_dir: str) -> dict[str, float]:
+    """PageRank (5 fixed-point iterations) at 1x vs 4x edges —
+    the iterative-graph scaling evidence: per-iteration cost is one
+    equi-join + grouped sum, so wall-clock should grow ~linearly in
+    edge count (4 disjoint id-offset replicas preserve structure).
+    Reported separately like dedup_scale."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    timings: dict[str, float] = {}
+    for replicas, label in ((1, "1x"), (4, "4x")):
+        parts = [
+            base.select(
+                (F.col("src") + F.lit(i * 100_000_000)).alias("src"),
+                (F.col("dst") + F.lit(i * 100_000_000)).alias("dst"),
+            )
+            for i in range(replicas)
+        ]
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        edges = edges.persist()
+        n_edges = edges.count()  # materialize outside the timing
+        seen: list[float] = []
+        while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):
+            t0 = time.perf_counter()
+            pagerank(edges, iterations=5).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            seen.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            edges.persist()
+            edges.count()
+        timings[f"pagerank_{label}_{n_edges // 1000}k_edges"] = min(seen)
+        edges.unpersist()
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -196,6 +245,7 @@ def main() -> None:
     # Reported SEPARATELY from the headline metric so "value" stays
     # comparable round-over-round (BASELINE.md documents both tables).
     dedup = dedup_scale_timings(spark, sf_dir)
+    graph = graph_scale_timings(spark, sf_dir)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -203,6 +253,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "dedup_scale": dedup,
+        "graph_scale": graph,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -213,3 +213,24 @@ def test_streaming_scd2_maintenance_equals_one_shot(spark, tmp_path):
     ).select(*cols).collect()))
     got = sorted(map(tuple, state["history"].select(*cols).collect()))
     assert got == want
+
+
+def test_streaming_windowed_expectations_equals_batch(spark):
+    """expect_windowed's docstring claims the aggregation shape is
+    watermark/stream-compatible — prove it: the same operator over a
+    real stream (availableNow, memory sink) produces the batch rows."""
+    from nsl_kdd_spark.operators.quality import expect_windowed
+
+    rules = {"value_under_100": "value <= 100", "not_error": "event_type <> 'error'"}
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = _run_to_memory(
+        expect_windowed(stream.withWatermark("ts", "1 hour"), "ts", rules, "1 day"),
+        "t_wexpect",
+        spark,
+    )
+    want = expect_windowed(
+        load_tables(spark, SF_SMOKE).events, "ts", rules, "1 day"
+    )
+    cols = ["window_start", "rule", "n_rows", "n_violations", "violation_ppm"]
+    assert sorted(map(tuple, got.select(cols).collect())) == \
+           sorted(map(tuple, want.select(cols).collect()))
