@@ -750,3 +750,22 @@ def test_grouped_trend_recovers_known_slope(spark):
         "g", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS ts", "v AS value"
     )
     assert grouped_trend(one, "g", "ts", "value").collect()[0].slope_per_day is None
+
+
+def test_kcore_peels_tails_keeps_cliques(spark):
+    from nsl_kdd_spark.operators.graph import kcore
+
+    # triangle {1,2,3} with a tail 3-4-5: 2-core = the triangle only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    core = {(r.node, r.deg) for r in kcore(edges, k=2).collect()}
+    assert core == {(1, 2), (2, 2), (3, 2)}
+    # k=3: nothing survives (no K4)
+    assert kcore(edges, k=3).count() == 0
+    # K4 survives 3-core intact with degree 3 each
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    core4 = {(r.node, r.deg) for r in kcore(
+        spark.createDataFrame(k4, ["id_a", "id_b"]), k=3
+    ).collect()}
+    assert core4 == {(i, 3) for i in range(4)}
