@@ -111,3 +111,73 @@ def correlation_matrix(
     ]
     spark = df.sparkSession
     return spark.createDataFrame(rows, "col_a string, col_b string, corr double")
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IR ranking quality per query: NDCG@k and reciprocal rank over
+    a (query, rank, relevance) table — the evaluation side of the
+    retrieval tier (BM25/ANN produce the rankings; this scores them,
+    as q21/q22 score classifiers).
+
+    Output per query: (query, n_rel, dcg_u, idcg_u, ndcg_ppm, rr_u).
+    Every per-position gain ``rel / log2(pos + 1)`` quantizes to
+    integer micro-units BEFORE summation (the fixed-point tier), and
+    NDCG is the integer ratio ``dcg_u * 1e6 div idcg_u`` — exact
+    across engines/partitionings. IDCG re-ranks by relevance DESC
+    (ties by original rank, a total order). Queries with no relevant
+    results report ndcg_ppm = 0 and rr_u = 0, surfaced not dropped.
+
+    Scale shape: one window sort per query partition (the ideal
+    ordering is a per-query re-rank — queries are many and small, so
+    the partition-keyed window is the right tool here, unlike
+    fact-table windows), then one grouped integer sum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(rank_col)
+    )
+    top = ranked.filter(F.col(rank_col) <= k)
+    gain_u = F.round(
+        F.col(rel_col).cast("double")
+        / (F.log(F.col(rank_col).cast("double") + 1.0) / F.log(F.lit(2.0)))
+        * F.lit(float(scale))
+    ).cast("long")
+    ideal_pos = F.row_number().over(w)
+    ideal_gain_u = F.round(
+        F.col(rel_col).cast("double")
+        / (F.log(ideal_pos.cast("double") + 1.0) / F.log(F.lit(2.0)))
+        * F.lit(float(scale))
+    ).cast("long")
+    rr_u = F.when(
+        F.col(rel_col) > 0,
+        F.round(F.lit(float(scale)) / F.col(rank_col)).cast("long"),
+    ).otherwise(F.lit(0))
+    per = top.select(
+        F.col(query_col),
+        (F.col(rel_col) > 0).cast("long").alias("__isrel"),
+        gain_u.alias("__g"),
+        ideal_gain_u.alias("__ig"),
+        rr_u.alias("__rr"),
+    )
+    return (
+        per.groupBy(query_col)
+        .agg(
+            F.sum("__isrel").alias("n_rel"),
+            F.sum("__g").alias("dcg_u"),
+            F.sum("__ig").alias("idcg_u"),
+            F.expr(
+                "CASE WHEN sum(__ig) > 0"
+                " THEN (sum(__g) * 1000000) div sum(__ig) ELSE 0 END"
+            ).alias("ndcg_ppm"),
+            F.max("__rr").alias("rr_u"),
+        )
+        .orderBy(query_col)
+    )

@@ -769,3 +769,29 @@ def test_kcore_peels_tails_keeps_cliques(spark):
         spark.createDataFrame(k4, ["id_a", "id_b"]), k=3
     ).collect()}
     assert core4 == {(i, 3) for i in range(4)}
+
+
+def test_ranking_metrics_known_values(spark):
+    from nsl_kdd_spark.ml.metrics import ranking_metrics
+
+    # q1: relevant at ranks 1,3 of 3 -> DCG = 1 + 1/log2(4);
+    # ideal = 1 + 1/log2(3); RR = 1.  q2: nothing relevant.
+    rows = [
+        ("q1", 1, 1), ("q1", 2, 0), ("q1", 3, 1),
+        ("q2", 1, 0), ("q2", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "rank", "rel"])
+    out = {r.query_id: r for r in ranking_metrics(df, k=10).collect()}
+    dcg = round(1_000_000 * 1.0) + round(1_000_000 / math.log2(4))
+    idcg = round(1_000_000 * 1.0) + round(1_000_000 / math.log2(3))
+    assert out["q1"].dcg_u == dcg
+    assert out["q1"].idcg_u == idcg
+    assert out["q1"].ndcg_ppm == (dcg * 1_000_000) // idcg
+    assert out["q1"].rr_u == 1_000_000
+    assert out["q1"].n_rel == 2
+    assert (out["q2"].ndcg_ppm, out["q2"].rr_u, out["q2"].n_rel) == (0, 0, 0)
+    # perfect ranking -> ndcg exactly 1e6
+    perfect = spark.createDataFrame(
+        [("q3", 1, 1), ("q3", 2, 1), ("q3", 3, 0)], ["query_id", "rank", "rel"]
+    )
+    assert ranking_metrics(perfect).collect()[0].ndcg_ppm == 1_000_000
