@@ -71,3 +71,53 @@ def zorder_sort(df: DataFrame, cols: Sequence[Column | str], bits: int = 16,
     if num_partitions:
         out = out.repartitionByRange(num_partitions, "__z")
     return out.sortWithinPartitions("__z").drop("__z")
+
+
+def skipping_stats(
+    df: DataFrame,
+    dim_cols: Sequence[str],
+    sort_col: Column,
+    probe: dict[str, tuple[int, int]],
+    n_files: int = 64,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Quantify data-skipping for a candidate layout BEFORE writing
+    it: simulate cutting ``df`` into ``n_files`` equal files in
+    ``sort_col`` order, collect per-file min/max of each dimension
+    (exactly what parquet footers store), and count how many files a
+    box predicate ``probe = {dim: (lo, hi)}`` must scan. Output one
+    row: (n_files, files_scanned, scan_ppm) — integers, so layouts
+    compare exactly. Run it once per candidate (shipdate-linear vs
+    z-order) and read which layout prunes more.
+
+    DIAGNOSTIC operator: the file assignment is a global ``ntile``
+    (single-partition sort) — run it on a sample or one partition's
+    worth of data, not the full 100 TB table; the real layout is
+    written by ``zorder_sort``/``repartitionByRange`` which scale
+    properly. ``tiebreak`` columns make the ntile order total so the
+    simulation is deterministic and oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(sort_col, *[F.col(c) for c in tiebreak])
+    files = (
+        df.withColumn("__f", F.ntile(n_files).over(w))
+        .groupBy("__f")
+        .agg(
+            *[F.min(c).alias(f"__min_{c}") for c in dim_cols],
+            *[F.max(c).alias(f"__max_{c}") for c in dim_cols],
+        )
+    )
+    overlap = F.lit(True)
+    for c, (lo, hi) in probe.items():
+        overlap = overlap & (F.col(f"__min_{c}") <= hi) & (
+            F.col(f"__max_{c}") >= lo
+        )
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(overlap.cast("long")).alias("files_scanned"),
+    ).select(
+        "n_files",
+        "files_scanned",
+        F.expr("(files_scanned * 1000000) div n_files").alias("scan_ppm"),
+    )

@@ -4916,6 +4916,95 @@ def q123_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Layout skipping profiler (layout.skipping_stats): simulate the
+# parquet footer min/max pruning a layout would get BEFORE writing
+# it — equal ntile "files" in layout order, per-file dim min/max,
+# box-predicate overlap count. The query compares shipdate-linear
+# vs z-order for a (date x partkey) box: the measured reason q96's
+# layout exists. All integers, hash-exact.
+# ---------------------------------------------------------------------------
+
+def _skip_oracle() -> str:
+    from nsl_kdd_spark.operators.layout import zvalue_oracle_sql
+
+    zexpr = zvalue_oracle_sql(["d1", "d2"], bits=16)
+    inner = """
+      SELECT f, MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+             MIN(d2) AS min_d2, MAX(d2) AS max_d2
+      FROM (
+        SELECT NTILE(64) OVER (ORDER BY {sort}, l_orderkey, l_linenumber)
+                 AS f, d1, d2
+        FROM dims
+      ) GROUP BY f
+    """
+    probes = {
+        "date_box": ("min_d1 <= 2060 AND max_d1 >= 2000"
+                     " AND min_d2 <= 500 AND max_d2 >= 0"),
+        "part_only": "min_d2 <= 100 AND max_d2 >= 0",
+    }
+    outer = """
+      SELECT '{label}' AS layout, '{probe}' AS probe, COUNT(*) AS n_files,
+             CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             (CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // COUNT(*) AS scan_ppm
+      FROM ({inner})
+    """
+    arms = []
+    for label, sort in (("linear", "d1"), ("zorder", zexpr)):
+        for pname, cond in probes.items():
+            arms.append(outer.format(
+                label=label, probe=pname, cond=cond,
+                inner=inner.format(sort=sort),
+            ))
+    body = "\n    UNION ALL\n".join(arms)
+    return f"""
+    WITH dims AS (
+      SELECT date_diff('day', DATE '1992-01-01', l_shipdate) AS d1,
+             l_partkey AS d2, l_orderkey, l_linenumber
+      FROM lineitem
+    )
+    {body}
+    ORDER BY layout, probe
+    """
+
+
+@query("q124_skipping_stats", oracle=_skip_oracle())
+def q124_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.layout import skipping_stats, zvalue
+
+    t = load_tables(spark, sf_dir)
+    dims = t.lineitem.select(
+        F.datediff("l_shipdate", F.lit("1992-01-01").cast("date")).alias("d1"),
+        F.col("l_partkey").alias("d2"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    probes = {
+        "date_box": {"d1": (2000, 2060), "d2": (0, 500)},
+        "part_only": {"d2": (0, 100)},
+    }
+    layouts = {"linear": F.col("d1"), "zorder": zvalue(["d1", "d2"], bits=16)}
+    parts = []
+    for lname, sort in layouts.items():
+        for pname, probe in probes.items():
+            parts.append(
+                skipping_stats(
+                    dims, ["d1", "d2"], sort, probe,
+                    n_files=64, tiebreak=("l_orderkey", "l_linenumber"),
+                ).select(
+                    F.lit(lname).alias("layout"),
+                    F.lit(pname).alias("probe"),
+                    "*",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout", "probe")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

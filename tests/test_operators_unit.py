@@ -795,3 +795,23 @@ def test_ranking_metrics_known_values(spark):
         [("q3", 1, 1), ("q3", 2, 1), ("q3", 3, 0)], ["query_id", "rank", "rel"]
     )
     assert ranking_metrics(perfect).collect()[0].ndcg_ppm == 1_000_000
+
+
+def test_skipping_stats_separates_layouts(spark):
+    """On a grid where x and y are independent: x-linear layout scans
+    everything for a y-only probe; sorting by y prunes it to ~the
+    probe's selectivity."""
+    from nsl_kdd_spark.operators.layout import skipping_stats
+
+    rows = [(x, y, x * 100 + y) for x in range(100) for y in range(100)]
+    df = spark.createDataFrame(rows, ["x", "y", "id"])
+    probe = {"y": (0, 9)}  # 10% of y, any x
+    by_x = skipping_stats(
+        df, ["x", "y"], F.col("x"), probe, n_files=10, tiebreak=("id",)
+    ).collect()[0]
+    by_y = skipping_stats(
+        df, ["x", "y"], F.col("y"), probe, n_files=10, tiebreak=("id",)
+    ).collect()[0]
+    assert by_x.files_scanned == 10      # every x-file spans all y
+    assert by_y.files_scanned == 1       # y-sorted: only the first file
+    assert by_y.scan_ppm == 100_000
