@@ -167,17 +167,28 @@ def ranking_metrics(
         ideal_gain_u.alias("__ig"),
         rr_u.alias("__rr"),
     )
+    agg = per.groupBy(query_col).agg(
+        F.sum("__isrel").alias("n_rel"),
+        F.sum("__g").alias("dcg_u"),
+        F.sum("__ig").alias("idcg_u"),
+        F.expr(
+            "CASE WHEN sum(__ig) > 0"
+            " THEN (sum(__g) * 1000000) div sum(__ig) ELSE 0 END"
+        ).alias("ndcg_ppm"),
+        F.max("__rr").alias("rr_u"),
+    )
+    # queries whose results ALL sit past rank k vanish from `top`;
+    # re-anchor on the full query set so they surface as zero rows
+    # (the docstring contract — review r05)
+    all_q = ranked.select(query_col).distinct()
     return (
-        per.groupBy(query_col)
-        .agg(
-            F.sum("__isrel").alias("n_rel"),
-            F.sum("__g").alias("dcg_u"),
-            F.sum("__ig").alias("idcg_u"),
-            F.expr(
-                "CASE WHEN sum(__ig) > 0"
-                " THEN (sum(__g) * 1000000) div sum(__ig) ELSE 0 END"
-            ).alias("ndcg_ppm"),
-            F.max("__rr").alias("rr_u"),
+        all_q.join(agg, query_col, "left")
+        .select(
+            query_col,
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("n_rel", "dcg_u", "idcg_u", "ndcg_ppm", "rr_u")
+            ],
         )
         .orderBy(query_col)
     )

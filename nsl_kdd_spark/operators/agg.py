@@ -289,7 +289,10 @@ def grouped_trend(
     (observed at the 10x replay), while the centroid is exact and
     reconstructs it: intercept = mean_y - slope * mean_x. Groups
     with a single point or constant x yield NULL slope (0/0),
-    surfaced rather than masked.
+    surfaced rather than masked. Rows with NULL ts or NULL y are
+    excluded up front — COUNT(*) would otherwise inflate n while the
+    sums skip them, corrupting the slope (review r05,
+    execution-confirmed).
 
     Scale shape: ONE map-side-combined grouped aggregate over one
     scan; no windows, no joins.
@@ -304,7 +307,9 @@ def grouped_trend(
         .cast("long")
     )
     dyu = F.round(F.col(y_col).cast("double") * F.lit(1000000.0)).cast("long")
-    proj = df.select(
+    proj = df.filter(
+        F.col(ts_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
         F.col(group_col),
         dxu.alias("__dxu"),
         F.col(y_col).cast("decimal(18,2)").alias("__dy"),

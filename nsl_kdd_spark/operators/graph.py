@@ -273,6 +273,8 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    prev_n = und.count()
+    converged = False
     for _ in range(max_iter):
         deg = (
             und.select(F.col("a").alias("v"))
@@ -281,15 +283,26 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("v").localCheckpoint()
-        pruned = (
+        und = (
             und.join(keep, und.a == keep.v, "left_semi")
             .join(keep, und.b == keep.v, "left_semi")
             .localCheckpoint()
         )
-        if pruned.count() == und.count():
-            und = pruned
+        n = und.count()  # one action per round; prior count carried
+        if n == prev_n:
+            converged = True
             break
-        und = pruned
+        prev_n = n
+    if not converged:
+        # a partially-peeled graph is NOT a k-core; returning it
+        # silently would claim deg >= k for nodes the next rounds
+        # would have removed (review r05, execution-confirmed on a
+        # long path graph)
+        raise RuntimeError(
+            f"kcore did not converge in max_iter={max_iter} rounds; "
+            f"raise max_iter (peeling cascades one degree-layer per "
+            f"round on chain-like graphs)"
+        )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))

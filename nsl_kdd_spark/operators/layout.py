@@ -77,18 +77,19 @@ def skipping_stats(
     df: DataFrame,
     dim_cols: Sequence[str],
     sort_col: Column,
-    probe: dict[str, tuple[int, int]],
+    probes: dict[str, dict[str, tuple[int, int]]],
     n_files: int = 64,
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Quantify data-skipping for a candidate layout BEFORE writing
     it: simulate cutting ``df`` into ``n_files`` equal files in
     ``sort_col`` order, collect per-file min/max of each dimension
-    (exactly what parquet footers store), and count how many files a
-    box predicate ``probe = {dim: (lo, hi)}`` must scan. Output one
-    row: (n_files, files_scanned, scan_ppm) — integers, so layouts
-    compare exactly. Run it once per candidate (shipdate-linear vs
-    z-order) and read which layout prunes more.
+    (exactly what parquet footers store), and count how many files
+    each box predicate in ``probes = {name: {dim: (lo, hi)}}`` must
+    scan. Output one row per probe: (probe, n_files, files_scanned,
+    scan_ppm) — integers, so layouts compare exactly. ALL probes ride
+    one aggregation over one simulated layout, so adding a probe adds
+    a column, not a repeat of the sort (review r05).
 
     DIAGNOSTIC operator: the file assignment is a global ``ntile``
     (single-partition sort) — run it on a sample or one partition's
@@ -99,6 +100,8 @@ def skipping_stats(
     """
     from pyspark.sql import Window
 
+    if not probes:
+        raise ValueError("skipping_stats needs at least one probe")
     w = Window.orderBy(sort_col, *[F.col(c) for c in tiebreak])
     files = (
         df.withColumn("__f", F.ntile(n_files).over(w))
@@ -108,16 +111,29 @@ def skipping_stats(
             *[F.max(c).alias(f"__max_{c}") for c in dim_cols],
         )
     )
-    overlap = F.lit(True)
-    for c, (lo, hi) in probe.items():
-        overlap = overlap & (F.col(f"__min_{c}") <= hi) & (
-            F.col(f"__max_{c}") >= lo
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, box in enumerate(probes.values()):
+        overlap = F.lit(True)
+        for c, (lo, hi) in box.items():
+            overlap = overlap & (F.col(f"__min_{c}") <= hi) & (
+                F.col(f"__max_{c}") >= lo
+            )
+        aggs.append(F.sum(overlap.cast("long")).alias(f"__s{i}"))
+    one = files.agg(*aggs)
+    stack = ", ".join(
+        "'" + name.replace("'", "\\'") + f"', __s{i}"
+        for i, name in enumerate(probes)
+    )
+    return (
+        one.selectExpr(
+            "__n",
+            f"stack({len(probes)}, {stack}) AS (probe, files_scanned)",
         )
-    return files.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum(overlap.cast("long")).alias("files_scanned"),
-    ).select(
-        "n_files",
-        "files_scanned",
-        F.expr("(files_scanned * 1000000) div n_files").alias("scan_ppm"),
+        .select(
+            "probe",
+            F.col("__n").alias("n_files"),
+            "files_scanned",
+            F.expr("(files_scanned * 1000000) div __n").alias("scan_ppm"),
+        )
+        .orderBy("probe")
     )

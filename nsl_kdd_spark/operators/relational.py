@@ -327,7 +327,10 @@ def upsample_hash(
     if factor <= 0:
         raise ValueError(f"factor must be positive, got {factor}")
     base = int(math.floor(factor))
-    frac_cut = int(round((factor - base) * 65536))
+    # int() truncation, NOT round(): sample_hash derives its cut the
+    # same way, so upsample_hash(f<1) selects the identical row set
+    # as sample_hash(f) at every fraction (review r05)
+    frac_cut = int((factor - base) * 65536)
     hv = md5_bucket16(key_col, salt)
     n_copies = (F.lit(base) + (hv < F.lit(frac_cut)).cast("int")).alias("__n")
     return (

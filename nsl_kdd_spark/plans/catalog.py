@@ -4829,11 +4829,25 @@ def q122_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
     )
-    # sf0.01 co-purchase degrees run 42-206 (median 115): k=80 peels
-    # a real low-degree fringe (~143 parts) while keeping a non-empty
-    # core; at k<=42 nothing peels, and by k=100 the cascade
-    # collapses the whole graph
-    return kcore(edges, k=80, src="pa", dst="pb")
+    # degree distributions shift ~linearly with scale factor, so a
+    # fixed k is trivial at one scale and empty at another (review
+    # r05: k=80 peeled sf0.001 to nothing), and this near-regular
+    # co-purchase graph percolates abruptly (sf0.01: k=80 keeps 93%,
+    # k=100 collapses to empty). Anchor k just above the minimum
+    # degree: the bottom layer peels, its cascade is bounded, and a
+    # non-empty core survives at every scale. The degree probe is one
+    # tiny aggregate (driver scalar = control flow, like BPE argmax).
+    canon = edges.select(
+        F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
+    ).distinct()
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    k = int(deg.agg(F.min("deg")).collect()[0][0]) + 1
+    return kcore(edges, k=k, src="pa", dst="pb")
 
 
 # ---------------------------------------------------------------------------
@@ -4985,23 +4999,14 @@ def q124_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_only": {"d2": (0, 100)},
     }
     layouts = {"linear": F.col("d1"), "zorder": zvalue(["d1", "d2"], bits=16)}
-    parts = []
-    for lname, sort in layouts.items():
-        for pname, probe in probes.items():
-            parts.append(
-                skipping_stats(
-                    dims, ["d1", "d2"], sort, probe,
-                    n_files=64, tiebreak=("l_orderkey", "l_linenumber"),
-                ).select(
-                    F.lit(lname).alias("layout"),
-                    F.lit(pname).alias("probe"),
-                    "*",
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("layout", "probe")
+    parts = [
+        skipping_stats(
+            dims, ["d1", "d2"], sort, probes,
+            n_files=64, tiebreak=("l_orderkey", "l_linenumber"),
+        ).select(F.lit(lname).alias("layout"), "*")
+        for lname, sort in layouts.items()
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("layout", "probe")
 
 
 # ---------------------------------------------------------------------------

@@ -805,13 +805,24 @@ def test_skipping_stats_separates_layouts(spark):
 
     rows = [(x, y, x * 100 + y) for x in range(100) for y in range(100)]
     df = spark.createDataFrame(rows, ["x", "y", "id"])
-    probe = {"y": (0, 9)}  # 10% of y, any x
+    probes = {"ybox": {"y": (0, 9)}}  # 10% of y, any x
     by_x = skipping_stats(
-        df, ["x", "y"], F.col("x"), probe, n_files=10, tiebreak=("id",)
+        df, ["x", "y"], F.col("x"), probes, n_files=10, tiebreak=("id",)
     ).collect()[0]
     by_y = skipping_stats(
-        df, ["x", "y"], F.col("y"), probe, n_files=10, tiebreak=("id",)
+        df, ["x", "y"], F.col("y"), probes, n_files=10, tiebreak=("id",)
     ).collect()[0]
     assert by_x.files_scanned == 10      # every x-file spans all y
     assert by_y.files_scanned == 1       # y-sorted: only the first file
     assert by_y.scan_ppm == 100_000
+
+
+def test_ranking_metrics_surfaces_empty_topk_queries(spark):
+    from nsl_kdd_spark.ml.metrics import ranking_metrics
+
+    df = spark.createDataFrame(
+        [("q1", 1, 1), ("q4", 6, 1), ("q4", 7, 1)], ["query_id", "rank", "rel"]
+    )
+    out = {r.query_id: r for r in ranking_metrics(df, k=5).collect()}
+    assert set(out) == {"q1", "q4"}  # q4 surfaces even with no top-5 rows
+    assert (out["q4"].ndcg_ppm, out["q4"].rr_u, out["q4"].n_rel) == (0, 0, 0)
