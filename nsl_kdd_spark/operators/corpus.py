@@ -123,3 +123,49 @@ def mix_corpora(
         for name, df in sorted(sources.items())
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def select_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """Pick the canonical document per duplicate cluster BY QUALITY
+    instead of by id: given the corpus and a (node, comp) component
+    table from ``graph.connected_components``, keep the
+    highest-``score`` member of every cluster (ties by id — total
+    order) and every unclustered document. The upgrade over
+    keep-first/keep-lowest-id dedup: when near-dups differ (one copy
+    truncated, one boilerplated), the cluster survivor is the best
+    copy, not an arbitrary one.
+
+    Output: the surviving rows of ``docs`` with their ``comp`` (null
+    for singletons) — same schema contract as the dedup tier, so it
+    drops into ``corpus_clean`` pipelines after the CC step.
+
+    Scale shape: the component table is pair-derived (much smaller
+    than the corpus); one equi-join attaches cluster ids, one
+    cluster-keyed window picks the argmax. Only clustered rows enter
+    the window — singletons pass through the anti-join untouched.
+    """
+    from pyspark.sql import Window
+
+    comp = components.select(
+        F.col(node_col).alias(id_col), F.col(comp_col).alias("comp")
+    )
+    clustered = docs.join(comp, id_col)
+    w = Window.partitionBy("comp").orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    winners = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    singletons = docs.join(comp, id_col, "left_anti").withColumn(
+        "comp", F.lit(None).cast(comp.schema["comp"].dataType)
+    )
+    return winners.unionByName(singletons)

@@ -5010,6 +5010,127 @@ def q124_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Calibration / Brier profile (ml/metrics.calibration_report):
+# reliability-diagram table + per-bin Brier contributions, all
+# fixed-point (micro-unit scores, ppm rates) — completes the eval
+# tier (q21 CM/FAR, q22 AUC, q123 NDCG). Pseudo-probability =
+# price / max(price); outcome = order status 'F'.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q125_calibration",
+    oracle="""
+    WITH m AS (SELECT MAX(o_totalprice) AS mx FROM orders),
+    s AS (
+      SELECT CAST(ROUND(o_totalprice / m.mx * 1000000.0) AS BIGINT) AS su,
+             LEAST(CAST(FLOOR(o_totalprice / m.mx * 10.0) AS BIGINT), 9)
+               AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders CROSS JOIN m
+    ), e AS (
+      SELECT bin, su, y,
+             ((su - y * 1000000) * (su - y * 1000000)) // 1000000 AS se
+      FROM s
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(SUM(su) AS BIGINT) // COUNT(*) AS mean_score_u,
+           (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_ppm,
+           CAST(SUM(se) AS BIGINT) // COUNT(*) AS brier_u
+    FROM e GROUP BY bin ORDER BY bin
+    """,
+)
+def q125_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.metrics import calibration_report
+
+    t = load_tables(spark, sf_dir)
+    mx = t.orders.agg(F.max("o_totalprice").alias("__mx"))
+    scored = t.orders.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_totalprice") / F.col("__mx")).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return calibration_report(scored, "score", "label", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection (corpus.select_canonical): keep the BEST-
+# quality member of every near-dup cluster instead of the lowest id
+# — q58's connected components + the q24 quality score, composed.
+# Quality quantizes to micro-units for the argmax ordering, so the
+# survivor choice is engine-exact. Oracle = recursive-CTE CC + the
+# same windowed argmax.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q126_select_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    {{edges}},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+    ),
+    comps AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    ),
+    q AS (
+      SELECT doc_id,
+        CAST(ROUND((
+          LEAST(len(w) / 100.0, 1.0)
+          + len(list_filter(dw, x -> list_contains(
+              ['the','a','of','and','to','in','is','that','it','for'], x)))
+            * 1.0 / len(dw)
+          + len(dw) * 1.0 / len(w)) / 3.0 * 1000000.0) AS BIGINT) AS qual_u
+      FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                   list_distinct(string_split(text, ' ')) AS dw
+            FROM documents)
+    ),
+    winners AS (
+      SELECT doc_id, comp, qual_u FROM (
+        SELECT d.doc_id, c.comp, q.qual_u,
+               ROW_NUMBER() OVER (PARTITION BY c.comp
+                                  ORDER BY q.qual_u DESC, d.doc_id) AS rn
+        FROM documents d JOIN comps c ON c.node = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+      ) WHERE rn = 1
+    ),
+    singles AS (
+      SELECT d.doc_id, CAST(NULL AS BIGINT) AS comp, q.qual_u
+      FROM documents d ANTI JOIN comps c ON c.node = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, comp, qual_u FROM winners
+    UNION ALL SELECT doc_id, comp, qual_u FROM singles
+    ORDER BY doc_id
+    """.replace("{edges}", _NEARDUP_EDGES_SQL),
+)
+def q126_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import quality_score
+    from nsl_kdd_spark.operators.corpus import select_canonical
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+    from nsl_kdd_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    edges = jaccard_pairs(t.documents, "doc_id", "text", n=3, threshold=0.8)
+    comps = connected_components(edges)
+    docs = t.documents.select(
+        "doc_id",
+        F.round(quality_score("text") * 1000000.0)
+        .cast("long")
+        .alias("qual_u"),
+    )
+    return (
+        select_canonical(docs, comps, F.col("qual_u"))
+        .select("doc_id", "comp", "qual_u")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

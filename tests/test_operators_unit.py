@@ -826,3 +826,38 @@ def test_ranking_metrics_surfaces_empty_topk_queries(spark):
     out = {r.query_id: r for r in ranking_metrics(df, k=5).collect()}
     assert set(out) == {"q1", "q4"}  # q4 surfaces even with no top-5 rows
     assert (out["q4"].ndcg_ppm, out["q4"].rr_u, out["q4"].n_rel) == (0, 0, 0)
+
+
+def test_calibration_report_known_bins(spark):
+    from nsl_kdd_spark.ml.metrics import calibration_report
+
+    rows = [(0.05, 0)] * 9 + [(0.05, 1)] + [(0.95, 1)] * 9 + [(0.95, 0)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    out = {r.bin: r for r in calibration_report(df, n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].pos_rate_ppm == 100_000     # 1/10 positive in low bin
+    assert out[9].pos_rate_ppm == 900_000
+    assert out[0].mean_score_u == 50_000
+    # well-calibrated bin has small brier; the 0.95-scored negative
+    # pushes bin 9's brier above bin 0's mirrored value only by
+    # symmetry — both bins share |score-rate| so briers are equal
+    assert out[0].brier_u == out[9].brier_u
+    # score exactly 1.0 clamps into the last bin
+    one = spark.createDataFrame([(1.0, 1)], ["score", "label"])
+    assert calibration_report(one, n_bins=10).collect()[0].bin == 9
+
+
+def test_select_canonical_keeps_best_quality(spark):
+    from nsl_kdd_spark.operators.corpus import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 42)], ["doc_id", "q"]
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["node", "comp"]
+    )
+    out = {r.doc_id: r for r in select_canonical(
+        docs, comps, F.col("q")
+    ).collect()}
+    assert set(out) == {2, 7}            # best of cluster + singleton
+    assert out[2].comp == 1 and out[7].comp is None
