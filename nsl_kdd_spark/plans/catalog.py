@@ -5181,7 +5181,11 @@ def q126_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline tests + q11's mapping surface) -> q104 BM25 scoring;
 # q06 exact distinct count (green r01+r02; the A4 surface is also
 # oracle-held by q60's per-column n_distinct profile, the sketch
-# tier by q63/q118 tolerance tests) -> q112 triangle count.
+# tier by q63/q118 tolerance tests) -> q112 triangle count; q41
+# pearson correlation (green r01+r02; its exact-decimal-sums
+# machinery is a strict subset of q121's OLS normal equations, and
+# spearman's rank windows are held by q56/q98) -> q121 grouped
+# trend.
 DRIVER_WINDOW = [
     "q01_pricing_summary", "q103_pagerank", "q03_revenue_by_nation",
     "q04_crosstab", "q05_describe", "q112_triangle_count",
@@ -5193,7 +5197,7 @@ DRIVER_WINDOW = [
     "q91_span_dedup", "q96_zorder_layout", "q28_jaccard_pairs",
     "q29_minhash_lsh", "q31_knn_bruteforce",
     "q94_semantic_dedup", "q34_tumbling_window",
-    "q36_session_window", "q93_scd2_history", "q41_correlation",
+    "q36_session_window", "q93_scd2_history", "q121_grouped_trend",
     "q87_vocab_encode", "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q58_dedup_components", "q59_range_join", "q61_simhash_banded",
     "q67_tfidf_terms", "q68_hash_split", "q69_cdc_merge",
