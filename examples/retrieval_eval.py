@@ -1,0 +1,74 @@
+"""End-to-end retrieval + evaluation over the fixture tables — the
+round-4 tier composed in one file:
+
+    corpus stats (inverted index)
+    -> lexical ranking (Okapi BM25, fixed-point scores)
+    -> dense retrieval (int8-quantized ANN + exact re-rank)
+    -> NDCG@k / MRR evaluation of the dense ranking
+       (relevance = label agreement)
+
+    python examples/retrieval_eval.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nsl_kdd_spark.ml.metrics import ranking_metrics  # noqa: E402
+from nsl_kdd_spark.ml.text_features import (  # noqa: E402
+    bm25_scores,
+    inverted_index,
+)
+from nsl_kdd_spark.operators.similarity import (  # noqa: E402
+    knn_quantized,
+    quantize_embeddings,
+)
+from nsl_kdd_spark.session import get_session  # noqa: E402
+from nsl_kdd_spark.sources.parquet import load_tables  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session(app_name="retrieval-eval", master="local[8]",
+                        shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, sf_dir)
+
+    print("== inverted index (top terms by document frequency) ==")
+    inverted_index(t.documents, min_df=5).orderBy(
+        F.desc("df_count"), "token"
+    ).show(5, truncate=60)
+
+    print("== BM25 relevance vs a query bag ==")
+    bm25_scores(t.documents, ["spark", "vector", "stream"]).orderBy(
+        F.desc("bm25_u"), "doc_id"
+    ).show(5)
+
+    print("== int8-quantized ANN with exact re-rank ==")
+    qz = quantize_embeddings(t.embeddings)
+    queries = t.embeddings.filter(F.col("vec_id") < 5)
+    hits = knn_quantized(qz, queries, k=5, rerank=15, exact=t.embeddings)
+    hits.show(10)
+
+    print("== NDCG@5 / MRR (relevance = label agreement) ==")
+    clab = t.embeddings.select("vec_id", F.col("label").alias("clabel"))
+    qlab = t.embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    ranked = (
+        hits.join(clab, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id", "rank",
+            (F.col("clabel") == F.col("qlabel")).cast("int").alias("rel"),
+        )
+    )
+    ranking_metrics(ranked, k=5).show()
+
+
+if __name__ == "__main__":
+    main()
