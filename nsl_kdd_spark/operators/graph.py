@@ -94,6 +94,7 @@ def pagerank(
     iterations: int = 5,
     damping_pm: int = 850,
     scale: int = 10**12,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank, exact fixed-point arithmetic.
 
@@ -113,6 +114,13 @@ def pagerank(
     Dangling mass is redistributed uniformly (the standard treatment),
     so bipartite sink-heavy graphs keep total rank ~constant.
 
+    ``weight`` names an INTEGER edge-weight column: shares split
+    proportionally, ``share(u->v) = (rank(u) * w_uv) div outw(u)``
+    with ``outw`` the node's total out-weight — still pure integer
+    arithmetic, so the weighted variant keeps the bit-exact contract
+    (weights must fit ``rank * w`` in int64: w < ~9e6 at the default
+    scale). Parallel edges should be pre-aggregated into one weight.
+
     Scale shape (100 TB): the loop is driver control flow only; each
     iteration is one equi-join edges->ranks (shuffle on node key) +
     one grouped integer sum + a 1-row dangling aggregate cross-joined
@@ -122,14 +130,23 @@ def pagerank(
     web-scale graphs pre-partition edges by ``dst`` and ranks by
     ``node`` so the per-iteration shuffle reuses one partitioning.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.lit(1).cast("long").alias("w"),
+        ).distinct()
+    else:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     base = (
         nodes.join(outdeg, nodes.node == outdeg.src, "left")
         .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
@@ -145,7 +162,7 @@ def pagerank(
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .filter(F.col("outdeg") > 0)
-            .select("dst", F.expr("rank div outdeg").alias("share"))
+            .select("dst", F.expr("(rank * w) div outdeg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )

@@ -5131,6 +5131,78 @@ def q126_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted PageRank (graph.pagerank weight=...): purchase-volume-
+# weighted centrality — shares split proportionally to integer edge
+# weights, (rank * w) div outw, keeping the q103 bit-exact contract.
+# Oracle = the same unrolled 5-iteration CTE with weighted shares.
+# ---------------------------------------------------------------------------
+
+def _wpagerank_oracle() -> str:
+    tele = f"(SELECT {_PR_SCALE} // n FROM nn)"
+    n_sq = "(SELECT n FROM nn)"
+    parts = [f"""
+    WITH e AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ), deg AS (
+      SELECT nodes.node, COALESCE(d.sw, 0) AS outdeg
+      FROM nodes LEFT JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS sw
+                            FROM e GROUP BY src) d
+        ON d.src = nodes.node
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, outdeg, {tele} AS rank FROM deg)"""]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+    r{k}_h AS (
+      SELECT d.node, d.outdeg,
+        (150 * {tele}
+         + 850 * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(rank), 0) FROM r{k - 1}
+                     WHERE outdeg = 0) // {n_sq})) // 1000 AS rank_h
+      FROM deg d
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * e.w) // r.outdeg) AS BIGINT) AS contrib
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY e.dst
+      ) c ON c.node = d.node
+    ), r{k} AS (
+      SELECT node, outdeg, CAST(rank_h AS BIGINT) AS rank FROM r{k}_h
+    )""")
+    parts.append(f"""
+    SELECT node, rank FROM r{_PR_ITERS}
+    ORDER BY rank DESC, node LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@query("q127_weighted_pagerank", oracle=_wpagerank_oracle())
+def q127_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping_pm=850, scale=_PR_SCALE,
+        weight="w",
+    )
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -861,3 +861,19 @@ def test_select_canonical_keeps_best_quality(spark):
     ).collect()}
     assert set(out) == {2, 7}            # best of cluster + singleton
     assert out[2].comp == 1 and out[7].comp is None
+
+
+def test_weighted_pagerank_follows_weight(spark):
+    """Hub 1 points at 2 (weight 9) and 3 (weight 1): node 2 must
+    absorb ~9x node 3's damped share; the unweighted run ties them."""
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], ["src", "dst", "w"]
+    )
+    r = {x.node: x.rank for x in pagerank(edges, weight="w").collect()}
+    # shares split 9:1 but teleport + uniform dangling redistribution
+    # add equal mass to both sinks, compressing the final ratio
+    assert r[2] > 1.5 * r[3]
+    ru = {x.node: x.rank for x in pagerank(edges).collect()}
+    assert ru[2] == ru[3]
