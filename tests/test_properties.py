@@ -222,3 +222,34 @@ def test_scd2_history_covers_timeline_without_overlap(events):
         for a, b in zip(versions, versions[1:]):
             if a["effective_from"] != b["effective_from"]:  # real transition
                 assert a["attr"] != b["attr"]
+
+
+def test_upsample_superset_property(spark):
+    """Raising the factor must keep every existing copy: copies at
+    factor f1 are a per-key lower bound of copies at f2 > f1 (the
+    mixture-rebalance contract — same md5 stream, higher cut)."""
+    from nsl_kdd_spark.operators.relational import upsample_hash
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    c1 = {r.k: r["count"] for r in upsample_hash(df, "k", 1.3)
+          .groupBy("k").count().collect()}
+    c2 = {r.k: r["count"] for r in upsample_hash(df, "k", 2.7)
+          .groupBy("k").count().collect()}
+    for k in c1:
+        assert c2[k] >= c1[k]
+    # and the fractional extra goes to the SAME keys at equal frac
+    e1 = {k for k, c in c1.items() if c == 2}
+    e2 = {k for k, c in
+          {r.k: r["count"] for r in upsample_hash(df, "k", 2.3)
+           .groupBy("k").count().collect()}.items() if c == 3}
+    assert e1 == e2  # frac .3 picks identical md5 buckets at any base
+
+
+def test_table_digest_partition_and_union_order_invariance(spark):
+    from nsl_kdd_spark.operators.quality import table_digest
+
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["id", "v"])
+    b = spark.createDataFrame([(i, f"v{i}") for i in range(50, 80)], ["id", "v"])
+    d_ab = tuple(table_digest(a.unionByName(b)).collect()[0])
+    d_ba = tuple(table_digest(b.unionByName(a).repartition(13)).collect()[0])
+    assert d_ab == d_ba
