@@ -276,3 +276,71 @@ def mad_outliers(
         .select(group_col, "n", "med", "mad", "n_outliers", "outlier_ppm")
         .orderBy(group_col)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Time-weighted average per key: each observation holds until
+    the NEXT one, so its weight is that interval's duration — the
+    correct mean for irregularly-sampled state (sensor readings,
+    prices, resource gauges), where the plain AVG over-weights busy
+    periods. The last observation of a key carries no interval and
+    is excluded from the weighted mean (standard TWAP-to-last
+    convention).
+
+    Output per key: (key, n, span_s, twa_u) — ``twa_u`` the
+    time-weighted mean in integer ``1/scale`` units: per-interval
+    ``value * duration_seconds`` quantizes BEFORE the sum, and the
+    final division is integer ``div`` — the fixed-point exact tier,
+    engine/partitioning-stable. The default milli-unit scale keeps
+    ``scale^2 * |v|max * span`` inside int64 for realistic keys
+    (bound: sum(v*dt)*scale^2 < 2^63 — raise scale only for short
+    spans). Ties in ``ts_col`` get zero-length intervals (harmless);
+    pass ``tiebreak_col`` for a total order.
+
+    Scale shape: ONE window (lead) over the key partition — the same
+    single-sort shape as sessionize/transitions — then a
+    map-side-combined grouped sum.
+    """
+    from pyspark.sql import Window
+
+    from nsl_kdd_spark.functions.scalar import epoch_seconds
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    es = epoch_seconds(ts_col, "double")
+    stepped = df.select(
+        F.col(key_col),
+        es.alias("__t"),
+        F.lead(es).over(w).alias("__tn"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # integer micro-unit-seconds per interval; exact integer sums
+    wu = F.round(
+        F.col("__v") * (F.col("__tn") - F.col("__t")) * F.lit(float(scale))
+    ).cast("long")
+    du = F.round((F.col("__tn") - F.col("__t")) * F.lit(float(scale))).cast(
+        "long"
+    )
+    return (
+        stepped.filter(F.col("__tn").isNotNull())
+        .select(key_col, wu.alias("__wu"), du.alias("__du"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"sum(__du) div {scale}").alias("span_s"),
+            F.expr(
+                "CASE WHEN sum(__du) > 0"
+                f" THEN (sum(__wu) * {scale}) div sum(__du) ELSE NULL END"
+            ).alias("twa_u"),
+        )
+        .orderBy(key_col)
+    )

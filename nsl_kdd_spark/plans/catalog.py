@@ -5203,6 +5203,46 @@ def q127_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-weighted average (timeseries.time_weighted_avg): interval-
+# weighted mean per event type — the correct mean for irregularly
+# sampled state, where plain AVG over-weights busy periods. Interval
+# weights quantize to milli-unit-seconds before the integer sums.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q128_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, epoch(ts) AS t,
+             LEAD(epoch(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS tn,
+             value AS v
+      FROM events
+    ), i AS (
+      SELECT event_type,
+             CAST(ROUND(v * (tn - t) * 1000.0) AS BIGINT) AS wu,
+             CAST(ROUND((tn - t) * 1000.0) AS BIGINT) AS du
+      FROM s WHERE tn IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(du) AS BIGINT) // 1000 AS span_s,
+           CASE WHEN SUM(du) > 0
+                THEN (CAST(SUM(wu) AS BIGINT) * 1000)
+                     // CAST(SUM(du) AS BIGINT)
+                ELSE NULL END AS twa_u
+    FROM i GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q128_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.timeseries import time_weighted_avg
+
+    t = load_tables(spark, sf_dir)
+    return time_weighted_avg(
+        t.events, "event_type", "ts", "value", tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

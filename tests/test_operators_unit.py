@@ -877,3 +877,22 @@ def test_weighted_pagerank_follows_weight(spark):
     assert r[2] > 1.5 * r[3]
     ru = {x.node: x.rank for x in pagerank(edges).collect()}
     assert ru[2] == ru[3]
+
+
+def test_time_weighted_avg_vs_plain_avg(spark):
+    from nsl_kdd_spark.operators.timeseries import time_weighted_avg
+
+    # value 100 holds for 9s, value 0 for 1s -> TWA = 90; plain AVG
+    # of observed points = (100+0+50)/3
+    rows = [("a", 0, 100.0), ("a", 9, 0.0), ("a", 10, 50.0)]
+    df = spark.createDataFrame(rows, ["k", "es", "v"]).selectExpr(
+        "k", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS ts", "v"
+    )
+    r = time_weighted_avg(df, "k", "ts", "v").collect()[0]
+    assert r.n == 2 and r.span_s == 10
+    assert r.twa_u == 90_000         # 90.0 in milli-units
+    # single-observation key: no interval -> absent
+    one = spark.createDataFrame([("b", 5, 1.0)], ["k", "es", "v"]).selectExpr(
+        "k", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS ts", "v"
+    )
+    assert time_weighted_avg(one, "k", "ts", "v").count() == 0
