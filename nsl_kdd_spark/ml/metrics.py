@@ -216,7 +216,16 @@ def calibration_report(
     Scale shape: one map-side-combined grouped aggregate; bins are
     bounded (n_bins rows out).
     """
-    s = F.col(score_col).cast("double")
+    s0 = F.col(score_col).cast("double")
+    s = F.when(
+        (s0 < 0.0) | (s0 > 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("calibration_report: score outside [0, 1]: "),
+                s0.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(s0)
     su = F.round(s * F.lit(float(scale))).cast("long")
     y = F.col(label_col).cast("long")
     bin_id = F.least(

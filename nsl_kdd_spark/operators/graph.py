@@ -136,9 +136,20 @@ def pagerank(
             F.lit(1).cast("long").alias("w"),
         ).distinct()
     else:
+        w0 = F.col(weight).cast("long")
         e = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
-            F.col(weight).cast("long").alias("w"),
+            # zero/negative weights would silently reclassify nodes as
+            # dangling or produce negative shares — fail loudly instead
+            F.when(
+                w0 <= 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("pagerank: edge weight must be positive: "),
+                        w0.cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(w0).alias("w"),
         )
     e = e.persist()
     nodes = (

@@ -323,7 +323,8 @@ def time_weighted_avg(
         F.lead(es).over(w).alias("__tn"),
         F.col(value_col).cast("double").alias("__v"),
     )
-    # integer micro-unit-seconds per interval; exact integer sums
+    # integer 1/scale-unit-seconds per interval (milli by default);
+    # exact integer sums
     wu = F.round(
         F.col("__v") * (F.col("__tn") - F.col("__t")) * F.lit(float(scale))
     ).cast("long")

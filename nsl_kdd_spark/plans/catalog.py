@@ -845,9 +845,18 @@ def q23_attribute_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text stats + quality scoring (expression-only; scan-speed at 100 TB)
 # ---------------------------------------------------------------------------
 
+# Shared oracle fragment: the q24 quality-score formula over the
+# (w, dw) token lists — interpolated by q24 and q126 so the two
+# cannot drift (the e1f6008 shared-oracle rule).
+_QUALITY_SQL = """(LEAST(len(w) / 100.0, 1.0)
+            + len(list_filter(dw, x -> list_contains(
+                ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(dw)
+            + len(dw) * 1.0 / len(w)) / 3.0"""
+
+
 @query(
     "q24_text_stats",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, text,
              string_split(text, ' ') AS w,
@@ -861,10 +870,7 @@ def q23_attribute_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
              / len(dw) AS stop_ratio,
            (length(text) - (len(w) - 1)) * 1.0 / len(w) AS avg_token_len,
-           (LEAST(len(w) / 100.0, 1.0)
-            + len(list_filter(dw, x -> list_contains(
-                ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(dw)
-            + len(dw) * 1.0 / len(w)) / 3.0 AS quality
+           {_QUALITY_SQL} AS quality
     FROM t
     ORDER BY doc_id
     """,
@@ -2067,6 +2073,24 @@ def q57_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transitive dedup clustering; oracle = DuckDB recursive CTE
 # ---------------------------------------------------------------------------
 
+# Shared oracle fragment: undirected closure -> per-node component
+# labels over an `edges(id_a, id_b)` CTE — interpolated by q58 and
+# q126 so the component semantics cannot drift.
+_CC_COMPS_SQL = """
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+    ),
+    comps AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+    )
+"""
+
 _NEARDUP_EDGES_SQL = """
     w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
@@ -2092,18 +2116,7 @@ _NEARDUP_EDGES_SQL = """
     oracle=f"""
     WITH RECURSIVE
     {_NEARDUP_EDGES_SQL},
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM edges
-      UNION SELECT id_b, id_a FROM edges
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
-    ),
-    comps AS (
-      SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
-    )
+    {_CC_COMPS_SQL}
     SELECT comp, COUNT(*) AS n_nodes
     FROM comps GROUP BY comp
     ORDER BY n_nodes DESC, comp
@@ -5065,26 +5078,10 @@ def q125_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     {{edges}},
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM edges
-      UNION SELECT id_b, id_a FROM edges
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
-    ),
-    comps AS (
-      SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
-    ),
+    {{comps}},
     q AS (
       SELECT doc_id,
-        CAST(ROUND((
-          LEAST(len(w) / 100.0, 1.0)
-          + len(list_filter(dw, x -> list_contains(
-              ['the','a','of','and','to','in','is','that','it','for'], x)))
-            * 1.0 / len(dw)
-          + len(dw) * 1.0 / len(w)) / 3.0 * 1000000.0) AS BIGINT) AS qual_u
+        CAST(ROUND(({{quality}}) * 1000000.0) AS BIGINT) AS qual_u
       FROM (SELECT doc_id, string_split(text, ' ') AS w,
                    list_distinct(string_split(text, ' ')) AS dw
             FROM documents)
@@ -5106,7 +5103,9 @@ def q125_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, comp, qual_u FROM winners
     UNION ALL SELECT doc_id, comp, qual_u FROM singles
     ORDER BY doc_id
-    """.replace("{edges}", _NEARDUP_EDGES_SQL),
+    """.replace("{edges}", _NEARDUP_EDGES_SQL)
+       .replace("{comps}", _CC_COMPS_SQL.strip())
+       .replace("{quality}", _QUALITY_SQL),
 )
 def q126_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.functions.text import quality_score
