@@ -32,10 +32,18 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Result = all left columns + ``right_values``
-    (null when no right row precedes). ``tolerance_seconds`` nulls out
-    matches older than the tolerance (standard asof option)."""
+    (null when no right row matches). ``tolerance_seconds`` nulls out
+    matches farther than the tolerance (standard asof option).
+    ``direction``: "backward" (largest rt <= lt, the default) or
+    "forward" (smallest rt >= lt) — the pandas ``merge_asof``
+    directions; forward is the same union-and-carry plan with the
+    window order flipped, so both are one shuffle, no range blowup.
+    Ties (rt == lt) match in both directions."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [key] if isinstance(key, str) else list(key)
 
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ats", F.col(left_ts))
@@ -55,9 +63,13 @@ def asof_join(
     lhs = lhs.withColumn("__rv", F.lit(None).cast(dict(rhs.dtypes)["__rv"]))
 
     unioned = lhs.unionByName(rhs)
+    ts_order = (
+        F.col("__ats").asc() if direction == "backward"
+        else F.col("__ats").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
@@ -67,10 +79,11 @@ def asof_join(
     if tolerance_seconds is not None:
         from nsl_kdd_spark.functions.scalar import epoch_seconds
 
-        in_tol = (
+        gap = (
             epoch_seconds(F.col("__ats"), "double")
             - epoch_seconds(F.col("__match.__rts"), "double")
-        ) <= F.lit(float(tolerance_seconds))
+        )
+        in_tol = F.abs(gap) <= F.lit(float(tolerance_seconds))
         out = out.withColumn("__match", F.when(in_tol, F.col("__match")))
     for c in right_values:
         out = out.withColumn(c, F.col(f"__match.{c}"))

@@ -5242,6 +5242,57 @@ def q128_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join (operators/asof direction="forward"): for every
+# click, the NEXT purchase — time-to-conversion enrichment, the
+# mirror of q54's last-purchase lookup. Same union-and-carry plan
+# with the window order flipped; DuckDB's native ASOF with <= is
+# the independent oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q129_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts AS pts, value AS pvalue
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, p.pvalue AS next_purchase_value,
+           p.pts AS matched_ts
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.pts
+    ORDER BY c.event_id
+    """,
+)
+def q129_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pvalue"),
+    )
+    return (
+        asof_join(
+            clicks, purch, "user_id", "ts", "pts", ["pvalue"],
+            direction="forward",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("pvalue").alias("next_purchase_value"),
+            "matched_ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

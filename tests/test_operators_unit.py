@@ -896,3 +896,29 @@ def test_time_weighted_avg_vs_plain_avg(spark):
         "k", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS ts", "v"
     )
     assert time_weighted_avg(one, "k", "ts", "v").count() == 0
+
+
+def test_asof_forward_and_tolerance_directions(spark):
+    from nsl_kdd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, 1)], ["k", "es", "lid"]
+    ).selectExpr("k", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS lt", "lid")
+    right = spark.createDataFrame(
+        [("u", 90, 9.0), ("u", 150, 15.0)], ["k", "es", "v"]
+    ).selectExpr("k", "CAST(timestamp_seconds(es) AS TIMESTAMP) AS rt", "v")
+
+    back = asof_join(left, right, "k", "lt", "rt", ["v"]).collect()[0]
+    fwd = asof_join(
+        left, right, "k", "lt", "rt", ["v"], direction="forward"
+    ).collect()[0]
+    assert back.v == 9.0 and fwd.v == 15.0
+    # forward tolerance: the 50s-away future match nulls out at 30s
+    fwd_tol = asof_join(
+        left, right, "k", "lt", "rt", ["v"],
+        direction="forward", tolerance_seconds=30,
+    ).collect()[0]
+    assert fwd_tol.v is None
+    import pytest
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, "k", "lt", "rt", ["v"], direction="nearest")
