@@ -5293,6 +5293,46 @@ def q129_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Association rules (operators/itemsets.basket_pairs): market-basket
+# support/confidence/lift over order->part baskets, per-basket-
+# bounded pair explode + a-priori-style supports, integer-ppm
+# metrics — the co-occurrence MINING face of the q112 co-purchase
+# graph. Oracle states the same pair join + ratios.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q130_association_rules",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+    itm AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),
+    p AS (
+      SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_ab
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           a.n_item AS n_a, c.n_item AS n_b, nb.n_baskets,
+           (p.n_ab * 1000000) // nb.n_baskets AS support_ppm,
+           (p.n_ab * 1000000) // a.n_item AS confidence_ppm,
+           (p.n_ab * nb.n_baskets * 1000000) // (a.n_item * c.n_item)
+             AS lift_ppm
+    FROM p JOIN itm a ON a.i = p.item_a JOIN itm c ON c.i = p.item_b
+    CROSS JOIN nb
+    ORDER BY item_a, item_b
+    """,
+)
+def q130_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.itemsets import basket_pairs
+
+    t = load_tables(spark, sf_dir)
+    return basket_pairs(
+        t.lineitem, "l_orderkey", "l_partkey", min_pair_support=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -922,3 +922,28 @@ def test_asof_forward_and_tolerance_directions(spark):
     import pytest
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, right, "k", "lt", "rt", ["v"], direction="nearest")
+
+
+def test_basket_pairs_metrics_and_guard(spark):
+    from nsl_kdd_spark.operators.itemsets import basket_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "a")],
+        ["basket", "item"],
+    )
+    out = {(r.item_a, r.item_b): r for r in basket_pairs(
+        df, "basket", "item", min_pair_support=1
+    ).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_ab, ab.n_a, ab.n_b, ab.n_baskets) == (2, 3, 2, 3)
+    assert ab.lift_ppm == 1_000_000        # independent-looking pair
+    assert out[("b", "c")].lift_ppm == 1_500_000
+    # duplicate item in basket 3 counted once
+    assert out[("a", "b")].support_ppm == 666_666
+    # oversized basket fails loudly
+    import pytest
+    big = spark.createDataFrame(
+        [(1, f"i{k}") for k in range(5)], ["basket", "item"]
+    )
+    with pytest.raises(Exception, match="max_basket_size"):
+        basket_pairs(big, "basket", "item", max_basket_size=3).collect()
