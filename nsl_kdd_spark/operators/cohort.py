@@ -77,3 +77,94 @@ def cohort_retention(
         )
         .orderBy("cohort", "offset")
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    as_of: str | None = None,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last
+    activity at ``as_of``), frequency (activity count) and monetary
+    (exact-decimal total spend), each coded into ``n_tiles`` quantile
+    tiers — the classic customer-value segmentation (``555`` = most
+    recent / most frequent / highest spend).
+
+    Output: (customer, recency_days, frequency, monetary, r_tile,
+    f_tile, m_tile, rfm_code). Tiles come from exact percentile
+    cutoffs computed on the per-customer table and broadcast back —
+    no global NTILE sort over the fact table, so the plan is two
+    map-side-combined aggregates + one broadcast join at any scale
+    (the q52-verified percentile semantics; tile k = # cutoffs the
+    value exceeds, so ties share a tile deterministically). Higher
+    tile = better (more recent, more frequent, higher spend);
+    ``as_of`` defaults to the max activity date in the data.
+
+    Scale note: exact percentile over the CUSTOMER table (not the
+    order log) — at 10^9 customers swap ``approx_percentile``, same
+    plan shape.
+    """
+    from nsl_kdd_spark.functions.scalar import exact_sum
+
+    base = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum(amount_col).alias("monetary"),
+    )
+    if as_of is None:
+        anchor = base.agg(F.max("__last").alias("__asof"))
+    else:
+        anchor = orders.sparkSession.range(1).select(
+            F.lit(as_of).cast("timestamp").alias("__asof")
+        )
+    base = base.crossJoin(F.broadcast(anchor)).select(
+        "customer",
+        F.datediff("__asof", "__last").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    cuts = base.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.array(*[F.lit(q) for q in qs])).alias("__rc"),
+        F.percentile(F.col("frequency").cast("double"), F.array(*[F.lit(q) for q in qs])).alias("__fc"),
+        F.percentile(F.col("monetary"), F.array(*[F.lit(q) for q in qs])).alias("__mc"),
+    )
+
+    def tile(value, cuts_col, invert=False):
+        # tile = 1 + number of cutoffs strictly below the value
+        # (invert: recency is better when SMALLER, so count cutoffs
+        # strictly above)
+        cmp = (
+            (lambda c: (c > value).cast("int"))
+            if invert
+            else (lambda c: (value > c).cast("int"))
+        )
+        return (
+            F.lit(1)
+            + F.aggregate(
+                F.transform(F.col(cuts_col), cmp),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+        ).cast("long")
+
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select(
+            "customer",
+            "recency_days",
+            "frequency",
+            "monetary",
+            tile(F.col("recency_days").cast("double"), "__rc", invert=True).alias("r_tile"),
+            tile(F.col("frequency").cast("double"), "__fc").alias("f_tile"),
+            tile(F.col("monetary"), "__mc").alias("m_tile"),
+        )
+        .withColumn(
+            "rfm_code",
+            (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")),
+        )
+        .orderBy("customer")
+    )

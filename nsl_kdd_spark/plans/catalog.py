@@ -5333,6 +5333,61 @@ def q130_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RFM segmentation (operators/cohort.rfm_segments): recency /
+# frequency / monetary quintile codes per customer — percentile
+# cutoffs on the CUSTOMER table broadcast back (no global NTILE sort
+# of the fact table). Monetary is the exact decimal sum; tiles count
+# strict cutoff crossings, so ties share a tile on both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q131_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS customer, MAX(o_orderdate) AS last_d,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ), a AS (SELECT MAX(last_d) AS asof FROM base),
+    b AS (
+      SELECT customer,
+             CAST(date_diff('day', last_d, a.asof) AS BIGINT)
+               AS recency_days,
+             frequency, monetary
+      FROM base CROSS JOIN a
+    ), cuts AS (
+      SELECT quantile_cont(CAST(recency_days AS DOUBLE),
+                           [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(CAST(frequency AS DOUBLE),
+                           [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM b
+    ), t AS (
+      SELECT b.customer, b.recency_days, b.frequency, b.monetary,
+        1 + len(list_filter(c.rc,
+              x -> x > CAST(b.recency_days AS DOUBLE))) AS r_tile,
+        1 + len(list_filter(c.fc,
+              x -> CAST(b.frequency AS DOUBLE) > x)) AS f_tile,
+        1 + len(list_filter(c.mc, x -> b.monetary > x)) AS m_tile
+      FROM b CROSS JOIN cuts c
+    )
+    SELECT customer, recency_days, frequency, monetary,
+           CAST(r_tile AS BIGINT) AS r_tile,
+           CAST(f_tile AS BIGINT) AS f_tile,
+           CAST(m_tile AS BIGINT) AS m_tile,
+           CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code
+    FROM t ORDER BY customer
+    """,
+)
+def q131_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.cohort import rfm_segments
+
+    t = load_tables(spark, sf_dir)
+    return rfm_segments(t.orders)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -947,3 +947,26 @@ def test_basket_pairs_metrics_and_guard(spark):
     )
     with pytest.raises(Exception, match="max_basket_size"):
         basket_pairs(big, "basket", "item", max_basket_size=3).collect()
+
+
+def test_rfm_segments_tiles_and_code(spark):
+    from nsl_kdd_spark.operators.cohort import rfm_segments
+
+    # customer 1: recent + frequent + big spender; customer 3: stale,
+    # single small order
+    rows = [
+        (1, "2024-03-01", 100.0), (1, "2024-03-10", 200.0),
+        (1, "2024-03-20", 300.0),
+        (2, "2024-02-01", 150.0), (2, "2024-02-15", 50.0),
+        (3, "2024-01-01", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["o_custkey", "d", "o_totalprice"]
+    ).selectExpr("o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate",
+                 "o_totalprice")
+    out = {r.customer: r for r in rfm_segments(df, n_tiles=3).collect()}
+    assert out[1].recency_days == 0 and out[3].recency_days == 79
+    assert out[1].rfm_code > out[2].rfm_code > out[3].rfm_code
+    assert (out[1].r_tile, out[1].f_tile, out[1].m_tile) == (3, 3, 3)
+    assert (out[3].r_tile, out[3].f_tile, out[3].m_tile) == (1, 1, 1)
+    assert out[1].monetary == 600.0
