@@ -1,19 +1,20 @@
 """As-of (most-recent-match) join — a SURVEY.md §2.3 gap: Spark has no
 native ASOF JOIN; time-series engines (and DuckDB) do.
 
-Semantics: for every left row (key, lt), attach the right row with the
-largest rt such that rt <= lt (per key). The naive formulation is a
-range join (quadratic blowup per key); the engine uses the
-union-and-carry trick instead:
+Semantics: for every left row (key, lt), attach the right row with
+the largest rt <= lt (direction="backward", default) or the smallest
+rt >= lt (direction="forward"). The naive formulation is a range
+join (quadratic blowup per key); the engine uses the union-and-carry
+trick instead:
 
     union(left-tagged, right-tagged)
-    -> one window per key ordered by (ts, side)
-    -> last_value(right payload, ignoreNulls) carries the most recent
-       right row forward onto each left row
+    -> one window per key ordered by (ts asc|desc per direction, side)
+    -> last_value(right payload, ignoreNulls) carries the nearest
+       right row onto each left row
 
 One shuffle on the key, linear state, no range explosion — the same
-plan shape at 100 TB as at test scale. Ties (rt == lt) match, so
-right rows sort before left rows at equal timestamps.
+plan shape at 100 TB as at test scale. Ties (rt == lt) match in both
+directions: right rows sort before left rows at equal timestamps.
 """
 
 from __future__ import annotations

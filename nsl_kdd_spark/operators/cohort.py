@@ -109,6 +109,10 @@ def rfm_segments(
     """
     from nsl_kdd_spark.functions.scalar import exact_sum
 
+    if not 2 <= n_tiles <= 9:
+        # rfm_code packs one decimal digit per dimension; a 10th tile
+        # would collide (1,10,5) with (2,0,5) — review r06
+        raise ValueError(f"n_tiles must be in [2, 9], got {n_tiles}")
     base = orders.groupBy(F.col(customer_col).alias("customer")).agg(
         F.max(ts_col).alias("__last"),
         F.count(F.lit(1)).alias("frequency"),

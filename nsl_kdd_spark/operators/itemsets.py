@@ -49,8 +49,14 @@ def basket_pairs(
     ).distinct()
     n_baskets = bi.select("__b").distinct()
     item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("n_item"))
-    baskets = bi.groupBy("__b").agg(
-        F.sort_array(F.collect_list("__i")).alias("__items")
+    # a-priori pruning: an item in fewer than min_pair_support baskets
+    # cannot appear in a frequent pair — drop it BEFORE the quadratic
+    # explode (lossless by pair-support monotonicity)
+    frequent = item_n.filter(F.col("n_item") >= min_pair_support).select("__i")
+    baskets = (
+        bi.join(F.broadcast(frequent), "__i", "left_semi")
+        .groupBy("__b")
+        .agg(F.sort_array(F.collect_list("__i")).alias("__items"))
     )
     guarded = baskets.withColumn(
         "__items",
@@ -67,23 +73,18 @@ def basket_pairs(
     pairs = (
         guarded.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("__items"),
-                            lambda a, i: F.transform(
-                                F.slice(
-                                    F.col("__items"),
-                                    i + 2,
-                                    F.size("__items"),
-                                ),
-                                lambda b: F.struct(
-                                    a.alias("ia"), b.alias("ib")
-                                ),
+                F.flatten(
+                    F.transform(
+                        F.col("__items"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("__items"), i + 2, F.size("__items")
                             ),
-                        )
-                    ),
-                    lambda p: p.isNotNull(),
+                            lambda b: F.struct(
+                                a.alias("ia"), b.alias("ib")
+                            ),
+                        ),
+                    )
                 )
             ).alias("__p")
         )
@@ -105,9 +106,25 @@ def basket_pairs(
             "item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
             F.expr("(n_ab * 1000000) div n_baskets").alias("support_ppm"),
             F.expr("(n_ab * 1000000) div n_a").alias("confidence_ppm"),
-            F.expr(
-                "(n_ab * n_baskets * 1000000) div (n_a * n_b)"
-            ).alias("lift_ppm"),
+            F.when(
+                # no-ANSI Spark would WRAP n_ab * n_baskets * 1e6 past
+                # 2^63 while DuckDB errors — fail loudly instead of
+                # diverging (double-compare guard costs one branch)
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets").cast("double")
+                * 1e6
+                > 9.2e18,
+                F.raise_error(
+                    F.lit(
+                        "basket_pairs: lift_ppm would overflow int64; "
+                        "reduce basket count or compute lift downstream"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(
+                F.expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)")
+            )
+            .alias("lift_ppm"),
         )
         .orderBy("item_a", "item_b")
     )

@@ -946,7 +946,15 @@ def test_basket_pairs_metrics_and_guard(spark):
         [(1, f"i{k}") for k in range(5)], ["basket", "item"]
     )
     with pytest.raises(Exception, match="max_basket_size"):
-        basket_pairs(big, "basket", "item", max_basket_size=3).collect()
+        basket_pairs(
+            big, "basket", "item", min_pair_support=1, max_basket_size=3
+        ).collect()
+    # a-priori pruning: items below min support never reach the
+    # explode, so the same oversized basket passes at support 2
+    # (all its items are singletons) and yields no pairs
+    assert basket_pairs(
+        big, "basket", "item", min_pair_support=2, max_basket_size=3
+    ).count() == 0
 
 
 def test_rfm_segments_tiles_and_code(spark):
