@@ -259,3 +259,42 @@ def test_transitions_single_user_shuffle(spark):
     assert "Scan parquet" not in plan  # reads the checkpointed pair table
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # totals broadcast back
+
+
+def test_grouped_trend_single_scan_no_join(spark):
+    """q121: all five OLS sums ride ONE map-side-combined aggregate
+    over one scan — no joins, no windows, no Python."""
+    import re
+
+    plan = plan_of(QUERIES["q121_grouped_trend"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_twap_single_window(spark):
+    """q128: one lead-window sort per key; the grouped sums must not
+    re-sort the log."""
+    import re
+
+    plan = plan_of(QUERIES["q128_time_weighted_avg"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "EvalPython" not in plan
+
+
+def test_association_rules_broadcast_supports_no_cartesian(spark):
+    """q130: item supports and the 1-row basket count broadcast onto
+    the pair table; the only nested-loop is the 1-row cross join."""
+    plan = plan_of(QUERIES["q130_association_rules"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_rfm_no_global_sort_of_facts(spark):
+    """q131: tiles come from broadcast percentile cutoffs — no Window
+    (the global-NTILE anti-pattern) anywhere in the plan."""
+    plan = plan_of(QUERIES["q131_rfm_segments"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
