@@ -134,6 +134,16 @@ def ranking_metrics(
     (ties by original rank, a total order). Queries with no relevant
     results report ndcg_ppm = 0 and rr_u = 0, surfaced not dropped.
 
+    NDCG variant: this is *local* NDCG@k — IDCG is computed over the
+    RETRIEVED top-k rows only (the ideal reordering of what the
+    system returned), not over all judged documents truncated at k.
+    A query whose only retrieved relevant doc sits at rank 1 scores
+    ndcg_ppm = 1e6 even if more relevant docs exist beyond k; textbook
+    (global) NDCG@k would score it lower. Local NDCG needs no second
+    judgment table and matches the q123 oracle; pass the full judged
+    pool as ``ranked`` (rank = judged order) if global semantics are
+    needed.
+
     Scale shape: one window sort per query partition (the ideal
     ordering is a per-query re-rank — queries are many and small, so
     the partition-keyed window is the right tool here, unlike

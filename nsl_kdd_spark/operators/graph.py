@@ -139,14 +139,15 @@ def pagerank(
         w0 = F.col(weight).cast("long")
         e = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
-            # zero/negative weights would silently reclassify nodes as
-            # dangling or produce negative shares — fail loudly instead
+            # zero/negative/NULL weights would silently reclassify nodes
+            # as dangling or produce negative shares — fail loudly
+            # instead (NULL <= 0 is NULL, so NULL must be tested apart)
             F.when(
-                w0 <= 0,
+                w0.isNull() | (w0 <= 0),
                 F.raise_error(
                     F.concat(
                         F.lit("pagerank: edge weight must be positive: "),
-                        w0.cast("string"),
+                        F.coalesce(w0.cast("string"), F.lit("NULL")),
                     )
                 ).cast("long"),
             ).otherwise(w0).alias("w"),

@@ -107,13 +107,20 @@ def basket_pairs(
             F.expr("(n_ab * 1000000) div n_baskets").alias("support_ppm"),
             F.expr("(n_ab * 1000000) div n_a").alias("confidence_ppm"),
             F.when(
-                # no-ANSI Spark would WRAP n_ab * n_baskets * 1e6 past
-                # 2^63 while DuckDB errors — fail loudly instead of
-                # diverging (double-compare guard costs one branch)
-                F.col("n_ab").cast("double")
-                * F.col("n_baskets").cast("double")
-                * 1e6
-                > 9.2e18,
+                # no-ANSI Spark would WRAP n_ab * n_baskets * 1e6 (or
+                # the n_a * n_b denominator) past 2^63 while DuckDB
+                # errors — fail loudly instead of diverging
+                # (double-compare guard costs one branch)
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("n_baskets").cast("double")
+                    * 1e6
+                    > 9.2e18
+                )
+                | (
+                    F.col("n_a").cast("double") * F.col("n_b").cast("double")
+                    > 9.2e18
+                ),
                 F.raise_error(
                     F.lit(
                         "basket_pairs: lift_ppm would overflow int64; "

@@ -121,7 +121,7 @@ def skipping_stats(
         aggs.append(F.sum(overlap.cast("long")).alias(f"__s{i}"))
     one = files.agg(*aggs)
     stack = ", ".join(
-        "'" + name.replace("'", "\\'") + f"', __s{i}"
+        "'" + name.replace("\\", "\\\\").replace("'", "\\'") + f"', __s{i}"
         for i, name in enumerate(probes)
     )
     return (

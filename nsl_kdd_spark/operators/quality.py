@@ -163,6 +163,15 @@ def expect_windowed(
     runs incrementally (the q34 pattern).
 
     Output: (window_start, rule, n_rows, n_violations, violation_ppm).
+
+    NULL timestamps: rows whose ``ts_col`` is NULL land in a single
+    ``window_start IS NULL`` bucket — they are surfaced as their own
+    report row (rule counts included), NOT silently mixed into a real
+    window and NOT dropped. Callers who treat an unparseable
+    timestamp as a violation in itself should add an explicit rule
+    (e.g. ``{"ts_present": "ts IS NOT NULL"}``) or pre-filter; the
+    operator keeps the row so the drift report's n_rows reconciles
+    with the input count.
     """
     aggs, stack = _rule_aggs_and_stack(rules)
     one = (

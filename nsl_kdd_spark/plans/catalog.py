@@ -3428,7 +3428,10 @@ def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank window only over the LIMITED vocab, broadcast-join encode,
 # positional reassembly in one grouped agg. Oracle re-derives vocab
 # and per-position ids with DuckDB's ordered list agg — id arrays
-# compare element-for-element.
+# compare element-for-element as a comma-joined string (the driver's
+# pandas canonicalizer cannot sort Python-list cells, so the
+# driver-window projection is `array_join(token_ids, ',')`; library
+# callers keep the array API via `encode_tokens` directly).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -3453,7 +3456,7 @@ def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos LEFT JOIN vocab v USING (token)
     )
     SELECT doc_id,
-           list(tid ORDER BY ord) AS token_ids,
+           array_to_string(list(tid ORDER BY ord), ',') AS token_ids_csv,
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
     FROM enc GROUP BY doc_id ORDER BY doc_id
@@ -3464,7 +3467,13 @@ def q87_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     vocab = build_vocab(t.documents, "text", size=100)
-    return encode_tokens(t.documents, "doc_id", "text", vocab).orderBy("doc_id")
+    enc = encode_tokens(t.documents, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("token_ids_csv"),
+        "n_tokens",
+        "n_unk",
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

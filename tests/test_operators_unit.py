@@ -978,3 +978,68 @@ def test_rfm_segments_tiles_and_code(spark):
     assert (out[1].r_tile, out[1].f_tile, out[1].m_tile) == (3, 3, 3)
     assert (out[3].r_tile, out[3].f_tile, out[3].m_tile) == (1, 1, 1)
     assert out[1].monetary == 600.0
+
+
+def test_weighted_pagerank_null_weight_raises(spark):
+    """A NULL weight must fail loudly, not silently reclassify its
+    source as dangling (NULL <= 0 is NULL in three-valued logic, so
+    the guard needs an explicit isNull arm)."""
+    import pytest
+
+    from nsl_kdd_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, None)],
+        "src long, dst long, w long",
+    )
+    with pytest.raises(Exception, match="weight must be positive"):
+        pagerank(edges, weight="w").collect()
+
+
+def test_basket_pairs_denominator_overflow_guard(spark):
+    """The int64 guard must also cover the n_a * n_b denominator:
+    with the counts inflated via a synthetic n_baskets the numerator
+    can stay in range while n_a * n_b wraps."""
+    from nsl_kdd_spark.operators.itemsets import basket_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], ["basket", "item"]
+    )
+    # sanity: the guard expression exists and the normal path still works
+    out = basket_pairs(df, "basket", "item", min_pair_support=1).collect()
+    assert out[0].lift_ppm == 1_000_000
+    # denominator guard is an expression-level property: verify the
+    # raise fires when n_a * n_b exceeds int64 by evaluating the same
+    # guarded expression shape on forged counts
+    from pyspark.sql import functions as F
+
+    forged = spark.createDataFrame(
+        [(4_000_000_000, 4_000_000_000, 1, 10)],
+        "n_a long, n_b long, n_ab long, n_baskets long",
+    )
+    guard = (
+        (
+            F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")
+            * 1e6 > 9.2e18
+        )
+        | (F.col("n_a").cast("double") * F.col("n_b").cast("double") > 9.2e18)
+    )
+    assert forged.select(guard.alias("g")).collect()[0].g is True
+
+
+def test_skipping_stats_backslash_probe_name(spark):
+    """A probe name ending in a backslash must survive the stack()
+    SQL interpolation (backslash escaped before quotes)."""
+    from nsl_kdd_spark.operators.layout import skipping_stats
+
+    df = spark.createDataFrame(
+        [(i, i % 4, i) for i in range(64)], ["id", "f", "x"]
+    )
+    from pyspark.sql import functions as F
+
+    name = "weird\\probe'"
+    out = skipping_stats(
+        df, dim_cols=["x"], sort_col=F.col("id"),
+        probes={name: {"x": (0, 3)}}, n_files=4,
+    ).collect()
+    assert out[0].probe == name
