@@ -334,3 +334,146 @@ def test_media_near_dup_audio_fingerprint(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              media_near_dup(df, hash_fn=audio_hash64).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_png_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        detect_format, png_decode, png_encode,
+    )
+
+    for h, w in [(1, 1), (4, 3), (5, 7), (16, 16)]:
+        img = _gradient(h, w)
+        raw = png_encode(img)
+        assert detect_format(raw) == "png"
+        assert np.array_equal(png_decode(raw), img)
+
+    # hand-filter the same scanlines with every PNG filter type and
+    # check the decoder unfilters each back to the original pixels
+    img = _gradient(6, 5, 2)
+    flat = img.reshape(6, 15).astype(np.int32)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    for ftype in (0, 1, 2, 3, 4):
+        rows = []
+        for y in range(6):
+            line = flat[y]
+            prev = flat[y - 1] if y else np.zeros(15, np.int32)
+            filt = np.zeros(15, np.int32)
+            for x in range(15):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (line[x] - pred) & 0xFF
+            rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                   + chunk(b"IEND", b""))
+        assert np.array_equal(png_decode(payload), img), f"filter {ftype}"
+
+
+def test_png_color_types_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from nsl_kdd_spark.multimodal.codecs import UnsupportedMediaError, png_decode
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def build(w, h, color, scan, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+    # grayscale expands to RGB
+    gray = build(3, 2, 0, b"\x00\x10\x20\x30" + b"\x00\x40\x50\x60")
+    out = png_decode(gray)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[0, 1], [0x20, 0x20, 0x20])
+
+    # RGBA drops alpha
+    rgba_scan = b"\x00" + bytes([1, 2, 3, 9, 4, 5, 6, 9])
+    rgba = build(2, 1, 6, rgba_scan)
+    assert np.array_equal(png_decode(rgba), [[[1, 2, 3], [4, 5, 6]]])
+
+    # palette indexes PLTE
+    plte = chunk(b"PLTE", bytes([10, 11, 12, 20, 21, 22]))
+    pal = build(2, 1, 3, b"\x00\x01\x00", extra=plte)
+    assert np.array_equal(png_decode(pal), [[[20, 21, 22], [10, 11, 12]]])
+
+    # 16-bit depth and interlace raise
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(UnsupportedMediaError, match="8-bit"):
+        png_decode(bad)
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    bad_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(UnsupportedMediaError, match="interlace"):
+        png_decode(bad_i)
+
+
+def test_png_strict_arrow_path_and_neardup_vs_bmp_twin(spark):
+    # the dominant real-world format through the REAL mapInPandas
+    # strict path: decode features match a local decode, the digest is
+    # container-invariant vs the BMP twin, resize preserves format,
+    # and media_near_dup pairs the PNG with its BMP twin
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import (
+        decode_media, media_near_dup, resize_media,
+    )
+    from nsl_kdd_spark.multimodal.codecs import (
+        bmp_encode, image_features, png_decode, png_encode,
+    )
+
+    img_a = _gradient(16, 16)
+    # perceptually DIFFERENT image (checkerboard, not a shifted
+    # gradient — aHash correctly pairs same-structure gradients)
+    yy, xx = np.mgrid[0:16, 0:16]
+    img_b = (((xx // 2 + yy // 2) % 2) * 255).astype(np.uint8)
+    img_b = np.repeat(img_b[..., None], 3, axis=2)
+    payloads = [png_encode(img_a), bmp_encode(img_a), png_encode(img_b)]
+    media = _media_df(spark, payloads)
+
+    got = {r.media_id: r for r in decode_media(media, strict=True).collect()}
+    assert got[0].digest == image_features(payloads[0])["digest"]
+    assert got[0].digest == got[1].digest          # container-invariant
+
+    out = {r.media_id: r
+           for r in resize_media(media, width=8, height=8, strict=True).collect()}
+    resized = png_decode(bytes(out[0].payload))
+    assert resized.shape == (8, 8, 3)
+
+    pairs = {(r.id_a, r.id_b)
+             for r in media_near_dup(media).collect()}
+    assert (0, 1) in pairs                         # png twin of the bmp
+    assert (0, 2) not in pairs and (1, 2) not in pairs
