@@ -285,33 +285,77 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     threshold: float = 0.3,
+    centroids: str = "kmeans",
+    seed: int = 42,
+    max_occupancy: int | None = 100_000,
 ) -> DataFrame:
     """Semantic deduplication (SemDedup, Abbas et al. 2023): cluster
     the embedding space, then drop any item whose cosine similarity to
     a LOWER-id item in the SAME cluster reaches ``threshold``. Returns
     every input id with its cluster and a ``kept`` flag.
 
-    Centroids are the embeddings of the ``n_centroids`` smallest ids —
-    a deterministic, training-free seeding that both engines (and any
-    re-run, at any partitioning) derive identically; swap in
-    ``ml.cluster.kmeans_assign`` centers when assignment quality
-    matters more than cross-engine reproducibility. Assignment is a
-    pure argmax EXPRESSION over the literal centroid list (ties ->
-    lowest cluster id via first-match ``array_position``): no join, no
-    shuffle, whole-stage codegen.
+    ``centroids`` picks the seeding:
+
+    - ``"kmeans"`` (default — the production setting): fit MLlib
+      KMeans(k=n_centroids, seed=seed) on the vectors and use its
+      cluster centers. Data-adaptive centers keep cluster occupancy
+      balanced, which is what bounds the intra-cluster quadratic step
+      — the scale-correct choice.
+    - ``"id-seed"``: the embeddings of the ``n_centroids`` smallest
+      ids — a deterministic, training-free seeding that any engine
+      (and any re-run, at any partitioning) derives identically;
+      this is the cross-engine-reproducible oracle setting (q94),
+      NOT a scale setting: seeds are arbitrary points, so one
+      megacluster can concentrate the quadratic cost.
+
+    Either way, assignment is a pure argmax EXPRESSION over the
+    literal centroid list (ties -> lowest cluster id via first-match
+    ``array_position``): no join, no shuffle, whole-stage codegen.
 
     Scale shape (100 TB): the quadratic step is confined within
     clusters — cost sum(|cluster|^2), never n^2 — and ``n_centroids``
     is the knob that bounds it (SemDedup runs k ~ 10k-100k at web
-    scale so clusters stay ~1k items). The intra-cluster join is an
-    equi-join on cluster id; the dropped-id set joins back broadcast.
-    Zero-norm vectors yield NaN cosine, which never reaches the
-    threshold — they are always kept; clean upstream if that matters.
+    scale so clusters stay ~1k items). If mean occupancy n/k exceeds
+    ``max_occupancy`` the operator warns loudly (one count() against
+    the input; pass ``max_occupancy=None`` to skip the check and the
+    count). The intra-cluster join is an equi-join on cluster id; the
+    dropped-id set joins back broadcast. Zero-norm vectors yield NaN
+    cosine, which never reaches the threshold — they are always kept;
+    clean upstream if that matters.
     """
     import math
 
+    if centroids not in ("kmeans", "id-seed"):
+        raise ValueError(
+            f"centroids must be 'kmeans' or 'id-seed', got {centroids!r}"
+        )
     src = df.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
-    cents = src.orderBy(id_col).limit(n_centroids).collect()  # tiny by construction
+    if max_occupancy is not None:
+        n_rows = src.count()
+        if n_rows / max(1, n_centroids) > max_occupancy:
+            import warnings
+
+            warnings.warn(
+                f"semantic_dedup: mean cluster occupancy "
+                f"{n_rows // max(1, n_centroids)} exceeds {max_occupancy} "
+                f"(n={n_rows}, k={n_centroids}); the intra-cluster "
+                f"quadratic step will dominate — raise n_centroids "
+                f"(SemDedup uses k ~ 10k-100k at web scale)",
+                stacklevel=2,
+            )
+    if centroids == "kmeans":
+        from pyspark.ml.functions import array_to_vector
+
+        from nsl_kdd_spark.ml.cluster import kmeans_assign
+
+        vecs = src.select(array_to_vector(F.col("__v")).alias("__feat"))
+        model, _ = kmeans_assign(vecs, "__feat", k=n_centroids, seed=seed)
+        cents = [
+            {"__v": [float(x) for x in c]} for c in model.clusterCenters()
+        ]
+    else:
+        # tiny by construction
+        cents = src.orderBy(id_col).limit(n_centroids).collect()
     # Centroid norms fold driver-side with the same sequential
     # accumulation the JVM fold uses, so dot/(|v|*|c|) stays
     # bit-identical to cosine() and to DuckDB's list_cosine_similarity.

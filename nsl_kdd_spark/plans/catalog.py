@@ -3732,8 +3732,11 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.operators.similarity import semantic_dedup
 
     t = load_tables(spark, sf_dir)
+    # id-seed centroids: the cross-engine-reproducible oracle setting
+    # (DuckDB re-derives the same seeds); production default is kmeans
     return semantic_dedup(
-        t.embeddings, "vec_id", "embedding", n_centroids=8, threshold=0.3
+        t.embeddings, "vec_id", "embedding", n_centroids=8, threshold=0.3,
+        centroids="id-seed", max_occupancy=None,
     ).orderBy("vec_id")
 
 

@@ -339,12 +339,51 @@ def test_semantic_dedup_drops_near_twin_keeps_lowest(spark):
     )
     out = {
         r["vec_id"]: (r["cluster_id"], r["kept"])
-        for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect()
+        for r in semantic_dedup(
+            df, n_centroids=2, threshold=0.9, centroids="id-seed"
+        ).collect()
     }
     assert out[1] == (0, True)
     assert out[2] == (1, True)
     assert out[3][0] == 0 and out[3][1] is False
     assert out[4] == (0, True)
+
+
+def test_semantic_dedup_kmeans_default_and_occupancy_warning(spark):
+    """The production default (kmeans centroids) must find the same
+    near-twin drops on well-separated data, and the occupancy guard
+    must warn when n/k exceeds the bound."""
+    import warnings
+
+    from nsl_kdd_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),       # near-twin of 1 -> dropped
+            (4, [0.05, 1.1]),      # near-twin of 2 -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, n_centroids=2, threshold=0.9, max_occupancy=None
+        ).collect()
+    }
+    # kmeans separates the two directions; lowest id per twin-pair kept
+    assert out == {1: True, 2: True, 3: False, 4: False}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_dedup(df, n_centroids=2, threshold=0.9,
+                       max_occupancy=1).collect()
+    assert any("occupancy" in str(x.message) for x in w)
+
+    import pytest
+    with pytest.raises(ValueError, match="id-seed"):
+        semantic_dedup(df, centroids="bogus")
 
 
 def test_zvalue_interleaves_bits(spark):
