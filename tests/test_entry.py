@@ -75,3 +75,25 @@ def test_query_output_columns_unique_and_oracle_parses(spark, duck):
         assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
     for name, sql in entrymod.oracle_sql().items():
         duck.sql(f"EXPLAIN {sql}")
+
+
+def test_driver_window_queries_return_scalar_columns_only(spark):
+    """The driver's pandas canonicalizer sorts result rows by every
+    column; a Python-list cell (array/map/struct column) is
+    unsortable and crashes the comparison even when values match
+    (r3's q87 red cell). Window queries must therefore project
+    nested types away (array_join CSV, etc.); library APIs keep the
+    arrays."""
+    from nsl_kdd_spark.plans.catalog import DRIVER_WINDOW, QUERIES
+
+    offenders = {}
+    for name in DRIVER_WINDOW:
+        df = QUERIES[name](spark, SF_SMOKE)
+        nested = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, offenders
