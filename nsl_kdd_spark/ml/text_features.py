@@ -616,3 +616,152 @@ def train_bpe(
         StructField("pair_freq", LongType()),
     ])
     return spark.createDataFrame(merges, schema)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_pattern: str = "[^a-z0-9]+",
+    method: str = "auto",
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`train_bpe`'s output)
+    to a corpus — the ENCODING side of subword tokenization. Returns
+    (id, bpe_tokens array<string>, n_pieces), pieces in word order
+    with each word independently merged (greedy leftmost, merges in
+    rank order — byte-identical to the training fold).
+
+    Scale shape (100 TB): BPE is computed once per DISTINCT word, not
+    once per occurrence — the corpus is touched exactly twice (the
+    tokenize scan and the word->pieces join); all merge applications
+    run on the word vocabulary, which is Zipf-small relative to the
+    corpus. The join back is broadcast-hinted (a word vocabulary in
+    the tens of millions still broadcasts at ~100s of MB; beyond
+    that AQE falls back to shuffle on the 8-byte word hash).
+
+    ``method``:
+
+    - ``"expr"``: each merge rank is the same expression-only
+      ``F.aggregate`` fold used by training, chained on the vocab
+      table with a ``localCheckpoint`` every ``checkpoint_every``
+      ranks to bound expression depth (vocab-sized materialization,
+      cheap). Whole-stage codegen end to end; right for the small
+      merge tables the oracle tier uses.
+    - ``"arrow"``: one ``mapInPandas`` pass over the vocab applying
+      all merges per word in Python — the production path for real
+      merge tables (30k+ ranks, where chaining 30k folds is not a
+      plan). Corpus-side plumbing identical.
+    - ``"auto"``: expr for <= 24 merges, arrow beyond.
+    """
+    rows = sorted(
+        merges.select("rank", "left", "right").collect(),
+        key=lambda r: r["rank"],
+    )  # tiny by construction: the merge table IS the model
+    if method == "auto":
+        method = "expr" if len(rows) <= 24 else "arrow"
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow|auto, got {method!r}")
+
+    wordpos = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), token_pattern)
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    vocab = wordpos.select("word").distinct().select(
+        "word",
+        F.filter(F.split("word", "(?!^)"), lambda x: x != "").alias("syms"),
+    )
+
+    if method == "expr":
+        since_ckpt = 0
+        for r in rows:
+            lit_l, lit_r = F.lit(r["left"]), F.lit(r["right"])
+            lit_m = F.lit(r["left"] + r["right"])
+            folded = F.aggregate(
+                "syms",
+                F.struct(
+                    F.lit([]).cast("array<string>").alias("res"),
+                    F.lit(False).alias("last_merged"),
+                ),
+                lambda acc, x: F.when(
+                    (F.size(acc.res) > 0)
+                    & ~acc.last_merged
+                    & (F.element_at(acc.res, -1) == lit_l)
+                    & (x == lit_r),
+                    F.struct(
+                        F.concat(
+                            F.slice(acc.res, 1, F.size(acc.res) - 1),
+                            F.array(lit_m),
+                        ).alias("res"),
+                        F.lit(True).alias("last_merged"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        F.concat(acc.res, F.array(x)).alias("res"),
+                        F.lit(False).alias("last_merged"),
+                    )
+                ),
+                lambda acc: acc.res,
+            )
+            vocab = vocab.select("word", folded.alias("syms"))
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_every:
+                vocab = vocab.localCheckpoint()
+                since_ckpt = 0
+    else:
+        import pandas as pd
+
+        merge_list = [(r["left"], r["right"]) for r in rows]
+
+        def apply_merges(batches):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    for left, right in merge_list:
+                        res: list[str] = []
+                        i = 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == left
+                                and syms[i + 1] == right
+                            ):
+                                res.append(left + right)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        syms = res
+                    out.append(syms)
+                yield pd.DataFrame({"word": pdf["word"], "syms": out})
+
+        vocab = vocab.mapInPandas(
+            apply_merges, schema="word string, syms array<string>"
+        )
+
+    joined = wordpos.join(F.broadcast(vocab), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s.syms,
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").alias("n_pieces"),
+        )
+    )

@@ -4682,6 +4682,34 @@ def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE encoding (ml/text_features.bpe_encode): apply the trained merge
+# table to the corpus — train (q116) + apply = the full subword
+# tokenizer surface. BPE runs once per DISTINCT word (Zipf-small),
+# broadcast-joined back to word positions; corpus touched twice.
+# Same rows-only status as q116 (greedy iterative merges have no SQL
+# twin); expr/arrow path parity vs pure-Python BPE is pinned in
+# tests/test_text_features.py. Pieces project as a CSV string so the
+# row shape is driver-canonicalizable.
+# ---------------------------------------------------------------------------
+
+@query("q132_bpe_encode")
+def q132_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import bpe_encode, train_bpe
+
+    t = load_tables(spark, sf_dir)
+    merges = train_bpe(t.documents, num_merges=12)
+    return (
+        bpe_encode(t.documents, merges, method="expr")
+        .select(
+            "doc_id",
+            F.array_join("bpe_tokens", " ").alias("pieces"),
+            "n_pieces",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew diagnosis (skew.top_keys): heaviest join keys with integer-ppm
 # share, one scan (total derived from the per-key count table) — the
 # measurement that decides broadcast vs salt vs AQE-only before a
@@ -5466,7 +5494,10 @@ def q131_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CSV projection) plus the 4 never-recorded rows-only ones
 # (q111/q116/q118/q122 get the driver's weaker rows-only record, by
 # design). Flagships q01/q03/q28/q29 etc. already have green driver
-# evidence in r1–r3 and rotate out to free slots.
+# evidence in r1–r3 and rotate out to free slots. After this round
+# only q62_knn_ivf / q63_sketch_profile / q74_pq_ann (rows-only) have
+# never appeared — rotate those three in next round along with the
+# flagship re-anchors.
 DRIVER_WINDOW = [
     "q87_vocab_encode", "q51_string_funcs", "q53_pattern_extract",
     "q55_histogram", "q56_rank_analytics", "q60_profile",

@@ -130,3 +130,63 @@ def test_train_bpe_min_freq_stops_early(spark):
     docs = spark.createDataFrame([(0, "ab cd")], ["doc_id", "text"])
     out = train_bpe(docs, num_merges=10, min_pair_freq=2).collect()
     assert out == []  # every pair occurs once; nothing reaches 2
+
+
+def _reference_bpe_encode(text, merges):
+    """Pure-Python encode: apply the merge list in rank order to each
+    word (greedy leftmost non-overlapping), pieces in word order."""
+    import re
+
+    out = []
+    for w in re.split("[^a-z0-9]+", text.lower()):
+        if not w:
+            continue
+        syms = list(w)
+        for _, l, r, merged, _freq in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_expr_and_arrow_match_reference(spark):
+    from nsl_kdd_spark.ml.text_features import bpe_encode, train_bpe
+
+    texts = [
+        "low lower lowest", "low low newer", "newest newer wider",
+        "low wider new", "aaaa aaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges_df = train_bpe(docs, num_merges=8)
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    ref_merges = _reference_bpe(counts, num_merges=8)
+
+    for method in ("expr", "arrow"):
+        got = {
+            r.doc_id: (list(r.bpe_tokens), r.n_pieces)
+            for r in bpe_encode(docs, merges_df, method=method,
+                                checkpoint_every=3).collect()
+        }
+        for i, t in enumerate(texts):
+            want = _reference_bpe_encode(t, ref_merges)
+            assert got[i] == (want, len(want)), (method, i, got[i], want)
+
+    # pieces concatenate back to the original words (lossless)
+    joined = "".join(got[0][0])
+    assert joined == "lowlowerlowest"
+
+    import pytest
+    with pytest.raises(ValueError, match="expr|arrow"):
+        bpe_encode(docs, merges_df, method="bogus")
