@@ -13,12 +13,18 @@ uncompressed formats cover that:
 - **PNG** — stdlib zlib inflate + scanline unfilter (8-bit
   gray/RGB/palette/RGBA, filters 0-4, no interlace).
 
+- **JPEG (baseline)** — dependency-free numpy decoder for baseline
+  sequential JFIF (SOF0/SOF1, tables read from the stream, chroma
+  subsampling up to 2x2, restart intervals) + an encoder for
+  round-trips; progressive/arithmetic raise.
+
 All decode to an (h, w, 3) uint8 numpy array; resize is
 nearest-neighbor (pure numpy indexing — vectorized, no Python pixel
-loops). JPEG/video still raise NotImplementedError: those need
-libjpeg/ffmpeg, which this container does not ship; the registry seam
-(``CODECS`` + ``detect_format``) is where a real deployment plugs
-them in.
+loops). Video still raises NotImplementedError: that needs ffmpeg,
+which this container does not ship; the registry seam (``CODECS`` +
+``detect_format``) is where a real deployment plugs it in — and where
+libjpeg belongs for production decode THROUGHPUT (the built-in
+decoder's entropy loop is Python; correct, not fast).
 
 Executor-side cost model: these run inside Arrow ``mapInPandas``
 batches, one numpy decode per payload — no JVM round-trips, no
@@ -253,6 +259,498 @@ def png_encode(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, dependency-free numpy) — the dominant
+# lossy format. Decoder handles real-world baseline JFIF: SOF0/SOF1,
+# any DQT/DHT read from the stream (not assumed), chroma subsampling
+# factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), grayscale or YCbCr,
+# restart intervals. Progressive (SOF2), arithmetic coding, and
+# 12-bit raise UnsupportedMediaError. Encoder (for round-trips and
+# fixtures) writes baseline 4:4:4 or 4:2:0 with the Annex-K-style
+# tables below — the decoder never relies on them, it parses DHT/DQT.
+#
+# Cost model: entropy decode is a Python bit loop per block (a C
+# codec's job); IDCT/color/upsample are vectorized numpy. Fine for
+# the Arrow strict path at thumbnail/test sizes; production decode
+# throughput still belongs to libjpeg via the CODECS seam, exactly
+# like the PNG note above.
+# ---------------------------------------------------------------------------
+
+_JPEG_QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+_JPEG_QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# standard-shaped huffman specs (bits per code length, then symbols);
+# any valid canonical table works — the decoder reads DHT
+_JPEG_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+
+
+def _jpeg_ac_spec() -> tuple[list[int], list[int]]:
+    """Canonical AC table covering every (run, size) symbol the
+    encoder can emit: EOB, ZRL, and run 0-15 x size 1-10. Shorter
+    codes go to the statistically common low-run/low-size symbols;
+    validity (prefix property) comes from the canonical construction,
+    which the test asserts never overflows the code space."""
+    common = [0x01, 0x02, 0x00, 0x03, 0x11, 0x04, 0x21, 0x12, 0x31,
+              0x41, 0x05, 0x51, 0x13, 0x61, 0x22, 0x71, 0xF0]
+    rest = [
+        (r << 4) | s
+        for r in range(16) for s in range(1, 11)
+        if ((r << 4) | s) not in common
+    ]
+    symbols = common + rest
+    # lengths: 2 codes of 2 bits... grow so every symbol fits; a
+    # simple valid assignment: 0,2,2,3,4,5,6,7,8 then the rest at 16
+    bits = [0] * 16
+    lens = [2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10]
+    for ln in lens[: len(common)]:
+        bits[ln - 1] += 1
+    bits[15] = len(rest)
+    return bits, symbols
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """(64, 2) array of (y, x) in JPEG zigzag scan order."""
+    order = []
+    for s in range(15):
+        ys = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 else \
+             range(max(0, s - 7), min(s, 7) + 1)
+        for y in ys:
+            order.append((y, s - y))
+    return np.array(order, dtype=np.int64)
+
+
+_ZZ = _jpeg_zigzag()
+
+
+def _dct_basis() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0] /= np.sqrt(2)
+    return c
+
+
+_DCT = _dct_basis()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            if self.pos >= len(self.data):
+                raise UnsupportedMediaError("jpeg: truncated entropy data")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= length
+        return (self.acc >> self.nbits) & ((1 << length) - 1)
+
+
+def _huff_encode_map(bits: list[int], symbols: list[int]) -> dict:
+    code, i, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], symbols: list[int]) -> dict:
+    code, i, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = symbols[i]
+            code += 1
+            i += 1
+        code <<= 1
+        if code > (1 << length) * 2:
+            raise UnsupportedMediaError("jpeg: invalid huffman table")
+    return out
+
+
+def _huff_read(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("jpeg: bad huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, bits)."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = max(1, min(95, quality))     # >95 can exceed size-10 codes
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _encode_block(
+    writer: _BitWriter, block: np.ndarray, qt: np.ndarray,
+    dc_map: dict, ac_map: dict, pred: int,
+) -> int:
+    coeffs = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    qc = np.round(coeffs / qt).astype(np.int64)
+    qc = np.clip(qc, -1023, 1023)
+    zz = qc[_ZZ[:, 0], _ZZ[:, 1]]
+    diff = int(zz[0]) - pred
+    size, bits = _magnitude(diff)
+    code, ln = dc_map[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            code, ln = ac_map[0x00]        # EOB
+            writer.write(code, ln)
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_map[0xF0]        # ZRL
+            writer.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_map[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+        run = 0
+    return int(zz[0])
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90,
+                subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0
+    with ``subsample=True``)."""
+    h, w, c = img.shape
+    assert c == 3, "jpeg_encode writes RGB"
+    x = img.astype(np.float64)
+    y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    cb = 128.0 - 0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2]
+    cr = 128.0 + 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2]
+
+    q_l = _scaled_quant(_JPEG_QUANT_LUMA, quality)
+    q_c = _scaled_quant(_JPEG_QUANT_CHROMA, quality)
+    ac_bits, ac_syms = _jpeg_ac_spec()
+    maps = {
+        "dcl": _huff_encode_map(*_JPEG_DC_LUMA_SPEC),
+        "dcc": _huff_encode_map(*_JPEG_DC_CHROMA_SPEC),
+        "ac": _huff_encode_map(ac_bits, ac_syms),
+    }
+
+    mcu = 16 if subsample else 8
+    ph = (h + mcu - 1) // mcu * mcu
+    pw = (w + mcu - 1) // mcu * mcu
+
+    def pad(a):
+        return np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    if subsample:
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2]
+              + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2]
+              + cr[1::2, 1::2]) / 4.0
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(0, ph, mcu):
+        for mx in range(0, pw, mcu):
+            if subsample:
+                for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    preds[0] = _encode_block(
+                        writer, y[my + by:my + by + 8, mx + bx:mx + bx + 8],
+                        q_l, maps["dcl"], maps["ac"], preds[0])
+                cy, cx = my // 2, mx // 2
+                preds[1] = _encode_block(
+                    writer, cb[cy:cy + 8, cx:cx + 8], q_c,
+                    maps["dcc"], maps["ac"], preds[1])
+                preds[2] = _encode_block(
+                    writer, cr[cy:cy + 8, cx:cx + 8], q_c,
+                    maps["dcc"], maps["ac"], preds[2])
+            else:
+                preds[0] = _encode_block(
+                    writer, y[my:my + 8, mx:mx + 8], q_l,
+                    maps["dcl"], maps["ac"], preds[0])
+                preds[1] = _encode_block(
+                    writer, cb[my:my + 8, mx:mx + 8], q_c,
+                    maps["dcc"], maps["ac"], preds[1])
+                preds[2] = _encode_block(
+                    writer, cr[my:my + 8, mx:mx + 8], q_c,
+                    maps["dcc"], maps["ac"], preds[2])
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = table[_ZZ[:, 0], _ZZ[:, 1]].astype(np.uint8)
+        return seg(0xFFDB, bytes([tid]) + zz.tobytes())
+
+    def dht(tc: int, th: int, bits: list[int], syms: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(syms))
+
+    samp_y = 0x22 if subsample else 0x11
+    sof = seg(0xFFC0, struct.pack(
+        ">BHHB", 8, h, w, 3,
+    ) + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, q_l) + dqt(1, q_c)
+        + dht(0, 0, *_JPEG_DC_LUMA_SPEC) + dht(0, 1, *_JPEG_DC_CHROMA_SPEC)
+        + dht(1, 0, ac_bits, ac_syms) + dht(1, 1, ac_bits, ac_syms)
+        + sof + sos + entropy + b"\xff\xd9"
+    )
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise UnsupportedMediaError("not a JPEG")
+    pos = 2
+    n = len(payload)
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("jpeg: marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:                              # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise UnsupportedMediaError("jpeg: 16-bit quant table")
+                zz = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.int32)
+                t = np.zeros((8, 8), np.int32)
+                t[_ZZ[:, 0], _ZZ[:, 1]] = zz
+                quant[tq] = t
+                off += 65
+        elif marker == 0xC4:                            # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1 : off + 17])
+                cnt = sum(bits)
+                syms = list(body[off + 17 : off + 17 + cnt])
+                huff[(tc, th)] = _huff_decode_map(bits, syms)
+                off += 17 + cnt
+        elif marker in (0xC0, 0xC1):                    # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise UnsupportedMediaError("jpeg: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
+                )
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:
+            raise UnsupportedMediaError("jpeg: progressive unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"jpeg: SOF{marker - 0xC0} unsupported"
+            )
+        elif marker == 0xDD:                            # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:                            # SOS
+            ns = body[0]
+            tables = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                tables[cid] = (tt >> 4, tt & 15)
+            scan = (tables, pos)
+            break
+    if frame is None or scan is None:
+        raise UnsupportedMediaError("jpeg: missing SOF/SOS")
+    tables, data_start = scan
+
+    # split entropy data at restart markers, stop at EOI
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = data_start
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            m = payload[p + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= m <= 0xD7:                       # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break                                        # EOI or marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if max_h > 2 or max_v > 2 or any(
+        c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps
+    ):
+        raise UnsupportedMediaError("jpeg: sampling factors beyond 2x2")
+    mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
+        for c in comps
+    ]
+
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu_i = 0
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    while mcu_i < n_mcus:
+        if restart_interval and mcu_i and mcu_i % per_seg == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise UnsupportedMediaError("jpeg: missing restart segment")
+            reader = _BitReader(segments[seg_i])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu_i, mcus_x)
+        for ci, comp in enumerate(comps):
+            td, ta = tables[comp["id"]]
+            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            qt = quant[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    zz = np.zeros(64, np.int64)
+                    size = _huff_read(reader, dc_tab)
+                    diff = _extend(reader.read(size), size) if size else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_read(reader, ac_tab)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        s = sym & 15
+                        if k > 63:
+                            raise UnsupportedMediaError("jpeg: AC overflow")
+                        zz[k] = _extend(reader.read(s), s)
+                        k += 1
+                    block = np.zeros((8, 8), np.float64)
+                    block[_ZZ[:, 0], _ZZ[:, 1]] = zz * qt[_ZZ[:, 0], _ZZ[:, 1]]
+                    px = _DCT.T @ block @ _DCT + 128.0
+                    oy = (my * comp["v"] + by) * 8
+                    ox = (mx * comp["h"] + bx) * 8
+                    planes[ci][oy:oy + 8, ox:ox + 8] = px
+        mcu_i += 1
+
+    full = []
+    for comp, plane in zip(comps, planes):
+        rep_y, rep_x = max_v // comp["v"], max_h // comp["h"]
+        up = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
+        full.append(up[:fh, :fw])
+    if len(comps) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    if len(comps) != 3:
+        raise UnsupportedMediaError(f"jpeg: {len(comps)}-component image")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Shared ops + registry
 # ---------------------------------------------------------------------------
 
@@ -286,6 +784,7 @@ CODECS: dict[str, dict] = {
     "ppm": {"decode": ppm_decode, "encode": ppm_encode},
     "bmp": {"decode": bmp_decode, "encode": bmp_encode},
     "png": {"decode": png_decode, "encode": png_encode},
+    "jpeg": {"decode": jpeg_decode, "encode": jpeg_encode},
 }
 
 
@@ -293,8 +792,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     fmt = detect_format(payload)
     if fmt not in CODECS:
         raise UnsupportedMediaError(
-            f"no built-in codec for format '{fmt}' (built-in: ppm, bmp, png; "
-            "jpeg/video need an external library plugged into CODECS)"
+            f"no built-in codec for format '{fmt}' (built-in: ppm, bmp, png, "
+            "baseline jpeg; video needs an external library plugged into "
+            "CODECS)"
         )
     return CODECS[fmt]["decode"](payload)
 

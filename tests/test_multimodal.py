@@ -477,3 +477,134 @@ def test_png_strict_arrow_path_and_neardup_vs_bmp_twin(spark):
              for r in media_near_dup(media).collect()}
     assert (0, 1) in pairs                         # png twin of the bmp
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        detect_format, jpeg_decode, jpeg_encode,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in (False, True):
+        raw = jpeg_encode(img, quality=90, subsample=sub)
+        assert detect_format(raw) == "jpeg"
+        out = jpeg_decode(raw)
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        # lossy, but q90 on this gradient stays within a few levels
+        assert err.max() <= (8 if sub else 5), (sub, err.max())
+    # odd (non-multiple-of-16) dims crop back exactly
+    odd = img[:27, :41]
+    assert jpeg_decode(jpeg_encode(odd, subsample=True)).shape == (27, 41, 3)
+
+
+def test_jpeg_handbuilt_dc_only_gray_and_restart():
+    """Decoder correctness independent of our encoder: hand-assemble
+    a grayscale JPEG whose blocks are DC-only with unit quant, so the
+    exact pixel value is computable by hand (dc/8 + 128). Two blocks
+    with DRI=1 exercise restart segmentation + predictor reset."""
+    import struct
+
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        _BitWriter, _huff_encode_map, _jpeg_ac_spec, _JPEG_DC_LUMA_SPEC,
+        jpeg_decode,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ac_bits, ac_syms = _jpeg_ac_spec()
+    dc_map = _huff_encode_map(*_JPEG_DC_LUMA_SPEC)
+    ac_map = _huff_encode_map(ac_bits, ac_syms)
+
+    def dc_only_block(writer, diff):
+        size = abs(diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        code, ln = dc_map[size]
+        writer.write(code, ln)
+        if size:
+            writer.write(bits, size)
+        code, ln = ac_map[0x00]          # EOB
+        writer.write(code, ln)
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes([1] * 64))          # unit quant
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_LUMA_SPEC[0])
+              + bytes(_JPEG_DC_LUMA_SPEC[1]))
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 16, 1)
+              + bytes([1, 0x11, 0]))                          # 8x16 gray
+        + seg(0xFFDD, struct.pack(">H", 1))                   # DRI = 1
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    # block 1: dc=80 -> 80/8+128 = 138; RST0; block 2 (pred RESET):
+    # dc=-40 -> -5+128 = 123
+    w1 = _BitWriter()
+    dc_only_block(w1, 80)
+    w2 = _BitWriter()
+    dc_only_block(w2, -40)
+    payload = head + w1.flush() + b"\xff\xd0" + w2.flush() + b"\xff\xd9"
+
+    out = jpeg_decode(payload)
+    assert out.shape == (8, 16, 3)
+    assert np.all(out[:, :8] == 138)
+    assert np.all(out[:, 8:] == 123)
+
+
+def test_jpeg_unsupported_variants():
+    import struct
+
+    import pytest
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        UnsupportedMediaError, jpeg_decode,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    progressive = (
+        b"\xff\xd8"
+        + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    with pytest.raises(UnsupportedMediaError, match="progressive"):
+        jpeg_decode(progressive)
+    with pytest.raises(UnsupportedMediaError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG\r\n\x1a\nnot")
+
+
+def test_jpeg_strict_arrow_and_neardup_vs_lossless_twin(spark):
+    """JPEG payloads through the real mapInPandas strict path, and a
+    q90 jpeg pairs with its lossless BMP twin in media_near_dup (the
+    perceptual hash survives quantization noise)."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import decode_media, media_near_dup
+    from nsl_kdd_spark.multimodal.codecs import (
+        bmp_encode, jpeg_encode, phash64,
+    )
+
+    img_a = _gradient(16, 16)
+    yy, xx = np.mgrid[0:16, 0:16]
+    img_b = (((xx // 2 + yy // 2) % 2) * 255).astype(np.uint8)
+    img_b = np.repeat(img_b[..., None], 3, axis=2)
+    payloads = [jpeg_encode(img_a, quality=90), bmp_encode(img_a),
+                jpeg_encode(img_b, quality=90)]
+    media = _media_df(spark, payloads)
+    got = {r.media_id: r for r in decode_media(media, strict=True).collect()}
+    assert len(got) == 3 and all(r.digest for r in got.values())
+
+    # perceptual: jpeg(A) pairs with bmp(A), not with jpeg(B)
+    h_jpeg = phash64(payloads[0])
+    h_bmp = phash64(payloads[1])
+    assert bin(h_jpeg ^ h_bmp).count("1") <= 6
+    pairs = {(r.id_a, r.id_b) for r in media_near_dup(media).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
