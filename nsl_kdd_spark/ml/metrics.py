@@ -227,12 +227,14 @@ def calibration_report(
     bounded (n_bins rows out).
     """
     s0 = F.col(score_col).cast("double")
+    # NULL must be tested apart (NULL < 0 is NULL, not false): a NULL
+    # score would otherwise slip through and form a silent NULL bin
     s = F.when(
-        (s0 < 0.0) | (s0 > 1.0),
+        s0.isNull() | (s0 < 0.0) | (s0 > 1.0),
         F.raise_error(
             F.concat(
                 F.lit("calibration_report: score outside [0, 1]: "),
-                s0.cast("string"),
+                F.coalesce(s0.cast("string"), F.lit("NULL")),
             )
         ).cast("double"),
     ).otherwise(s0)

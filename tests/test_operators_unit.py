@@ -884,6 +884,14 @@ def test_calibration_report_known_bins(spark):
     # score exactly 1.0 clamps into the last bin
     one = spark.createDataFrame([(1.0, 1)], ["score", "label"])
     assert calibration_report(one, n_bins=10).collect()[0].bin == 9
+    # NULL and out-of-range scores fail loudly, never a silent bin
+    import pytest
+    bad = spark.createDataFrame([(None, 1)], "score double, label long")
+    with pytest.raises(Exception, match="outside"):
+        calibration_report(bad, n_bins=10).collect()
+    oob = spark.createDataFrame([(1.5, 1)], "score double, label long")
+    with pytest.raises(Exception, match="outside"):
+        calibration_report(oob, n_bins=10).collect()
 
 
 def test_select_canonical_keeps_best_quality(spark):
