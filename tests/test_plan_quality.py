@@ -298,3 +298,15 @@ def test_rfm_no_global_sort_of_facts(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_expr_tier_stays_in_codegen(spark):
+    # q132's expr tier must be pure expression work: the merge folds
+    # are F.aggregate HOFs, the word join is broadcast, and no
+    # Python workers appear (the arrow tier is the documented
+    # mapInPandas exception, selected only for 25+-rank tables)
+    df = QUERIES["q132_bpe_encode"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
