@@ -253,3 +253,47 @@ def test_table_digest_partition_and_union_order_invariance(spark):
     d_ab = tuple(table_digest(a.unionByName(b)).collect()[0])
     d_ba = tuple(table_digest(b.unionByName(a).repartition(13)).collect()[0])
     assert d_ab == d_ba
+
+
+@settings(max_examples=40, deadline=None)
+@given(img_dims, st.integers(0, 2**32 - 1))
+def test_png_roundtrip_any_shape(dims, seed):
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import png_decode, png_encode
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)  # lossless
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.tuples(st.integers(8, 40), st.integers(8, 40)),
+    st.integers(0, 2**32 - 1),
+    st.booleans(),
+)
+def test_jpeg_roundtrip_bounded_error_smooth_images(dims, seed, subsample):
+    """JPEG is lossy, so the property is a BOUND: on smooth (low
+    spatial frequency) images at quality 95, every pixel round-trips
+    within a small number of levels at 4:4:4, slightly looser with
+    chroma subsampling. Random noise images intentionally excluded —
+    quantization error there is unbounded by design."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.codecs import jpeg_decode, jpeg_encode
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    # smooth image: low-frequency plane gradients with random slopes
+    yy, xx = np.mgrid[0:h, 0:w]
+    chans = []
+    for _ in range(3):
+        a, b, c = rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(0, 255)
+        chans.append(np.clip(a * xx + b * yy + c, 0, 255))
+    img = np.stack(chans, axis=-1).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=95, subsample=subsample))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= (14 if subsample else 8), err.max()
