@@ -796,7 +796,17 @@ def decode_image(payload: bytes) -> np.ndarray:
             "baseline jpeg; video needs an external library plugged into "
             "CODECS)"
         )
-    return CODECS[fmt]["decode"](payload)
+    import zlib
+
+    try:
+        return CODECS[fmt]["decode"](payload)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, IndexError, ValueError, zlib.error, EOFError) as e:
+        # corrupt/truncated payloads surface as the TYPED error with
+        # the format named, not a raw parser crash — same failure
+        # policy, debuggable message
+        raise UnsupportedMediaError(f"{fmt}: corrupt payload ({e})") from e
 
 
 def image_features(payload: bytes) -> dict:

@@ -608,3 +608,23 @@ def test_jpeg_strict_arrow_and_neardup_vs_lossless_twin(spark):
     assert bin(h_jpeg ^ h_bmp).count("1") <= 6
     pairs = {(r.id_a, r.id_b) for r in media_near_dup(media).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_corrupt_payloads_raise_typed_error():
+    import pytest
+
+    from nsl_kdd_spark.multimodal.codecs import (
+        UnsupportedMediaError, decode_image, jpeg_encode, png_encode,
+    )
+    import numpy as np
+
+    img = _gradient(8, 8)
+    for raw in (png_encode(img), jpeg_encode(img)):
+        truncated = raw[: len(raw) // 2]
+        with pytest.raises(UnsupportedMediaError):
+            decode_image(truncated)
+    # flipping bytes in the middle must also surface as the typed error
+    raw = bytearray(png_encode(img))
+    raw[40:60] = b"\x00" * 20
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(bytes(raw))
