@@ -209,6 +209,55 @@ def graph_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def media_scale_timings(spark) -> dict[str, float]:
+    """Multimodal tier evidence: strict Arrow decode+features and
+    perceptual near-dup over a synthetic mixed PNG/JPEG corpus at 1x
+    vs 4x image counts. Decode is the Python-codec floor (the
+    documented libjpeg seam); the POINT of the cells is that pairing
+    cost scales with images, not pairs — the banded-hamming join is
+    the same backend as text simhash."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import (
+        MEDIA_SCHEMA, decode_media, media_near_dup,
+    )
+    from nsl_kdd_spark.multimodal.codecs import jpeg_encode, png_encode
+
+    def corpus(n):
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(n):
+            yy, xx = np.mgrid[0:16, 0:16]
+            img = np.stack(
+                [(xx * (3 + i)) % 256, (yy * (5 + i)) % 256,
+                 ((xx + yy + i) * 2) % 256], axis=-1).astype(np.uint8)
+            payload = (png_encode(img) if i % 2 == 0
+                       else jpeg_encode(img, quality=85))
+            rows.append((i, "image", "image/mixed", len(payload),
+                         bytearray(payload)))
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    timings: dict[str, float] = {}
+    for count, label in ((2000, "2k"), (8000, "8k")):
+        media = corpus(count).repartition(32).persist()
+        media.count()
+        for name, frame in (
+            (f"media{label}_decode", decode_media(media, strict=True)),
+            (f"media{label}_neardup",
+             media_near_dup(media, max_hamming=6, bands=8)),
+        ):
+            seen: list[float] = []
+            while len(seen) < 2 or (
+                len(seen) < 3 and max(seen) > 3 * min(seen)
+            ):
+                t0 = time.perf_counter()
+                frame.write.format("noop").mode("overwrite").save()
+                seen.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(seen)
+        media.unpersist()
+    return timings
+
+
 def ensure_sf1_dir(spark, sf_dir: str) -> str:
     """Materialize an sf1-scale copy of the relational tables next to
     the repo (built once, reused across bench runs): lineitem/orders
@@ -337,6 +386,7 @@ def main() -> None:
     dedup = dedup_scale_timings(spark, sf_dir)
     graph = graph_scale_timings(spark, sf_dir)
     sf1 = sf1_timings(spark, sf_dir)
+    media = media_scale_timings(spark)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -346,6 +396,7 @@ def main() -> None:
         "dedup_scale": dedup,
         "graph_scale": graph,
         "sf1": sf1,
+        "media_scale": media,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
