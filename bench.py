@@ -113,14 +113,16 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             ),
         }
 
-    # min-of-2 at BOTH scales, plus one adaptive retry when the two
-    # passes disagree >3x: the first pass of a plan shape eats one-off
-    # codegen/JIT, and host noise bursts (hypervisor steal) can
-    # swallow BOTH passes — measured 5 s vs 152 s on the same warm
-    # op. Bounded at 3 executions per op.
+    # min-of-3 for the dedup tier (the headline set stays min-of-2):
+    # host noise bursts (hypervisor steal / sustained-load throttling)
+    # have been measured swallowing an entire min-of-2+retry window on
+    # exactly these cells (r3's recorded dedup25k_minhash 17.2 s vs a
+    # ~3 s warm cost), and one extra ~5 s rep is cheap insurance.
+    # Plus one adaptive retry when the reps still disagree >3x.
+    # Bounded at 4 executions per op.
     def measure(docs, fn) -> float:
         seen: list[float] = []
-        while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):
+        while len(seen) < 3 or (len(seen) < 4 and max(seen) > 3 * min(seen)):
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             seen.append(round(time.perf_counter() - t0, 3))
