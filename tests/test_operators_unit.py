@@ -1090,3 +1090,36 @@ def test_skipping_stats_backslash_probe_name(spark):
         probes={name: {"x": (0, 3)}}, n_files=4,
     ).collect()
     assert out[0].probe == name
+
+
+def test_jaccard_order_variants_identical_results(spark):
+    """Both canonical orders are lossless: freq (rarest-first) and
+    hash (pure projection) must produce IDENTICAL pairs and values,
+    including on boilerplate-heavy docs where the orders differ most
+    and on a boundary pair sitting exactly at the threshold."""
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma epsilon"),   # near-dup of 1
+        (3, boiler + " zeta eta theta iota"),        # shares only boiler
+        (4, "completely different text with nothing shared at all ok"),
+        (5, boiler + " alpha beta gamma delta"),     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for order in ("freq", "hash"):
+        out = jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, order=order
+        ).collect()
+        got[order] = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9)) for r in out
+        )
+    assert got["freq"] == got["hash"]
+    assert (1, 5, 1.0) in got["freq"]                # exact dup found
+    assert any(a == 1 and b == 2 for a, b, _ in got["freq"])
+
+    import pytest
+    with pytest.raises(ValueError, match="freq|hash"):
+        jaccard_pairs(df, "doc_id", "text", order="bogus")
