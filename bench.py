@@ -48,6 +48,12 @@ HEADLINE = [
     # round-4 tier: iterative graph centrality + retrieval scoring
     "q103_pagerank",
     "q104_bm25",
+    # round-4 additions: analytics, declarative quality, itemsets,
+    # subword tokenization — one cell per new family
+    "q105_cohort_retention",
+    "q113_expectations",
+    "q130_association_rules",
+    "q132_bpe_encode",
 ]
 
 
