@@ -492,9 +492,15 @@ def _encode_block(
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0
-    with ``subsample=True``)."""
+                subsample: bool | str = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes. ``subsample``:
+    False -> 4:4:4, True or "420" -> 4:2:0, "422" -> 4:2:2 (chroma
+    halved horizontally only — exercises the decoder's 2x1 sampling
+    path, the other common real-world layout)."""
+    mode = {False: "444", True: "420", "420": "420",
+            "422": "422", "444": "444"}.get(subsample)
+    if mode is None:
+        raise ValueError(f"subsample must be bool, '420', '422', got {subsample!r}")
     h, w, c = img.shape
     assert c == 3, "jpeg_encode writes RGB"
     x = img.astype(np.float64)
@@ -511,46 +517,40 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
         "ac": _huff_encode_map(ac_bits, ac_syms),
     }
 
-    mcu = 16 if subsample else 8
-    ph = (h + mcu - 1) // mcu * mcu
-    pw = (w + mcu - 1) // mcu * mcu
+    hy, vy = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[mode]
+    mcu_w, mcu_h = 8 * hy, 8 * vy
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
 
     def pad(a):
         return np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
 
     y, cb, cr = pad(y), pad(cb), pad(cr)
-    if subsample:
-        cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2]
-              + cb[1::2, 1::2]) / 4.0
-        cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2]
-              + cr[1::2, 1::2]) / 4.0
+    if hy == 2:
+        cb = (cb[:, 0::2] + cb[:, 1::2]) / 2.0
+        cr = (cr[:, 0::2] + cr[:, 1::2]) / 2.0
+    if vy == 2:
+        cb = (cb[0::2, :] + cb[1::2, :]) / 2.0
+        cr = (cr[0::2, :] + cr[1::2, :]) / 2.0
 
     writer = _BitWriter()
     preds = [0, 0, 0]
-    for my in range(0, ph, mcu):
-        for mx in range(0, pw, mcu):
-            if subsample:
-                for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+    for my in range(0, ph, mcu_h):
+        for mx in range(0, pw, mcu_w):
+            for by in range(vy):
+                for bx in range(hy):
                     preds[0] = _encode_block(
-                        writer, y[my + by:my + by + 8, mx + bx:mx + bx + 8],
+                        writer,
+                        y[my + by * 8:my + by * 8 + 8,
+                          mx + bx * 8:mx + bx * 8 + 8],
                         q_l, maps["dcl"], maps["ac"], preds[0])
-                cy, cx = my // 2, mx // 2
-                preds[1] = _encode_block(
-                    writer, cb[cy:cy + 8, cx:cx + 8], q_c,
-                    maps["dcc"], maps["ac"], preds[1])
-                preds[2] = _encode_block(
-                    writer, cr[cy:cy + 8, cx:cx + 8], q_c,
-                    maps["dcc"], maps["ac"], preds[2])
-            else:
-                preds[0] = _encode_block(
-                    writer, y[my:my + 8, mx:mx + 8], q_l,
-                    maps["dcl"], maps["ac"], preds[0])
-                preds[1] = _encode_block(
-                    writer, cb[my:my + 8, mx:mx + 8], q_c,
-                    maps["dcc"], maps["ac"], preds[1])
-                preds[2] = _encode_block(
-                    writer, cr[my:my + 8, mx:mx + 8], q_c,
-                    maps["dcc"], maps["ac"], preds[2])
+            cy, cx = my // vy, mx // hy
+            preds[1] = _encode_block(
+                writer, cb[cy:cy + 8, cx:cx + 8], q_c,
+                maps["dcc"], maps["ac"], preds[1])
+            preds[2] = _encode_block(
+                writer, cr[cy:cy + 8, cx:cx + 8], q_c,
+                maps["dcc"], maps["ac"], preds[2])
     entropy = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -563,7 +563,7 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
     def dht(tc: int, th: int, bits: list[int], syms: list[int]) -> bytes:
         return seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(syms))
 
-    samp_y = 0x22 if subsample else 0x11
+    samp_y = (hy << 4) | vy
     sof = seg(0xFFC0, struct.pack(
         ">BHHB", 8, h, w, 3,
     ) + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]))

@@ -490,7 +490,7 @@ def test_jpeg_roundtrip_444_and_420():
     img = np.stack(
         [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
     ).astype(np.uint8)
-    for sub in (False, True):
+    for sub in (False, True, "422"):
         raw = jpeg_encode(img, quality=90, subsample=sub)
         assert detect_format(raw) == "jpeg"
         out = jpeg_decode(raw)
@@ -498,9 +498,13 @@ def test_jpeg_roundtrip_444_and_420():
         err = np.abs(out.astype(int) - img.astype(int))
         # lossy, but q90 on this gradient stays within a few levels
         assert err.max() <= (8 if sub else 5), (sub, err.max())
-    # odd (non-multiple-of-16) dims crop back exactly
+    # odd (non-multiple-of-MCU) dims crop back exactly at every sampling
     odd = img[:27, :41]
     assert jpeg_decode(jpeg_encode(odd, subsample=True)).shape == (27, 41, 3)
+    assert jpeg_decode(jpeg_encode(odd, subsample="422")).shape == (27, 41, 3)
+    import pytest
+    with pytest.raises(ValueError, match="subsample"):
+        jpeg_encode(img, subsample="411")
 
 
 def test_jpeg_handbuilt_dc_only_gray_and_restart():
