@@ -297,3 +297,71 @@ def test_jpeg_roundtrip_bounded_error_smooth_images(dims, seed, subsample):
     assert out.shape == img.shape
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.max() <= (14 if subsample else 8), err.max()
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["the", "cat", "sat", "mat", "dog",
+                                  "ran", "far", "big"]),
+                 min_size=5, max_size=14),
+        min_size=3, max_size=12,
+    )
+)
+def test_jaccard_order_tiers_equivalent_on_random_corpora(word_lists):
+    """freq- and hash-order prefix filtering are both lossless: on any
+    random corpus they must emit identical (pair, value) sets."""
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for order in ("freq", "hash"):
+        got[order] = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=0.4, order=order
+            ).collect()
+        )
+    assert got["freq"] == got["hash"]
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "ab", "ba", "abc", "cab",
+                                  "bb", "aab"]),
+                 min_size=2, max_size=8),
+        min_size=2, max_size=8,
+    )
+)
+def test_bpe_encode_tiers_match_pure_python(word_lists):
+    """expr and arrow BPE tiers must both equal the textbook encode
+    for merges trained on the same corpus."""
+    from nsl_kdd_spark.ml.text_features import bpe_encode, train_bpe
+    from tests.test_text_features import (
+        _reference_bpe, _reference_bpe_encode,
+    )
+
+    spark = _spark()
+    texts = [" ".join(ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges_df = train_bpe(docs, num_merges=5)
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    ref_merges = _reference_bpe(counts, num_merges=5)
+    for method in ("expr", "arrow"):
+        got = {
+            r.doc_id: list(r.bpe_tokens)
+            for r in bpe_encode(docs, merges_df, method=method).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _reference_bpe_encode(t, ref_merges), (
+                method, i, t)
