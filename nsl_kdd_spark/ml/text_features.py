@@ -631,7 +631,10 @@ def bpe_encode(
     to a corpus — the ENCODING side of subword tokenization. Returns
     (id, bpe_tokens array<string>, n_pieces), pieces in word order
     with each word independently merged (greedy leftmost, merges in
-    rank order — byte-identical to the training fold).
+    rank order — byte-identical to the training fold). Documents that
+    tokenize to ZERO words (empty/whitespace-only text) are absent
+    from the output — left-join against the source and coalesce to an
+    empty array if every input id must appear.
 
     Scale shape (100 TB): BPE is computed once per DISTINCT word, not
     once per occurrence — the corpus is touched exactly twice (the

@@ -142,13 +142,18 @@ def jaccard_pairs(
     sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__shs"))
     if prefix_filter:
         # shingle construction (HOF transform + concat) is the dominant
-        # per-row cost and feeds two consumers (freq agg + ordered
-        # build); persist the COMPACT per-doc array form — one row per
-        # doc, not the exploded index — so it runs once. Hashing to
-        # longs BEFORE the persist shrinks the cached form too.
+        # per-row cost; in freq order it feeds two consumers (freq agg
+        # + ordered build), so persist the COMPACT per-doc array form —
+        # one row per doc, not the exploded index — so it runs once.
+        # Hashing to longs BEFORE the persist shrinks the cached form
+        # too. Hash order has only ONE consumer (the ordered build,
+        # itself checkpointed below), so materializing here would be a
+        # wasted pass — skip it.
         sh = sh.select(
             "__id", F.transform("__shs", lambda s: F.xxhash64(s)).alias("__shs")
-        ).localCheckpoint()
+        )
+        if order == "freq":
+            sh = sh.localCheckpoint()
     if not prefix_filter:
         sizes = sh.select("__id", F.size("__shs").alias("__sz"))
         idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
