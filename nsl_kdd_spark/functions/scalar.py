@@ -129,3 +129,19 @@ def exact_corr(x: Column | str, y: Column | str, scale: int = 2,
     return (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
+
+
+def ppm_of(numer: str, denom: str) -> Column:
+    """Integer parts-per-million ratio ``(numer * 1e6) div denom``
+    with an int64 overflow guard: with ANSI off (session default,
+    pinned for oracle cast parity) a count past ~9.2e12 would WRAP
+    the product silently while DuckDB errors — the double-compare
+    guard (one branch) raises instead, the itemsets-lift pattern
+    applied to every count-based ppm site. ``numer``/``denom`` are
+    engine-internal column names, interpolated verbatim."""
+    return F.expr(
+        f"CASE WHEN CAST({numer} AS DOUBLE) * 1000000 > 9.2e18 "
+        f"THEN CAST(raise_error(CONCAT('ppm overflow: {numer} = ', "
+        f"CAST({numer} AS STRING))) AS BIGINT) "
+        f"ELSE ({numer} * 1000000) div {denom} END"
+    )

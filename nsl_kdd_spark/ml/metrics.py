@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 
 def confusion_matrix(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     """4-cell CM: one row (tn, fp, fn, tp). Labels/preds are 0/1."""
@@ -257,7 +259,7 @@ def calibration_report(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("sum(__su) div count(1)").alias("mean_score_u"),
-            F.expr("(sum(__y) * 1000000) div count(1)").alias("pos_rate_ppm"),
+            ppm_of("sum(__y)", "count(1)").alias("pos_rate_ppm"),
             F.expr("sum(__se) div count(1)").alias("brier_u"),
         )
         .orderBy("bin")

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 _PERIOD_DAYS = {"day": 1, "week": 7}
 
 
@@ -73,7 +75,7 @@ def cohort_retention(
             "offset",
             "n_users",
             "cohort_size",
-            F.expr("(n_users * 1000000) div cohort_size").alias("retention_ppm"),
+            ppm_of("n_users", "cohort_size").alias("retention_ppm"),
         )
         .orderBy("cohort", "offset")
     )

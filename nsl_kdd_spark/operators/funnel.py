@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 
 def funnel_steps(
     events: DataFrame,
@@ -134,7 +136,7 @@ def event_transitions(
             "to_type",
             "n",
             "n_from",
-            F.expr("(n * 1000000) div n_from").alias("p_ppm"),
+            ppm_of("n", "n_from").alias("p_ppm"),
         )
         .orderBy("from_type", "to_type")
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 
 def basket_pairs(
     df: DataFrame,
@@ -104,8 +106,8 @@ def basket_pairs(
         )
         .select(
             "item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
-            F.expr("(n_ab * 1000000) div n_baskets").alias("support_ppm"),
-            F.expr("(n_ab * 1000000) div n_a").alias("confidence_ppm"),
+            ppm_of("n_ab", "n_baskets").alias("support_ppm"),
+            ppm_of("n_ab", "n_a").alias("confidence_ppm"),
             F.when(
                 # no-ANSI Spark would WRAP n_ab * n_baskets * 1e6 (or
                 # the n_a * n_b denominator) past 2^63 while DuckDB

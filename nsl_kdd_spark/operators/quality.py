@@ -21,6 +21,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 
 def observe_quality(
     df: DataFrame,
@@ -143,7 +145,7 @@ def expect(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             "rule",
             F.col("__n").alias("n_rows"),
             "n_violations",
-            F.expr("(n_violations * 1000000) div __n").alias("violation_ppm"),
+            ppm_of("n_violations", "__n").alias("violation_ppm"),
         )
     )
 
@@ -189,7 +191,7 @@ def expect_windowed(
             "rule",
             F.col("__n").alias("n_rows"),
             "n_violations",
-            F.expr("(n_violations * 1000000) div __n").alias("violation_ppm"),
+            ppm_of("n_violations", "__n").alias("violation_ppm"),
         )
         .orderBy("window_start", "rule")
     )

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 
 def salted_join(
     big: DataFrame,
@@ -77,7 +79,7 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .select(
             key,
             "n",
-            F.expr("(n * 1000000) div __total").alias("share_ppm"),
+            ppm_of("n", "__total").alias("share_ppm"),
         )
         .orderBy(F.desc("n"), key)
         .limit(n)

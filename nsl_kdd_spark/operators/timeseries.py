@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.functions.scalar import ppm_of
+
 
 def to_bucket(ts_col: Column | str, step_seconds: int) -> Column:
     """Epoch-aligned bucket start (long seconds): floor(epoch/step)*step.
@@ -271,7 +273,7 @@ def mad_outliers(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("__out").alias("n_outliers"),
-            F.expr("(sum(__out) * 1000000) div count(1)").alias("outlier_ppm"),
+            ppm_of("sum(__out)", "count(1)").alias("outlier_ppm"),
         )
         .select(group_col, "n", "med", "mad", "n_outliers", "outlier_ppm")
         .orderBy(group_col)

@@ -1123,3 +1123,18 @@ def test_jaccard_order_variants_identical_results(spark):
     import pytest
     with pytest.raises(ValueError, match="freq|hash"):
         jaccard_pairs(df, "doc_id", "text", order="bogus")
+
+
+def test_ppm_of_overflow_guard(spark):
+    """ppm_of must compute the exact integer ratio in range and raise
+    past the int64 product bound instead of silently wrapping (ANSI
+    is off for oracle cast parity)."""
+    import pytest
+
+    from nsl_kdd_spark.functions.scalar import ppm_of
+
+    ok = spark.createDataFrame([(3, 4)], "n long, d long")
+    assert ok.select(ppm_of("n", "d").alias("p")).first().p == 750_000
+    big = spark.createDataFrame([(10_000_000_000_000, 2)], "n long, d long")
+    with pytest.raises(Exception, match="ppm overflow"):
+        big.select(ppm_of("n", "d").alias("p")).collect()
