@@ -724,6 +724,80 @@ def dedup_spans(
     )
 
 
+def _band_explode(
+    sigs: DataFrame, id_col: str, sig_col: str, bands: int
+) -> DataFrame:
+    """(id, sig) -> one row per (band index, band value) slice of the
+    64-bit signature — the shared candidate-key derivation for the
+    self-join (``banded_hamming_pairs``) and the cross-table join
+    (``banded_hamming_join``)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(mask)
+                for i in range(bands)
+            ])
+        ).alias("__band", "__val"),
+    )
+
+
+def _check_band_args(bands: int, max_hamming: int) -> None:
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
+            f"got {max_hamming} vs {bands}"
+        )
+    if bands > 64:
+        # width would floor to 0 -> every band value 0 -> the band
+        # join degenerates to an all-pairs self-join (review r04)
+        raise ValueError(f"bands={bands} exceeds the 64-bit signature")
+
+
+def banded_hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_sig: str,
+    right_id: str,
+    right_sig: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-table variant of :func:`banded_hamming_pairs`: every
+    (left, right) pair within ``max_hamming`` bits, candidates from
+    the shared-band equi-join (pigeonhole-lossless for
+    ``max_hamming < bands``). Returns (id_l, id_r, hamming).
+
+    The incremental-dedup primitive: probe a small batch (left)
+    against a standing signature registry (right) — per-batch cost is
+    O(batch x collision rate), the registry is never self-joined. No
+    bucket cap here: capping would silently drop registry matches,
+    and the batch side bounds the join anyway (broadcast when small)."""
+    _check_band_args(bands, max_hamming)
+    a = _band_explode(left, left_id, left_sig, bands).select(
+        F.col("__id").alias("id_l"), F.col("__sig").alias("__hl"),
+        "__band", "__val",
+    )
+    b = _band_explode(right, right_id, right_sig, bands).select(
+        F.col("__id").alias("id_r"), F.col("__sig").alias("__hr"),
+        "__band", "__val",
+    )
+    return (
+        a.join(b, ["__band", "__val"])
+        .select("id_l", "id_r", "__hl", "__hr")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("__hl").bitwiseXOR(F.col("__hr")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
 def banded_hamming_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -744,27 +818,8 @@ def banded_hamming_pairs(
     e.g. constant-color images all hashing to 0, would otherwise make
     one bucket's self-join quadratic) live in ONE place.
     """
-    if not 0 <= max_hamming < bands:
-        raise ValueError(
-            f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
-            f"got {max_hamming} vs {bands}"
-        )
-    if bands > 64:
-        # width would floor to 0 -> every band value 0 -> the band
-        # join degenerates to an all-pairs self-join (review r04)
-        raise ValueError(f"bands={bands} exceeds the 64-bit signature")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = sigs.select(
-        F.col(id_col).alias("__id"),
-        F.col(sig_col).alias("__sig"),
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(mask)
-                for i in range(bands)
-            ])
-        ).alias("__band", "__val"),
-    )
+    _check_band_args(bands, max_hamming)
+    banded = _band_explode(sigs, id_col, sig_col, bands)
     banded = _cap_buckets(banded, ["__band", "__val"], max_bucket_size)
     a = banded.select(
         F.col("__id").alias("id_a"), F.col("__sig").alias("__ha"),

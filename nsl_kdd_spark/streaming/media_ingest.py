@@ -1,0 +1,126 @@
+"""Streaming media ingest with perceptual dedup: the multimodal twin
+of ``streaming/ingest.py`` — image payloads arrive as parquet drops,
+every micro-batch fingerprints its payloads (``codecs.phash64``
+through the Arrow batch path), drops perceptual near-duplicates of
+the standing registry AND of itself, and appends survivors to the
+corpus and their 64-bit signatures to the registry.
+
+Same exactly-once layout as the text ingest: each batch writes its
+rows and signatures into its own ``__batch_id=N`` partition with
+dynamic partition overwrite, so a replayed batch overwrites its own
+output instead of duplicating. The registry holds (media_id, phash)
+— 16 bytes per accepted image, so the standing state is ~1 GB per
+60M images and the per-batch probe is a banded equi-join against it
+(``dedup.banded_hamming_join``): O(batch x collision rate), the
+registry is never self-joined and payloads are never re-read.
+
+Within-batch policy: keep the LOWEST media_id of each near-dup pair
+(the dedup tier's canonical tie rule). Chains (A~B, B~C, A!~C) keep
+only A — same conservative contract as the text ingest's self-tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from nsl_kdd_spark.operators.dedup import (
+    banded_hamming_join,
+    banded_hamming_pairs,
+)
+from nsl_kdd_spark.streaming.ingest import _write_partition, read_corpus
+
+_SIG_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("phash", LongType()),
+])
+
+
+def _signatures(
+    media: DataFrame, hash_fn: Callable[[bytes], int]
+) -> DataFrame:
+    """(media_id, phash) via the Arrow batch path — one decode per
+    payload, the same shape as ``multimodal.media_near_dup``."""
+    src = media.filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pdf["payload"].map(hash_fn).astype("int64"),
+            })
+
+    return src.mapInPandas(batches, schema=_SIG_SCHEMA)
+
+
+def ingest_media_stream(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    registry_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    hash_fn: Callable[[bytes], int] | None = None,
+):
+    """Start (availableNow) the perceptually-deduplicating media
+    ingest over a parquet drop directory of MEDIA_SCHEMA rows.
+    Returns the started StreamingQuery; ``.awaitTermination()`` to
+    drain. Re-encoded copies (the same image re-dropped as jpeg, a
+    resized thumbnail) land within ``max_hamming`` bits of their
+    registry signature and are rejected without touching any stored
+    payload."""
+    if hash_fn is None:
+        from nsl_kdd_spark.multimodal.codecs import phash64
+
+        hash_fn = phash64
+
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        sigs = _signatures(batch_df, hash_fn).localCheckpoint()
+        # self-tier: drop the higher id of every within-batch pair
+        self_pairs = banded_hamming_pairs(
+            sigs, "media_id", "phash",
+            bands=bands, max_hamming=max_hamming,
+        )
+        self_dropped = self_pairs.select(
+            F.col("id_b").alias("media_id")
+        ).distinct()
+        survivors = sigs.join(self_dropped, "media_id", "left_anti")
+        # registry tier: any match within max_hamming rejects
+        try:
+            registry = read_corpus(s, registry_path)
+        except Exception:  # first batch: no registry yet
+            registry = s.createDataFrame([], _SIG_SCHEMA)
+        reg_hits = banded_hamming_join(
+            survivors, registry,
+            "media_id", "phash", "media_id", "phash",
+            bands=bands, max_hamming=max_hamming,
+        ).select(F.col("id_l").alias("media_id")).distinct()
+        accepted_sigs = survivors.join(
+            reg_hits, "media_id", "left_anti"
+        ).persist()
+        try:
+            accepted_rows = batch_df.join(
+                accepted_sigs.select("media_id"), "media_id", "left_semi"
+            )
+            _write_partition(accepted_rows, corpus_path, batch_id)
+            _write_partition(accepted_sigs, registry_path, batch_id)
+        finally:
+            accepted_sigs.unpersist()
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1138,3 +1138,26 @@ def test_ppm_of_overflow_guard(spark):
     big = spark.createDataFrame([(10_000_000_000_000, 2)], "n long, d long")
     with pytest.raises(Exception, match="ppm overflow"):
         big.select(ppm_of("n", "d").alias("p")).collect()
+
+
+def test_banded_hamming_join_cross_table(spark):
+    """Cross-table banded join finds every pair within max_hamming
+    (pigeonhole) and nothing beyond it."""
+    from nsl_kdd_spark.operators.dedup import banded_hamming_join
+
+    left = spark.createDataFrame(
+        [(1, 0b1111), (2, 1 << 40)], "id long, sig long"
+    )
+    right = spark.createDataFrame(
+        [(100, 0b1011), (101, (1 << 40) | 0b111), (102, -1)],
+        "rid long, rsig long",
+    )
+    out = {(r.id_l, r.id_r): r.hamming for r in banded_hamming_join(
+        left, right, "id", "sig", "rid", "rsig", bands=8, max_hamming=3
+    ).collect()}
+    # (1,101): 0b1111 vs (1<<40)|0b0111 differ in bit3 and bit40 = 2
+    assert out == {(1, 100): 1, (1, 101): 2, (2, 101): 3}
+    import pytest
+    with pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_join(left, right, "id", "sig", "rid", "rsig",
+                            bands=4, max_hamming=4)

@@ -234,3 +234,67 @@ def test_streaming_windowed_expectations_equals_batch(spark):
     cols = ["window_start", "rule", "n_rows", "n_violations", "violation_ppm"]
     assert sorted(map(tuple, got.select(cols).collect())) == \
            sorted(map(tuple, want.select(cols).collect()))
+
+
+def test_media_ingest_stream_perceptual_registry(spark, tmp_path):
+    """Streaming media ingest: parquet drops drain through
+    availableNow batches; a re-encoded copy of an accepted image
+    (jpeg of a stored png) is rejected against the registry without
+    re-reading payloads, within-batch twins keep the lowest id, and
+    novel images accumulate."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+    from nsl_kdd_spark.multimodal.codecs import bmp_encode, jpeg_encode, png_encode
+    from nsl_kdd_spark.streaming.ingest import read_corpus
+    from nsl_kdd_spark.streaming.media_ingest import ingest_media_stream
+
+    def img(kind):
+        yy, xx = np.mgrid[0:16, 0:16]
+        if kind == 0:
+            return np.stack([(xx * 9) % 256, (yy * 13) % 256,
+                             ((xx + yy) * 5) % 256], -1).astype(np.uint8)
+        return (((xx // 2 + yy // 2) % 2) * 255).astype(np.uint8)[
+            ..., None].repeat(3, 2)
+
+    def media_rows(items):
+        return spark.createDataFrame(
+            [(i, "image", "image/mixed", len(p), bytearray(p))
+             for i, p in items],
+            MEDIA_SCHEMA,
+        )
+
+    src = tmp_path / "drop"
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=6, bands=8,
+    )
+    # batch 1: gradient (id 1) + checkerboard (id 2) + bmp twin of the
+    # gradient (id 3 -> within-batch near-dup, keep lowest id 1)
+    media_rows([
+        (1, png_encode(img(0))), (2, png_encode(img(1))),
+        (3, bmp_encode(img(0))),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    q = ingest_media_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+    assert {r.media_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 2}
+
+    # batch 2: jpeg re-encode of the stored gradient (10 -> registry
+    # reject) + a genuinely new random image (11)
+    rng = np.random.default_rng(3)
+    novel = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    media_rows([
+        (10, jpeg_encode(img(0), quality=90)), (11, png_encode(novel)),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    q = ingest_media_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+
+    corpus = {r.media_id for r in
+              read_corpus(spark, kw["corpus_path"]).collect()}
+    assert corpus == {1, 2, 11}
+    registry = {r.media_id for r in
+                read_corpus(spark, kw["registry_path"]).collect()}
+    assert registry == corpus
