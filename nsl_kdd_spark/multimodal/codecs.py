@@ -133,7 +133,9 @@ def bmp_encode(img: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 # PNG (stdlib zlib + per-row unfilter) — the dominant real-world
 # lossless format, implementable dependency-free (VERDICT r03 "What's
-# missing" #2). Supported: 8-bit depth, color types 0 (grayscale),
+# missing" #2); chunk layout and filter algorithms follow the public
+# PNG specification (RFC 2083 / W3C PNG). Supported: 8-bit depth,
+# color types 0 (grayscale),
 # 2 (RGB), 3 (palette), 6 (RGBA), no interlace. RGBA decodes to RGB
 # by dropping alpha (documented contract — near-dup/phash compare
 # pixel CONTENT; compositing policy belongs to the caller). Filters
@@ -260,7 +262,11 @@ def png_encode(img: np.ndarray) -> bytes:
 
 # ---------------------------------------------------------------------------
 # JPEG (baseline sequential DCT, dependency-free numpy) — the dominant
-# lossy format. Decoder handles real-world baseline JFIF: SOF0/SOF1,
+# lossy format. Implemented from the public specs: ITU-T T.81 (the
+# JPEG standard: marker syntax, huffman/magnitude coding, filters) and
+# the JFIF 1.02 container note; quant tables and quality scaling
+# follow the spec's Annex K examples as popularized by libjpeg (IJG).
+# Decoder handles real-world baseline JFIF: SOF0/SOF1,
 # any DQT/DHT read from the stream (not assumed), chroma subsampling
 # factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), grayscale or YCbCr,
 # restart intervals. Progressive (SOF2), arithmetic coding, and
