@@ -246,6 +246,7 @@ AUDIO_FEATURE_SCHEMA = StructType([
     StructField("framerate", LongType()),
     StructField("n_channels", LongType()),
     StructField("rms", LongType()),
+    StructField("dom_freq_hz", LongType()),
 ])
 
 
@@ -254,7 +255,8 @@ def decode_audio(
     decode_fn: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
     """Arrow-batched audio decode/feature-extract: duration, rate,
-    channels, integer RMS loudness, sample digest. Default codec is
+    channels, integer RMS loudness, dominant frequency, sample
+    digest. Default codec is
     the REAL dependency-free WAV decoder (``codecs.audio_features``,
     stdlib wave + numpy); compressed formats raise
     ``UnsupportedMediaError`` where an ffmpeg hook would plug in.
@@ -279,6 +281,7 @@ def decode_audio(
                 "framerate": feats.map(lambda d: d["framerate"]),
                 "n_channels": feats.map(lambda d: d["n_channels"]),
                 "rms": feats.map(lambda d: d["rms"]),
+                "dom_freq_hz": feats.map(lambda d: d.get("dom_freq_hz", 0)),
             })
 
     return df.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

@@ -884,22 +884,33 @@ def wav_encode(samples: np.ndarray, framerate: int) -> bytes:
 
 def audio_features(payload: bytes) -> dict:
     """Real-codec feature hook for ``binary.decode_audio``: duration,
-    rate, channels, integer RMS loudness, and a digest of the DECODED
-    samples (container-invariant, like image_features)."""
+    rate, channels, integer RMS loudness, dominant frequency (numpy
+    rfft over the channel-mean signal — spectral-peak content
+    summary, e.g. tone detection / silence triage), and a digest of
+    the DECODED samples (container-invariant, like image_features)."""
     if payload is None or len(payload) == 0:
         return {
             "digest": hashlib.md5(b"").hexdigest(), "duration_ms": 0,
-            "framerate": 0, "n_channels": 0, "rms": 0,
+            "framerate": 0, "n_channels": 0, "rms": 0, "dom_freq_hz": 0,
         }
     samples, rate = wav_decode(payload)
     x = samples.astype(np.float64)
     rms = int(np.sqrt(np.mean(x * x))) if x.size else 0
+    dom_freq = 0
+    if samples.shape[0] >= 4 and rate:
+        mono = x.mean(axis=1)
+        spec = np.abs(np.fft.rfft(mono - mono.mean()))
+        if spec.size > 1 and spec[1:].max() > 0:
+            # skip the DC bin; bin k -> k * rate / n_samples Hz
+            k = 1 + int(np.argmax(spec[1:]))
+            dom_freq = int(round(k * rate / mono.shape[0]))
     return {
         "digest": hashlib.md5(np.ascontiguousarray(samples).tobytes()).hexdigest(),
         "duration_ms": int(samples.shape[0] * 1000 // rate) if rate else 0,
         "framerate": int(rate),
         "n_channels": int(samples.shape[1]),
         "rms": rms,
+        "dom_freq_hz": dom_freq,
     }
 
 

@@ -632,3 +632,30 @@ def test_corrupt_payloads_raise_typed_error():
     raw[40:60] = b"\x00" * 20
     with pytest.raises(UnsupportedMediaError):
         decode_image(bytes(raw))
+
+
+def test_audio_dominant_frequency(spark):
+    """FFT-based dominant frequency: pure tones report their own
+    frequency through both the local hook and the Arrow decode path;
+    silence reports 0."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA, decode_audio
+    from nsl_kdd_spark.multimodal.codecs import audio_features, wav_encode
+
+    t = np.arange(8000) / 8000.0
+    tones = {440.0: None, 1000.0: None}
+    payloads = []
+    for i, f in enumerate(sorted(tones)):
+        wav = wav_encode((16000 * np.sin(2 * np.pi * f * t)).astype("<i2"),
+                         8000)
+        assert audio_features(wav)["dom_freq_hz"] == int(f)
+        payloads.append((i, "audio", "audio/wav", len(wav), bytearray(wav)))
+    silence = wav_encode(np.zeros(4000, dtype="<i2"), 8000)
+    assert audio_features(silence)["dom_freq_hz"] == 0
+    payloads.append((9, "audio", "audio/wav", len(silence),
+                     bytearray(silence)))
+
+    media = spark.createDataFrame(payloads, MEDIA_SCHEMA)
+    got = {r.media_id: r.dom_freq_hz for r in decode_audio(media).collect()}
+    assert got == {0: 440, 1: 1000, 9: 0}
