@@ -41,20 +41,39 @@ _SIG_SCHEMA = StructType([
 
 
 def _signatures(
-    media: DataFrame, hash_fn: Callable[[bytes], int]
+    media: DataFrame,
+    hash_fn: Callable[[bytes], int],
+    on_error: str = "fail",
 ) -> DataFrame:
     """(media_id, phash) via the Arrow batch path — one decode per
-    payload, the same shape as ``multimodal.media_near_dup``."""
+    payload, the same shape as ``multimodal.media_near_dup``.
+    ``on_error="skip"`` drops payloads the codec rejects (corrupt or
+    unsupported format) instead of failing the batch — the quarantine
+    policy for continuous ingest, where one bad blob must not wedge
+    the stream; "fail" keeps the strict-codec contract."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     src = media.filter(
         F.col("payload").isNotNull() & (F.length("payload") > 0)
     ).select("media_id", "payload")
 
+    def safe(b: bytes):
+        try:
+            return hash_fn(b)
+        except Exception:
+            return None
+
+    fn = hash_fn if on_error == "fail" else safe
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "phash": pdf["payload"].map(hash_fn).astype("int64"),
+                "phash": pdf["payload"].map(fn),
             })
+            out = out[out["phash"].notna()]
+            out["phash"] = out["phash"].astype("int64")
+            yield out
 
     return src.mapInPandas(batches, schema=_SIG_SCHEMA)
 
@@ -68,6 +87,7 @@ def ingest_media_stream(
     max_hamming: int = 6,
     bands: int = 8,
     hash_fn: Callable[[bytes], int] | None = None,
+    on_error: str = "fail",
 ):
     """Start (availableNow) the perceptually-deduplicating media
     ingest over a parquet drop directory of MEDIA_SCHEMA rows.
@@ -75,7 +95,14 @@ def ingest_media_stream(
     drain. Re-encoded copies (the same image re-dropped as jpeg, a
     resized thumbnail) land within ``max_hamming`` bits of their
     registry signature and are rejected without touching any stored
-    payload."""
+    payload. ``on_error="skip"`` quarantines undecodable payloads
+    (dropped from corpus and registry) instead of failing the batch
+    — continuous ingest must not wedge on one corrupt blob."""
+    if on_error not in ("fail", "skip"):
+        # validate before the stream starts — _signatures re-checks,
+        # but inside foreachBatch the error would only surface on the
+        # first micro-batch
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     if hash_fn is None:
         from nsl_kdd_spark.multimodal.codecs import phash64
 
@@ -85,7 +112,7 @@ def ingest_media_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        sigs = _signatures(batch_df, hash_fn).localCheckpoint()
+        sigs = _signatures(batch_df, hash_fn, on_error).localCheckpoint()
         # self-tier: drop the higher id of every within-batch pair
         self_pairs = banded_hamming_pairs(
             sigs, "media_id", "phash",

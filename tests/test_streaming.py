@@ -298,3 +298,45 @@ def test_media_ingest_stream_perceptual_registry(spark, tmp_path):
     registry = {r.media_id for r in
                 read_corpus(spark, kw["registry_path"]).collect()}
     assert registry == corpus
+
+
+def test_media_ingest_on_error_skip_quarantines_corrupt(spark, tmp_path):
+    """A corrupt payload in the drop must not wedge the stream under
+    on_error='skip': the stream drains, the bad blob never enters
+    corpus/registry, and the good image in the same batch lands."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+    from nsl_kdd_spark.multimodal.codecs import png_encode
+    from nsl_kdd_spark.streaming.ingest import read_corpus
+    from nsl_kdd_spark.streaming.media_ingest import ingest_media_stream
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    good = png_encode(
+        np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256],
+                 -1).astype(np.uint8))
+    corrupt = good[: len(good) // 3]       # truncated png
+    src = tmp_path / "drop"
+    spark.createDataFrame(
+        [(1, "image", "image/png", len(good), bytearray(good)),
+         (2, "image", "image/png", len(corrupt), bytearray(corrupt))],
+        MEDIA_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = ingest_media_stream(
+        spark, str(src),
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_error="skip",
+    )
+    q.awaitTermination(120)
+    assert {r.media_id for r in
+            read_corpus(spark, str(tmp_path / "corpus")).collect()} == {1}
+
+    import pytest
+    with pytest.raises(ValueError, match="on_error"):
+        ingest_media_stream(
+            spark, str(src), corpus_path="x", registry_path="y",
+            checkpoint_dir="z", on_error="bogus",
+        )
