@@ -275,3 +275,48 @@ def pack_next_fit(
         return out
 
     return part.groupBy("__pid").applyInPandas(pack, schema=schema_out)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Per-document sliding windows with overlap — the RAG/embedding
+    chunker (``explode_chunks`` packs a cross-document token stream;
+    this one never crosses document boundaries). Chunk k covers
+    ``[k*stride, k*stride + size)`` characters; the last chunk may be
+    shorter; ``stride < size`` yields overlapping chunks so no
+    boundary-spanning span is ever split across all chunks. Documents
+    with empty text emit nothing.
+
+    Output: (id, chunk_id, n_chunks, chunk_offset, chunk) — one row
+    per (doc, chunk), everything substring arithmetic on a
+    ``sequence`` explode: JVM-side, no shuffle at all (the fan-out is
+    per-row). ``stride`` defaults to ``size`` (disjoint chunks).
+    """
+    stride = size if stride is None else stride
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size}, {stride}")
+    ln = F.length(F.col(text_col))
+    # 1 chunk when len <= size, else ceil((len - size) / stride) + 1
+    n_chunks = F.when(ln <= size, F.lit(1)).otherwise(
+        F.ceil((ln - F.lit(size)).cast("double") / F.lit(stride)).cast("int")
+        + 1
+    )
+    return (
+        df.filter(ln > 0)
+        .withColumn("__n", n_chunks)
+        .withColumn("__k", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .select(
+            F.col(id_col),
+            F.col("__k").alias("chunk_id"),
+            F.col("__n").alias("n_chunks"),
+            (F.col("__k") * stride).alias("chunk_offset"),
+            F.substring(
+                F.col(text_col), (F.col("__k") * stride + 1).cast("int"), size
+            ).alias("chunk"),
+        )
+    )

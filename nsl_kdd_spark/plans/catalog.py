@@ -4692,6 +4692,43 @@ def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row shape is driver-canonicalizable.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (packing.sliding_chunks): per-document
+# overlapping RAG/embedding chunks — explode_chunks packs a CROSS-doc
+# stream (q84); this one never crosses document boundaries. Pure
+# substring arithmetic on a sequence explode: no shuffle, no window.
+# Oracle re-derives the same offsets with generate_series + substr,
+# chunk text compared verbatim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q133_sliding_chunks",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text, length(text) AS ln,
+             CASE WHEN length(text) <= 120 THEN 1
+                  ELSE CAST(ceil((length(text) - 120) / 80.0) AS INT) + 1
+             END AS n_chunks
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_id,
+           n_chunks,
+           CAST(k * 80 AS INT) AS chunk_offset,
+           substr(text, CAST(k * 80 + 1 AS INT), 120) AS chunk
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(k)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q133_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.packing import sliding_chunks
+
+    t = load_tables(spark, sf_dir)
+    return sliding_chunks(
+        t.documents, "doc_id", "text", size=120, stride=80
+    ).orderBy("doc_id", "chunk_id")
+
+
 @query("q132_bpe_encode")
 def q132_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.ml.text_features import bpe_encode, train_bpe

@@ -219,3 +219,39 @@ def test_shuffle_deterministic_is_a_permutation_and_layout_invariant(spark):
     c = {r["k"]: r["shuffle_pos"] for r in
          shuffle_deterministic(df, "k", salt="e2").collect()}
     assert c != a                              # new salt = new epoch
+
+
+def test_sliding_chunks_overlap_and_edges(spark):
+    """Chunk offsets, overlap reassembly, short-doc single chunk,
+    empty-doc omission, and the arg guard."""
+    import pytest
+
+    from nsl_kdd_spark.operators.packing import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = sliding_chunks(docs, "doc_id", "text", size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: len 10 -> ceil((10-4)/3)+1 = 3 chunks at 0,3,6
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.chunk_offset, r.chunk) for r in c1] == [
+        (0, "abcd"), (3, "defg"), (6, "ghij")]
+    assert all(r.n_chunks == 3 for r in c1)
+    # consecutive chunks overlap by size - stride = 1 char
+    assert c1[0].chunk[-1] == c1[1].chunk[0]
+    # short doc: one chunk, whole text
+    assert [(r.chunk_id, r.chunk) for r in by_doc[2]] == [(0, "xy")]
+    # empty doc emits nothing
+    assert 3 not in by_doc
+    # stride > size leaves gaps but is legal; stride 0 is not
+    with pytest.raises(ValueError, match="size and stride"):
+        sliding_chunks(docs, "doc_id", "text", size=4, stride=0)
+    # default stride = size -> disjoint cover
+    disjoint = sliding_chunks(docs, "doc_id", "text", size=4).collect()
+    d1 = sorted([r for r in disjoint if r.doc_id == 1],
+                key=lambda r: r.chunk_id)
+    assert "".join(r.chunk for r in d1) == "abcdefghij"
