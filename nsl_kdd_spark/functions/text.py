@@ -127,3 +127,38 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# Explicit codepoint RANGES, not \p{Script=...} classes: script
+# classes drift with each engine's Unicode table version, while
+# literal ranges evaluate identically in Java regex and RE2 — the
+# oracle-exactness rule applied to charset profiling.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "digit": "[0-9]",
+    "cjk": "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "whitespace": "[ \\t\\n\\r]",
+}
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-class codepoint counts over ``SCRIPT_RANGES`` plus
+    ``other`` (chars in none of the classes) and ``n_chars`` — the
+    charset profile behind mixed-script spam filters and
+    wrong-language routing. Pure ``regexp_count`` expressions:
+    scan-speed, cross-engine exact (count matches of the same literal
+    ranges in DuckDB via ``len(regexp_extract_all(...))``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        name: F.regexp_count(c, F.lit(pat))
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    total = F.length(c)
+    known = None
+    for v in counts.values():
+        known = v if known is None else known + v
+    counts["other"] = total - known
+    counts["n_chars"] = total
+    return counts

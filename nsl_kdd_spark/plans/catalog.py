@@ -4693,6 +4693,48 @@ def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Script/charset profile (functions/text.script_counts): per-doc
+# codepoint-class counts over EXPLICIT literal ranges (not
+# \p{Script=} classes, which drift with engine Unicode versions) —
+# the mixed-script spam / wrong-language-routing signal. Pure
+# regexp_count projection, scan speed. Oracle counts matches of the
+# same literals with regexp_extract_all.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q134_script_profile",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS latin,
+           len(regexp_extract_all(text, '[0-9]')) AS digit,
+           len(regexp_extract_all(text,
+               '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')) AS cjk,
+           len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS cyrillic,
+           len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS arabic,
+           len(regexp_extract_all(text, '[ \\t\\n\\r]')) AS whitespace,
+           length(text)
+             - len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]'))
+             - len(regexp_extract_all(text, '[0-9]'))
+             - len(regexp_extract_all(text,
+                 '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]'))
+             - len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]'))
+             - len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]'))
+             - len(regexp_extract_all(text, '[ \\t\\n\\r]')) AS other,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q134_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import script_counts
+
+    t = load_tables(spark, sf_dir)
+    counts = script_counts("text")
+    return t.documents.select(
+        "doc_id", *[v.alias(k) for k, v in counts.items()]
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window chunking (packing.sliding_chunks): per-document
 # overlapping RAG/embedding chunks — explode_chunks packs a CROSS-doc
 # stream (q84); this one never crosses document boundaries. Pure

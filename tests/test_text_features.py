@@ -190,3 +190,30 @@ def test_bpe_encode_expr_and_arrow_match_reference(spark):
     import pytest
     with pytest.raises(ValueError, match="expr|arrow"):
         bpe_encode(docs, merges_df, method="bogus")
+
+
+def test_script_counts_mixed_scripts(spark):
+    """Charset profile classifies mixed-script text exactly: latin,
+    digits, CJK (han/kana/hangul), cyrillic, arabic, whitespace, and
+    a residual 'other' for punctuation/symbols."""
+    from nsl_kdd_spark.functions.text import script_counts
+
+    rows = [
+        (1, "Hello мир 你好 123!"),
+        (2, "काka"),                     # devanagari -> other
+        (3, "ひらがな한글"),              # kana + hangul count as cjk
+        (4, "مرحبا"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r.id: r for r in df.select(
+            "id", *[v.alias(k) for k, v in script_counts("t").items()]
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1.latin, r1.cyrillic, r1.cjk, r1.digit) == (5, 3, 2, 3)
+    assert r1.other == 1 and r1.whitespace == 3       # the '!'
+    assert r1.n_chars == len(rows[0][1])
+    assert out[2].other == 2 and out[2].latin == 2
+    assert out[3].cjk == 6 and out[3].other == 0
+    assert out[4].arabic == 5
