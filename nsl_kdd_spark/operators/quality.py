@@ -236,3 +236,84 @@ def table_digest(
         .cast("long")
         .alias("sum_digest"),
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    target: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Population Stability Index between two samples of one numeric
+    column — the train-vs-serve distribution-shift monitor (PSI < 0.1
+    stable, 0.1-0.25 moderate, > 0.25 action). Values clamp into
+    ``n_bins`` equal bins over the EXPLICIT [lo, hi) range (caller
+    supplies the range, so bin edges are data-independent and two
+    engines/runs bin identically — the q55 histogram rule).
+
+    Output: one row per bin —
+    (bin, n_base, n_target, p_base_ppm, p_target_ppm, psi_u) — plus
+    the caller sums ``psi_u`` for the headline number. Proportions
+    use add-one smoothing (``(n+1) / (N+n_bins)``, integer ppm) so an
+    empty bin contributes a finite term instead of infinity; each
+    bin's PSI term ``(p - q) * ln(p / q)`` is computed from the
+    integer ppms and rounded to micro-units BEFORE any aggregation —
+    the fixed-point rule (unigram_logprob's micro-nat trick), so
+    results are order-independent and engine-exact.
+
+    Scale shape: two one-pass grouped counts (map-side combined) +
+    one scalar total per side; the bin table is n_bins rows, every
+    downstream op is on that."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError(f"need n_bins >= 1 and hi > lo, got {n_bins}, [{lo}, {hi})")
+
+    def bin_counts(df: DataFrame, name: str) -> DataFrame:
+        width = (hi - lo) / n_bins
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col).cast("double") - lo) / width), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(name))
+
+    spark = base.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        bins.join(bin_counts(base, "n_base"), "bin", "left")
+        .join(bin_counts(target, "n_target"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
+    )
+    sc = float(scale)
+    p = F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_bins})")
+    q = F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_bins})")
+    psi_term = F.round(
+        (F.col("__p") - F.col("__q")).cast("double") / F.lit(sc)
+        * (
+            F.log(F.col("__p").cast("double"))
+            - F.log(F.col("__q").cast("double"))
+        )
+        * F.lit(sc)
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("__p", p)
+        .withColumn("__q", q)
+        .select(
+            "bin", "n_base", "n_target",
+            F.col("__p").alias("p_base_ppm"),
+            F.col("__q").alias("p_target_ppm"),
+            psi_term.alias("psi_u"),
+        )
+        .orderBy("bin")
+    )

@@ -4693,6 +4693,62 @@ def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# PSI distribution drift (quality.psi_drift): order-value shift
+# between the first and second half of the order log — the
+# train-vs-serve drift monitor. Explicit [lo, hi) bin edges (q55
+# histogram rule), add-one-smoothed integer-ppm proportions, per-bin
+# PSI terms rounded to micro-units BEFORE any aggregation (q95's
+# fixed-point rule) => engine-exact. Oracle replays bins, smoothing,
+# and ln from the same integers.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q135_psi_drift",
+    oracle="""
+    WITH src AS (
+      SELECT o_totalprice AS v,
+             o_orderdate < DATE '1995-06-17' AS is_base
+      FROM orders
+    ), binned AS (
+      SELECT CAST(LEAST(GREATEST(floor((v - 0.0) / 30000.0), 0), 9) AS INT)
+               AS bin, is_base
+      FROM src
+    ), bins AS (SELECT unnest(generate_series(0, 9)) AS bin), counts AS (
+      SELECT b.bin,
+             COALESCE(SUM(CASE WHEN is_base THEN 1 END), 0) AS n_base,
+             COALESCE(SUM(CASE WHEN NOT is_base THEN 1 END), 0) AS n_target
+      FROM bins b LEFT JOIN binned USING (bin) GROUP BY b.bin
+    ), tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+             CAST(SUM(n_target) AS BIGINT) AS tt FROM counts
+    ), pq AS (
+      SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+             CAST(n_target AS BIGINT) AS n_target,
+             CAST(((n_base + 1) * 1000000) // (tb + 10) AS BIGINT)
+               AS p_base_ppm,
+             CAST(((n_target + 1) * 1000000) // (tt + 10) AS BIGINT)
+               AS p_target_ppm
+      FROM counts, tot
+    )
+    SELECT bin, n_base, n_target, p_base_ppm, p_target_ppm,
+           CAST(round((p_base_ppm - p_target_ppm) / 1000000.0
+                * (ln(p_base_ppm) - ln(p_target_ppm)) * 1000000.0)
+                AS BIGINT) AS psi_u
+    FROM pq ORDER BY bin
+    """,
+)
+def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.quality import psi_drift
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderdate") < "1995-06-17")
+    target = t.orders.filter(F.col("o_orderdate") >= "1995-06-17")
+    return psi_drift(
+        base, target, "o_totalprice", lo=0.0, hi=300_000.0, n_bins=10
+    )
+
+
+# ---------------------------------------------------------------------------
 # Script/charset profile (functions/text.script_counts): per-doc
 # codepoint-class counts over EXPLICIT literal ranges (not
 # \p{Script=} classes, which drift with engine Unicode versions) —

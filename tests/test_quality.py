@@ -96,3 +96,35 @@ def test_expect_quoted_rule_names_and_empty_guard(spark):
     assert rows["customer's id present"].n_violations == 0
     with pytest.raises(ValueError, match="at least one rule"):
         expect(df, {})
+
+
+def test_psi_drift_detects_shift_and_is_stable(spark):
+    """Identical distributions yield ~zero PSI; a hard shift yields a
+    large one; partitioning does not change a single bin term
+    (fixed-point rule); empty bins stay finite via smoothing."""
+    import pytest
+
+    from nsl_kdd_spark.operators.quality import psi_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
+    same = psi_drift(a, a, "v", lo=0.0, hi=10.0, n_bins=10).collect()
+    assert sum(r.psi_u for r in same) == 0
+    assert all(r.n_base == 100 for r in same)
+
+    # target mass moves entirely into the top half
+    b = spark.createDataFrame([(5.0 + (i % 5),) for i in range(1000)], "v double")
+    shifted = psi_drift(a, b, "v", lo=0.0, hi=10.0, n_bins=10).collect()
+    total = sum(r.psi_u for r in shifted)
+    assert total > 250_000            # PSI > 0.25 = action threshold
+    # bottom-half target bins are empty but finite (smoothed)
+    bottom = [r for r in shifted if r.bin < 5]
+    assert all(r.n_target == 0 and r.p_target_ppm > 0 for r in bottom)
+
+    # partition invariance: same integers at any parallelism
+    re = psi_drift(
+        a.repartition(7), b.repartition(3), "v", lo=0.0, hi=10.0, n_bins=10
+    ).collect()
+    assert [(r.bin, r.psi_u) for r in re] == [(r.bin, r.psi_u) for r in shifted]
+
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(a, b, "v", lo=1.0, hi=1.0)
