@@ -317,3 +317,71 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+
+def psi_drift_categorical(
+    base: DataFrame,
+    target: DataFrame,
+    cat_col: str,
+    categories: Sequence[str],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Categorical PSI between two samples: same smoothing and
+    fixed-point rules as :func:`psi_drift`, with an EXPLICIT category
+    vocabulary (the crosstab rule — output schema must not depend on
+    the data); values outside ``categories`` (including NULL) land in
+    ``__other__``. One row per category + the ``__other__`` residual.
+
+    Output: (category, n_base, n_target, p_base_ppm, p_target_ppm,
+    psi_u)."""
+    cats = list(categories)
+    if not cats:
+        raise ValueError("psi_drift_categorical needs at least one category")
+    n_slots = len(cats) + 1
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(cat_col)
+        slot = F.when(c.isin(cats), c).otherwise(F.lit("__other__"))
+        return df.groupBy(slot.alias("category")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    spark = base.sparkSession
+    vocab = spark.createDataFrame(
+        [(c,) for c in (*cats, "__other__")], "category string"
+    )
+    counts = (
+        vocab.join(counted(base, "n_base"), "category", "left")
+        .join(counted(target, "n_target"), "category", "left")
+        .select(
+            "category",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
+    )
+    sc = float(scale)
+    p = F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_slots})")
+    q = F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_slots})")
+    psi_term = F.round(
+        (F.col("__p") - F.col("__q")).cast("double") / F.lit(sc)
+        * (
+            F.log(F.col("__p").cast("double"))
+            - F.log(F.col("__q").cast("double"))
+        )
+        * F.lit(sc)
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("__p", p)
+        .withColumn("__q", q)
+        .select(
+            "category", "n_base", "n_target",
+            F.col("__p").alias("p_base_ppm"),
+            F.col("__q").alias("p_target_ppm"),
+            psi_term.alias("psi_u"),
+        )
+        .orderBy("category")
+    )

@@ -4749,6 +4749,61 @@ def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Categorical PSI (quality.psi_drift_categorical): event-type mix
+# shift between the first and second half of the event log. Explicit
+# category vocabulary (crosstab rule), same smoothing + fixed-point
+# terms as q135; NULL/unknown values land in __other__.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q136_psi_categorical",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN event_type IN ('click','view','purchase','refund')
+                  THEN event_type ELSE '__other__' END AS category,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
+      FROM events
+    ), vocab AS (
+      SELECT unnest(['click','view','purchase','refund','__other__'])
+        AS category
+    ), counts AS (
+      SELECT v.category,
+             COALESCE(SUM(CASE WHEN is_base THEN 1 END), 0) AS n_base,
+             COALESCE(SUM(CASE WHEN NOT is_base THEN 1 END), 0) AS n_target
+      FROM vocab v LEFT JOIN src USING (category) GROUP BY v.category
+    ), tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+             CAST(SUM(n_target) AS BIGINT) AS tt FROM counts
+    ), pq AS (
+      SELECT category, CAST(n_base AS BIGINT) AS n_base,
+             CAST(n_target AS BIGINT) AS n_target,
+             CAST(((n_base + 1) * 1000000) // (tb + 5) AS BIGINT)
+               AS p_base_ppm,
+             CAST(((n_target + 1) * 1000000) // (tt + 5) AS BIGINT)
+               AS p_target_ppm
+      FROM counts, tot
+    )
+    SELECT category, n_base, n_target, p_base_ppm, p_target_ppm,
+           CAST(round((p_base_ppm - p_target_ppm) / 1000000.0
+                * (ln(p_base_ppm) - ln(p_target_ppm)) * 1000000.0)
+                AS BIGINT) AS psi_u
+    FROM pq ORDER BY category
+    """,
+)
+def q136_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.quality import psi_drift_categorical
+
+    t = load_tables(spark, sf_dir)
+    cut = "2024-01-16 00:00:00"
+    return psi_drift_categorical(
+        t.events.filter(F.col("ts") < cut),
+        t.events.filter(F.col("ts") >= cut),
+        "event_type",
+        ["click", "view", "purchase", "refund"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Script/charset profile (functions/text.script_counts): per-doc
 # codepoint-class counts over EXPLICIT literal ranges (not
 # \p{Script=} classes, which drift with engine Unicode versions) —

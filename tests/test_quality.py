@@ -128,3 +128,28 @@ def test_psi_drift_detects_shift_and_is_stable(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         psi_drift(a, b, "v", lo=1.0, hi=1.0)
+
+
+def test_psi_categorical_vocabulary_and_other(spark):
+    """Explicit vocabulary fixes the output schema; unknown and NULL
+    values land in __other__; identical mixes score zero."""
+    import pytest
+
+    from nsl_kdd_spark.operators.quality import psi_drift_categorical
+
+    a = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [("weird",)] + [(None,)],
+        "c string",
+    )
+    same = psi_drift_categorical(a, a, "c", ["x", "y"]).collect()
+    assert [r.category for r in same] == ["__other__", "x", "y"]
+    other = [r for r in same if r.category == "__other__"][0]
+    assert other.n_base == 2                    # 'weird' + NULL
+    assert sum(r.psi_u for r in same) == 0
+
+    b = spark.createDataFrame([("y",)] * 10, "c string")
+    shifted = psi_drift_categorical(a, b, "c", ["x", "y"]).collect()
+    assert sum(r.psi_u for r in shifted) > 250_000
+
+    with pytest.raises(ValueError, match="category"):
+        psi_drift_categorical(a, b, "c", [])
