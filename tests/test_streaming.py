@@ -337,6 +337,9 @@ def test_media_ingest_on_error_skip_quarantines_corrupt(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="on_error"):
         ingest_media_stream(
-            spark, str(src), corpus_path="x", registry_path="y",
-            checkpoint_dir="z", on_error="bogus",
+            spark, str(src),
+            corpus_path=str(tmp_path / "c2"),
+            registry_path=str(tmp_path / "r2"),
+            checkpoint_dir=str(tmp_path / "k2"),
+            on_error="bogus",
         )
