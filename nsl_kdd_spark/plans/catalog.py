@@ -5685,9 +5685,11 @@ def q131_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q111/q116/q118/q122 get the driver's weaker rows-only record, by
 # design). Flagships q01/q03/q28/q29 etc. already have green driver
 # evidence in r1–r3 and rotate out to free slots. After this round
-# only q62_knn_ivf / q63_sketch_profile / q74_pq_ann (rows-only) have
-# never appeared — rotate those three in next round along with the
-# flagship re-anchors.
+# the never-recorded set is: q62_knn_ivf / q63_sketch_profile /
+# q74_pq_ann (rows-only) plus the round-4 additions q132_bpe_encode
+# (rows-only), q133_sliding_chunks, q134_script_profile,
+# q135_psi_drift, q136_psi_categorical (all oracle-paired) — rotate
+# those eight in next round along with the flagship re-anchors.
 DRIVER_WINDOW = [
     "q87_vocab_encode", "q51_string_funcs", "q53_pattern_extract",
     "q55_histogram", "q56_rank_analytics", "q60_profile",
