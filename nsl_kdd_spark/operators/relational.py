@@ -339,3 +339,41 @@ def upsample_hash(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(n, stratum size) rows per stratum, chosen by md5
+    rank — fixed-size eval/holdout subsets per source or language,
+    where rate-based sampling (``sample_hash_stratified``) leaves the
+    subset size binomially noisy. The selection orders each stratum by
+    the full ``md5(salt || key)`` digest (ties by key — total order),
+    so it is a pure function of (salt, key): reproducible across
+    engines/partitionings, and *anti-monotone under growth* — a new
+    row can only push out the currently-highest-ranked member, never
+    reshuffle the rest. Vary ``salt`` for independent draws.
+
+    Scale shape: one window rank per stratum partition (strata are
+    many and bounded — the partition-keyed window rule); output n per
+    stratum, so downstream is tiny. NOT for a single giant stratum —
+    that is a global-sort; use ``sample_hash`` there.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            md5_key(key_col, salt), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

@@ -4693,6 +4693,39 @@ def q116_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Exact-N stratified sampling (relational.sample_exact_n): exactly
+# min(n, |stratum|) docs per language by md5 rank — fixed-size eval
+# subsets, where rate-based sampling leaves sizes binomially noisy.
+# Selection is a pure function of (salt, key): reproducible,
+# anti-monotone under corpus growth. Oracle replays the same
+# row_number over md5 ordering.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q137_sample_exact_n",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('ev1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 30 ORDER BY doc_id
+    """,
+)
+def q137_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.relational import sample_exact_n
+
+    t = load_tables(spark, sf_dir)
+    return (
+        sample_exact_n(t.documents, "doc_id", "lang", n=30, salt="ev1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PSI distribution drift (quality.psi_drift): order-value shift
 # between the first and second half of the order log — the
 # train-vs-serve drift monitor. Explicit [lo, hi) bin edges (q55

@@ -204,3 +204,38 @@ def test_scd2_apply_batch_late_event_rebuild_and_string_tiebreak(spark):
     ]
     got = sorted(map(tuple, _replay(spark, batches).select(*cols).collect()))
     assert got == want
+
+
+def test_sample_exact_n_sizes_and_growth_antimonotone(spark):
+    """Exactly min(n, |stratum|) per stratum; the selection is a pure
+    (salt, key) function, and adding a new row can only displace one
+    current member, never reshuffle the rest."""
+    import pytest
+
+    from nsl_kdd_spark.operators.relational import sample_exact_n
+
+    rows = [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = sample_exact_n(df, "k", "g", n=5, salt="s").collect()
+    sizes = {}
+    for r in out:
+        sizes[r.g] = sizes.get(r.g, 0) + 1
+    assert sizes == {"a": 5, "b": 3}          # min(n, stratum size)
+
+    picked = {r.k for r in out if r.g == "a"}
+    # grow the corpus: the new row either displaces exactly one
+    # member or is not selected; survivors are a subset of before
+    grown = spark.createDataFrame(rows + [(999, "a")], ["k", "g"])
+    picked2 = {r.k for r in
+               sample_exact_n(grown, "k", "g", n=5, salt="s").collect()
+               if r.g == "a"}
+    assert len(picked2) == 5
+    assert len(picked - picked2) <= 1
+    # different salt -> independent draw (almost surely different)
+    alt = {r.k for r in
+           sample_exact_n(df, "k", "g", n=5, salt="other").collect()
+           if r.g == "a"}
+    assert alt != picked
+
+    with pytest.raises(ValueError, match="n must be"):
+        sample_exact_n(df, "k", "g", n=0)
