@@ -5721,8 +5721,9 @@ def q131_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the never-recorded set is: q62_knn_ivf / q63_sketch_profile /
 # q74_pq_ann (rows-only) plus the round-4 additions q132_bpe_encode
 # (rows-only), q133_sliding_chunks, q134_script_profile,
-# q135_psi_drift, q136_psi_categorical (all oracle-paired) — rotate
-# those eight in next round along with the flagship re-anchors.
+# q135_psi_drift, q136_psi_categorical, q137_sample_exact_n (all
+# oracle-paired) — rotate those nine in next round along with the
+# flagship re-anchors.
 DRIVER_WINDOW = [
     "q87_vocab_encode", "q51_string_funcs", "q53_pattern_extract",
     "q55_histogram", "q56_rank_analytics", "q60_profile",
