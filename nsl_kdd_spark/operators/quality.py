@@ -238,6 +238,40 @@ def table_digest(
     )
 
 
+def _psi_terms(
+    counts: DataFrame, key_col: str, n_slots: int, scale: int
+) -> DataFrame:
+    """Shared tail of both PSI monitors: add-one-smoothed integer-ppm
+    proportions from a (key, n_base, n_target) table and the per-slot
+    PSI term rounded to micro-units before any aggregation."""
+    totals = counts.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
+    )
+    sc = float(scale)
+    p = F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_slots})")
+    q = F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_slots})")
+    psi_term = F.round(
+        (F.col("__p") - F.col("__q")).cast("double") / F.lit(sc)
+        * (
+            F.log(F.col("__p").cast("double"))
+            - F.log(F.col("__q").cast("double"))
+        )
+        * F.lit(sc)
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("__p", p)
+        .withColumn("__q", q)
+        .select(
+            key_col, "n_base", "n_target",
+            F.col("__p").alias("p_base_ppm"),
+            F.col("__q").alias("p_target_ppm"),
+            psi_term.alias("psi_u"),
+        )
+        .orderBy(key_col)
+    )
+
+
 def psi_drift(
     base: DataFrame,
     target: DataFrame,
@@ -291,32 +325,7 @@ def psi_drift(
             F.coalesce("n_target", F.lit(0)).alias("n_target"),
         )
     )
-    totals = counts.agg(
-        F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
-    )
-    sc = float(scale)
-    p = F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_bins})")
-    q = F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_bins})")
-    psi_term = F.round(
-        (F.col("__p") - F.col("__q")).cast("double") / F.lit(sc)
-        * (
-            F.log(F.col("__p").cast("double"))
-            - F.log(F.col("__q").cast("double"))
-        )
-        * F.lit(sc)
-    ).cast("long")
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn("__p", p)
-        .withColumn("__q", q)
-        .select(
-            "bin", "n_base", "n_target",
-            F.col("__p").alias("p_base_ppm"),
-            F.col("__q").alias("p_target_ppm"),
-            psi_term.alias("psi_u"),
-        )
-        .orderBy("bin")
-    )
+    return _psi_terms(counts, "bin", n_bins, scale)
 
 
 def psi_drift_categorical(
@@ -359,29 +368,4 @@ def psi_drift_categorical(
             F.coalesce("n_target", F.lit(0)).alias("n_target"),
         )
     )
-    totals = counts.agg(
-        F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
-    )
-    sc = float(scale)
-    p = F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_slots})")
-    q = F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_slots})")
-    psi_term = F.round(
-        (F.col("__p") - F.col("__q")).cast("double") / F.lit(sc)
-        * (
-            F.log(F.col("__p").cast("double"))
-            - F.log(F.col("__q").cast("double"))
-        )
-        * F.lit(sc)
-    ).cast("long")
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn("__p", p)
-        .withColumn("__q", q)
-        .select(
-            "category", "n_base", "n_target",
-            F.col("__p").alias("p_base_ppm"),
-            F.col("__q").alias("p_target_ppm"),
-            psi_term.alias("psi_u"),
-        )
-        .orderBy("category")
-    )
+    return _psi_terms(counts, "category", n_slots, scale)
