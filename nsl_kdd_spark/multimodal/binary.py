@@ -53,6 +53,23 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def _to_signed64(series: pd.Series) -> pd.Series:
+    """Fold arbitrary Python-int 64-bit hash values into signed int64
+    by two's-complement wraparound (``v - 2^64`` for ``v >= 2^63``).
+
+    This must happen BEFORE any ``astype('int64')``: hash values with
+    bit 63 set arrive as Python ints that overflow a direct
+    object->int64 cast, and a batch holding even one None (quarantined
+    corrupt payload) has been inferred float64, whose int64 cast
+    saturates ``>= 2^63`` values to INT64_MIN and rounds away the low
+    ~11 bits of every OTHER hash in the batch — garbled signatures
+    that produce false hamming-0 matches (round-4 advisory). Mapping
+    over the object values keeps every bit exact."""
+    return series.map(
+        lambda v: int(v) - (1 << 64) if int(v) >= (1 << 63) else int(v)
+    ).astype("int64")
+
+
 def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed metadata from the payload without Python: length + crc
     stay JVM-side, so metadata-only queries never deserialize blobs."""
@@ -362,7 +379,7 @@ def media_near_dup(
         for pdf in it:
             yield pd.DataFrame({
                 "__mid": pdf["__mid"],
-                "phash": pdf["payload"].map(hash_fn).astype("int64"),
+                "phash": _to_signed64(pdf["payload"].map(hash_fn)),
             })
 
     sigs = src.mapInPandas(

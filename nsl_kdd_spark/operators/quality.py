@@ -248,8 +248,19 @@ def _psi_terms(
         F.sum("n_base").alias("__tb"), F.sum("n_target").alias("__tt")
     )
     sc = float(scale)
-    p = F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_slots})")
-    q = F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_slots})")
+    # Clamp the smoothed integer proportions to >= 1 ppm-unit: once a
+    # side's total exceeds ``scale``, a rare/empty slot's smoothed
+    # proportion floors to 0 under integer division, F.log(0) goes
+    # NULL, and the summed PSI silently UNDERSTATES drift — at exactly
+    # the >1M-row scale the monitor targets (round-4 advisory). The
+    # clamp keeps every term finite with the same sub-ppm error the
+    # integer fixed-point already accepts; oracles mirror it.
+    p = F.greatest(
+        F.expr(f"((n_base + 1) * {scale}) div (__tb + {n_slots})"), F.lit(1)
+    )
+    q = F.greatest(
+        F.expr(f"((n_target + 1) * {scale}) div (__tt + {n_slots})"), F.lit(1)
+    )
     psi_term = F.round(
         (F.col("__p") - F.col("__q")).cast("double") / F.lit(sc)
         * (

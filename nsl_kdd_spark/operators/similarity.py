@@ -285,9 +285,9 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     threshold: float = 0.3,
-    centroids: str = "kmeans",
+    centroids: str = "id-seed",
     seed: int = 42,
-    max_occupancy: int | None = 100_000,
+    max_occupancy: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDedup, Abbas et al. 2023): cluster
     the embedding space, then drop any item whose cosine similarity to
@@ -296,17 +296,19 @@ def semantic_dedup(
 
     ``centroids`` picks the seeding:
 
-    - ``"kmeans"`` (default — the production setting): fit MLlib
+    - ``"id-seed"`` (default): the embeddings of the ``n_centroids``
+      smallest ids — a deterministic, training-free seeding that any
+      engine (and any re-run, at any partitioning) derives
+      identically; the cross-engine-reproducible setting (q94) and
+      zero extra Spark jobs. NOT a scale setting: seeds are arbitrary
+      points, so one megacluster can concentrate the quadratic cost.
+    - ``"kmeans"`` (the scale opt-in): fit MLlib
       KMeans(k=n_centroids, seed=seed) on the vectors and use its
       cluster centers. Data-adaptive centers keep cluster occupancy
       balanced, which is what bounds the intra-cluster quadratic step
-      — the scale-correct choice.
-    - ``"id-seed"``: the embeddings of the ``n_centroids`` smallest
-      ids — a deterministic, training-free seeding that any engine
-      (and any re-run, at any partitioning) derives identically;
-      this is the cross-engine-reproducible oracle setting (q94),
-      NOT a scale setting: seeds are arbitrary points, so one
-      megacluster can concentrate the quadratic cost.
+      — pick this (plus a ``max_occupancy`` bound) for production
+      corpora; it costs a KMeans fit and loses cross-engine
+      reproducibility (centers depend on MLlib's init).
 
     Either way, assignment is a pure argmax EXPRESSION over the
     literal centroid list (ties -> lowest cluster id via first-match
@@ -315,10 +317,11 @@ def semantic_dedup(
     Scale shape (100 TB): the quadratic step is confined within
     clusters — cost sum(|cluster|^2), never n^2 — and ``n_centroids``
     is the knob that bounds it (SemDedup runs k ~ 10k-100k at web
-    scale so clusters stay ~1k items). If mean occupancy n/k exceeds
-    ``max_occupancy`` the operator warns loudly (one count() against
-    the input; pass ``max_occupancy=None`` to skip the check and the
-    count). The intra-cluster join is an equi-join on cluster id; the
+    scale so clusters stay ~1k items). Pass ``max_occupancy`` to make
+    the operator warn loudly when mean occupancy n/k exceeds it —
+    opt-in because the check costs one eager count() against the
+    input (default None: no extra job, the lazy-plan contract every
+    other operator keeps). The intra-cluster join is an equi-join on cluster id; the
     dropped-id set joins back broadcast. Zero-norm vectors yield NaN
     cosine, which never reaches the threshold — they are always kept;
     clean upstream if that matters.

@@ -3732,11 +3732,10 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.operators.similarity import semantic_dedup
 
     t = load_tables(spark, sf_dir)
-    # id-seed centroids: the cross-engine-reproducible oracle setting
-    # (DuckDB re-derives the same seeds); production default is kmeans
+    # default id-seed centroids: the cross-engine-reproducible setting
+    # (DuckDB re-derives the same seeds); scale callers opt into kmeans
     return semantic_dedup(
         t.embeddings, "vec_id", "embedding", n_centroids=8, threshold=0.3,
-        centroids="id-seed", max_occupancy=None,
     ).orderBy("vec_id")
 
 
@@ -4757,10 +4756,10 @@ def q137_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pq AS (
       SELECT bin, CAST(n_base AS BIGINT) AS n_base,
              CAST(n_target AS BIGINT) AS n_target,
-             CAST(((n_base + 1) * 1000000) // (tb + 10) AS BIGINT)
-               AS p_base_ppm,
-             CAST(((n_target + 1) * 1000000) // (tt + 10) AS BIGINT)
-               AS p_target_ppm
+             GREATEST(CAST(((n_base + 1) * 1000000) // (tb + 10) AS BIGINT),
+                      1) AS p_base_ppm,
+             GREATEST(CAST(((n_target + 1) * 1000000) // (tt + 10) AS BIGINT),
+                      1) AS p_target_ppm
       FROM counts, tot
     )
     SELECT bin, n_base, n_target, p_base_ppm, p_target_ppm,
@@ -4810,10 +4809,10 @@ def q135_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pq AS (
       SELECT category, CAST(n_base AS BIGINT) AS n_base,
              CAST(n_target AS BIGINT) AS n_target,
-             CAST(((n_base + 1) * 1000000) // (tb + 5) AS BIGINT)
-               AS p_base_ppm,
-             CAST(((n_target + 1) * 1000000) // (tt + 5) AS BIGINT)
-               AS p_target_ppm
+             GREATEST(CAST(((n_base + 1) * 1000000) // (tb + 5) AS BIGINT),
+                      1) AS p_base_ppm,
+             GREATEST(CAST(((n_target + 1) * 1000000) // (tt + 5) AS BIGINT),
+                      1) AS p_target_ppm
       FROM counts, tot
     )
     SELECT category, n_base, n_target, p_base_ppm, p_target_ppm,

@@ -51,6 +51,67 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("__batch_id")
 
 
+def read_registry_before(
+    spark: SparkSession, path: str, batch_id: int
+) -> DataFrame:
+    """The standing registry AS OF the previous batch: partitions with
+    ``__batch_id < batch_id`` only. The replay-safety read for ingest
+    sinks — foreachBatch is at-least-once, so a batch that crashed
+    AFTER its registry write but BEFORE the checkpoint commit is
+    re-delivered with the same batch_id; reading the full registry
+    would let the replay see its own prior signatures, self-match
+    every survivor at distance 0, and overwrite its partitions with
+    EMPTY output (silent data loss). Filtering on the partition
+    column prunes at the file listing, so the probe never costs more
+    than the intended registry scan."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("__batch_id") < batch_id)
+        .drop("__batch_id")
+    )
+
+
+def _document_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    corpus_path: str,
+    registry_path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    threshold: float,
+    shingle_n: int,
+) -> None:
+    """One micro-batch of the deduplicating document ingest
+    (module-level so the replay contract is directly testable: calling
+    it twice with the SAME batch_id must produce identical output, not
+    an empty overwrite). The registry probe reads only partitions with
+    ``__batch_id < batch_id`` — a replayed batch never dedups against
+    its own prior write."""
+    s = batch_df.sparkSession
+    try:
+        registry = read_registry_before(s, registry_path, batch_id)
+    except Exception:  # first batch: no registry yet
+        registry = build_registry(
+            batch_df.limit(0), id_col, text_col, num_hashes, shingle_n
+        )
+    res = dedup_batch(
+        batch_df, registry,
+        id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, band_size=band_size,
+        threshold=threshold, shingle_n=shingle_n,
+    )
+    accepted = res.accepted.persist()
+    try:
+        _write_partition(accepted, corpus_path, batch_id)
+        _write_partition(res.accepted_signatures, registry_path, batch_id)
+    finally:
+        accepted.unpersist()
+        res.cleanup()  # drop per-batch signature/shingle caches
+
+
 def ingest_documents_stream(
     spark: SparkSession,
     source_dir: str,
@@ -73,26 +134,13 @@ def ingest_documents_stream(
     age."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        try:
-            registry = read_corpus(s, registry_path)
-        except Exception:  # first batch: no registry yet
-            registry = build_registry(
-                batch_df.limit(0), id_col, text_col, num_hashes, shingle_n
-            )
-        res = dedup_batch(
-            batch_df, registry,
+        _document_sink(
+            batch_df, batch_id,
+            corpus_path=corpus_path, registry_path=registry_path,
             id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, band_size=band_size,
             threshold=threshold, shingle_n=shingle_n,
         )
-        accepted = res.accepted.persist()
-        try:
-            _write_partition(accepted, corpus_path, batch_id)
-            _write_partition(res.accepted_signatures, registry_path, batch_id)
-        finally:
-            accepted.unpersist()
-            res.cleanup()  # drop per-batch signature/shingle caches
 
     stream = (
         spark.readStream.schema(schema)

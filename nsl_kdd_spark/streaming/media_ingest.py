@@ -32,7 +32,12 @@ from nsl_kdd_spark.operators.dedup import (
     banded_hamming_join,
     banded_hamming_pairs,
 )
-from nsl_kdd_spark.streaming.ingest import _write_partition, read_corpus
+from nsl_kdd_spark.streaming.ingest import (
+    _write_partition,
+    read_registry_before,
+)
+
+from nsl_kdd_spark.multimodal.binary import _to_signed64
 
 _SIG_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -72,10 +77,62 @@ def _signatures(
                 "phash": pdf["payload"].map(fn),
             })
             out = out[out["phash"].notna()]
-            out["phash"] = out["phash"].astype("int64")
+            out["phash"] = _to_signed64(out["phash"])
             yield out
 
     return src.mapInPandas(batches, schema=_SIG_SCHEMA)
+
+
+def _media_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    corpus_path: str,
+    registry_path: str,
+    max_hamming: int,
+    bands: int,
+    hash_fn: Callable[[bytes], int],
+    on_error: str,
+) -> None:
+    """One micro-batch of the perceptual media ingest (module-level so
+    the replay contract is directly testable: re-running the SAME
+    batch_id must reproduce its output, not empty-overwrite it). The
+    registry probe reads only ``__batch_id < batch_id`` partitions —
+    a replayed batch never sees its own prior signatures, so the
+    at-least-once redelivery after a crash-between-write-and-commit
+    stays the documented idempotent overwrite."""
+    s = batch_df.sparkSession
+    sigs = _signatures(batch_df, hash_fn, on_error).localCheckpoint()
+    # self-tier: drop the higher id of every within-batch pair
+    self_pairs = banded_hamming_pairs(
+        sigs, "media_id", "phash",
+        bands=bands, max_hamming=max_hamming,
+    )
+    self_dropped = self_pairs.select(
+        F.col("id_b").alias("media_id")
+    ).distinct()
+    survivors = sigs.join(self_dropped, "media_id", "left_anti")
+    # registry tier: any match within max_hamming rejects
+    try:
+        registry = read_registry_before(s, registry_path, batch_id)
+    except Exception:  # first batch: no registry yet
+        registry = s.createDataFrame([], _SIG_SCHEMA)
+    reg_hits = banded_hamming_join(
+        survivors, registry,
+        "media_id", "phash", "media_id", "phash",
+        bands=bands, max_hamming=max_hamming,
+    ).select(F.col("id_l").alias("media_id")).distinct()
+    accepted_sigs = survivors.join(
+        reg_hits, "media_id", "left_anti"
+    ).persist()
+    try:
+        accepted_rows = batch_df.join(
+            accepted_sigs.select("media_id"), "media_id", "left_semi"
+        )
+        _write_partition(accepted_rows, corpus_path, batch_id)
+        _write_partition(accepted_sigs, registry_path, batch_id)
+    finally:
+        accepted_sigs.unpersist()
 
 
 def ingest_media_stream(
@@ -111,38 +168,12 @@ def ingest_media_stream(
     from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        sigs = _signatures(batch_df, hash_fn, on_error).localCheckpoint()
-        # self-tier: drop the higher id of every within-batch pair
-        self_pairs = banded_hamming_pairs(
-            sigs, "media_id", "phash",
-            bands=bands, max_hamming=max_hamming,
+        _media_sink(
+            batch_df, batch_id,
+            corpus_path=corpus_path, registry_path=registry_path,
+            max_hamming=max_hamming, bands=bands,
+            hash_fn=hash_fn, on_error=on_error,
         )
-        self_dropped = self_pairs.select(
-            F.col("id_b").alias("media_id")
-        ).distinct()
-        survivors = sigs.join(self_dropped, "media_id", "left_anti")
-        # registry tier: any match within max_hamming rejects
-        try:
-            registry = read_corpus(s, registry_path)
-        except Exception:  # first batch: no registry yet
-            registry = s.createDataFrame([], _SIG_SCHEMA)
-        reg_hits = banded_hamming_join(
-            survivors, registry,
-            "media_id", "phash", "media_id", "phash",
-            bands=bands, max_hamming=max_hamming,
-        ).select(F.col("id_l").alias("media_id")).distinct()
-        accepted_sigs = survivors.join(
-            reg_hits, "media_id", "left_anti"
-        ).persist()
-        try:
-            accepted_rows = batch_df.join(
-                accepted_sigs.select("media_id"), "media_id", "left_semi"
-            )
-            _write_partition(accepted_rows, corpus_path, batch_id)
-            _write_partition(accepted_sigs, registry_path, batch_id)
-        finally:
-            accepted_sigs.unpersist()
 
     stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(source_dir)
     return (

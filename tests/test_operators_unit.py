@@ -349,10 +349,10 @@ def test_semantic_dedup_drops_near_twin_keeps_lowest(spark):
     assert out[4] == (0, True)
 
 
-def test_semantic_dedup_kmeans_default_and_occupancy_warning(spark):
-    """The production default (kmeans centroids) must find the same
-    near-twin drops on well-separated data, and the occupancy guard
-    must warn when n/k exceeds the bound."""
+def test_semantic_dedup_kmeans_optin_and_occupancy_warning(spark):
+    """The scale opt-in (kmeans centroids) must find the same
+    near-twin drops on well-separated data, and the opt-in occupancy
+    guard must warn when n/k exceeds the bound."""
     import warnings
 
     from nsl_kdd_spark.operators.similarity import semantic_dedup
@@ -369,7 +369,7 @@ def test_semantic_dedup_kmeans_default_and_occupancy_warning(spark):
     out = {
         r["vec_id"]: r["kept"]
         for r in semantic_dedup(
-            df, n_centroids=2, threshold=0.9, max_occupancy=None
+            df, n_centroids=2, threshold=0.9, centroids="kmeans"
         ).collect()
     }
     # kmeans separates the two directions; lowest id per twin-pair kept
@@ -378,7 +378,7 @@ def test_semantic_dedup_kmeans_default_and_occupancy_warning(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         semantic_dedup(df, n_centroids=2, threshold=0.9,
-                       max_occupancy=1).collect()
+                       centroids="kmeans", max_occupancy=1).collect()
     assert any("occupancy" in str(x.message) for x in w)
 
     import pytest

@@ -153,3 +153,27 @@ def test_psi_categorical_vocabulary_and_other(spark):
 
     with pytest.raises(ValueError, match="category"):
         psi_drift_categorical(a, b, "c", [])
+
+
+def test_psi_terms_never_null_past_scale_totals(spark):
+    """Round-4 advisory regression: once a side's total exceeds the
+    fixed-point ``scale``, an empty bin's smoothed proportion floors
+    to 0 under integer division, ln(0) goes NULL, and the summed PSI
+    silently understates drift. The >=1-ppm clamp must keep every term
+    finite — exercised here with a reduced scale so the test stays
+    tiny (200 rows > scale=100 triggers the same floor)."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.quality import psi_drift
+
+    base = spark.range(200).select((F.lit(0.5)).alias("v"))     # bin 0
+    target = spark.range(200).select((F.lit(1.5)).alias("v"))   # bin 1
+    rows = {r.bin: r for r in psi_drift(
+        base, target, "v", lo=0.0, hi=2.0, n_bins=2, scale=100
+    ).collect()}
+    # every proportion >= 1 ppm-unit, every term present and finite
+    for r in rows.values():
+        assert r.p_base_ppm >= 1 and r.p_target_ppm >= 1
+        assert r.psi_u is not None
+    # maximal shift: both bins contribute large positive terms
+    assert rows[0].psi_u > 0 and rows[1].psi_u > 0

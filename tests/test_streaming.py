@@ -343,3 +343,125 @@ def test_media_ingest_on_error_skip_quarantines_corrupt(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "k2"),
             on_error="bogus",
         )
+
+
+def test_media_signatures_bit_exact_under_quarantine(spark):
+    """Round-4 advisory regression: a batch holding one undecodable
+    payload makes pandas infer float64 for the phash column, and a
+    float64->int64 cast garbles every signature in the batch (>=2^63
+    saturates to INT64_MIN, others lose low bits). Signatures must
+    come through bit-exact — including hashes with bit 63 set — with
+    the corrupt payload quarantined."""
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+    from nsl_kdd_spark.streaming.media_ingest import _signatures
+
+    hashes = {
+        b"a": 18446459269608898560,        # bit 63 set (advisory repro)
+        b"b": (1 << 63) | 0x7FF,           # bit 63 + low bits that a
+                                           # float64 round-trip drops
+        b"c": 1234567890123456789,         # below 2^63, odd low bits
+    }
+
+    def fake_hash(payload: bytes) -> int:
+        if payload == b"x":
+            raise ValueError("corrupt")
+        return hashes[bytes(payload)]
+
+    media = spark.createDataFrame(
+        [(i, "image", "m", 1, bytearray(p))
+         for i, p in enumerate([b"a", b"x", b"b", b"c"])],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r.media_id: r.phash % (1 << 64)    # back to unsigned
+        for r in _signatures(media, fake_hash, on_error="skip").collect()
+    }
+    assert got == {0: hashes[b"a"], 2: hashes[b"b"], 3: hashes[b"c"]}
+
+    # strict mode with a bit-63 hash must not overflow the int64 cast
+    ok = media.filter("media_id != 1")
+    strict = {
+        r.media_id: r.phash % (1 << 64)
+        for r in _signatures(ok, fake_hash, on_error="fail").collect()
+    }
+    assert strict == got
+
+
+def test_media_ingest_replay_never_self_dedups(spark, tmp_path):
+    """Round-4 advisory regression: foreachBatch is at-least-once — a
+    batch that crashed after writing its registry partition but before
+    the checkpoint commit is re-delivered with the same batch_id. The
+    replay must NOT read its own prior signatures back (every survivor
+    would self-match at hamming 0 and the dynamic-partition overwrite
+    would replace the batch's output with EMPTY partitions)."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+    from nsl_kdd_spark.multimodal.codecs import jpeg_encode, png_encode
+    from nsl_kdd_spark.streaming.ingest import read_corpus
+    from nsl_kdd_spark.streaming.media_ingest import _media_sink
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    grad = np.stack([(xx * 9) % 256, (yy * 13) % 256,
+                     ((xx + yy) * 5) % 256], -1).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    novel = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(i, "image", "image/mixed", len(p), bytearray(p))
+             for i, p in items], MEDIA_SCHEMA)
+
+    from nsl_kdd_spark.multimodal.codecs import phash64
+
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        max_hamming=6, bands=8, hash_fn=phash64, on_error="fail",
+    )
+    _media_sink(rows([(1, png_encode(grad))]), 0, **kw)
+    batch1 = rows([
+        (10, jpeg_encode(grad, quality=90)),    # registry dup -> reject
+        (11, png_encode(novel)),                # novel -> accept
+    ])
+    _media_sink(batch1, 1, **kw)
+    assert {r.media_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 11}
+
+    # crash-replay: same batch_id, registry already holds 11's phash
+    _media_sink(batch1, 1, **kw)
+    assert {r.media_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 11}
+    assert {r.media_id for r in
+            read_corpus(spark, kw["registry_path"]).collect()} == {1, 11}
+
+
+def test_document_ingest_replay_never_self_dedups(spark, tmp_path):
+    """Text-ingest twin of the media replay test: re-running a batch
+    with the same batch_id (at-least-once redelivery) must reproduce
+    its corpus/registry partitions, not empty-overwrite them."""
+    from nsl_kdd_spark.streaming.ingest import _document_sink, read_corpus
+
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, band_size=1, threshold=0.5, shingle_n=2,
+    )
+    batch0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    _document_sink(batch0, 0, **kw)
+    batch1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat tonight"),
+         (11, "entirely new material about tuning shuffle partitions")],
+        "doc_id long, text string")
+    _document_sink(batch1, 1, **kw)
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 11}
+
+    _document_sink(batch1, 1, **kw)   # crash-replay of batch 1
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 11}
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["registry_path"]).collect()} == {1, 11}
