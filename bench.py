@@ -220,10 +220,13 @@ def graph_scale_timings(spark, sf_dir: str) -> dict[str, float]:
 def media_scale_timings(spark) -> dict[str, float]:
     """Multimodal tier evidence: strict Arrow decode+features and
     perceptual near-dup over a synthetic mixed PNG/JPEG corpus at 1x
-    vs 4x image counts. Decode is the Python-codec floor (the
-    documented libjpeg seam); the POINT of the cells is that pairing
-    cost scales with images, not pairs — the banded-hamming join is
-    the same backend as text simhash."""
+    vs 4x image counts. Near-dup runs the 128-bit phash (16-bit band
+    buckets at bands=8) — the round-4 record showed the 64-bit/8-band
+    configuration's 8-bit buckets crowding quadratically (7.1x cost at
+    4x images); the POINT of the cells is that pairing cost scales
+    with images, not pairs. Also records the Python-codec decode
+    FLOOR at realistic image sizes (128px/512px, bytes per second) —
+    the quantified motivation for the documented libjpeg seam."""
     import numpy as np
 
     from nsl_kdd_spark.multimodal.binary import (
@@ -232,7 +235,6 @@ def media_scale_timings(spark) -> dict[str, float]:
     from nsl_kdd_spark.multimodal.codecs import jpeg_encode, png_encode
 
     def corpus(n):
-        rng = np.random.default_rng(7)
         rows = []
         for i in range(n):
             yy, xx = np.mgrid[0:16, 0:16]
@@ -245,23 +247,69 @@ def media_scale_timings(spark) -> dict[str, float]:
                          bytearray(payload)))
         return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
+    def ops_for(media, label):
+        return {
+            f"media{label}_decode":
+                lambda m=media: decode_media(m, strict=True),
+            f"media{label}_neardup":
+                lambda m=media: media_near_dup(
+                    m, max_hamming=6, bands=8, bits=128),
+        }
+
+    def measure(media, fn) -> float:
+        seen: list[float] = []
+        while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            seen.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            media.persist()
+            media.count()
+        return min(seen)
+
     timings: dict[str, float] = {}
     for count, label in ((2000, "2k"), (8000, "8k")):
         media = corpus(count).repartition(32).persist()
         media.count()
-        for name, frame in (
-            (f"media{label}_decode", decode_media(media, strict=True)),
-            (f"media{label}_neardup",
-             media_near_dup(media, max_hamming=6, bands=8)),
-        ):
-            seen: list[float] = []
-            while len(seen) < 2 or (
-                len(seen) < 3 and max(seen) > 3 * min(seen)
-            ):
-                t0 = time.perf_counter()
-                frame.write.format("noop").mode("overwrite").save()
-                seen.append(round(time.perf_counter() - t0, 3))
-            timings[name] = min(seen)
+        for name, fn in ops_for(media, label).items():
+            timings[name] = measure(media, fn)
+        media.unpersist()
+    # monotonicity guard (same rationale as the dedup tier): a 2k cell
+    # reading slower than its own op at 8k is recorded noise, not
+    # physics — re-measure just those cells once and keep the min.
+    suspect = [
+        op for op in ("decode", "neardup")
+        if timings[f"media2k_{op}"] > timings[f"media8k_{op}"]
+    ]
+    if suspect:
+        media = corpus(2000).repartition(32).persist()
+        media.count()
+        retry_ops = ops_for(media, "2k")
+        for op in suspect:
+            name = f"media2k_{op}"
+            timings[name] = min(timings[name], measure(media, retry_ops[name]))
+        media.unpersist()
+
+    # decode-floor tier: one encoded payload replicated to fill all
+    # cores (decode cost is per-row identical), strict Arrow decode,
+    # reported as MB/s of payload bytes — the honest per-size record
+    # of what the dependency-free Python entropy loop costs and what
+    # a libjpeg-backed codec plug-in would buy.
+    rng = np.random.default_rng(7)
+    for px in (128, 512):
+        base = rng.integers(0, 256, (px // 8, px // 8, 3)).astype(np.float64)
+        img = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+        payload = jpeg_encode(img, quality=85)
+        n = 64
+        media = spark.createDataFrame(
+            [(i, "image", "image/jpeg", len(payload), bytearray(payload))
+             for i in range(n)], MEDIA_SCHEMA,
+        ).repartition(32).persist()
+        media.count()
+        wall = measure(media, lambda m=media: decode_media(m, strict=True))
+        timings[f"media_jpeg{px}px_decode_mb_per_s"] = round(
+            n * len(payload) / wall / 1e6, 3
+        )
         media.unpersist()
     return timings
 

@@ -337,36 +337,49 @@ def media_near_dup(
     max_hamming: int = 3,
     bands: int = 4,
     id_col: str = "media_id",
-    hash_fn: Callable[[bytes], int] | None = None,
+    hash_fn: Callable[[bytes], int | tuple[int, int]] | None = None,
     kind: str | None = None,
     max_bucket_size: int | None = 10_000,
+    bits: int = 64,
 ) -> DataFrame:
-    """Perceptual media near-duplicate pairs: Arrow-batched 64-bit
-    fingerprints (``codecs.phash64`` for images by default; pass
-    ``codecs.audio_hash64`` for audio), then the shared
-    ``dedup.banded_hamming_pairs`` backend — banding, the pigeonhole
-    guarantee (``max_hamming < bands``), and the hot-bucket cap
-    (degenerate fingerprints, e.g. constant-color images all hashing
-    identically, would otherwise turn one bucket's self-join
-    quadratic) all live in the text tier's one implementation.
-    Returns (id_a, id_b, hamming).
+    """Perceptual media near-duplicate pairs: Arrow-batched
+    fingerprints (``codecs.phash64`` / ``codecs.phash128`` for images
+    by default; pass ``codecs.audio_hash64`` for audio), then the
+    shared ``dedup.banded_hamming_pairs`` backend — banding, the
+    pigeonhole guarantee (``max_hamming < bands``), and the
+    hot-bucket cap (degenerate fingerprints, e.g. constant-color
+    images all hashing identically, would otherwise turn one bucket's
+    self-join quadratic) all live in the text tier's one
+    implementation. Returns (id_a, id_b, hamming).
+
+    ``bits`` sizes the signature to the CORPUS, not the recall:
+    banding slices the signature into ``bands`` equal pieces, and
+    expected bucket collisions grow ~ n^2 / 2^width per band — at
+    bands=8 a 64-bit hash gives 8-bit buckets that crowd quadratically
+    past a few thousand images (the round-4 bench recorded 7.1x cost
+    for 4x images), while ``bits=128`` gives 16-bit buckets (256x
+    fewer collisions) at the SAME pigeonhole radius. Use bits=128 for
+    any corpus past ~1k images; a custom ``hash_fn`` must return an
+    int for bits=64 and an ``(hi, lo)`` pair for bits=128.
 
     Rows with NULL/empty payloads are skipped (they have no content
     to fingerprint); pass ``kind`` to restrict a mixed-modality table
     to one fingerprint domain — a payload whose FORMAT the codec
     registry lacks still raises, the strict-codec policy.
 
-    Scale shape (100 TB of media): ONE decode pass produces 8-byte
+    Scale shape (100 TB of media): ONE decode pass produces 8/16-byte
     signatures; everything after operates on longs — band equi-join,
     never an all-pairs comparison; re-encoded/format-converted copies
     collide because the hash is computed from DECODED content.
     """
     from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
 
+    if bits not in (64, 128):
+        raise ValueError(f"bits must be 64 or 128, got {bits}")
     if hash_fn is None:
-        from nsl_kdd_spark.multimodal.codecs import phash64
+        from nsl_kdd_spark.multimodal.codecs import phash64, phash128
 
-        hash_fn = phash64
+        hash_fn = phash64 if bits == 64 else phash128
 
     src = df
     if kind is not None:
@@ -375,22 +388,41 @@ def media_near_dup(
         F.col("payload").isNotNull() & (F.length("payload") > 0)
     ).select(F.col(id_col).alias("__mid"), "payload")
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame({
-                "__mid": pdf["__mid"],
-                "phash": _to_signed64(pdf["payload"].map(hash_fn)),
-            })
+    if bits == 64:
 
-    sigs = src.mapInPandas(
-        batches,
-        schema=StructType([
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield pd.DataFrame({
+                    "__mid": pdf["__mid"],
+                    "phash": _to_signed64(pdf["payload"].map(hash_fn)),
+                })
+
+        schema = StructType([
             StructField("__mid", LongType()),
             StructField("phash", LongType()),
-        ]),
-    )
+        ])
+        sig_cols: list[str] = ["phash"]
+    else:
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                hashes = pdf["payload"].map(hash_fn)
+                yield pd.DataFrame({
+                    "__mid": pdf["__mid"],
+                    "phash_hi": _to_signed64(hashes.map(lambda t: t[0])),
+                    "phash_lo": _to_signed64(hashes.map(lambda t: t[1])),
+                })
+
+        schema = StructType([
+            StructField("__mid", LongType()),
+            StructField("phash_hi", LongType()),
+            StructField("phash_lo", LongType()),
+        ])
+        sig_cols = ["phash_hi", "phash_lo"]
+
+    sigs = src.mapInPandas(batches, schema=schema)
     return banded_hamming_pairs(
-        sigs, "__mid", "phash",
+        sigs, "__mid", sig_cols,
         bands=bands, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )

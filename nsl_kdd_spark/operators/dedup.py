@@ -22,6 +22,8 @@ so every operator here is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -724,46 +726,87 @@ def dedup_spans(
     )
 
 
+def _sig_cols(sig_col: str | Sequence[str]) -> list[str]:
+    return [sig_col] if isinstance(sig_col, str) else list(sig_col)
+
+
 def _band_explode(
-    sigs: DataFrame, id_col: str, sig_col: str, bands: int
+    sigs: DataFrame, id_col: str, sig_col: str | Sequence[str], bands: int
 ) -> DataFrame:
-    """(id, sig) -> one row per (band index, band value) slice of the
-    64-bit signature — the shared candidate-key derivation for the
+    """(id, sig...) -> one row per (band index, band value) slice of
+    the signature — the shared candidate-key derivation for the
     self-join (``banded_hamming_pairs``) and the cross-table join
-    (``banded_hamming_join``)."""
-    width = 64 // bands
-    mask = (1 << width) - 1
+    (``banded_hamming_join``). ``sig_col`` may be a list of long
+    columns for signatures wider than 64 bits (e.g. a 128-bit
+    perceptual hash as two longs): the concatenation is sliced into
+    ``bands`` equal pieces, so widening the signature widens each
+    band's value space — the knob that keeps expected bucket
+    collisions ~ n^2 / 2^width sub-quadratic as the corpus grows."""
+    cols = _sig_cols(sig_col)
+    total = 64 * len(cols)
+    width = total // bands
+    slices = []
+    for i in range(bands):
+        c = F.col(cols[(i * width) // 64])
+        shift = (i * width) % 64
+        if width == 64:
+            slices.append(c)
+        else:
+            mask = (1 << width) - 1
+            slices.append(F.shiftrightunsigned(c, shift).bitwiseAND(mask))
     return sigs.select(
         F.col(id_col).alias("__id"),
-        F.col(sig_col).alias("__sig"),
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(mask)
-                for i in range(bands)
-            ])
-        ).alias("__band", "__val"),
+        *[F.col(c).alias(f"__sig{j}") for j, c in enumerate(cols)],
+        F.posexplode(F.array(*slices)).alias("__band", "__val"),
     )
 
 
-def _check_band_args(bands: int, max_hamming: int) -> None:
+def _hamming(prefix_a: str, prefix_b: str, n_parts: int):
+    """Exact hamming distance between two (possibly multi-long)
+    signatures: sum of per-long popcounts of the XOR."""
+    parts = [
+        F.bit_count(
+            F.col(f"{prefix_a}{j}").bitwiseXOR(F.col(f"{prefix_b}{j}"))
+        )
+        for j in range(n_parts)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def _check_band_args(
+    bands: int, max_hamming: int, n_sig_cols: int = 1
+) -> None:
+    total = 64 * n_sig_cols
     if not 0 <= max_hamming < bands:
         raise ValueError(
             f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
             f"got {max_hamming} vs {bands}"
         )
-    if bands > 64:
+    if bands > total:
         # width would floor to 0 -> every band value 0 -> the band
         # join degenerates to an all-pairs self-join (review r04)
-        raise ValueError(f"bands={bands} exceeds the 64-bit signature")
+        raise ValueError(
+            f"bands={bands} exceeds the {total}-bit signature"
+        )
+    if total % bands or 64 % (total // bands):
+        # every band must be an equal slice of ONE long so the slice
+        # stays a shift+mask expression
+        raise ValueError(
+            f"bands={bands} must divide the {total}-bit signature into "
+            f"equal slices that each fit within one 64-bit word"
+        )
 
 
 def banded_hamming_join(
     left: DataFrame,
     right: DataFrame,
     left_id: str,
-    left_sig: str,
+    left_sig: str | Sequence[str],
     right_id: str,
-    right_sig: str,
+    right_sig: str | Sequence[str],
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -777,22 +820,29 @@ def banded_hamming_join(
     O(batch x collision rate), the registry is never self-joined. No
     bucket cap here: capping would silently drop registry matches,
     and the batch side bounds the join anyway (broadcast when small)."""
-    _check_band_args(bands, max_hamming)
-    a = _band_explode(left, left_id, left_sig, bands).select(
-        F.col("__id").alias("id_l"), F.col("__sig").alias("__hl"),
+    lcols, rcols = _sig_cols(left_sig), _sig_cols(right_sig)
+    if len(lcols) != len(rcols):
+        raise ValueError(
+            f"signature widths differ: {len(lcols)} vs {len(rcols)} longs"
+        )
+    k = len(lcols)
+    _check_band_args(bands, max_hamming, k)
+    a = _band_explode(left, left_id, lcols, bands).select(
+        F.col("__id").alias("id_l"),
+        *[F.col(f"__sig{j}").alias(f"__hl{j}") for j in range(k)],
         "__band", "__val",
     )
-    b = _band_explode(right, right_id, right_sig, bands).select(
-        F.col("__id").alias("id_r"), F.col("__sig").alias("__hr"),
+    b = _band_explode(right, right_id, rcols, bands).select(
+        F.col("__id").alias("id_r"),
+        *[F.col(f"__sig{j}").alias(f"__hr{j}") for j in range(k)],
         "__band", "__val",
     )
+    carry = [f"__hl{j}" for j in range(k)] + [f"__hr{j}" for j in range(k)]
     return (
         a.join(b, ["__band", "__val"])
-        .select("id_l", "id_r", "__hl", "__hr")
+        .select("id_l", "id_r", *carry)
         .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("__hl").bitwiseXOR(F.col("__hr")))
-        )
+        .withColumn("hamming", _hamming("__hl", "__hr", k))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_l", "id_r", "hamming")
     )
@@ -801,42 +851,52 @@ def banded_hamming_join(
 def banded_hamming_pairs(
     sigs: DataFrame,
     id_col: str,
-    sig_col: str,
+    sig_col: str | Sequence[str],
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs from PRE-COMPUTED 64-bit signatures: split each
-    long into ``bands`` equal slices, candidates share at least one
-    slice (pigeonhole-lossless for ``max_hamming < bands``), exact
+    """Near-dup pairs from PRE-COMPUTED 64-bit (one long column) or
+    wider (list of long columns) signatures: split the concatenated
+    signature into ``bands`` equal slices, candidates share at least
+    one slice (pigeonhole-lossless for ``max_hamming < bands``), exact
     ``bit_count(xor)`` verifies. Returns (id_a, id_b, hamming).
 
-    The shared pairing backend for every 64-bit-signature tier —
+    The shared pairing backend for every fixed-width-signature tier —
     simhash-style text signatures, perceptual image/audio hashes
     (``multimodal.media_near_dup``) — so the banding/pigeonhole logic
     and the ``max_bucket_size`` hot-bucket cap (degenerate signatures,
     e.g. constant-color images all hashing to 0, would otherwise make
     one bucket's self-join quadratic) live in ONE place.
+
+    Band-width sizing is the scale lever: expected bucket collisions
+    grow ~ n^2 / 2^width per band, so a corpus big enough to crowd
+    8-bit buckets needs a WIDER signature (128-bit hash -> 16-bit
+    bands at bands=8), not fewer bands — fewer bands would shrink the
+    pigeonhole-lossless hamming radius instead.
     """
-    _check_band_args(bands, max_hamming)
-    banded = _band_explode(sigs, id_col, sig_col, bands)
+    cols = _sig_cols(sig_col)
+    k = len(cols)
+    _check_band_args(bands, max_hamming, k)
+    banded = _band_explode(sigs, id_col, cols, bands)
     banded = _cap_buckets(banded, ["__band", "__val"], max_bucket_size)
     a = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sig").alias("__ha"),
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__sig{j}").alias(f"__ha{j}") for j in range(k)],
         "__band", "__val",
     )
     b = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sig").alias("__hb"),
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__sig{j}").alias(f"__hb{j}") for j in range(k)],
         "__band", "__val",
     )
+    carry = [f"__ha{j}" for j in range(k)] + [f"__hb{j}" for j in range(k)]
     return (
         a.join(b, ["__band", "__val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha", "__hb")
+        .select("id_a", "id_b", *carry)
         .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-        )
+        .withColumn("hamming", _hamming("__ha", "__hb", k))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

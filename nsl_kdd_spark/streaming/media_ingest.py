@@ -1,18 +1,26 @@
 """Streaming media ingest with perceptual dedup: the multimodal twin
 of ``streaming/ingest.py`` — image payloads arrive as parquet drops,
-every micro-batch fingerprints its payloads (``codecs.phash64``
-through the Arrow batch path), drops perceptual near-duplicates of
-the standing registry AND of itself, and appends survivors to the
-corpus and their 64-bit signatures to the registry.
+every micro-batch fingerprints its payloads (``codecs.phash64`` /
+``codecs.phash128`` through the Arrow batch path), drops perceptual
+near-duplicates of the standing registry AND of itself, and appends
+survivors to the corpus and their signatures to the registry.
 
 Same exactly-once layout as the text ingest: each batch writes its
 rows and signatures into its own ``__batch_id=N`` partition with
-dynamic partition overwrite, so a replayed batch overwrites its own
-output instead of duplicating. The registry holds (media_id, phash)
-— 16 bytes per accepted image, so the standing state is ~1 GB per
-60M images and the per-batch probe is a banded equi-join against it
+dynamic partition overwrite, and the registry probe reads only
+``__batch_id < batch_id`` partitions, so an at-least-once replay
+overwrites its own output instead of duplicating OR self-rejecting.
+The registry holds (media_id, phash[, phash_lo]) — 16-24 bytes per
+accepted image, so the standing state is ~1-1.5 GB per 60M images and
+the per-batch probe is a banded equi-join against it
 (``dedup.banded_hamming_join``): O(batch x collision rate), the
 registry is never self-joined and payloads are never re-read.
+
+Signature width is the scale knob (see ``banded_hamming_pairs``):
+``bits=128`` (two longs, 16-bit bands at bands=8) keeps the self-tier
+and registry-probe buckets sub-quadratic on corpora past a few
+thousand images; ``bits=64`` remains the compact default for small
+registries and existing layouts.
 
 Within-batch policy: keep the LOWEST media_id of each near-dup pair
 (the dedup tier's canonical tie rule). Chains (A~B, B~C, A!~C) keep
@@ -28,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from nsl_kdd_spark.multimodal.binary import _to_signed64
 from nsl_kdd_spark.operators.dedup import (
     banded_hamming_join,
     banded_hamming_pairs,
@@ -37,20 +46,33 @@ from nsl_kdd_spark.streaming.ingest import (
     read_registry_before,
 )
 
-from nsl_kdd_spark.multimodal.binary import _to_signed64
-
 _SIG_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("phash", LongType()),
 ])
 
+_SIG_SCHEMA_128 = StructType([
+    StructField("media_id", LongType()),
+    StructField("phash_hi", LongType()),
+    StructField("phash_lo", LongType()),
+])
+
+
+def _sig_layout(bits: int) -> tuple[StructType, list[str]]:
+    if bits == 64:
+        return _SIG_SCHEMA, ["phash"]
+    if bits == 128:
+        return _SIG_SCHEMA_128, ["phash_hi", "phash_lo"]
+    raise ValueError(f"bits must be 64 or 128, got {bits}")
+
 
 def _signatures(
     media: DataFrame,
-    hash_fn: Callable[[bytes], int],
+    hash_fn: Callable[[bytes], int | tuple[int, int]],
     on_error: str = "fail",
+    bits: int = 64,
 ) -> DataFrame:
-    """(media_id, phash) via the Arrow batch path — one decode per
+    """(media_id, phash...) via the Arrow batch path — one decode per
     payload, the same shape as ``multimodal.media_near_dup``.
     ``on_error="skip"`` drops payloads the codec rejects (corrupt or
     unsupported format) instead of failing the batch — the quarantine
@@ -58,6 +80,7 @@ def _signatures(
     the stream; "fail" keeps the strict-codec contract."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    schema, sig_cols = _sig_layout(bits)
     src = media.filter(
         F.col("payload").isNotNull() & (F.length("payload") > 0)
     ).select("media_id", "payload")
@@ -72,15 +95,18 @@ def _signatures(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "phash": pdf["payload"].map(fn),
-            })
-            out = out[out["phash"].notna()]
-            out["phash"] = _to_signed64(out["phash"])
+            hashes = pdf["payload"].map(fn)
+            keep = hashes.notna()
+            out = pd.DataFrame({"media_id": pdf["media_id"][keep]})
+            kept = hashes[keep]
+            if bits == 64:
+                out["phash"] = _to_signed64(kept)
+            else:
+                out["phash_hi"] = _to_signed64(kept.map(lambda t: t[0]))
+                out["phash_lo"] = _to_signed64(kept.map(lambda t: t[1]))
             yield out
 
-    return src.mapInPandas(batches, schema=_SIG_SCHEMA)
+    return src.mapInPandas(batches, schema=schema)
 
 
 def _media_sink(
@@ -91,8 +117,9 @@ def _media_sink(
     registry_path: str,
     max_hamming: int,
     bands: int,
-    hash_fn: Callable[[bytes], int],
+    hash_fn: Callable[[bytes], int | tuple[int, int]],
     on_error: str,
+    bits: int = 64,
 ) -> None:
     """One micro-batch of the perceptual media ingest (module-level so
     the replay contract is directly testable: re-running the SAME
@@ -102,10 +129,11 @@ def _media_sink(
     at-least-once redelivery after a crash-between-write-and-commit
     stays the documented idempotent overwrite."""
     s = batch_df.sparkSession
-    sigs = _signatures(batch_df, hash_fn, on_error).localCheckpoint()
+    schema, sig_cols = _sig_layout(bits)
+    sigs = _signatures(batch_df, hash_fn, on_error, bits).localCheckpoint()
     # self-tier: drop the higher id of every within-batch pair
     self_pairs = banded_hamming_pairs(
-        sigs, "media_id", "phash",
+        sigs, "media_id", sig_cols,
         bands=bands, max_hamming=max_hamming,
     )
     self_dropped = self_pairs.select(
@@ -116,10 +144,10 @@ def _media_sink(
     try:
         registry = read_registry_before(s, registry_path, batch_id)
     except Exception:  # first batch: no registry yet
-        registry = s.createDataFrame([], _SIG_SCHEMA)
+        registry = s.createDataFrame([], schema)
     reg_hits = banded_hamming_join(
         survivors, registry,
-        "media_id", "phash", "media_id", "phash",
+        "media_id", sig_cols, "media_id", sig_cols,
         bands=bands, max_hamming=max_hamming,
     ).select(F.col("id_l").alias("media_id")).distinct()
     accepted_sigs = survivors.join(
@@ -143,8 +171,9 @@ def ingest_media_stream(
     checkpoint_dir: str,
     max_hamming: int = 6,
     bands: int = 8,
-    hash_fn: Callable[[bytes], int] | None = None,
+    hash_fn: Callable[[bytes], int | tuple[int, int]] | None = None,
     on_error: str = "fail",
+    bits: int = 64,
 ):
     """Start (availableNow) the perceptually-deduplicating media
     ingest over a parquet drop directory of MEDIA_SCHEMA rows.
@@ -154,16 +183,23 @@ def ingest_media_stream(
     registry signature and are rejected without touching any stored
     payload. ``on_error="skip"`` quarantines undecodable payloads
     (dropped from corpus and registry) instead of failing the batch
-    — continuous ingest must not wedge on one corrupt blob."""
+    — continuous ingest must not wedge on one corrupt blob.
+
+    ``bits=128`` switches to the two-long ``codecs.phash128``
+    signature (registry columns phash_hi/phash_lo): 16-bit band
+    buckets at bands=8 instead of 8-bit, the setting for corpora past
+    a few thousand images. A registry written at one width must keep
+    that width — probe columns are part of the layout."""
     if on_error not in ("fail", "skip"):
         # validate before the stream starts — _signatures re-checks,
         # but inside foreachBatch the error would only surface on the
         # first micro-batch
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    _sig_layout(bits)  # validate bits before the stream starts
     if hash_fn is None:
-        from nsl_kdd_spark.multimodal.codecs import phash64
+        from nsl_kdd_spark.multimodal.codecs import phash64, phash128
 
-        hash_fn = phash64
+        hash_fn = phash64 if bits == 64 else phash128
 
     from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
 
@@ -172,7 +208,7 @@ def ingest_media_stream(
             batch_df, batch_id,
             corpus_path=corpus_path, registry_path=registry_path,
             max_hamming=max_hamming, bands=bands,
-            hash_fn=hash_fn, on_error=on_error,
+            hash_fn=hash_fn, on_error=on_error, bits=bits,
         )
 
     stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(source_dir)

@@ -659,3 +659,87 @@ def test_audio_dominant_frequency(spark):
     media = spark.createDataFrame(payloads, MEDIA_SCHEMA)
     got = {r.media_id: r.dom_freq_hz for r in decode_audio(media).collect()}
     assert got == {0: 440, 1: 1000, 9: 0}
+
+
+def test_phash128_invariance_recall_and_wide_banding(spark):
+    """128-bit perceptual hash (the scale signature): container-
+    invariant, png-vs-jpeg twins land within the banded radius,
+    distinct images stay far, and media_near_dup(bits=128) pairs the
+    twin at 16-bit band width (the round-4 quadratic-bucket fix)."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import media_near_dup
+    from nsl_kdd_spark.multimodal.codecs import (
+        bmp_encode, jpeg_encode, phash128, png_encode, ppm_encode,
+    )
+
+    img_a = _gradient(16, 16)
+    # same pixels, three containers -> identical 128-bit hash
+    sigs = {phash128(enc(img_a))
+            for enc in (png_encode, bmp_encode, ppm_encode)}
+    assert len(sigs) == 1
+
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1")
+                + bin(a[1] ^ b[1]).count("1"))
+
+    # jpeg re-encode stays within the banded radius
+    twin = ham(phash128(png_encode(img_a)),
+               phash128(jpeg_encode(img_a, quality=85)))
+    assert twin <= 6
+
+    # distinct random images stay far apart at 128 bits
+    rng = np.random.default_rng(11)
+    img_b = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    assert ham(phash128(png_encode(img_a)),
+               phash128(png_encode(img_b))) > 20
+
+    payloads = [png_encode(img_a), jpeg_encode(img_a, quality=85),
+                png_encode(img_b)]
+    media = _media_df(spark, payloads)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in media_near_dup(
+        media, max_hamming=6, bands=8, bits=128).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == twin
+    assert all(k == (0, 1) for k in pairs)
+
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        media_near_dup(media, bits=96)
+
+
+def test_banded_hamming_multi_long_matches_single_long_semantics(spark):
+    """The multi-long banding backend: pairs/join over ['hi','lo']
+    signatures are pigeonhole-lossless within the radius, reject
+    beyond it, and validate band geometry."""
+    import pytest
+
+    from nsl_kdd_spark.operators.dedup import (
+        banded_hamming_join, banded_hamming_pairs,
+    )
+
+    rows = [
+        (1, 0x0123456789ABCDEF, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x0123456789ABCDEF, 0x0F0F0F0F0F0F0F0E),  # hamming 1 vs id 1
+        (3, 0x0123456789ABCDEE, 0x0F0F0F0F0F0F0F00),  # hamming 1+3=4 vs id 2
+        (4, -0x0123456789ABCDF0, 0x7070707070707070),  # far from all
+    ]
+    sigs = spark.createDataFrame(rows, "id long, hi long, lo long")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in banded_hamming_pairs(
+        sigs, "id", ["hi", "lo"], bands=8, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 1 and pairs[(2, 3)] == 4
+    assert (1, 3) not in pairs          # hamming 5 > radius 4
+    assert not any(4 in k for k in pairs)
+
+    probe = spark.createDataFrame(
+        [(10, 0x0123456789ABCDEF, 0x0F0F0F0F0F0F0F0F)],
+        "id long, hi long, lo long")
+    hits = {(r.id_l, r.id_r): r.hamming for r in banded_hamming_join(
+        probe, sigs, "id", ["hi", "lo"], "id", ["hi", "lo"],
+        bands=8, max_hamming=1).collect()}
+    assert hits == {(10, 1): 0, (10, 2): 1}
+
+    with pytest.raises(ValueError, match="equal slices"):
+        banded_hamming_pairs(sigs, "id", ["hi", "lo"], bands=3,
+                             max_hamming=1)
+    with pytest.raises(ValueError, match="widths differ"):
+        banded_hamming_join(probe, sigs, "id", ["hi", "lo"], "id", "hi")

@@ -465,3 +465,58 @@ def test_document_ingest_replay_never_self_dedups(spark, tmp_path):
             read_corpus(spark, kw["corpus_path"]).collect()} == {1, 11}
     assert {r.doc_id for r in
             read_corpus(spark, kw["registry_path"]).collect()} == {1, 11}
+
+
+def test_media_ingest_128bit_registry(spark, tmp_path):
+    """bits=128 ingest (the scale signature): same accept/reject
+    semantics as the 64-bit path — registry re-encode rejected,
+    within-batch twin keeps lowest id, novel accepted — with the
+    two-long phash_hi/phash_lo registry layout."""
+    import numpy as np
+
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+    from nsl_kdd_spark.multimodal.codecs import bmp_encode, jpeg_encode, png_encode
+    from nsl_kdd_spark.streaming.ingest import read_corpus
+    from nsl_kdd_spark.streaming.media_ingest import ingest_media_stream
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    grad = np.stack([(xx * 9) % 256, (yy * 13) % 256,
+                     ((xx + yy) * 5) % 256], -1).astype(np.uint8)
+    rng = np.random.default_rng(9)
+    novel = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(i, "image", "image/mixed", len(p), bytearray(p))
+             for i, p in items], MEDIA_SCHEMA)
+
+    src = tmp_path / "drop"
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_hamming=6, bands=8, bits=128,
+    )
+    rows([(1, png_encode(grad)),
+          (2, bmp_encode(grad))]).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    q = ingest_media_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+    assert {r.media_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1}
+
+    rows([(10, jpeg_encode(grad, quality=85)),
+          (11, png_encode(novel))]).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    q = ingest_media_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+    reg = read_corpus(spark, kw["registry_path"])
+    assert set(reg.columns) == {"media_id", "phash_hi", "phash_lo"}
+    assert {r.media_id for r in reg.collect()} == {1, 11}
+
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        ingest_media_stream(
+            spark, str(src), corpus_path=str(tmp_path / "c"),
+            registry_path=str(tmp_path / "r"),
+            checkpoint_dir=str(tmp_path / "k"), bits=32)
