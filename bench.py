@@ -314,6 +314,30 @@ def media_scale_timings(spark) -> dict[str, float]:
     return timings
 
 
+def bpe_scale_timings(spark, sf_dir: str) -> dict[str, float]:
+    """BPE training round-count evidence: serial (one count cycle per
+    merge rank) vs batch=16 (up to 16 provably-serial-equal merges
+    per cycle) at 32 ranks over the sf documents table. The *_cycles
+    cells record the driver round-trips — the quantity merge-batching
+    exists to cut (production BPE is 30k+ ranks; cycles, not data,
+    dominate past the first aggregation because everything after the
+    word count is vocabulary-sized)."""
+    from nsl_kdd_spark.ml.text_features import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    out: dict[str, float] = {}
+    for label, kw in (("serial", {}), ("batch16", {"batch": 16})):
+        t0 = time.perf_counter()
+        train_bpe(docs, num_merges=32, **kw).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"bpe32_{label}"] = round(time.perf_counter() - t0, 3)
+        out[f"bpe32_{label}_cycles"] = float(train_bpe.last_cycles)
+    docs.unpersist()
+    return out
+
+
 def ensure_sf1_dir(spark, sf_dir: str) -> str:
     """Materialize an sf1-scale copy of the relational tables next to
     the repo (built once, reused across bench runs): lineitem/orders
@@ -443,6 +467,7 @@ def main() -> None:
     graph = graph_scale_timings(spark, sf_dir)
     sf1 = sf1_timings(spark, sf_dir)
     media = media_scale_timings(spark)
+    bpe = bpe_scale_timings(spark, sf_dir)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -453,6 +478,7 @@ def main() -> None:
         "graph_scale": graph,
         "sf1": sf1,
         "media_scale": media,
+        "bpe_scale": bpe,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -492,6 +492,43 @@ def inverted_index(
     return idx.orderBy("token")
 
 
+def _bpe_merge_fold(syms, left: str, right: str, merged: str):
+    """Greedy leftmost non-overlapping merge of one (left, right)
+    pair over a symbol array, as a pure fold: append x unless
+    (last == left and x == right and the last element was not itself
+    produced by a merge this round) — tracked by folding
+    (symbols, flags) in lockstep. Chains: pass the previous fold's
+    Column as ``syms`` to apply several merges in rank order within
+    ONE projection."""
+    lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.lit([]).cast("array<string>").alias("res"),
+            F.lit(False).alias("last_merged"),
+        ),
+        lambda acc, x: F.when(
+            (F.size(acc.res) > 0)
+            & ~acc.last_merged
+            & (F.element_at(acc.res, -1) == lit_l)
+            & (x == lit_r),
+            F.struct(
+                F.concat(
+                    F.slice(acc.res, 1, F.size(acc.res) - 1),
+                    F.array(lit_m),
+                ).alias("res"),
+                F.lit(True).alias("last_merged"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc.res, F.array(x)).alias("res"),
+                F.lit(False).alias("last_merged"),
+            )
+        ),
+        lambda acc: acc.res,
+    )
+
+
 def train_bpe(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -499,6 +536,7 @@ def train_bpe(
     num_merges: int = 16,
     min_pair_freq: int = 2,
     token_pattern: str = "[^a-z0-9]+",
+    batch: int = 1,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
     TRAINING side of the tokenizer surface (``build_vocab`` /
@@ -515,15 +553,41 @@ def train_bpe(
     corpus-sized data is touched exactly once, by the word count.
     Each round is one explode+grouped-sum over the vocab (map-side
     combined) and one expression-only array rewrite (``F.aggregate``
-    fold — greedy merge without leaving codegen); the single
-    collected row per round is the argmax pair (driver control flow,
-    the sanctioned tiny collect). Vocab tables localCheckpoint per
+    fold — greedy merge without leaving codegen); the collected rows
+    per round are the argmax pairs (driver control flow, the
+    sanctioned tiny collect). Vocab tables localCheckpoint per
     round to truncate lineage.
+
+    ``batch`` is the production-training lever (SCALE.md): serial BPE
+    costs one Spark job cycle per merge rank — fine at 16 ranks,
+    prohibitive at 30k. ``batch=B`` applies up to B merges per count
+    cycle while provably reproducing the SERIAL merge table, by
+    admitting only a frequency-sorted PREFIX of candidates such that
+
+    1. every candidate is symbol-disjoint from all earlier ones in
+       the batch (merging one cannot change another's count, and the
+       fold rewrites cannot conflate symbols), and
+    2. every candidate's frequency STRICTLY exceeds every earlier
+       candidate's new-pair cap — merging (a, b) can only create
+       pairs (s, ab) / (ab, s) whose frequency is bounded by the
+       max pre-merge frequency of pairs ending in ``a`` / starting
+       in ``b``, both computable from the SAME pair table — so no
+       pair born inside the batch could have outranked a later
+       candidate in serial order.
+
+    The batch truncates at the first violation (the remaining merges
+    just land in the next cycle), so output == serial ALWAYS — the
+    knob trades nothing but driver round-trips (~B fewer). The cap
+    and candidate scans are two tiny aggregations per cycle over the
+    symbol-pair table, which is vocabulary-sized, never corpus-sized.
 
     Rows-only in the driver gate (no SQL twin for the iterative
     argmax); correctness is pinned against a pure-Python reference
-    implementation in tests/test_text_features.py.
+    implementation in tests/test_text_features.py (batched == serial
+    == reference).
     """
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     words = (
         docs.select(
             F.explode(
@@ -544,7 +608,9 @@ def train_bpe(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(num_merges):
+    cycles = 0
+    while len(merges) < num_merges:
+        cycles += 1
         pairs = (
             words.select(
                 F.explode(
@@ -560,46 +626,82 @@ def train_bpe(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wc").alias("freq"))
         )
+        take = min(batch, num_merges - len(merges))
+        if take > 1:
+            pairs = pairs.persist()
         top = (
-            pairs.orderBy(F.desc("freq"), "l", "r").limit(1).collect()
+            pairs.orderBy(F.desc("freq"), "l", "r").limit(take).collect()
         )
         if not top or top[0].freq < min_pair_freq:
+            if take > 1:
+                pairs.unpersist()
             break
-        left, right, freq = top[0].l, top[0].r, top[0].freq
-        merged = left + right
-        # greedy leftmost non-overlapping merge, as a pure fold:
-        # append x unless (last == left and x == right and the last
-        # element was not itself produced by a merge this round) —
-        # tracked by folding (symbols, flags) in lockstep
-        lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
-        folded = F.aggregate(
-            "syms",
-            F.struct(
-                F.lit([]).cast("array<string>").alias("res"),
-                F.lit(False).alias("last_merged"),
-            ),
-            lambda acc, x: F.when(
-                (F.size(acc.res) > 0)
-                & ~acc.last_merged
-                & (F.element_at(acc.res, -1) == lit_l)
-                & (x == lit_r),
-                F.struct(
-                    F.concat(
-                        F.slice(acc.res, 1, F.size(acc.res) - 1),
-                        F.array(lit_m),
-                    ).alias("res"),
-                    F.lit(True).alias("last_merged"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.concat(acc.res, F.array(x)).alias("res"),
-                    F.lit(False).alias("last_merged"),
+        selected = [(top[0].l, top[0].r, top[0].freq)]
+        if take > 1 and len(top) > 1:
+            # new-pair caps for the candidates' symbols: merging
+            # (a, b) can only create pairs whose frequency is bounded
+            # by max freq(., a) / max freq(b, .) — one tiny
+            # aggregation over the (persisted) pair table
+            a_syms = [r.l for r in top]
+            b_syms = [r.r for r in top]
+            cap_rows = (
+                pairs.select(
+                    F.when(F.col("r").isin(a_syms), F.col("r"))
+                    .alias("end_a"),
+                    F.when(F.col("l").isin(b_syms), F.col("l"))
+                    .alias("start_b"),
+                    "freq",
                 )
-            ),
-            lambda acc: acc.res,
-        )
+                .filter(
+                    F.col("end_a").isNotNull()
+                    | F.col("start_b").isNotNull()
+                )
+                .groupBy("end_a", "start_b")
+                .agg(F.max("freq").alias("mf"))
+                .collect()
+            )
+            end_max: dict[str, int] = {}
+            start_max: dict[str, int] = {}
+            for r in cap_rows:
+                if r.end_a is not None:
+                    end_max[r.end_a] = max(end_max.get(r.end_a, 0), r.mf)
+                if r.start_b is not None:
+                    start_max[r.start_b] = max(
+                        start_max.get(r.start_b, 0), r.mf
+                    )
+            used: set[str] = {top[0].l, top[0].r, top[0].l + top[0].r}
+            cap = max(
+                end_max.get(top[0].l, 0), start_max.get(top[0].r, 0)
+            )
+            for cand in top[1:]:
+                if cand.freq < min_pair_freq:
+                    break                      # serial would stop here
+                merged_c = cand.l + cand.r
+                if (
+                    cand.l in used
+                    or cand.r in used
+                    or merged_c in used
+                    or cand.freq <= cap        # a batch-born pair could
+                ):                             # outrank it serially
+                    break
+                selected.append((cand.l, cand.r, cand.freq))
+                used.update((cand.l, cand.r, merged_c))
+                cap = max(
+                    cap,
+                    end_max.get(cand.l, 0),
+                    start_max.get(cand.r, 0),
+                )
+        # apply the selected merges in rank order inside ONE
+        # projection: each fold consumes the previous fold's output,
+        # exactly the serial rewrite sequence
+        folded = F.col("syms")
+        for left, right, _freq in selected:
+            folded = _bpe_merge_fold(folded, left, right, left + right)
         words = words.select(folded.alias("syms"), "wc").localCheckpoint()
-        merges.append((rank, left, right, merged, freq))
+        if take > 1:
+            pairs.unpersist()
+        for left, right, freq in selected:
+            merges.append((len(merges), left, right, left + right, freq))
     spark = docs.sparkSession
     from pyspark.sql.types import (
         LongType,
@@ -615,6 +717,11 @@ def train_bpe(
         StructField("merged", StringType()),
         StructField("pair_freq", LongType()),
     ])
+    # observable round count: the batching lever's whole point is
+    # fewer driver count-cycles — bench/tests read this to record the
+    # win (set on the function, not returned, to keep the DataFrame
+    # contract unchanged)
+    train_bpe.last_cycles = cycles
     return spark.createDataFrame(merges, schema)
 
 

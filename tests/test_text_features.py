@@ -217,3 +217,66 @@ def test_script_counts_mixed_scripts(spark):
     assert out[2].other == 2 and out[2].latin == 2
     assert out[3].cjk == 6 and out[3].other == 0
     assert out[4].arabic == 5
+
+
+def test_train_bpe_batched_equals_serial_and_reference(spark):
+    """Merge-batching (the SCALE.md production-training lever): batch=B
+    applies up to B merges per count cycle but must reproduce the
+    SERIAL merge table exactly — the admission rule (contiguous
+    frequency-sorted prefix, symbol-disjoint, strictly above every
+    earlier member's new-pair cap) truncates rather than diverge.
+    Pinned against the pure-Python reference on a corpus rich enough
+    to sustain dozens of ranks, plus the round-count win."""
+    import numpy as np
+
+    from nsl_kdd_spark.ml.text_features import train_bpe
+
+    # synthetic corpus with many independent frequent words so batches
+    # actually fill: Zipf-weighted draws from a 60-word vocabulary
+    rng = np.random.default_rng(17)
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+        "victor", "whiskey", "xray", "yankee", "zulu", "spark", "query",
+        "shuffle", "parquet", "column", "vector", "tensor", "matrix",
+        "kernel", "thread", "buffer", "stream", "window", "filter",
+        "reduce", "gather", "scatter", "branch", "memory", "driver",
+        "worker", "lineage", "codegen", "barrier", "salted", "bucket",
+        "minhash", "simhash", "jaccard", "cosine", "euclid", "manhattan",
+        "zscore", "digest",
+    ]
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    texts = [
+        " ".join(rng.choice(vocab, size=30, p=w / w.sum()))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    counts = {}
+    for t in texts:
+        for word in t.split():
+            counts[word] = counts.get(word, 0) + 1
+    want = _reference_bpe(counts, num_merges=48)
+    assert len(want) == 48   # corpus sustains every rank
+
+    serial = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in train_bpe(docs, num_merges=48).orderBy("rank").collect()
+    ]
+    assert serial == want
+    serial_cycles = train_bpe.last_cycles
+    assert serial_cycles == 48
+
+    batched = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in train_bpe(docs, num_merges=48, batch=16)
+        .orderBy("rank").collect()
+    ]
+    assert batched == want
+    assert train_bpe.last_cycles < serial_cycles   # round-trips saved
+
+    import pytest
+    with pytest.raises(ValueError, match="batch"):
+        train_bpe(docs, batch=0)
