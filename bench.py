@@ -314,6 +314,107 @@ def media_scale_timings(spark) -> dict[str, float]:
     return timings
 
 
+def skew_scale_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Skew-join evidence on a genuinely skewed fixture (VERDICT r04
+    #7): a 6M-row fact table where ONE key owns ~30% of the rows,
+    joined to a 50k-key dim that is too large to broadcast (the bench
+    forces the sort-merge path — broadcast would sidestep the shuffle
+    this tier exists to measure). Three plans over identical inputs:
+
+    - plain:  sort-merge join, AQE skew splitting OFF — the straggler
+      baseline (one reducer sorts/joins the 1.8M-row hot partition).
+    - aqe:    AQE skew splitting ON, with the skew thresholds scaled
+      to the fixture (the 256 MB default targets cluster-sized
+      partitions; the hot partition here is ~30 MB, so the threshold
+      drops to 8 MB — same trigger geometry as a 100 TB run hitting
+      the defaults).
+    - salted: operators/skew.salted_join with 32 salts — the explicit
+      spread for pathological keys AQE cannot split (e.g. when the
+      skew is born in the shuffle of a wider pipeline).
+    """
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.skew import salted_join
+
+    sf1_dir = ensure_sf1_dir(spark, sf_dir)
+    li = spark.read.parquet(os.path.join(sf1_dir, "lineitem.parquet"))
+    # 4 hash-replicas of the 6M-row sf1 lineitem -> 24M fact rows,
+    # ~7.2M of them on the hot key: big enough that the straggler
+    # reducer dominates wall-clock (at 6M the whole join sits on the
+    # stage-overhead floor and every plan ties)
+    parts = []
+    for i in range(4):
+        h = F.xxhash64("l_orderkey", "l_linenumber", F.lit(i))
+        parts.append(li.select(
+            F.when(F.pmod(h, F.lit(10)) < 3, F.lit(0))
+            .otherwise(F.pmod(h, F.lit(50_000)) + 1)
+            .alias("k"),
+            F.col("l_extendedprice").alias("v"),
+        ))
+    fact = parts[0]
+    for p in parts[1:]:
+        fact = fact.unionByName(p)
+    fact = fact.persist()
+    fact.count()
+    dim = spark.range(50_001).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 97).alias("payload")
+    ).persist()
+    dim.count()
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    plans = {
+        "skew_plain": (
+            {"spark.sql.adaptive.skewJoin.enabled": "false"},
+            lambda: fact.join(dim, "k"),
+        ),
+        "skew_aqe": (
+            {
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes": "8m",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            },
+            lambda: fact.join(dim, "k"),
+        ),
+        "skew_salted": (
+            {"spark.sql.adaptive.skewJoin.enabled": "false"},
+            lambda: salted_join(fact, dim, "k", n_salts=32),
+        ),
+    }
+    timings: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, (overrides, fn) in plans.items():
+            for k, v in overrides.items():
+                conf.set(k, v)
+            seen: list[float] = []
+            while len(seen) < 2 or (
+                len(seen) < 3 and max(seen) > 3 * min(seen)
+            ):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                seen.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(seen)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+        fact.unpersist()
+        dim.unpersist()
+    return timings
+
+
 def bpe_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     """BPE training round-count evidence: serial (one count cycle per
     merge rank) vs batch=16 (up to 16 provably-serial-equal merges
@@ -468,6 +569,7 @@ def main() -> None:
     sf1 = sf1_timings(spark, sf_dir)
     media = media_scale_timings(spark)
     bpe = bpe_scale_timings(spark, sf_dir)
+    skew = skew_scale_timings(spark, sf_dir)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -479,6 +581,7 @@ def main() -> None:
         "sf1": sf1,
         "media_scale": media,
         "bpe_scale": bpe,
+        "skew_scale": skew,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

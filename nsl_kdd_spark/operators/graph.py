@@ -16,11 +16,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation for the iterative operators.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks
+    are pinned in EXECUTOR memory, fast and right for local mode and
+    short iteration counts, but non-recoverable: losing one executor
+    mid-iteration kills the whole job, and the pinned blocks compete
+    with shuffle memory.
+
+    With ``checkpoint_dir`` (an HDFS/S3/shared path on a real
+    cluster): reliable ``checkpoint()`` — each round's table is
+    written to the fault-tolerant store, so a lost executor recomputes
+    nothing older than one round. That is the correct setting for
+    long-running iterative jobs at cluster scale; the cost is one
+    parquet-equivalent write per round, which the join-per-iteration
+    cost dominates anyway for big graphs."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id =
     the smallest node id in the component (deterministic).
@@ -30,23 +54,24 @@ def connected_components(
     ``comp <- comp(comp)`` — labels are themselves node ids, so one
     self-join doubles the effective propagation distance per round,
     giving O(log diameter) rounds on chains instead of O(diameter).
-    Stops when no label changes. Each round's label table is
-    ``localCheckpoint``ed: persist alone bounds recomputation but the
+    Stops when no label changes. Each round's label table has its
+    lineage truncated: persist alone bounds recomputation but the
     LOGICAL plan still doubles per round (self-join) until the driver
-    chokes planning it — checkpointing truncates lineage. On a real
-    cluster prefer reliable ``checkpoint()`` (survives executor loss
-    over long iterations)."""
+    chokes planning it. Pass ``checkpoint_dir`` on a real cluster to
+    use reliable ``checkpoint()`` instead of ``localCheckpoint``
+    (survives executor loss over long iterations — see
+    :func:`_truncate_lineage`)."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _truncate_lineage(
         und.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        checkpoint_dir,
     )
 
     for _ in range(max_iter):
@@ -66,13 +91,13 @@ def connected_components(
         # compression: comp labels are node ids, so comp(comp) is
         # defined; shortcuts chains (pointer-jumping step)
         x, y = propagated.alias("x"), propagated.alias("y")
-        new_labels = (
+        new_labels = _truncate_lineage(
             x.join(y, on=[F.col("x.comp") == F.col("y.node")], how="left")
             .select(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")
@@ -95,6 +120,7 @@ def pagerank(
     damping_pm: int = 850,
     scale: int = 10**12,
     weight: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank, exact fixed-point arithmetic.
 
@@ -124,10 +150,11 @@ def pagerank(
     Scale shape (100 TB): the loop is driver control flow only; each
     iteration is one equi-join edges->ranks (shuffle on node key) +
     one grouped integer sum + a 1-row dangling aggregate cross-joined
-    back (no driver scalar round-trip). Rank tables are
-    ``localCheckpoint``ed per iteration to truncate the self-referential
-    lineage — on a real cluster use reliable ``checkpoint()``. For
-    web-scale graphs pre-partition edges by ``dst`` and ranks by
+    back (no driver scalar round-trip). Rank tables have their
+    self-referential lineage truncated per iteration — pass
+    ``checkpoint_dir`` on a real cluster for reliable ``checkpoint()``
+    instead of ``localCheckpoint`` (see :func:`_truncate_lineage`).
+    For web-scale graphs pre-partition edges by ``dst`` and ranks by
     ``node`` so the per-iteration shuffle reuses one partitioning.
     """
     if weight is None:
@@ -159,10 +186,10 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
-    base = (
+    base = _truncate_lineage(
         nodes.join(outdeg, nodes.node == outdeg.src, "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .localCheckpoint()
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")),
+        checkpoint_dir,
     )
     n = base.count()
     if n == 0:
@@ -181,7 +208,7 @@ def pagerank(
         dang = ranks.filter(F.col("outdeg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
-        ranks = (
+        ranks = _truncate_lineage(
             base.join(contrib, base.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))
             .select(
@@ -192,8 +219,8 @@ def pagerank(
                     f"+ {damping_pm} * (coalesce(contrib, 0) "
                     f"+ (dang div {n}))) div 1000"
                 ).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     e.unpersist()
     return ranks.select("node", "rank")
@@ -279,6 +306,7 @@ def kcore(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k after recursively peeling lower-degree nodes — the
@@ -292,15 +320,17 @@ def kcore(
     control flow only, converged when no node drops (checked with a
     cheap count). Rounds are bounded by max_iter; peeling removes
     whole degree-layers per round, so convergence is fast in practice
-    (power-law graphs: a handful of rounds). Edge tables
-    localCheckpoint per round (lineage, as all iterative ops here).
+    (power-law graphs: a handful of rounds). Edge tables have
+    their lineage truncated per round (as all iterative ops here);
+    pass ``checkpoint_dir`` on a real cluster for reliable
+    ``checkpoint()`` — see :func:`_truncate_lineage`.
     """
-    und = (
+    und = _truncate_lineage(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     prev_n = und.count()
     converged = False
@@ -311,11 +341,13 @@ def kcore(
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("v").localCheckpoint()
-        und = (
+        keep = _truncate_lineage(
+            deg.filter(F.col("deg") >= k).select("v"), checkpoint_dir
+        )
+        und = _truncate_lineage(
             und.join(keep, und.a == keep.v, "left_semi")
-            .join(keep, und.b == keep.v, "left_semi")
-            .localCheckpoint()
+            .join(keep, und.b == keep.v, "left_semi"),
+            checkpoint_dir,
         )
         n = und.count()  # one action per round; prior count carried
         if n == prev_n:

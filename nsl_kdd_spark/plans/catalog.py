@@ -5655,6 +5655,99 @@ def q131_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M17-M19 decision layer, oracle-checked end-to-end (round-5): the
+# stacker/ensembler flows (pipeline.combine_scores -> soft_vote /
+# threshold / hard_vote_or -> ml.metrics.binary_metrics) previously
+# had parity only through tests + BASELINE.md tables. Here the SAME
+# code path runs on three deterministic rule "models" over events
+# (stand-ins for trained-model probabilities, chosen so DuckDB can
+# replay them bit-exactly), and every per-model + blend + OR-vote
+# metrics row — CM cells, accuracy, precision, DR, FAR, F1 — is
+# hash-checked against the oracle. Exercises the exact expressions
+# the trained ensembles run through (README.md:3113-3334, 1433-1475).
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_METRIC_SQL = """
+      SELECT '{name}' AS model,
+             COUNT(*) FILTER (WHERE y=0 AND {p}=0) AS tn,
+             COUNT(*) FILTER (WHERE y=0 AND {p}=1) AS fp,
+             COUNT(*) FILTER (WHERE y=1 AND {p}=0) AS fn,
+             COUNT(*) FILTER (WHERE y=1 AND {p}=1) AS tp
+      FROM voted
+"""
+
+
+@query(
+    "q138_ensemble_report",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+             LEAST(value, 10.0) / 10.0 AS m1,
+             CASE WHEN event_type IN ('error', 'refund')
+                  THEN 0.9 ELSE 0.1 END AS m2,
+             (event_id % 100) / 100.0 AS m3
+      FROM events
+    ), voted AS (
+      SELECT y,
+             CASE WHEN (m1 * 2.0 + m2 * 3.0 + m3 * 1.0) / 6.0 >= 0.5
+                  THEN 1 ELSE 0 END AS blend_pred,
+             CASE WHEN m1 >= 0.5 THEN 1 ELSE 0 END AS m1_pred,
+             CASE WHEN m2 >= 0.5 THEN 1 ELSE 0 END AS m2_pred,
+             CASE WHEN m3 >= 0.5 THEN 1 ELSE 0 END AS m3_pred
+      FROM scored
+    ), cm AS (
+""" + " UNION ALL ".join(
+        _ENSEMBLE_METRIC_SQL.format(name=n, p=p)
+        for n, p in (
+            ("blend", "blend_pred"), ("m1", "m1_pred"),
+            ("m2", "m2_pred"), ("m3", "m3_pred"),
+            ("or_vote",
+             "(CASE WHEN m1_pred = 1 OR m2_pred = 1 OR m3_pred = 1 "
+             "THEN 1 ELSE 0 END)"),
+        )
+    ) + """
+    )
+    SELECT model, tn, fp, fn, tp,
+           (tp + tn) * 1.0 / (tp + tn + fp + fn) AS accuracy,
+           tp * 1.0 / (tp + fp) AS precision,
+           tp * 1.0 / (tp + fn) AS detection_rate,
+           fp * 1.0 / (fp + tn) AS false_alarm_rate,
+           2 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+             / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))) AS f1
+    FROM cm ORDER BY model
+    """,
+)
+def q138_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.metrics import binary_metrics
+    from nsl_kdd_spark.operators.joins import union_by_name
+    from nsl_kdd_spark.pipeline import combine_scores
+
+    t = load_tables(spark, sf_dir)
+    scored = t.events.select(
+        F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+        .alias("y"),
+        (F.least(F.col("value"), F.lit(10.0)) / F.lit(10.0)).alias("m1"),
+        F.when(F.col("event_type").isin("error", "refund"), 0.9)
+        .otherwise(0.1).alias("m2"),
+        (F.pmod(F.col("event_id"), F.lit(100)) / F.lit(100.0)).alias("m3"),
+    )
+    voted = combine_scores(
+        scored, ["m1", "m2", "m3"], weights=[2.0, 3.0, 1.0], threshold=0.5
+    )
+    reports = [
+        binary_metrics(voted, "y", pred).select(
+            F.lit(name).alias("model"), "*"
+        )
+        for name, pred in (
+            ("blend", "blend_pred"), ("m1", "m1_pred"),
+            ("m2", "m2_pred"), ("m3", "m3_pred"),
+            ("or_vote", "or_vote"),
+        )
+    ]
+    return union_by_name(reports).orderBy("model")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
