@@ -5809,36 +5809,46 @@ def q138_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CSV projection) plus the 4 never-recorded rows-only ones
 # (q111/q116/q118/q122 get the driver's weaker rows-only record, by
 # design). Flagships q01/q03/q28/q29 etc. already have green driver
-# evidence in r1–r3 and rotate out to free slots. After this round
-# the never-recorded set is: q62_knn_ivf / q63_sketch_profile /
-# q74_pq_ann (rows-only) plus the round-4 additions q132_bpe_encode
-# (rows-only), q133_sliding_chunks, q134_script_profile,
-# q135_psi_drift, q136_psi_categorical, q137_sample_exact_n (all
-# oracle-paired) — rotate those nine in next round along with the
-# flagship re-anchors.
+# evidence in r1–r3 and rotate out to free slots.
+# Round-5 rotation (VERDICT r04 #2/#3): with r4 green, every
+# oracle-paired query registered through r4 except q133–q137 has a
+# green row in SOME CORRECTNESS_r{N}.json. This window closes that
+# gap (q133–q137 in) and adds the round-5 queries (q138). Rows-only
+# queries are now EXCLUDED from the window entirely — the driver's
+# weaker rows-only check can only ever render them as red
+# `no_oracle` rows while adding nothing over the local rows-only
+# runs (tools/compare.py, recorded in VERDICT r4) and the stricter
+# pytest pins (CMS/BPE/HLL/k-core vs pure-Python references, ANN
+# recall floors); their slots go to oracle-paired re-anchors. The 43
+# re-anchor slots cover every operator family via its strongest
+# sibling, preferring queries whose code paths changed this round
+# (q94 seeding default, q103/q127 via the graph checkpoint refactor,
+# q21/q22 via q138's shared metrics) and flagships whose last green
+# row is oldest (r1/r2).
 DRIVER_WINDOW = [
-    "q87_vocab_encode", "q51_string_funcs", "q53_pattern_extract",
-    "q55_histogram", "q56_rank_analytics", "q60_profile",
-    "q64_unpivot_profile", "q65_resample_ffill", "q66_grouping_sets",
-    "q73_registry_dedup", "q75_event_funnel", "q79_ewma",
-    "q80_embedding_centroids", "q83_hash_sample", "q84_chunk_pieces",
-    "q85_bin_texts", "q86_weighted_sample", "q88_stratified_sample",
-    "q89_latest_per_key", "q90_group_split", "q92_ngram_topk",
-    "q99_shuffle_order", "q100_token_budget", "q101_bigram_logprob",
-    "q102_point_in_time", "q105_cohort_retention", "q106_winsorize",
-    "q107_mad_outliers", "q108_inverted_index", "q109_event_transitions",
-    "q110_mutual_information", "q111_count_min", "q113_expectations",
-    "q114_quantized_ann", "q115_windowed_expectations", "q116_bpe_merges",
-    "q117_skew_topkeys", "q118_sketch_rollup", "q119_table_digest",
-    "q120_upsample", "q122_kcore", "q123_ranking_metrics",
-    "q124_skipping_stats", "q125_calibration", "q126_select_canonical",
-    "q127_weighted_pagerank", "q128_time_weighted_avg", "q129_asof_forward",
-    "q130_association_rules", "q131_rfm_segments",
+    # round-5 new / never-recorded / changed-this-round
+    "q133_sliding_chunks", "q134_script_profile", "q135_psi_drift",
+    "q136_psi_categorical", "q137_sample_exact_n", "q138_ensemble_report",
+    "q94_semantic_dedup",
+    # flagship + family re-anchors
+    "q01_pricing_summary", "q03_revenue_by_nation", "q08_topk_per_group",
+    "q19_rollup", "q21_binary_metrics", "q22_auc_roc",
+    "q28_jaccard_pairs", "q29_minhash_lsh", "q31_knn_bruteforce",
+    "q34_tumbling_window", "q36_session_window", "q46_shipping_priority",
+    "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
+    "q61_simhash_banded", "q65_resample_ffill", "q66_grouping_sets",
+    "q68_hash_split", "q69_cdc_merge", "q70_rolling_range_window",
+    "q71_table_diff", "q72_fuzzy_pairs", "q73_registry_dedup",
+    "q75_event_funnel", "q76_decontaminate", "q77_repetition_quality",
+    "q81_pii_scrub", "q82_pack_chunks", "q84_chunk_pieces",
+    "q87_vocab_encode", "q88_stratified_sample", "q91_span_dedup",
+    "q95_unigram_logprob", "q101_bigram_logprob", "q103_pagerank",
+    "q104_bm25", "q105_cohort_retention", "q113_expectations",
+    "q114_quantized_ann", "q127_weighted_pagerank", "q129_asof_forward",
+    "q130_association_rules",
 ]
 
-_ROWS_ONLY_BY_DESIGN = {
-    "q111_count_min", "q116_bpe_merges", "q118_sketch_rollup", "q122_kcore",
-}
+_ROWS_ONLY_BY_DESIGN: set[str] = set()
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 assert set(DRIVER_WINDOW) <= set(QUERIES), set(DRIVER_WINDOW) - set(QUERIES)
 assert all(

@@ -9,9 +9,15 @@ Exactly-once layout (same contract as
 rows AND registry signatures into its own ``__batch_id=N`` partition
 with dynamic partition overwrite, so a replayed batch overwrites its
 own output instead of duplicating — idempotent on top of the
-checkpoint's at-least-once replay. The registry is APPEND-ONLY (one
-signature shard per batch, never rewritten); fragmentation is the
-compactor's job (``sources/compact.py``), not the ingest path's.
+checkpoint's at-least-once replay. The registry PROBE reads only
+``__batch_id < batch_id`` partitions (:func:`read_registry_before`):
+a batch that crashed after its registry write but before the
+checkpoint commit is re-delivered with the same batch_id, and reading
+its own prior signatures back would make every survivor self-match
+and empty-overwrite the batch's partitions (round-4 advisory). The
+registry is APPEND-ONLY (one signature shard per batch, never
+rewritten); fragmentation is the compactor's job
+(``sources/compact.py``), not the ingest path's.
 
 Consistency note: batch N+1 reads the registry as of batch N — within-
 batch dups are caught by the self-tier, so no accepted duplicate can

@@ -520,3 +520,34 @@ def test_media_ingest_128bit_registry(spark, tmp_path):
             spark, str(src), corpus_path=str(tmp_path / "c"),
             registry_path=str(tmp_path / "r"),
             checkpoint_dir=str(tmp_path / "k"), bits=32)
+
+
+def test_media_signatures_128bit_quarantine_bit_exact(spark):
+    """bits=128 signature extraction under quarantine: tuple hashes
+    with bit 63 set in either half must fold bit-exactly to the
+    two-long layout, corrupt payloads dropped."""
+    from nsl_kdd_spark.multimodal.binary import MEDIA_SCHEMA
+    from nsl_kdd_spark.streaming.media_ingest import _signatures
+
+    hashes = {
+        b"a": (18446459269608898560, 7),
+        b"b": ((1 << 63) | 0x7FF, (1 << 64) - 1),
+    }
+
+    def fake_hash(payload: bytes):
+        if payload == b"x":
+            raise ValueError("corrupt")
+        return hashes[bytes(payload)]
+
+    media = spark.createDataFrame(
+        [(i, "image", "m", 1, bytearray(p))
+         for i, p in enumerate([b"a", b"x", b"b"])],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r.media_id: (r.phash_hi % (1 << 64), r.phash_lo % (1 << 64))
+        for r in _signatures(
+            media, fake_hash, on_error="skip", bits=128
+        ).collect()
+    }
+    assert got == {0: hashes[b"a"], 2: hashes[b"b"]}
