@@ -162,3 +162,42 @@ def script_counts(col: Column | str) -> dict[str, Column]:
     counts["other"] = total - known
     counts["n_chars"] = total
     return counts
+
+
+# Normalization patterns shared with the q139 oracle: restricted to
+# the regex subset Java regex and RE2 evaluate identically (no
+# backrefs, no lookaround, no \p classes — the script_counts rule),
+# so any engine replays the chain bit-for-bit.
+_HTML_TAG = "<[^>]*>"
+_URL = "https?://[^ \\t\\n\\r]+"
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"),
+]
+
+
+def normalize_text(col: Column | str, lowercase: bool = False) -> Column:
+    """Boilerplate normalization for corpus cleanup — the standard
+    pre-dedup / pre-tokenize scrub: strip HTML tags, decode the six
+    ubiquitous entities, drop URLs and e-mail addresses, collapse all
+    whitespace runs to single spaces, trim. ``lowercase=True`` folds
+    case as the final step (keep it OFF ahead of case-sensitive
+    dedup).
+
+    Pure ``regexp_replace`` chain: scan-speed, whole-stage codegen,
+    no UDF — at 100 TB this runs inside the same stage as the scan
+    and costs no shuffle. Order matters and is part of the contract
+    (tags before entities, so ``&lt;p&gt;`` decodes to a literal
+    ``<p>`` TEXT rather than becoming a strippable tag; URLs/emails
+    before whitespace collapse so their removal can't join words)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, _URL, " ")
+    c = F.regexp_replace(c, _EMAIL, " ")
+    c = F.trim(F.regexp_replace(c, "[ \\t\\n\\r]+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return c

@@ -5748,6 +5748,61 @@ def q138_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text normalization (functions/text.normalize_text): the standard
+# pre-dedup boilerplate scrub — strip tags, decode entities, drop
+# URLs/emails, collapse whitespace — as a pure regexp_replace chain
+# (scan-speed, no UDF). The fixture DECORATES each document with
+# markup/URL/email noise so the chain does real work; the oracle
+# replays the identical RE2-compatible patterns in the identical
+# order (the script_counts engine-portability rule).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q139_normalize_text",
+    oracle="""
+    WITH decorated AS (
+      SELECT doc_id,
+             '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text
+             || '</p> &amp; details at https://ex.com/d?id='
+             || CAST(doc_id AS VARCHAR)
+             || ' or bob.smith@corp.example.com &lt;fast&gt;' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           TRIM(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                   '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 'https?://[^ \t\n\r]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+               ' ', 'g'),
+             '[ \t\n\r]+', ' ', 'g')) AS clean_text
+    FROM decorated ORDER BY doc_id
+    """,
+)
+def q139_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import normalize_text
+
+    t = load_tables(spark, sf_dir)
+    decorated = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="'), F.col("doc_id").cast("string"), F.lit('">'),
+            F.col("text"),
+            F.lit("</p> &amp; details at https://ex.com/d?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" or bob.smith@corp.example.com &lt;fast&gt;"),
+        ).alias("raw"),
+    )
+    return decorated.select(
+        "doc_id", normalize_text("raw").alias("clean_text")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -5829,12 +5884,12 @@ DRIVER_WINDOW = [
     # round-5 new / never-recorded / changed-this-round
     "q133_sliding_chunks", "q134_script_profile", "q135_psi_drift",
     "q136_psi_categorical", "q137_sample_exact_n", "q138_ensemble_report",
-    "q94_semantic_dedup",
-    # flagship + family re-anchors
+    "q139_normalize_text", "q94_semantic_dedup",
+    # flagship + family re-anchors (q46 held by the q03 join family)
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_topk_per_group",
     "q19_rollup", "q21_binary_metrics", "q22_auc_roc",
     "q28_jaccard_pairs", "q29_minhash_lsh", "q31_knn_bruteforce",
-    "q34_tumbling_window", "q36_session_window", "q46_shipping_priority",
+    "q34_tumbling_window", "q36_session_window",
     "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q61_simhash_banded", "q65_resample_ffill", "q66_grouping_sets",
     "q68_hash_split", "q69_cdc_merge", "q70_rolling_range_window",

@@ -280,3 +280,23 @@ def test_train_bpe_batched_equals_serial_and_reference(spark):
     import pytest
     with pytest.raises(ValueError, match="batch"):
         train_bpe(docs, batch=0)
+
+
+def test_normalize_text_strips_boilerplate_in_contract_order(spark):
+    """normalize_text: tags stripped, entities decoded AFTER tags (an
+    entity-encoded tag stays literal text), URLs/emails removed,
+    whitespace collapsed, optional lowercase last."""
+    from nsl_kdd_spark.functions.text import normalize_text
+
+    raw = ('<div class="x">Hello &amp; <b>World</b></div>\n\n'
+           'See https://ex.com/a?b=1#f and &lt;em&gt;keep&lt;/em&gt; '
+           'mail Bob.Smith@corp.example.com  today &nbsp;&#39;quoted&#39;')
+    df = spark.createDataFrame([(1, raw), (2, "  plain   text  ")],
+                               "id long, t string")
+    got = {r.id: r.c for r in df.select(
+        "id", normalize_text("t").alias("c")).collect()}
+    assert got[1] == "Hello & World See and <em>keep</em> mail today 'quoted'"
+    assert got[2] == "plain text"
+    low = df.filter("id = 1").select(
+        normalize_text("t", lowercase=True).alias("c")).first().c
+    assert low == got[1].lower()
