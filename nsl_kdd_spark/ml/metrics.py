@@ -29,22 +29,68 @@ def confusion_matrix(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     )
 
 
-def binary_metrics(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
-    """One-row report: CM cells + accuracy, precision, detection rate
-    (recall), false-alarm rate, F1 — all exact (integer counts, then
-    deterministic double division)."""
-    cm = confusion_matrix(df, label_col, pred_col)
+def _derived_metric_cols() -> list:
+    """The shared metric formulas over (tn, fp, fn, tp) columns —
+    single definition, so the one-model and one-pass multi-model
+    reports compute byte-identical numbers."""
     tn, fp, fn, tp = [F.col(c).cast("double") for c in ("tn", "fp", "fn", "tp")]
     precision = tp / (tp + fp)
     recall = tp / (tp + fn)
-    return cm.select(
-        "tn", "fp", "fn", "tp",
+    return [
         ((tp + tn) / (tp + tn + fp + fn)).alias("accuracy"),
         precision.alias("precision"),
         recall.alias("detection_rate"),
         (fp / (fp + tn)).alias("false_alarm_rate"),
         (2 * precision * recall / (precision + recall)).alias("f1"),
-    )
+    ]
+
+
+def binary_metrics(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """One-row report: CM cells + accuracy, precision, detection rate
+    (recall), false-alarm rate, F1 — all exact (integer counts, then
+    deterministic double division)."""
+    cm = confusion_matrix(df, label_col, pred_col)
+    return cm.select("tn", "fp", "fn", "tp", *_derived_metric_cols())
+
+
+def binary_metrics_multi(
+    df: DataFrame, label_col: str, pred_cols: dict[str, str]
+) -> DataFrame:
+    """One row PER MODEL — same cells and formulas as
+    :func:`binary_metrics` — from a SINGLE aggregate pass over the
+    scored table. The ensemble-evaluation shape: scoring N models
+    (per-model preds + blend + OR-vote) must not scan the fact table
+    N times; all 4N conditional counts ride one partial+final
+    aggregate (the q113 expectations pattern), and the 1-row result
+    unpivots to N rows driver-free. Output sorted by model name."""
+    lbl = F.col(label_col).cast("int")
+    aggs = []
+    for name, pred in pred_cols.items():
+        prd = F.col(pred).cast("int")
+        aggs += [
+            F.count(F.when((lbl == 0) & (prd == 0), 1)).alias(f"__{name}_tn"),
+            F.count(F.when((lbl == 0) & (prd == 1), 1)).alias(f"__{name}_fp"),
+            F.count(F.when((lbl == 1) & (prd == 0), 1)).alias(f"__{name}_fn"),
+            F.count(F.when((lbl == 1) & (prd == 1), 1)).alias(f"__{name}_tp"),
+        ]
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("model"),
+                    F.col(f"__{name}_tn").alias("tn"),
+                    F.col(f"__{name}_fp").alias("fp"),
+                    F.col(f"__{name}_fn").alias("fn"),
+                    F.col(f"__{name}_tp").alias("tp"),
+                )
+                for name in pred_cols
+            ])
+        ).alias("__s")
+    ).select("__s.*")
+    return stacked.select(
+        "model", "tn", "fp", "fn", "tp", *_derived_metric_cols()
+    ).orderBy("model")
 
 
 def auc_roc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:

@@ -529,6 +529,58 @@ def _bpe_merge_fold(syms, left: str, right: str, merged: str):
     )
 
 
+def _select_batch(
+    top: list[tuple[str, str, int]],
+    take: int,
+    min_pair_freq: int,
+    truncated_prefix: bool,
+) -> list[tuple[str, str, int]]:
+    """The batch admission rule, as a pure function of the sorted
+    (freq desc, l, r) pair-table prefix — shared by the Spark trainer
+    and the hypothesis property test that adversarially checks the
+    batched == serial guarantee against the pure-Python reference.
+
+    Admits a CONTIGUOUS prefix of candidates (``top[:take]``) such
+    that each one is symbol-disjoint from every earlier admitted pair
+    and its frequency STRICTLY exceeds every earlier pair's new-pair
+    cap; truncates at the first violation. ``truncated_prefix`` says
+    whether ``top`` is a cut of a larger table, in which case any
+    unseen pair's frequency is bounded by the last row's."""
+    selected = [top[0]]
+    if take <= 1 or len(top) <= 1:
+        return selected
+    bound = top[-1][2] if truncated_prefix else 0
+    end_max: dict[str, int] = {}
+    start_max: dict[str, int] = {}
+    for left, right, freq in top:
+        end_max[right] = max(end_max.get(right, 0), freq)
+        start_max[left] = max(start_max.get(left, 0), freq)
+
+    def cap_of(left: str, right: str) -> int:
+        # merging (left, right) can only create pairs whose frequency
+        # is bounded by the max pre-merge freq of pairs ENDING in
+        # `left` / STARTING in `right`
+        return max(end_max.get(left, 0), start_max.get(right, 0), bound)
+
+    used: set[str] = {top[0][0], top[0][1], top[0][0] + top[0][1]}
+    cap = cap_of(top[0][0], top[0][1])
+    for left, right, freq in top[1:take]:
+        if freq < min_pair_freq:
+            break                          # serial would stop here
+        merged_c = left + right
+        if (
+            left in used
+            or right in used
+            or merged_c in used
+            or freq <= cap                 # a batch-born pair could
+        ):                                 # outrank it serially
+            break
+        selected.append((left, right, freq))
+        used.update((left, right, merged_c))
+        cap = max(cap, cap_of(left, right))
+    return selected
+
+
 def train_bpe(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -646,39 +698,12 @@ def train_bpe(
         )
         if not top or top[0].freq < min_pair_freq:
             break
-        selected = [(top[0].l, top[0].r, top[0].freq)]
-        if take > 1 and len(top) > 1:
-            bound = top[-1].freq if len(top) == k_prefix else 0
-            end_max: dict[str, int] = {}
-            start_max: dict[str, int] = {}
-            for r in top:
-                end_max[r.r] = max(end_max.get(r.r, 0), r.freq)
-                start_max[r.l] = max(start_max.get(r.l, 0), r.freq)
-
-            def cap_of(left: str, right: str) -> int:
-                # merging (left, right) can only create pairs whose
-                # frequency is bounded by the max pre-merge freq of
-                # pairs ENDING in `left` / STARTING in `right`
-                return max(
-                    end_max.get(left, 0), start_max.get(right, 0), bound
-                )
-
-            used: set[str] = {top[0].l, top[0].r, top[0].l + top[0].r}
-            cap = cap_of(top[0].l, top[0].r)
-            for cand in top[1:take]:
-                if cand.freq < min_pair_freq:
-                    break                      # serial would stop here
-                merged_c = cand.l + cand.r
-                if (
-                    cand.l in used
-                    or cand.r in used
-                    or merged_c in used
-                    or cand.freq <= cap        # a batch-born pair could
-                ):                             # outrank it serially
-                    break
-                selected.append((cand.l, cand.r, cand.freq))
-                used.update((cand.l, cand.r, merged_c))
-                cap = max(cap, cap_of(cand.l, cand.r))
+        selected = _select_batch(
+            [(r.l, r.r, r.freq) for r in top],
+            take=take,
+            min_pair_freq=min_pair_freq,
+            truncated_prefix=len(top) == k_prefix,
+        )
         # apply the selected merges in rank order inside ONE
         # projection: each fold consumes the previous fold's output,
         # exactly the serial rewrite sequence

@@ -5665,6 +5665,10 @@ def q131_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # metrics row — CM cells, accuracy, precision, DR, FAR, F1 — is
 # hash-checked against the oracle. Exercises the exact expressions
 # the trained ensembles run through (README.md:3113-3334, 1433-1475).
+# Scale shape: metrics for ALL models come from ONE aggregate pass
+# (binary_metrics_multi — 4N conditional counts in one partial+final
+# agg, unpivoted driver-free), so evaluating a wider ensemble never
+# adds a scan of the fact table.
 # ---------------------------------------------------------------------------
 
 _ENSEMBLE_METRIC_SQL = """
@@ -5718,8 +5722,7 @@ _ENSEMBLE_METRIC_SQL = """
     """,
 )
 def q138_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nsl_kdd_spark.ml.metrics import binary_metrics
-    from nsl_kdd_spark.operators.joins import union_by_name
+    from nsl_kdd_spark.ml.metrics import binary_metrics_multi
     from nsl_kdd_spark.pipeline import combine_scores
 
     t = load_tables(spark, sf_dir)
@@ -5734,17 +5737,12 @@ def q138_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     voted = combine_scores(
         scored, ["m1", "m2", "m3"], weights=[2.0, 3.0, 1.0], threshold=0.5
     )
-    reports = [
-        binary_metrics(voted, "y", pred).select(
-            F.lit(name).alias("model"), "*"
-        )
-        for name, pred in (
-            ("blend", "blend_pred"), ("m1", "m1_pred"),
-            ("m2", "m2_pred"), ("m3", "m3_pred"),
-            ("or_vote", "or_vote"),
-        )
-    ]
-    return union_by_name(reports).orderBy("model")
+    # one aggregate pass for all five models — the fact table is
+    # scanned ONCE regardless of ensemble width
+    return binary_metrics_multi(voted, "y", {
+        "blend": "blend_pred", "m1": "m1_pred", "m2": "m2_pred",
+        "m3": "m3_pred", "or_vote": "or_vote",
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,25 @@ def test_lr_stacker_and_rf_ensembler(spark):
     agg = joined.groupBy("labels2").agg(F.avg("rf_prob").alias("m")).collect()
     means = {r["labels2"]: r["m"] for r in agg}
     assert means["attack"] > means["normal"]
+
+
+def test_binary_metrics_multi_matches_per_model_reports(spark):
+    """binary_metrics_multi: one aggregate pass over N models must
+    reproduce each model's binary_metrics row exactly (shared formula
+    expressions), sorted by model name."""
+    from nsl_kdd_spark.ml.metrics import binary_metrics, binary_metrics_multi
+
+    scored = spark.createDataFrame(
+        [(1.0, 1.0, 0.0), (1.0, 0.0, 1.0), (0.0, 0.0, 0.0),
+         (0.0, 1.0, 0.0), (1.0, 1.0, 1.0), (0.0, 0.0, 1.0)],
+        "y double, pa double, pb double",
+    )
+    multi = {r.model: r for r in binary_metrics_multi(
+        scored, "y", {"a": "pa", "b": "pb"}).collect()}
+    assert list(multi) == ["a", "b"]
+    for name, pred in (("a", "pa"), ("b", "pb")):
+        single = binary_metrics(scored, "y", pred).first()
+        got = multi[name]
+        for c in ("tn", "fp", "fn", "tp", "accuracy", "precision",
+                  "detection_rate", "false_alarm_rate", "f1"):
+            assert got[c] == single[c], (name, c)

@@ -300,3 +300,80 @@ def test_normalize_text_strips_boilerplate_in_contract_order(spark):
     low = df.filter("id = 1").select(
         normalize_text("t", lowercase=True).alias("c")).first().c
     assert low == got[1].lower()
+
+
+def _py_apply_merge(vocab, left, right, merged):
+    new_vocab = {}
+    for syms, c in vocab.items():
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+    return new_vocab
+
+
+def _py_bpe_batched(word_counts, num_merges, batch, min_pair_freq, k_prefix):
+    """Pure-Python twin of the Spark trainer's batched loop, driven by
+    the SAME _select_batch admission rule — lets hypothesis hammer the
+    batched == serial claim without Spark in the loop."""
+    from nsl_kdd_spark.ml.text_features import _select_batch
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    while len(merges) < num_merges:
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        take = min(batch, num_merges - len(merges))
+        kp = take if take == 1 else k_prefix
+        ordered = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:kp]
+        top = [(lr[0], lr[1], f) for lr, f in ordered]
+        if not top or top[0][2] < min_pair_freq:
+            break
+        selected = _select_batch(
+            top, take=take, min_pair_freq=min_pair_freq,
+            truncated_prefix=len(top) == kp,
+        )
+        for left, right, freq in selected:
+            vocab = _py_apply_merge(vocab, left, right, left + right)
+            merges.append((len(merges), left, right, left + right, freq))
+    return merges
+
+
+def test_bpe_batch_admission_rule_is_serial_equal_property():
+    """Adversarial check of the batch admission rule: on random tiny
+    corpora (small alphabets maximize symbol interaction — the regime
+    where unsound batching diverges), batched selection must ALWAYS
+    reproduce the serial merge table, for every batch size and even
+    pathologically short cap prefixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.dictionaries(word, st.integers(1, 6), min_size=1, max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        counts=corpus,
+        num_merges=st.integers(1, 8),
+        batch=st.integers(2, 6),
+        min_pair_freq=st.integers(1, 3),
+        k_prefix=st.sampled_from([2, 3, 5, 1000]),
+    )
+    def check(counts, num_merges, batch, min_pair_freq, k_prefix):
+        want = _reference_bpe(counts, num_merges, min_pair_freq)
+        got = _py_bpe_batched(
+            counts, num_merges, batch, min_pair_freq, k_prefix
+        )
+        assert got == want
+
+    check()
