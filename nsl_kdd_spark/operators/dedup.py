@@ -464,12 +464,16 @@ def _md5_bit(h: Column, b: int, nchars: int) -> Column:
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: per-bit majority vote of token-hash
-    bits, any width up to 64 (multiple of 4). explode -> one agg with
-    ``bits`` conditional sums -> pack. Packing uses shiftleft|or, so
-    bit 63 (sign bit) is well-defined; xor/bit_count downstream treat
-    the long as a bag of bits. Returns (id, simhash long)."""
-    if bits % 4 or not 4 <= bits <= 64:
-        raise ValueError(f"bits must be a multiple of 4 in [4, 64], got {bits}")
+    bits, any width up to 128 (multiple of 4; md5 supplies the bits).
+    explode -> one agg with ``bits`` conditional sums -> pack. Packing
+    uses shiftleft|or, so bit 63 (sign bit) is well-defined; xor/
+    bit_count downstream treat each long as a bag of bits. Returns
+    (id, simhash long) for widths <= 64, (id, simhash_hi, simhash_lo)
+    above — the two-long layout ``banded_hamming_pairs`` consumes.
+    Width is the CORPUS-SIZE knob, not a recall knob: see
+    :func:`simhash_pairs` sizing notes."""
+    if bits % 4 or not 4 <= bits <= 128:
+        raise ValueError(f"bits must be a multiple of 4 in [4, 128], got {bits}")
     nchars = bits // 4
     tok = df.select(
         F.col(id_col).alias(id_col), F.explode(distinct_tokens(text_col)).alias("__t")
@@ -478,11 +482,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(_md5_bit(F.col("__h"), b, nchars)).alias(f"__b{b}") for b in range(bits)],
     )
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
-        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), b))
-    return per_bit.select(F.col(id_col), sig.alias("simhash"))
+
+    def pack(lo_bit: int, hi_bit: int):
+        sig = F.lit(0).cast("long")
+        for b in range(lo_bit, hi_bit):
+            bit = F.when(
+                F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1)
+            ).otherwise(F.lit(0))
+            sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), b - lo_bit))
+        return sig
+
+    if bits <= 64:
+        return per_bit.select(F.col(id_col), pack(0, bits).alias("simhash"))
+    return per_bit.select(
+        F.col(id_col),
+        pack(64, bits).alias("simhash_hi"),
+        pack(0, 64).alias("simhash_lo"),
+    )
 
 
 def simhash_pairs(
@@ -517,11 +533,15 @@ def simhash_pairs(
     unrelated docs — so BITS MUST SCALE WITH CORPUS SIZE. Keep
     ``2^(bits/bands)`` a few times larger than ``n``: 32-bit/4-band
     (8-bit buckets) is fine to ~10k docs, 64-bit/4-band (16-bit
-    buckets) to ~1M; beyond that add a ``block_col`` shard. Measured
-    (BASELINE.md, 100k docs): 32/4 costs 29 s, 64/4 costs ~7 s —
-    the band width, not the data, was the cost."""
+    buckets) to ~1M; ``bits=128`` (two-long signature, e.g. 8 bands
+    of 16 -> pigeonhole radius 7, or 4 bands of 32 -> 4-billion-value
+    buckets at radius 3) is the 1e8-1e9-doc configuration, composable
+    with a ``block_col`` shard beyond that. Measured (BASELINE.md,
+    100k docs): 32/4 costs 29 s, 64/4 costs ~7 s — the band width,
+    not the data, was the cost."""
     cols = [id_col] + ([block_col] if block_col else [])
     sigs = simhash(df.select(*cols, text_col), id_col, text_col, bits)
+    sig_cols = ["simhash"] if bits <= 64 else ["simhash_hi", "simhash_lo"]
     if block_col:
         sigs = sigs.join(df.select(id_col, block_col), on=id_col)
     sigs = sigs.localCheckpoint()  # self-joined below; releases on GC
@@ -531,34 +551,56 @@ def simhash_pairs(
                 f"bands={bands} loses pairs at max_hamming={max_hamming}; "
                 f"need bands >= max_hamming + 1"
             )
-        # near-equal band widths covering all ``bits``
-        base, extra = divmod(bits, bands)
-        widths = [base + (1 if i < extra else 0) for i in range(bands)]
-        starts = [sum(widths[:i]) for i in range(bands)]
-        band_vals = F.array(
-            *[
-                F.shiftright(F.col("simhash"), s).bitwiseAND(
-                    F.lit((1 << w) - 1).cast("long")
+        if bits <= 64:
+            # near-equal band widths covering all ``bits``
+            base, extra = divmod(bits, bands)
+            widths = [base + (1 if i < extra else 0) for i in range(bands)]
+            starts = [sum(widths[:i]) for i in range(bands)]
+            band_vals = F.array(
+                *[
+                    F.shiftright(F.col("simhash"), s).bitwiseAND(
+                        F.lit((1 << w) - 1).cast("long")
+                    )
+                    for s, w in zip(starts, widths)
+                ]
+            )
+        else:
+            # two-long signature: every band must be an equal slice of
+            # ONE long (the banded_hamming geometry rule), e.g.
+            # 128-bit/8-band -> 16-bit values from alternating halves
+            if bits % bands or 64 % (bits // bands):
+                raise ValueError(
+                    f"bands={bands} must divide the {bits}-bit signature "
+                    f"into equal slices that each fit one 64-bit word"
                 )
-                for s, w in zip(starts, widths)
-            ]
-        )
-        # the signature is 8 bytes — carry it through the band join and
-        # verify inline, instead of distinct-ing candidates and joining
-        # the signature table back twice
+            width = bits // bands
+            mask = F.lit((1 << width) - 1).cast("long") if width < 64 else None
+            slices = []
+            for i in range(bands):
+                c = F.col(sig_cols[1 - (i * width) // 64])  # lo first
+                sliced = F.shiftright(c, (i * width) % 64)
+                slices.append(sliced.bitwiseAND(mask) if mask is not None else c)
+            band_vals = F.array(*slices)
+        # the signature is 8/16 bytes — carry it through the band join
+        # and verify inline, instead of distinct-ing candidates and
+        # joining the signature table back twice
         bucketed = sigs.select(
             id_col,
-            "simhash",
+            *sig_cols,
             *([block_col] if block_col else []),
             F.posexplode(band_vals).alias("__bi", "__bv"),
         )
         key = ["__bi", "__bv"] + ([block_col] if block_col else [])
         bucketed = _cap_buckets(bucketed, key, max_bucket_size)
         xa = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), *key
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"__sa{j}") for j, c in enumerate(sig_cols)],
+            *key,
         )
         xb = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), *key
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"__sb{j}") for j, c in enumerate(sig_cols)],
+            *key,
         )
         pairs = (
             xa.join(xb, on=key)
@@ -566,7 +608,7 @@ def simhash_pairs(
             .select(
                 "id_a",
                 "id_b",
-                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+                _hamming("__sa", "__sb", len(sig_cols)).alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
         )
@@ -580,15 +622,18 @@ def simhash_pairs(
     on = (
         [F.col(f"{block_col}_a") == F.col(f"{block_col}_b")] if block_col else [F.lit(True)]
     )
+    ham = F.bit_count(
+        F.col(f"{sig_cols[0]}_a").bitwiseXOR(F.col(f"{sig_cols[0]}_b"))
+    )
+    for c in sig_cols[1:]:
+        ham = ham + F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
     pairs = (
         a.join(b, on=on)
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .select(
             F.col(f"{id_col}_a").alias("id_a"),
             F.col(f"{id_col}_b").alias("id_b"),
-            F.bit_count(
-                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
-            ).alias("hamming"),
+            ham.alias("hamming"),
         )
     )
     return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")

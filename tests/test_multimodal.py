@@ -743,3 +743,41 @@ def test_banded_hamming_multi_long_matches_single_long_semantics(spark):
                              max_hamming=1)
     with pytest.raises(ValueError, match="widths differ"):
         banded_hamming_join(probe, sigs, "id", ["hi", "lo"], "id", "hi")
+
+
+def test_simhash128_two_long_bands_match_crossjoin_truth(spark):
+    """bits=128 simhash (the 1e9-doc text configuration): the banded
+    two-long path must find exactly the pairs the exact cross-join
+    path finds, at both band geometries (8x16-bit, 4x32-bit), and the
+    signature must be the two-long layout."""
+    from nsl_kdd_spark.operators.dedup import simhash, simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near 1
+        (3, "totally different words about spark shuffles and parquet"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = simhash(docs, "doc_id", "text", bits=128)
+    assert set(sigs.columns) == {"doc_id", "simhash_hi", "simhash_lo"}
+    by_id = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in sigs.collect()}
+    assert by_id[1] == by_id[4]            # identical text, identical sig
+
+    truth = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(
+        docs, "doc_id", "text", max_hamming=16, bits=128).collect()}
+    assert (1, 4, 0) in truth
+    for bands in (8, 4):
+        banded = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=bands - 1, bits=128,
+            bands=bands).collect()}
+        want = {t for t in truth if t[2] <= bands - 1}
+        assert banded == want
+
+    import pytest
+    with pytest.raises(ValueError, match="equal slices"):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=2, bits=128,
+                      bands=3)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        simhash(docs, "doc_id", "text", bits=132)
