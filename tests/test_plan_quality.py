@@ -310,3 +310,39 @@ def test_bpe_encode_expr_tier_stays_in_codegen(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ensemble_report_single_aggregate_pass(spark):
+    """q138: metrics for all five models must ride ONE partial+final
+    aggregate over one fact scan (4N conditional counts + unpivot),
+    never one aggregate per model — ensemble width must not multiply
+    fact-table scans."""
+    plan = plan_of(QUERIES["q138_ensemble_report"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]           # node tree, not the details
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1      # agg partial->final only
+    assert "EvalPython" not in plan
+    assert tree.count("HashAggregate") == 2  # one partial + one final
+
+
+def test_normalize_text_stays_in_scan_stage(spark):
+    """q139: the whole normalization chain must fold into the scan
+    stage's projection — no exchange, window, or Python worker before
+    the final presentation sort."""
+    plan = plan_of(QUERIES["q139_normalize_text"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1      # only the orderBy's range
+    assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_sliding_chunks_shuffle_free(spark):
+    """q133: per-doc overlapping chunks come from an explode in the
+    scan stage — a Window or extra Exchange here would mean the RAG
+    chunker shuffles the corpus."""
+    plan = plan_of(QUERIES["q133_sliding_chunks"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert tree.count("Exchange") == 1      # presentation sort only
+    assert "EvalPython" not in plan
