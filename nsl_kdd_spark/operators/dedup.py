@@ -462,6 +462,67 @@ def _md5_bit(h: Column, b: int, nchars: int) -> Column:
     return F.shiftright(d, b % 4).bitwiseAND(F.lit(1))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-subset duplicate pairs by OVERLAP COEFFICIENT
+    (Szymkiewicz-Simpson): ``|A ∩ B| / min(|A|, |B|)`` over word
+    n-gram shingles — the containment of the SMALLER document in the
+    larger. Catches the duplication jaccard misses by construction: a
+    short doc quoted whole inside a long one has
+    jaccard ~ |A|/|B| (arbitrarily small) but containment 1.0 —
+    boilerplate-wrapped articles, quoted posts, template expansions
+    (production corpus cleanup runs BOTH filters). Returns
+    (id_a, id_b, overlap) with id_a < id_b, overlap >= ``threshold``.
+
+    Scale shape: inverted-index equi-join on 64-bit shingle hashes
+    with a map-side-combined intersection count; per-doc sizes join
+    back on the id. ``max_shingle_freq`` (document-frequency cap)
+    drops stop-shingles from the index — a shingle appearing in 10k
+    docs contributes ~10k^2/2 candidate pairs and near-zero evidence
+    of containment — the explicit recall/cost contract at corpus
+    scale. PPJoin prefix filtering does NOT transfer here (it bounds
+    the union, not the min), so the df-cap is the load-bearing guard;
+    a capped-out shingle can only LOWER a pair's computed overlap
+    (intersection undercount), never invent a pair.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            word_shingles(text_col, n), lambda s: F.xxhash64(s)
+        ).alias("__shs"),
+    ).localCheckpoint()  # feeds sizes + index: one shingle build
+    sizes = sh.select("__id", F.size("__shs").alias("__sz"))
+    idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
+    a = idx.select(F.col("__id").alias("id_a"), "__sh")
+    b = idx.select(F.col("__id").alias("id_b"), "__sh")
+    inter = (
+        a.join(b, on="__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("__inter").cast("double")
+                / F.least(F.col("__sza"), F.col("__szb"))
+            ).alias("overlap"),
+        )
+    )
+    return out.filter(F.col("overlap") >= threshold).orderBy("id_a", "id_b")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: per-bit majority vote of token-hash
     bits, any width up to 128 (multiple of 4; md5 supplies the bits).

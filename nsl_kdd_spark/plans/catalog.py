@@ -5801,6 +5801,48 @@ def q139_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment / overlap-coefficient dedup (dedup.containment_pairs):
+# |A∩B| / min(|A|,|B|) over word 3-shingles — near-SUBSET duplication
+# (short doc quoted whole inside a long one) that jaccard misses by
+# construction. Oracle replays the exact set arithmetic on the same
+# shingles. The fixture threshold sits below the jaccard tier's so
+# the result includes asymmetric-length pairs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q140_containment_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS i,
+             len(a.s) AS sa, len(b.s) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, i * 1.0 / LEAST(sa, sb) AS overlap
+    FROM inter
+    WHERE sa > 0 AND sb > 0 AND i * 1.0 / LEAST(sa, sb) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q140_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    return containment_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -5893,7 +5935,7 @@ DRIVER_WINDOW = [
     "q68_hash_split", "q69_cdc_merge", "q70_rolling_range_window",
     "q71_table_diff", "q72_fuzzy_pairs", "q73_registry_dedup",
     "q75_event_funnel", "q76_decontaminate", "q77_repetition_quality",
-    "q81_pii_scrub", "q82_pack_chunks", "q84_chunk_pieces",
+    "q81_pii_scrub", "q82_pack_chunks", "q140_containment_pairs",
     "q87_vocab_encode", "q88_stratified_sample", "q91_span_dedup",
     "q95_unigram_logprob", "q101_bigram_logprob", "q103_pagerank",
     "q104_bm25", "q105_cohort_retention", "q113_expectations",

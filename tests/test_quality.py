@@ -177,3 +177,34 @@ def test_psi_terms_never_null_past_scale_totals(spark):
         assert r.psi_u is not None
     # maximal shift: both bins contribute large positive terms
     assert rows[0].psi_u > 0 and rows[1].psi_u > 0
+
+
+def test_containment_pairs_catch_subset_dups_jaccard_misses(spark):
+    """Overlap-coefficient dedup: a short doc quoted whole inside a
+    much longer one must pair at containment ~1.0 while the jaccard
+    tier (correctly) scores it far below its threshold; stop-shingle
+    df-cap only lowers overlap, never invents pairs."""
+    from nsl_kdd_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the riverbank"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote),
+         (2, filler + " " + quote + " " + filler.replace("w", "z")),
+         (3, "completely unrelated text about parquet shuffle tuning")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.overlap for r in containment_pairs(
+        docs, "doc_id", "text", threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in got)
+
+    jac = {(r.id_a, r.id_b) for r in jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8).collect()}
+    assert (1, 2) not in jac            # the gap this operator fills
+
+    capped = {(r.id_a, r.id_b): r.overlap for r in containment_pairs(
+        docs, "doc_id", "text", threshold=0.5,
+        max_shingle_freq=1).collect()}
+    # every shared shingle has df=2 -> all dropped -> no pairs at all
+    assert capped == {}
