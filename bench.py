@@ -93,6 +93,7 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     replicas of the sf documents table). Reported as extra rows in
     the bench JSON; BASELINE.md records the expected growth ratios."""
     from nsl_kdd_spark.operators.dedup import (
+        containment_pairs,
         dedup_spans,
         jaccard_pairs,
         minhash_lsh_pairs,
@@ -103,6 +104,11 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         return {
             f"dedup{label}_jaccard": lambda d=docs: jaccard_pairs(
                 d, "doc_id", "text", n=3, threshold=0.8
+            ),
+            # no prefix filter exists for the overlap coefficient, so
+            # the stop-shingle df-cap is the guard under measurement
+            f"dedup{label}_containment": lambda d=docs: containment_pairs(
+                d, "doc_id", "text", threshold=0.7, max_shingle_freq=200
             ),
             f"dedup{label}_minhash": lambda d=docs: minhash_lsh_pairs(
                 d, "doc_id", "text",
@@ -154,7 +160,7 @@ def dedup_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     # slower than its own op at 100k is physically implausible, so
     # re-measure just those cells once and keep the overall min.
     suspect = [
-        op for op in ("jaccard", "minhash", "simhash", "spans")
+        op for op in ("jaccard", "containment", "minhash", "simhash", "spans")
         if timings[f"dedup25k_{op}"] > timings[f"dedup100k_{op}"]
     ]
     if suspect:
