@@ -393,7 +393,10 @@ def skew_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         ),
         "skew_salted": (
             {"spark.sql.adaptive.skewJoin.enabled": "false"},
-            lambda: salted_join(fact, dim, "k", n_salts=32),
+            # hash-build opt-in: the 50k-row dim replicated 32x is
+            # ~50k rows per task at 32 partitions — clearly fits
+            lambda: salted_join(fact, dim, "k", n_salts=32,
+                                build_hint="shuffle_hash"),
         ),
     }
     timings: dict[str, float] = {}

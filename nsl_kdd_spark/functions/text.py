@@ -171,9 +171,13 @@ def script_counts(col: Column | str) -> dict[str, Column]:
 _HTML_TAG = "<[^>]*>"
 _URL = "https?://[^ \\t\\n\\r]+"
 _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+# &amp; must decode LAST (the standard decoding order): running it
+# earlier would turn author-escaped markup like "5 &amp;lt; 6" into
+# "&lt;" and then DOUBLE-decode it to "<" — corrupting text the
+# author explicitly escaped (round-5 review).
 _ENTITIES = [
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", "\""), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
 ]
 
 

@@ -731,7 +731,10 @@ def train_bpe(
     # observable round count: the batching lever's whole point is
     # fewer driver count-cycles — bench/tests read this to record the
     # win (set on the function, not returned, to keep the DataFrame
-    # contract unchanged)
+    # contract unchanged). Best-effort observability only: shared
+    # across calls, so read it right after a call from the same
+    # thread; it is NOT a per-run result channel and is stale if the
+    # call raised mid-loop.
     train_bpe.last_cycles = cycles
     return spark.createDataFrame(merges, schema)
 

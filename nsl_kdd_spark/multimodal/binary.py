@@ -70,6 +70,63 @@ def _to_signed64(series: pd.Series) -> pd.Series:
     ).astype("int64")
 
 
+def signature_frame(
+    df: DataFrame,
+    id_col: str,
+    hash_fn: Callable[[bytes], int | tuple[int, int]],
+    bits: int = 64,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Perceptual signatures from payloads in ONE Arrow decode pass —
+    the shared extractor behind ``media_near_dup`` and the streaming
+    media ingest (round-5 review: both had grown parallel copies of
+    the tuple-unpack/signed-fold/schema logic). Returns
+    (id_col, phash) for ``bits=64`` or (id_col, phash_hi, phash_lo)
+    for ``bits=128``; NULL/empty payloads are skipped (nothing to
+    fingerprint). ``on_error="skip"`` quarantines payloads the codec
+    rejects instead of failing the batch — the continuous-ingest
+    policy; "fail" keeps the strict-codec contract."""
+    if bits not in (64, 128):
+        raise ValueError(f"bits must be 64 or 128, got {bits}")
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    src = df.filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    ).select(F.col(id_col), "payload")
+
+    def safe(b: bytes):
+        try:
+            return hash_fn(b)
+        except Exception:
+            return None
+
+    fn = hash_fn if on_error == "fail" else safe
+    sig_fields = (
+        [StructField("phash", LongType())]
+        if bits == 64
+        else [
+            StructField("phash_hi", LongType()),
+            StructField("phash_lo", LongType()),
+        ]
+    )
+    schema = StructType([StructField(id_col, LongType()), *sig_fields])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = pdf["payload"].map(fn)
+            keep = hashes.notna()
+            out = pd.DataFrame({id_col: pdf[id_col][keep]})
+            kept = hashes[keep]
+            if bits == 64:
+                out["phash"] = _to_signed64(kept)
+            else:
+                out["phash_hi"] = _to_signed64(kept.map(lambda t: t[0]))
+                out["phash_lo"] = _to_signed64(kept.map(lambda t: t[1]))
+            yield out
+
+    return src.mapInPandas(batches, schema=schema)
+
+
 def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed metadata from the payload without Python: length + crc
     stay JVM-side, so metadata-only queries never deserialize blobs."""
@@ -384,45 +441,10 @@ def media_near_dup(
     src = df
     if kind is not None:
         src = src.filter(F.col("kind") == kind)
-    src = src.filter(
-        F.col("payload").isNotNull() & (F.length("payload") > 0)
-    ).select(F.col(id_col).alias("__mid"), "payload")
-
-    if bits == 64:
-
-        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                yield pd.DataFrame({
-                    "__mid": pdf["__mid"],
-                    "phash": _to_signed64(pdf["payload"].map(hash_fn)),
-                })
-
-        schema = StructType([
-            StructField("__mid", LongType()),
-            StructField("phash", LongType()),
-        ])
-        sig_cols: list[str] = ["phash"]
-    else:
-
-        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                hashes = pdf["payload"].map(hash_fn)
-                yield pd.DataFrame({
-                    "__mid": pdf["__mid"],
-                    "phash_hi": _to_signed64(hashes.map(lambda t: t[0])),
-                    "phash_lo": _to_signed64(hashes.map(lambda t: t[1])),
-                })
-
-        schema = StructType([
-            StructField("__mid", LongType()),
-            StructField("phash_hi", LongType()),
-            StructField("phash_lo", LongType()),
-        ])
-        sig_cols = ["phash_hi", "phash_lo"]
-
-    sigs = src.mapInPandas(batches, schema=schema)
+    sigs = signature_frame(src, id_col, hash_fn, bits)
+    sig_cols = ["phash"] if bits == 64 else ["phash_hi", "phash_lo"]
     return banded_hamming_pairs(
-        sigs, "__mid", sig_cols,
+        sigs, id_col, sig_cols,
         bands=bands, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )

@@ -496,7 +496,10 @@ def containment_pairs(
         F.transform(
             word_shingles(text_col, n), lambda s: F.xxhash64(s)
         ).alias("__shs"),
-    ).localCheckpoint()  # feeds sizes + index: one shingle build
+        # feeds sizes + index: one shingle build, shared via a LAZY
+        # local checkpoint (eager would run a corpus-sized job at
+        # plan-construction time — the lazy-plan contract)
+    ).localCheckpoint(eager=False)
     sizes = sh.select("__id", F.size("__shs").alias("__sz"))
     idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
     a = idx.select(F.col("__id").alias("id_a"), "__sh")
@@ -626,22 +629,12 @@ def simhash_pairs(
                 ]
             )
         else:
-            # two-long signature: every band must be an equal slice of
-            # ONE long (the banded_hamming geometry rule), e.g.
+            # two-long signature: the shared _band_slices geometry
+            # (equal slices within one word), low half first — e.g.
             # 128-bit/8-band -> 16-bit values from alternating halves
-            if bits % bands or 64 % (bits // bands):
-                raise ValueError(
-                    f"bands={bands} must divide the {bits}-bit signature "
-                    f"into equal slices that each fit one 64-bit word"
-                )
-            width = bits // bands
-            mask = F.lit((1 << width) - 1).cast("long") if width < 64 else None
-            slices = []
-            for i in range(bands):
-                c = F.col(sig_cols[1 - (i * width) // 64])  # lo first
-                sliced = F.shiftright(c, (i * width) % 64)
-                slices.append(sliced.bitwiseAND(mask) if mask is not None else c)
-            band_vals = F.array(*slices)
+            band_vals = F.array(
+                *_band_slices(["simhash_lo", "simhash_hi"], bands)
+            )
         # the signature is 8/16 bytes — carry it through the band join
         # and verify inline, instead of distinct-ing candidates and
         # joining the signature table back twice
@@ -836,6 +829,41 @@ def _sig_cols(sig_col: str | Sequence[str]) -> list[str]:
     return [sig_col] if isinstance(sig_col, str) else list(sig_col)
 
 
+def _band_slices(cols: list[str], bands: int) -> list:
+    """Band-value slice expressions over a 1- or multi-long signature
+    — the ONE definition of the banding geometry, shared by
+    ``_band_explode`` and ``simhash_pairs``' wide branch.
+
+    Single long: ``width = 64 // bands`` (floor — any band count up
+    to 64 works, as it always has; bits past ``bands * width`` stay
+    out of every band, which PRESERVES the pigeonhole guarantee:
+    hamming differences confined to uncovered bits leave every band
+    equal, so the pair still collides). Multi-long: ``bands`` must cut
+    the concatenation into equal slices that each fit one word, so a
+    slice stays a shift+mask expression."""
+    k = len(cols)
+    total = 64 * k
+    if k == 1:
+        width = 64 // bands
+    else:
+        if total % bands or 64 % (total // bands):
+            raise ValueError(
+                f"bands={bands} must divide the {total}-bit signature "
+                f"into equal slices that each fit within one 64-bit word"
+            )
+        width = total // bands
+    slices = []
+    for i in range(bands):
+        c = F.col(cols[(i * width) // 64])
+        shift = (i * width) % 64
+        if width == 64:
+            slices.append(c)
+        else:
+            mask = (1 << width) - 1
+            slices.append(F.shiftrightunsigned(c, shift).bitwiseAND(mask))
+    return slices
+
+
 def _band_explode(
     sigs: DataFrame, id_col: str, sig_col: str | Sequence[str], bands: int
 ) -> DataFrame:
@@ -849,21 +877,12 @@ def _band_explode(
     band's value space — the knob that keeps expected bucket
     collisions ~ n^2 / 2^width sub-quadratic as the corpus grows."""
     cols = _sig_cols(sig_col)
-    total = 64 * len(cols)
-    width = total // bands
-    slices = []
-    for i in range(bands):
-        c = F.col(cols[(i * width) // 64])
-        shift = (i * width) % 64
-        if width == 64:
-            slices.append(c)
-        else:
-            mask = (1 << width) - 1
-            slices.append(F.shiftrightunsigned(c, shift).bitwiseAND(mask))
     return sigs.select(
         F.col(id_col).alias("__id"),
         *[F.col(c).alias(f"__sig{j}") for j, c in enumerate(cols)],
-        F.posexplode(F.array(*slices)).alias("__band", "__val"),
+        F.posexplode(F.array(*_band_slices(cols, bands))).alias(
+            "__band", "__val"
+        ),
     )
 
 
@@ -897,13 +916,11 @@ def _check_band_args(
         raise ValueError(
             f"bands={bands} exceeds the {total}-bit signature"
         )
-    if total % bands or 64 % (total // bands):
-        # every band must be an equal slice of ONE long so the slice
-        # stays a shift+mask expression
-        raise ValueError(
-            f"bands={bands} must divide the {total}-bit signature into "
-            f"equal slices that each fit within one 64-bit word"
-        )
+    # multi-long slice geometry (equal slices within one word) is
+    # validated by _band_slices — the one definition of the geometry;
+    # single-long keeps the historical any-band-count floor-width
+    # behavior (round-5 review: the equal-slice rule must not reject
+    # previously-valid single-long configurations like bands=5)
 
 
 def banded_hamming_join(

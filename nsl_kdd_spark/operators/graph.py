@@ -31,12 +31,29 @@ def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     nothing older than one round. That is the correct setting for
     long-running iterative jobs at cluster scale; the cost is one
     parquet-equivalent write per round, which the join-per-iteration
-    cost dominates anyway for big graphs."""
+    cost dominates anyway for big graphs.
+
+    Mechanics (round-5 review): the table is PERSISTED before
+    ``checkpoint()`` so the eager materialization and the reliable
+    write read one computation instead of running the round's join
+    twice, and unpersisted right after (the checkpoint files are the
+    durable copy). The SparkContext checkpoint dir is session-global;
+    it is set only when it differs from the requested path, and
+    Spark only deletes old checkpoint files when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` —
+    enable that (or clean the directory) for long-running drivers."""
     if checkpoint_dir is None:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint()
+    # setCheckpointDir mints a fresh UUID subdir on EVERY call — set
+    # it once per requested path, not once per round
+    if getattr(sc, "_nsl_checkpoint_dir", None) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        sc._nsl_checkpoint_dir = checkpoint_dir
+    cached = df.persist()
+    out = cached.checkpoint()
+    cached.unpersist()
+    return out
 
 
 def connected_components(

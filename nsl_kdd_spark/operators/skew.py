@@ -30,7 +30,7 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
     seed: int = 42,
-    build_hint: str | None = "shuffle_hash",
+    build_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join with salting: use when one/few key values dominate the
     big side and the other side is too large to broadcast outright.
@@ -39,16 +39,18 @@ def salted_join(
     small: replicated n_salts times (explode), one copy per salt
     join on (key, salt), salt columns dropped after.
 
-    ``build_hint="shuffle_hash"`` (default) hints the replicated small
-    side as the hash build side: salting spreads the hot key across
-    reducers, but a sort-merge join would still SORT the entire big
-    side — the one cost salting cannot remove, and the dominant one
-    (measured on the bench `skew_scale` fixture: 2.2 s SMJ vs 1.6 s
-    hashed at 24M rows). The build side per task is
-    |small| * n_salts / shuffle_partitions rows and must fit executor
-    memory — true by construction for the salting use case (small-but-
-    not-broadcastable dim); pass ``build_hint=None`` to fall back to
-    sort-merge (spillable) if it is not.
+    ``build_hint="shuffle_hash"`` hints the replicated small side as
+    the hash build side: salting spreads the hot key across reducers,
+    but a sort-merge join still SORTS the entire big side — the one
+    cost salting cannot remove, and the dominant one (measured on the
+    bench `skew_scale` fixture: 2.2 s SMJ vs 1.6 s hashed at 24M
+    rows). Opt-in rather than default because the build side per task
+    is |small| * n_salts / shuffle_partitions rows PLUS hash-map
+    overhead and must fit executor memory — a dim near the broadcast
+    boundary at high ``n_salts`` can OOM where the default sort-merge
+    would have spilled; turn it on when the replicated-dim-per-task
+    arithmetic clearly fits (the common case for genuinely small
+    dims).
     """
     salted_big = big.withColumn(
         "__salt", (F.rand(seed) * n_salts).cast("int")

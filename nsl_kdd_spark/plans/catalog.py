@@ -5772,8 +5772,8 @@ def q138_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(
                  replace(replace(replace(replace(replace(replace(
                    regexp_replace(raw, '<[^>]*>', ' ', 'g'),
-                   '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                   '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                  'https?://[^ \t\n\r]+', ' ', 'g'),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
                ' ', 'g'),

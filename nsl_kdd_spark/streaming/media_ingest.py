@@ -29,14 +29,13 @@ only A — same conservative contract as the text ingest's self-tier.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from nsl_kdd_spark.multimodal.binary import _to_signed64
+from nsl_kdd_spark.multimodal.binary import signature_frame
 from nsl_kdd_spark.operators.dedup import (
     banded_hamming_join,
     banded_hamming_pairs,
@@ -72,41 +71,11 @@ def _signatures(
     on_error: str = "fail",
     bits: int = 64,
 ) -> DataFrame:
-    """(media_id, phash...) via the Arrow batch path — one decode per
-    payload, the same shape as ``multimodal.media_near_dup``.
-    ``on_error="skip"`` drops payloads the codec rejects (corrupt or
-    unsupported format) instead of failing the batch — the quarantine
-    policy for continuous ingest, where one bad blob must not wedge
-    the stream; "fail" keeps the strict-codec contract."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
-    schema, sig_cols = _sig_layout(bits)
-    src = media.filter(
-        F.col("payload").isNotNull() & (F.length("payload") > 0)
-    ).select("media_id", "payload")
-
-    def safe(b: bytes):
-        try:
-            return hash_fn(b)
-        except Exception:
-            return None
-
-    fn = hash_fn if on_error == "fail" else safe
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            hashes = pdf["payload"].map(fn)
-            keep = hashes.notna()
-            out = pd.DataFrame({"media_id": pdf["media_id"][keep]})
-            kept = hashes[keep]
-            if bits == 64:
-                out["phash"] = _to_signed64(kept)
-            else:
-                out["phash_hi"] = _to_signed64(kept.map(lambda t: t[0]))
-                out["phash_lo"] = _to_signed64(kept.map(lambda t: t[1]))
-            yield out
-
-    return src.mapInPandas(batches, schema=schema)
+    """(media_id, phash...) via the shared Arrow extractor
+    (``multimodal.binary.signature_frame`` — one implementation of
+    the decode/signed-fold/schema logic for both the batch near-dup
+    and this ingest; round-5 review)."""
+    return signature_frame(media, "media_id", hash_fn, bits, on_error)
 
 
 def _media_sink(

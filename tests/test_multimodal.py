@@ -781,3 +781,22 @@ def test_simhash128_two_long_bands_match_crossjoin_truth(spark):
                       bands=3)
     with pytest.raises(ValueError, match="multiple of 4"):
         simhash(docs, "doc_id", "text", bits=132)
+
+
+def test_banded_hamming_single_long_nondividing_bands_still_work(spark):
+    """Round-5 review regression: single-long signatures must accept
+    any band count up to 64 (floor-width slicing, uncovered high bits
+    keep the pigeonhole guarantee) — the multi-long equal-slice rule
+    must not reject previously-valid configs like bands=5."""
+    from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 0x0123456789ABCDEF), (2, 0x0123456789ABCDEE),  # hamming 1
+         (3, -0x123456789ABCDF0)],
+        "id long, sig long",
+    )
+    for bands in (3, 5, 7, 12):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in banded_hamming_pairs(
+            sigs, "id", "sig", bands=bands, max_hamming=2).collect()}
+        assert pairs.get((1, 2)) == 1, bands
+        assert all(3 not in k for k in pairs), bands

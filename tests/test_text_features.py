@@ -291,12 +291,17 @@ def test_normalize_text_strips_boilerplate_in_contract_order(spark):
     raw = ('<div class="x">Hello &amp; <b>World</b></div>\n\n'
            'See https://ex.com/a?b=1#f and &lt;em&gt;keep&lt;/em&gt; '
            'mail Bob.Smith@corp.example.com  today &nbsp;&#39;quoted&#39;')
-    df = spark.createDataFrame([(1, raw), (2, "  plain   text  ")],
-                               "id long, t string")
+    df = spark.createDataFrame(
+        [(1, raw), (2, "  plain   text  "),
+         (3, "author escaped: 5 &amp;lt; 6 stays escaped")],
+        "id long, t string")
     got = {r.id: r.c for r in df.select(
         "id", normalize_text("t").alias("c")).collect()}
     assert got[1] == "Hello & World See and <em>keep</em> mail today 'quoted'"
     assert got[2] == "plain text"
+    # &amp; decodes LAST: "&amp;lt;" is the author writing a literal
+    # "&lt;" — one decode, never two (round-5 review regression)
+    assert got[3] == "author escaped: 5 &lt; 6 stays escaped"
     low = df.filter("id = 1").select(
         normalize_text("t", lowercase=True).alias("c")).first().c
     assert low == got[1].lower()
