@@ -205,3 +205,20 @@ def normalize_text(col: Column | str, lowercase: bool = False) -> Column:
     if lowercase:
         c = F.lower(c)
     return c
+
+
+def url_host(col: Column | str) -> Column:
+    """Normalized host from a URL column — the key for per-domain
+    corpus curation (domain mix reports, per-domain caps, blocklist
+    joins). Extracts the authority after ``scheme://``, lowercases,
+    strips a trailing ``:port`` and a leading ``www.`` — so
+    ``HTTPS://WWW.Ex.COM:8080/p`` and ``https://ex.com/q`` land in
+    the same domain bucket. Pure anchored-regexp expression
+    (scan-speed; patterns in the Java-regex/RE2-identical subset, the
+    normalize_text rule); NULL / non-URL values yield NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    auth = F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(auth)
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    host = F.regexp_replace(host, "^www\\.", "")
+    return F.when(host == "", None).otherwise(host)

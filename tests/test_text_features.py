@@ -382,3 +382,23 @@ def test_bpe_batch_admission_rule_is_serial_equal_property():
         assert got == want
 
     check()
+
+
+def test_url_host_normalizes_case_port_www(spark):
+    from nsl_kdd_spark.functions.text import url_host
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Ex.COM:8080/p?q=1"),
+         (2, "https://ex.com/other"),
+         (3, "ftp://files.ex.com:21/x"),
+         (4, "not a url"),
+         (5, None),
+         (6, "https://user@sub.ex.com/w")],
+        "id long, url string",
+    )
+    got = {r.id: r.h for r in df.select(
+        "id", url_host("url").alias("h")).collect()}
+    assert got[1] == "ex.com" and got[2] == "ex.com"
+    assert got[3] == "files.ex.com"
+    assert got[4] is None and got[5] is None
+    assert got[6] == "user@sub.ex.com"  # userinfo kept: rare, visible
