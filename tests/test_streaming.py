@@ -551,3 +551,55 @@ def test_media_signatures_128bit_quarantine_bit_exact(spark):
         ).collect()
     }
     assert got == {0: hashes[b"a"], 2: hashes[b"b"]}
+
+
+def test_streaming_drift_monitor_equals_batch_psi(spark, tmp_path):
+    """PSI drift monitor: each micro-batch's report must equal
+    batch-mode psi_drift(baseline, that batch) bit-for-bit, reports
+    accumulate per batch, and a drifted batch scores higher than an
+    in-distribution one."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.quality import psi_drift
+    from nsl_kdd_spark.streaming.drift import (
+        monitor_drift_stream, read_drift_reports,
+    )
+
+    baseline = spark.range(2000).select(
+        (F.pmod(F.col("id") * 37, F.lit(100)) / 10.0).alias("v"))
+    src = tmp_path / "drop"
+    # drop 1: same generator (in-distribution)
+    spark.range(500).select(
+        (F.pmod(F.col("id") * 53, F.lit(100)) / 10.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    kw = dict(
+        schema="v double", baseline=baseline, value_col="v",
+        out_path=str(tmp_path / "monitor"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lo=0.0, hi=10.0, n_bins=10,
+    )
+    q = monitor_drift_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+    # drop 2: shifted distribution (drifted)
+    spark.range(500).select(
+        (5.0 + F.pmod(F.col("id") * 53, F.lit(50)) / 10.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = monitor_drift_stream(spark, str(src), **kw)
+    q.awaitTermination(120)
+
+    reports = read_drift_reports(spark, kw["out_path"])
+    totals = {r.batch_id: r.t for r in reports.groupBy("batch_id")
+              .agg(F.sum("psi_u").alias("t")).collect()}
+    assert set(totals) == {0, 1}
+    assert totals[1] > totals[0]            # drift detected
+    assert totals[1] > 250_000              # "action" band in micro-units
+
+    # batch 1's report == batch-mode psi_drift on the same rows
+    # (regenerate the second drop's exact content)
+    b1 = spark.range(500).select(
+        (5.0 + F.pmod(F.col("id") * 53, F.lit(50)) / 10.0).alias("v"))
+    want = {(r.bin): (r.n_base, r.n_target, r.psi_u) for r in psi_drift(
+        baseline, b1, "v", lo=0.0, hi=10.0, n_bins=10).collect()}
+    got = {r.bin: (r.n_base, r.n_target, r.psi_u) for r in
+           reports.filter("batch_id = 1").collect()}
+    assert got == want
