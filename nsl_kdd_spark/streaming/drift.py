@@ -20,11 +20,13 @@ replayed rows are identical.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from nsl_kdd_spark.operators.quality import psi_drift
+from nsl_kdd_spark.operators.quality import psi_drift, psi_drift_categorical
 from nsl_kdd_spark.streaming.ingest import _write_partition
 
 
@@ -83,6 +85,46 @@ def monitor_drift_stream(
             baseline=baseline, value_col=value_col, out_path=out_path,
             lo=lo, hi=hi, n_bins=n_bins, scale=scale,
         )
+
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.parquet(source_dir)
+        if source_format == "parquet"
+        else reader.format(source_format).load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def monitor_drift_stream_categorical(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    baseline: DataFrame,
+    cat_col: str,
+    categories: Sequence[str],
+    out_path: str,
+    checkpoint_dir: str,
+    scale: int = 1_000_000,
+    source_format: str = "parquet",
+):
+    """Categorical twin of :func:`monitor_drift_stream` — per-batch
+    ``psi_drift_categorical`` reports (explicit vocabulary,
+    ``__other__`` residual) against a fixed persisted baseline,
+    landing in the same exactly-once ``__batch_id`` layout. The
+    class-mix shift monitor (event types, predicted labels, routing
+    buckets)."""
+    baseline = baseline.select(F.col(cat_col)).persist()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        report = psi_drift_categorical(
+            baseline, batch_df, cat_col, categories, scale=scale
+        )
+        _write_partition(report, out_path, batch_id)
 
     reader = spark.readStream.schema(schema)
     stream = (

@@ -603,3 +603,50 @@ def test_streaming_drift_monitor_equals_batch_psi(spark, tmp_path):
     got = {r.bin: (r.n_base, r.n_target, r.psi_u) for r in
            reports.filter("batch_id = 1").collect()}
     assert got == want
+
+
+def test_streaming_categorical_drift_monitor(spark, tmp_path):
+    """Categorical drift monitor: per-batch report equals batch-mode
+    psi_drift_categorical, unknown values land in __other__, and a
+    class-mix shift scores above the stable batch."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.quality import psi_drift_categorical
+    from nsl_kdd_spark.streaming.drift import (
+        monitor_drift_stream_categorical, read_drift_reports,
+    )
+
+    cats = ["a", "b", "c"]
+    mk = lambda weights: F.element_at(
+        F.array(*[F.lit(c) for c in ("a", "a", "a", "b", "b", "c", "zz")]),
+        (F.pmod(F.col("id") * weights, F.lit(7)) + 1).cast("int"))
+    baseline = spark.range(1400).select(mk(3).alias("k"))
+    src = tmp_path / "drop"
+    spark.range(700).select(mk(5).alias("k")).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    kw = dict(
+        schema="k string", baseline=baseline, cat_col="k",
+        categories=cats, out_path=str(tmp_path / "monitor"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = monitor_drift_stream_categorical(spark, str(src), **kw)
+    q.awaitTermination(120)
+    # shifted mix: everything becomes 'c'
+    spark.range(700).select(F.lit("c").alias("k")).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = monitor_drift_stream_categorical(spark, str(src), **kw)
+    q.awaitTermination(120)
+
+    reports = read_drift_reports(spark, kw["out_path"])
+    assert set(r.category for r in reports.collect()) == {
+        "a", "b", "c", "__other__"}
+    totals = {r.batch_id: r.t for r in reports.groupBy("batch_id")
+              .agg(F.sum("psi_u").alias("t")).collect()}
+    assert totals[1] > totals[0] and totals[1] > 250_000
+
+    b1 = spark.range(700).select(F.lit("c").alias("k"))
+    want = {r.category: r.psi_u for r in psi_drift_categorical(
+        baseline.select("k"), b1, "k", cats).collect()}
+    got = {r.category: r.psi_u for r in
+           reports.filter("batch_id = 1").collect()}
+    assert got == want
