@@ -211,7 +211,9 @@ def url_host(col: Column | str) -> Column:
     """Normalized host from a URL column — the key for per-domain
     corpus curation (domain mix reports, per-domain caps, blocklist
     joins). Extracts the authority after ``scheme://``, lowercases,
-    strips a trailing ``:port`` and a leading ``www.`` — so
+    strips ``userinfo@``, a trailing ``:port``, a leading
+    ``www.`` and a trailing dot (userinfo/FQDN-dot variants splitting
+    the bucket would undercount per-domain caps — round-5 review) — so
     ``HTTPS://WWW.Ex.COM:8080/p`` and ``https://ex.com/q`` land in
     the same domain bucket. Pure anchored-regexp expression
     (scan-speed; patterns in the Java-regex/RE2-identical subset, the
@@ -219,6 +221,8 @@ def url_host(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     auth = F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     host = F.lower(auth)
+    host = F.regexp_replace(host, "^[^@]*@", "")
     host = F.regexp_replace(host, ":[0-9]+$", "")
     host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, "\\.$", "")
     return F.when(host == "", None).otherwise(host)

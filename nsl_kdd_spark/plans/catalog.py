@@ -5864,10 +5864,11 @@ def q140_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              || '/doc/' || CAST(doc_id AS VARCHAR) AS url
       FROM documents
     ), hosted AS (
-      SELECT regexp_replace(regexp_replace(
+      SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                lower(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-               ':[0-9]+$', ''), '^www\\.', '') AS domain,
+               '^[^@]*@', ''), ':[0-9]+$', ''), '^www\\.', ''),
+               '\\.$', '') AS domain,
              len(string_split(text, ' ')) AS n_tokens, n_chars
       FROM src
     )

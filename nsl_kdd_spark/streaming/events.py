@@ -202,18 +202,16 @@ def write_stream_foreach_batch(
     (availableNow trigger: drains the source, then stops)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("__batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("__batch_id")
-                .parquet(path)
-            )
-        finally:
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite scoped to THIS write via the writer option
+        # — mutating the session conf races across concurrent streams
+        # (round-5 review; see ingest._write_partition)
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
 
     return (
         df.writeStream.foreachBatch(sink)

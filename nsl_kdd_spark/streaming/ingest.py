@@ -37,18 +37,20 @@ from nsl_kdd_spark.operators.registry import build_registry, dedup_batch
 
 
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
-    s = df.sparkSession
-    prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("__batch_id")
-            .parquet(path)
-        )
-    finally:
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    """Write ``df`` into its own ``__batch_id`` partition with DYNAMIC
+    partition overwrite, scoped to THIS write via the writer option —
+    never the session conf. A set/restore of the global conf races
+    when several streams share one SparkSession (round-5 review: one
+    stream's finally-restore to 'static' mid-another-stream's write
+    turns that overwrite STATIC, deleting every previously written
+    partition of its table)."""
+    (
+        df.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
 
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:

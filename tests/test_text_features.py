@@ -393,7 +393,8 @@ def test_url_host_normalizes_case_port_www(spark):
          (3, "ftp://files.ex.com:21/x"),
          (4, "not a url"),
          (5, None),
-         (6, "https://user@sub.ex.com/w")],
+         (6, "https://user@sub.ex.com/w"),
+         (7, "https://fqdn.ex.com./p")],
         "id long, url string",
     )
     got = {r.id: r.h for r in df.select(
@@ -401,4 +402,5 @@ def test_url_host_normalizes_case_port_www(spark):
     assert got[1] == "ex.com" and got[2] == "ex.com"
     assert got[3] == "files.ex.com"
     assert got[4] is None and got[5] is None
-    assert got[6] == "user@sub.ex.com"  # userinfo kept: rare, visible
+    assert got[6] == "sub.ex.com"       # userinfo stripped
+    assert got[7] == "fqdn.ex.com"      # trailing FQDN dot stripped
