@@ -800,3 +800,50 @@ def test_banded_hamming_single_long_nondividing_bands_still_work(spark):
             sigs, "id", "sig", bands=bands, max_hamming=2).collect()}
         assert pairs.get((1, 2)) == 1, bands
         assert all(3 not in k for k in pairs), bands
+
+
+def test_banded_hamming_128_randomized_equals_bruteforce(spark):
+    """Randomized (seeded) ground-truth check of the multi-long banded
+    backend: over 120 random 128-bit signatures with planted
+    near-neighbors, banded pairs at radius 7 must equal the exact
+    all-pairs answer at both valid geometries."""
+    import random
+
+    rng = random.Random(123)
+    sigs = []
+    for i in range(80):
+        sigs.append((i, rng.getrandbits(64), rng.getrandbits(64)))
+    # planted neighbors: flip <= 7 random bits of existing sigs
+    for j in range(40):
+        base = sigs[rng.randrange(80)]
+        hi, lo = base[1], base[2]
+        for _ in range(rng.randrange(8)):
+            b = rng.randrange(128)
+            if b < 64:
+                lo ^= 1 << b
+            else:
+                hi ^= 1 << (b - 64)
+        sigs.append((100 + j, hi, lo))
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, signed(hi), signed(lo)) for i, hi, lo in sigs]
+    want = set()
+    for x in range(len(sigs)):
+        for y in range(x + 1, len(sigs)):
+            ia, ha, la = sigs[x]
+            ib, hb, lb = sigs[y]
+            d = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+            if d <= 7:
+                a, b = sorted((ia, ib))
+                want.add((a, b, d))
+
+    from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
+
+    df = spark.createDataFrame(rows, "id long, hi long, lo long")
+    for bands in (8, 16):
+        got = {(r.id_a, r.id_b, r.hamming) for r in banded_hamming_pairs(
+            df, "id", ["hi", "lo"], bands=bands, max_hamming=7).collect()}
+        assert got == want, f"bands={bands}"
+    assert len(want) >= 40          # the planted neighbors are found
