@@ -414,6 +414,67 @@ def semantic_dedup(
     )
 
 
+def rrf_fuse(
+    runs: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int | None = None,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009):
+    ``fused(q, d) = sum over runs of 1 / (k + rank_run(q, d))`` —
+    the standard hybrid-retrieval combiner (BM25 run + dense-vector
+    run -> one ranking) precisely BECAUSE it consumes only ranks:
+    heterogeneous scorers need no calibration. Takes already-ranked
+    runs in the shape every retrieval op here emits
+    (``knn_bruteforce``/ANN tiers, BM25 after a per-query rank
+    window): (query, id, rank). A document absent from a run simply
+    contributes nothing for it.
+
+    Contributions are fixed-point — ``round(scale / (k + rank))``
+    summed as integers (order-independent, engine-exact: the q95
+    rule; float 1/(k+r) sums would drift with aggregation order).
+    Returns (query, id, rrf_score in 1/scale units, n_runs,
+    fused_rank), fused ties broken by id; ``top_n`` keeps the head
+    per query.
+
+    Scale shape: each run is already per-query-bounded (top-k), so
+    fusion is a union + one grouped integer sum + one per-query
+    window over ~k*len(runs) rows per query — negligible against the
+    retrieval runs themselves.
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.round(F.lit(scale) / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("__c"),
+        )
+        for r in runs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out.orderBy(query_col, "fused_rank")
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -5912,6 +5912,90 @@ def q141_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (similarity.rrf_fuse): Reciprocal Rank
+# Fusion over two heterogeneous runs — cosine top-20 and dot-product
+# top-20 per query (different rankings whenever norms vary) — the
+# standard BM25+dense combiner, consuming RANKS only so scorers need
+# no calibration. Fixed-point contributions (round(1e9/(60+rank)),
+# integer-summed) keep the fusion order-independent and
+# engine-exact; the oracle replays both rankings and the arithmetic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q142_rrf_fusion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+    ), cos_run AS (
+      SELECT query_id, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, v) DESC, vec_id
+             ) AS rank
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ), dot_run AS (
+      SELECT query_id, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_inner_product(qv, v) DESC, vec_id
+             ) AS rank
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ), contrib AS (
+      SELECT query_id, vec_id,
+             CAST(round(1000000000 / (60 + rank)) AS BIGINT) AS c
+      FROM cos_run WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, vec_id,
+             CAST(round(1000000000 / (60 + rank)) AS BIGINT) AS c
+      FROM dot_run WHERE rank <= 20
+    ), fused AS (
+      SELECT query_id, vec_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+             COUNT(*) AS n_runs,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY SUM(c) DESC, vec_id
+             ) AS fused_rank
+      FROM contrib GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, rrf_score, n_runs, fused_rank
+    FROM fused WHERE fused_rank <= 10
+    ORDER BY query_id, fused_rank
+    """,
+)
+def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nsl_kdd_spark.functions.vector import dot, to_double_array
+    from nsl_kdd_spark.operators.similarity import knn_bruteforce, rrf_fuse
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    cos_run = knn_bruteforce(t.embeddings, queries_df, k=20)
+
+    # dot-product run: same fold-deterministic arithmetic contract as
+    # the cosine scorer (bit-exact vs DuckDB list_inner_product)
+    corpus = t.embeddings.select(
+        "vec_id", to_double_array("embedding").alias("__v")
+    )
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        to_double_array("embedding").alias("__qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    dot_run = (
+        corpus.join(F.broadcast(q), corpus.vec_id != q.query_id)
+        .select(
+            "query_id", "vec_id",
+            dot(F.col("__qv"), F.col("__v")).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+    return rrf_fuse([cos_run, dot_run], top_n=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -6004,7 +6088,7 @@ DRIVER_WINDOW = [
     # flagship + family re-anchors (q46 held by the q03 join family)
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_topk_per_group",
     "q19_rollup", "q21_binary_metrics", "q22_auc_roc",
-    "q28_jaccard_pairs", "q29_minhash_lsh", "q31_knn_bruteforce",
+    "q28_jaccard_pairs", "q29_minhash_lsh", "q142_rrf_fusion",
     "q34_tumbling_window", "q36_session_window",
     "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
     "q61_simhash_banded", "q65_resample_ffill", "q66_grouping_sets",

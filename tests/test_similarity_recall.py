@@ -196,3 +196,34 @@ def test_quantized_tier_recall_and_roundtrip(spark):
 
     reranked = knn_quantized(qz, queries, k=5, rerank=20, exact=e)
     assert _recall(reranked, exact) >= 0.95
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: rank-only fusion — agreement wins, a doc missing from one
+    run only loses that run's contribution, fused ties break by id,
+    top_n bounds per query, fixed-point scores are exact."""
+    from nsl_kdd_spark.operators.similarity import rrf_fuse
+
+    run1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, vec_id long, rank long")
+    run2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2), (0, 13, 3)],
+        "query_id long, vec_id long, rank long")
+    out = {r.vec_id: r for r in rrf_fuse([run1, run2]).collect()}
+    s = lambda *ranks: sum(round(1e9 / (60 + r)) for r in ranks)
+    assert out[10].rrf_score == s(1, 2) and out[10].n_runs == 2
+    assert out[11].rrf_score == s(2, 1) and out[11].n_runs == 2
+    # 10 and 11 tie exactly (symmetric ranks) -> id tiebreak
+    assert (out[10].fused_rank, out[11].fused_rank) == (1, 2)
+    assert out[12].rrf_score == s(3) and out[12].n_runs == 1
+    assert out[13].rrf_score == s(3)
+    # 12 and 13 tie at rank 3 in one run each -> id order
+    assert (out[12].fused_rank, out[13].fused_rank) == (3, 4)
+
+    top = rrf_fuse([run1, run2], top_n=2).collect()
+    assert {r.vec_id for r in top} == {10, 11}
+
+    import pytest
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
