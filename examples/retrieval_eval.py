@@ -4,7 +4,8 @@ round-4 tier composed in one file:
     corpus stats (inverted index)
     -> lexical ranking (Okapi BM25, fixed-point scores)
     -> dense retrieval (int8-quantized ANN + exact re-rank)
-    -> NDCG@k / MRR evaluation of the dense ranking
+    -> hybrid fusion (RRF of the dense + exact cosine runs)
+    -> NDCG@k / MRR evaluation of dense vs fused rankings
        (relevance = label agreement)
 
     python examples/retrieval_eval.py [sf_dir]
@@ -24,8 +25,10 @@ from nsl_kdd_spark.ml.text_features import (  # noqa: E402
     inverted_index,
 )
 from nsl_kdd_spark.operators.similarity import (  # noqa: E402
+    knn_bruteforce,
     knn_quantized,
     quantize_embeddings,
+    rrf_fuse,
 )
 from nsl_kdd_spark.session import get_session  # noqa: E402
 from nsl_kdd_spark.sources.parquet import load_tables  # noqa: E402
@@ -54,20 +57,33 @@ def main() -> None:
     hits = knn_quantized(qz, queries, k=5, rerank=15, exact=t.embeddings)
     hits.show(10)
 
+    print("== hybrid fusion: RRF of quantized-ANN + exact cosine runs ==")
+    exact_run = knn_bruteforce(t.embeddings, queries, k=5)
+    fused = rrf_fuse([hits.select("query_id", "vec_id", "rank"),
+                      exact_run.select("query_id", "vec_id", "rank")],
+                     top_n=5)
+    fused.show(10)
+
     print("== NDCG@5 / MRR (relevance = label agreement) ==")
     clab = t.embeddings.select("vec_id", F.col("label").alias("clabel"))
     qlab = t.embeddings.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
     )
-    ranked = (
-        hits.join(clab, "vec_id")
-        .join(F.broadcast(qlab), "query_id")
-        .select(
-            "query_id", "rank",
-            (F.col("clabel") == F.col("qlabel")).cast("int").alias("rel"),
+
+    def rel(run, rank_col):
+        return (
+            run.join(clab, "vec_id")
+            .join(F.broadcast(qlab), "query_id")
+            .select(
+                "query_id", F.col(rank_col).alias("rank"),
+                (F.col("clabel") == F.col("qlabel")).cast("int").alias("rel"),
+            )
         )
-    )
-    ranking_metrics(ranked, k=5).show()
+
+    print("dense run:")
+    ranking_metrics(rel(hits, "rank"), k=5).show()
+    print("fused run:")
+    ranking_metrics(rel(fused, "fused_rank"), k=5).show()
 
 
 if __name__ == "__main__":
