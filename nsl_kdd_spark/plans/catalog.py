@@ -6074,12 +6074,12 @@ def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q21/q22 via q138's shared metrics) and flagships whose last green
 # row is oldest (r1/r2).
 # Round-6 note: once this window records green, EVERY oracle-paired
-# query q01-q141 has a green row in some CORRECTNESS_r{N}.json
-# (verified locally end-of-r5: all 128 oracle-paired PASS, 13
+# query q01-q142 has a green row in some CORRECTNESS_r{N}.json
+# (verified locally end-of-r5: all 129 oracle-paired PASS, 13
 # rows-only clean, and this exact 50-query window re-run green after
-# the last code change). r6 should rotate in any new queries plus
-# re-anchors for whatever code paths r6 touches, keeping the
-# oracle-paired-only rule.
+# the last code change — 50/50 PASS). r6 should rotate in any new
+# queries plus re-anchors for whatever code paths r6 touches,
+# keeping the oracle-paired-only rule.
 DRIVER_WINDOW = [
     # round-5 new / never-recorded / changed-this-round
     "q133_sliding_chunks", "q134_script_profile", "q135_psi_drift",
