@@ -70,7 +70,10 @@ def main() -> None:
                 spark, drop_dir, schema=events.schema,
                 baseline=baseline, **kw,
             )
-            q.awaitTermination(120)
+            if not q.awaitTermination(120):
+                # a still-running query would absorb the NEXT drop
+                # into this batch (and hold its checkpoint dir)
+                raise RuntimeError(f"{kind} monitor did not drain in 120s")
 
     drain()
     drifted = serving.withColumn("value", F.col("value") * 4).withColumn(

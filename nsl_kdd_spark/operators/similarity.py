@@ -41,20 +41,35 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scorer: str = "fold",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (excluding self).
+    """Exact top-k neighbors per query (excluding self).
 
-    Returns (query_id, vec_id, cos_sim, rank). Ties broken by vec_id so
-    results are total-ordered and reproducible.
+    Returns (query_id, vec_id, <score>, rank). Ties broken by vec_id
+    so results are total-ordered and reproducible — the ONE ranking
+    contract every run variant shares (q142's fusion depends on it).
 
-    ``scorer="fold"`` (default) computes cosine as a JVM fold
+    ``scorer="fold"`` (default) computes the score as a JVM fold
     expression — deterministic accumulation order, bit-identical to
-    DuckDB's list_cosine_similarity (the oracle contract).
-    ``scorer="arrow"`` routes scoring through the Arrow-vectorized
-    pandas UDF — measured ~2.5-3x faster on bulk scoring (SCALE.md),
-    equal to the fold within float rounding; use it when throughput
-    matters more than hash-exact reproducibility."""
-    score_fn = cosine if scorer == "fold" else cosine_arrow
+    DuckDB's list functions (the oracle contract). ``scorer="arrow"``
+    routes cosine scoring through the Arrow-vectorized pandas UDF —
+    measured ~2.5-3x faster on bulk scoring (SCALE.md), equal to the
+    fold within float rounding; use it when throughput matters more
+    than hash-exact reproducibility.
+
+    ``metric`` picks the score: ``"cosine"`` (column ``cos_sim``,
+    DuckDB twin ``list_cosine_similarity``) or ``"dot"`` (raw inner
+    product, column ``dot``, twin ``list_inner_product`` — the
+    unnormalized run for hybrid fusion or pre-normalized
+    embeddings)."""
+    if metric == "cosine":
+        score_fn = cosine if scorer == "fold" else cosine_arrow
+        score_col = "cos_sim"
+    elif metric == "dot":
+        score_fn = dot
+        score_col = "dot"
+    else:
+        raise ValueError(f"metric must be 'cosine' or 'dot', got {metric!r}")
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
     )
@@ -64,10 +79,12 @@ def knn_bruteforce(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            score_fn(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            score_fn(F.col("__qv"), F.col("__cv")).alias(score_col),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

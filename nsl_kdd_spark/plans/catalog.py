@@ -5962,36 +5962,15 @@ def q141_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from nsl_kdd_spark.functions.vector import dot, to_double_array
     from nsl_kdd_spark.operators.similarity import knn_bruteforce, rrf_fuse
 
     t = load_tables(spark, sf_dir)
     queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    # both runs ride knn_bruteforce's ONE ranking contract (same
+    # tie-break and rank semantics — what fusion assumes); only the
+    # metric differs, and both score folds are bit-exact vs DuckDB
     cos_run = knn_bruteforce(t.embeddings, queries_df, k=20)
-
-    # dot-product run: same fold-deterministic arithmetic contract as
-    # the cosine scorer (bit-exact vs DuckDB list_inner_product)
-    corpus = t.embeddings.select(
-        "vec_id", to_double_array("embedding").alias("__v")
-    )
-    q = queries_df.select(
-        F.col("vec_id").alias("query_id"),
-        to_double_array("embedding").alias("__qv"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("dot"), F.asc("vec_id")
-    )
-    dot_run = (
-        corpus.join(F.broadcast(q), corpus.vec_id != q.query_id)
-        .select(
-            "query_id", "vec_id",
-            dot(F.col("__qv"), F.col("__v")).alias("dot"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    dot_run = knn_bruteforce(t.embeddings, queries_df, k=20, metric="dot")
     return rrf_fuse([cos_run, dot_run], top_n=10)
 
 
