@@ -439,11 +439,12 @@ def bpe_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for label, kw in (("serial", {}), ("batch16", {"batch": 16})):
         t0 = time.perf_counter()
-        train_bpe(docs, num_merges=32, **kw).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        run_stats: dict[str, float] = {}
+        train_bpe(docs, num_merges=32, stats=run_stats, **kw).write.format(
+            "noop"
+        ).mode("overwrite").save()
         out[f"bpe32_{label}"] = round(time.perf_counter() - t0, 3)
-        out[f"bpe32_{label}_cycles"] = float(train_bpe.last_cycles)
+        out[f"bpe32_{label}_cycles"] = float(run_stats["cycles"])
     docs.unpersist()
     return out
 

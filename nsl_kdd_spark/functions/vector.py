@@ -47,6 +47,27 @@ def sign_bits_hex(a: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized inner product — the ``dot`` twin of
+    :func:`cosine_arrow` (round-6 advisory: ``knn_bruteforce(metric=
+    'dot', scorer='arrow')`` previously fell back to the fold
+    silently). Same contract: numpy's pairwise-summed reduction is
+    tolerance-equal to the fold's strict left-to-right order, not
+    hash-equal."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(x, y):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        xa = np.stack(x.to_numpy())
+        ya = np.stack(y.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", xa, ya))
+
+    return _dot(a, b)
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine: the Pandas-UDF alternative to the
     ``cosine`` fold expression. Batches cross to a Python worker as

@@ -589,6 +589,7 @@ def train_bpe(
     min_pair_freq: int = 2,
     token_pattern: str = "[^a-z0-9]+",
     batch: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
     TRAINING side of the tokenizer surface (``build_vocab`` /
@@ -636,6 +637,10 @@ def train_bpe(
     row's frequency) — a batched cycle costs exactly the jobs a
     serial cycle does. Measured at sf0.1: 32 ranks in 20 cycles,
     ~2.3x faster wall-clock than serial.
+
+    ``stats``: optional caller-owned dict; on return,
+    ``stats["cycles"]`` holds the number of driver count-cycles the
+    run took — the batching lever's observable (bench/tests read it).
 
     Rows-only in the driver gate (no SQL twin for the iterative
     argmax); correctness is pinned against a pure-Python reference
@@ -730,12 +735,12 @@ def train_bpe(
     ])
     # observable round count: the batching lever's whole point is
     # fewer driver count-cycles — bench/tests read this to record the
-    # win (set on the function, not returned, to keep the DataFrame
-    # contract unchanged). Best-effort observability only: shared
-    # across calls, so read it right after a call from the same
-    # thread; it is NOT a per-run result channel and is stale if the
-    # call raised mid-loop.
-    train_bpe.last_cycles = cycles
+    # win. Reported through the caller-owned ``stats`` out-param
+    # (round-6 advisory: the previous function-attribute channel was
+    # shared mutable state — raced across concurrent callers and
+    # stale after a mid-loop raise).
+    if stats is not None:
+        stats["cycles"] = cycles
     return spark.createDataFrame(merges, schema)
 
 

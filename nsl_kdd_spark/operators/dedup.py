@@ -629,11 +629,19 @@ def simhash_pairs(
                 ]
             )
         else:
-            # two-long signature: the shared _band_slices geometry
-            # (equal slices within one word), low half first — e.g.
-            # 128-bit/8-band -> 16-bit values from alternating halves
+            # two-long signature: slice only the COVERED ``bits``
+            # (lo = bits 0..63, hi = bits 64..bits-1). Slicing the
+            # full 128-bit layout here was the round-5 advisory bug:
+            # for 64 < bits < 128 every band over the always-zero
+            # region above ``bits`` was constant 0 for all rows, so
+            # each became an all-pairs bucket and candidate
+            # generation degenerated to O(n^2). The near-equal-width
+            # geometry over the covered concatenation (same rule as
+            # the single-long branch) keeps every band informative
+            # and preserves pigeonhole: bands are disjoint and cover
+            # exactly bits 0..bits-1.
             band_vals = F.array(
-                *_band_slices(["simhash_lo", "simhash_hi"], bands)
+                *_covered_band_slices("simhash_lo", "simhash_hi", bits, bands)
             )
         # the signature is 8/16 bytes — carry it through the band join
         # and verify inline, instead of distinct-ing candidates and
@@ -861,6 +869,51 @@ def _band_slices(cols: list[str], bands: int) -> list:
         else:
             mask = (1 << width) - 1
             slices.append(F.shiftrightunsigned(c, shift).bitwiseAND(mask))
+    return slices
+
+
+def _covered_band_slices(
+    lo_col: str, hi_col: str, bits: int, bands: int
+) -> list:
+    """Band-value slice expressions over the COVERED ``bits`` of a
+    two-long signature (``lo_col`` holds bits 0..63, ``hi_col`` bits
+    64..``bits``-1 packed from position 0) — the wide twin of the
+    single-long near-equal-width geometry in ``simhash_pairs``.
+    Widths are ``divmod(bits, bands)``-balanced; a band straddling
+    the word boundary is assembled as ``(lo >>> s) | (hi << (64-s))``
+    then masked, so every slice stays a codegen-friendly shift/mask
+    expression. Round-6 advisory fix: slicing the full 128-bit layout
+    for ``bits < 128`` made the bands above ``bits`` constant zero —
+    all-pairs buckets."""
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds the {bits}-bit signature")
+    base, extra = divmod(bits, bands)
+    widths = [base + (1 if i < extra else 0) for i in range(bands)]
+    if widths[0] > 64:
+        raise ValueError(
+            f"bands={bands} gives {widths[0]}-bit band values over a "
+            f"{bits}-bit signature; need <= 64 bits per band "
+            f"(use more bands)"
+        )
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    slices = []
+    start = 0
+    for w in widths:
+        end = start + w
+        if end <= 64:
+            v = F.shiftrightunsigned(lo, start)
+        elif start >= 64:
+            v = F.shiftrightunsigned(hi, start - 64)
+        else:
+            # straddles the word boundary: low part from lo's top,
+            # high part from hi's bottom (shiftleft drops overflow)
+            v = F.shiftrightunsigned(lo, start).bitwiseOR(
+                F.shiftleft(hi, 64 - start)
+            )
+        if w < 64:
+            v = v.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        slices.append(v)
+        start = end
     return slices
 
 

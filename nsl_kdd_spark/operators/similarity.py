@@ -27,6 +27,7 @@ from nsl_kdd_spark.functions.vector import (
     cosine,
     cosine_arrow,
     dot,
+    dot_arrow,
     norm,
     sign_bits_hex,
     to_double_array,
@@ -52,7 +53,8 @@ def knn_bruteforce(
     ``scorer="fold"`` (default) computes the score as a JVM fold
     expression — deterministic accumulation order, bit-identical to
     DuckDB's list functions (the oracle contract). ``scorer="arrow"``
-    routes cosine scoring through the Arrow-vectorized pandas UDF —
+    routes scoring (either metric) through an Arrow-vectorized
+    pandas UDF —
     measured ~2.5-3x faster on bulk scoring (SCALE.md), equal to the
     fold within float rounding; use it when throughput matters more
     than hash-exact reproducibility.
@@ -62,11 +64,16 @@ def knn_bruteforce(
     product, column ``dot``, twin ``list_inner_product`` — the
     unnormalized run for hybrid fusion or pre-normalized
     embeddings)."""
+    if scorer not in ("fold", "arrow"):
+        raise ValueError(f"scorer must be 'fold' or 'arrow', got {scorer!r}")
     if metric == "cosine":
         score_fn = cosine if scorer == "fold" else cosine_arrow
         score_col = "cos_sim"
     elif metric == "dot":
-        score_fn = dot
+        # round-6 advisory: scorer='arrow' was silently ignored for
+        # metric='dot' — callers expecting Arrow throughput got the
+        # fold unnoticed
+        score_fn = dot if scorer == "fold" else dot_arrow
         score_col = "dot"
     else:
         raise ValueError(f"metric must be 'cosine' or 'dot', got {metric!r}")

@@ -36,6 +36,38 @@ from pyspark.sql.types import StructType
 from nsl_kdd_spark.operators.registry import build_registry, dedup_batch
 
 
+def is_missing_path_error(exc: Exception) -> bool:
+    """True iff ``exc`` is Spark's path-does-not-exist read failure —
+    the ONLY condition under which a registry probe may fall back to
+    an empty registry (first batch, nothing written yet). Round-6
+    advisory fix: the probes previously caught bare ``Exception``, so
+    a transient storage/read failure of an EXISTING registry silently
+    degraded to an empty registry and the batch admitted duplicates
+    with no signal; genuine read failures must propagate and fail the
+    micro-batch (at-least-once replay retries it)."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - pyspark < 3.4 layout
+        from pyspark.sql.utils import AnalysisException  # type: ignore
+    if not isinstance(exc, AnalysisException):
+        return False
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(exc, attr, None)
+        if get is not None:
+            try:
+                cond = get()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    if cond is not None:
+        return "PATH_NOT_FOUND" in cond
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
     """Write ``df`` into its own ``__batch_id`` partition with DYNAMIC
     partition overwrite, scoped to THIS write via the writer option —
@@ -101,7 +133,11 @@ def _document_sink(
     s = batch_df.sparkSession
     try:
         registry = read_registry_before(s, registry_path, batch_id)
-    except Exception:  # first batch: no registry yet
+    except Exception as e:
+        # first batch only (no registry path yet); any other read
+        # failure fails the micro-batch (round-6 advisory)
+        if not is_missing_path_error(e):
+            raise
         registry = build_registry(
             batch_df.limit(0), id_col, text_col, num_hashes, shingle_n
         )

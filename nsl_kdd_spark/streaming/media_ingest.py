@@ -42,6 +42,7 @@ from nsl_kdd_spark.operators.dedup import (
 )
 from nsl_kdd_spark.streaming.ingest import (
     _write_partition,
+    is_missing_path_error,
     read_registry_before,
 )
 
@@ -112,7 +113,11 @@ def _media_sink(
     # registry tier: any match within max_hamming rejects
     try:
         registry = read_registry_before(s, registry_path, batch_id)
-    except Exception:  # first batch: no registry yet
+    except Exception as e:
+        # first batch only (no registry path yet); any other read
+        # failure fails the micro-batch (round-6 advisory)
+        if not is_missing_path_error(e):
+            raise
         registry = s.createDataFrame([], schema)
     reg_hits = banded_hamming_join(
         survivors, registry,

@@ -768,7 +768,9 @@ def test_simhash128_two_long_bands_match_crossjoin_truth(spark):
     truth = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(
         docs, "doc_id", "text", max_hamming=16, bits=128).collect()}
     assert (1, 4, 0) in truth
-    for bands in (8, 4):
+    # bands=3 included: non-dividing band counts are valid since the
+    # round-6 covered-bits slicer (near-equal widths, straddles OK)
+    for bands in (8, 4, 3):
         banded = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(
             docs, "doc_id", "text", max_hamming=bands - 1, bits=128,
             bands=bands).collect()}
@@ -776,11 +778,98 @@ def test_simhash128_two_long_bands_match_crossjoin_truth(spark):
         assert banded == want
 
     import pytest
-    with pytest.raises(ValueError, match="equal slices"):
-        simhash_pairs(docs, "doc_id", "text", max_hamming=2, bits=128,
-                      bands=3)
+    with pytest.raises(ValueError, match="more bands"):
+        # width would be 128 > 64 — a band value must fit one long
+        simhash_pairs(docs, "doc_id", "text", max_hamming=0, bits=128,
+                      bands=1)
     with pytest.raises(ValueError, match="multiple of 4"):
         simhash(docs, "doc_id", "text", bits=132)
+
+
+def test_simhash_wide_partial_bits_bands_cover_only_covered_bits(spark):
+    """Round-6 advisory regression: for 64 < bits < 128 the banded
+    path used to slice the full 128-bit layout, so every band over
+    the always-zero region above ``bits`` was constant 0 for all rows
+    — an all-pairs bucket (O(n^2) candidates). The covered-bits
+    slicer must (a) keep the banded output identical to the exact
+    cross-join truth and (b) leave no band constant across a diverse
+    corpus."""
+    from nsl_kdd_spark.operators.dedup import (
+        _covered_band_slices,
+        simhash,
+        simhash_pairs,
+    )
+
+    words = ("alpha beta gamma delta shard shuffle parquet arrow flink "
+             "spark kafka iceberg delta hudi presto trino duck goose "
+             "heron samza storm beam dataflow ray dask polars pandas").split()
+    rows = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 9)))
+        for i in range(14)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for bits in (68, 96, 124):
+        truth = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=7, bits=bits).collect()}
+        banded = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=7, bits=bits,
+            bands=8).collect()}
+        assert banded == truth
+
+    # (b) no degenerate band: every band index must see >1 distinct
+    # value over distinct texts (the old slicer left bands over the
+    # uncovered region constant 0)
+    from pyspark.sql import functions as F
+    sigs = simhash(docs, "doc_id", "text", bits=96)
+    slices = _covered_band_slices("simhash_lo", "simhash_hi", 96, 8)
+    per_band = (
+        sigs.select(F.posexplode(F.array(*slices)).alias("bi", "bv"))
+        .groupBy("bi").agg(F.countDistinct("bv").alias("n"))
+        .collect()
+    )
+    assert len(per_band) == 8
+    assert all(r.n > 1 for r in per_band)
+
+
+def test_covered_band_slices_match_python_reference(spark):
+    """The wide covered-bits slice geometry, checked bit-for-bit
+    against a Python reference over random signatures, including
+    word-boundary-straddling bands and the sign bit of the low
+    long."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.dedup import _covered_band_slices
+
+    bits = 100
+    rng = random.Random(7)
+    raw = [rng.getrandbits(bits) for _ in range(16)]
+    raw.append((1 << bits) - 1)          # all ones: sign bit of lo set
+
+    def signed64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    df = spark.createDataFrame(
+        [(i, signed64(v & ((1 << 64) - 1)), signed64(v >> 64))
+         for i, v in enumerate(raw)],
+        "id long, lo long, hi long",
+    )
+    for bands in (2, 5, 8, 13):
+        base, extra = divmod(bits, bands)
+        widths = [base + (1 if i < extra else 0) for i in range(bands)]
+        got = df.select(
+            "id",
+            *[s.alias(f"b{j}") for j, s in
+              enumerate(_covered_band_slices("lo", "hi", bits, bands))],
+        ).collect()
+        for r in got:
+            v, start = raw[r.id], 0
+            for j, w in enumerate(widths):
+                want = (v >> start) & ((1 << w) - 1)
+                assert signed64(want) == r[f"b{j}"], (bands, j)
+                start += w
 
 
 def test_banded_hamming_single_long_nondividing_bands_still_work(spark):

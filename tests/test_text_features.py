@@ -261,21 +261,24 @@ def test_train_bpe_batched_equals_serial_and_reference(spark):
     want = _reference_bpe(counts, num_merges=48)
     assert len(want) == 48   # corpus sustains every rank
 
+    serial_stats: dict = {}
     serial = [
         (r.rank, r.left, r.right, r.merged, r.pair_freq)
-        for r in train_bpe(docs, num_merges=48).orderBy("rank").collect()
+        for r in train_bpe(docs, num_merges=48, stats=serial_stats)
+        .orderBy("rank").collect()
     ]
     assert serial == want
-    serial_cycles = train_bpe.last_cycles
+    serial_cycles = serial_stats["cycles"]
     assert serial_cycles == 48
 
+    batched_stats: dict = {}
     batched = [
         (r.rank, r.left, r.right, r.merged, r.pair_freq)
-        for r in train_bpe(docs, num_merges=48, batch=16)
+        for r in train_bpe(docs, num_merges=48, batch=16, stats=batched_stats)
         .orderBy("rank").collect()
     ]
     assert batched == want
-    assert train_bpe.last_cycles < serial_cycles   # round-trips saved
+    assert batched_stats["cycles"] < serial_cycles   # round-trips saved
 
     import pytest
     with pytest.raises(ValueError, match="batch"):
