@@ -51,9 +51,9 @@ def dot_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized inner product — the ``dot`` twin of
     :func:`cosine_arrow` (round-6 advisory: ``knn_bruteforce(metric=
     'dot', scorer='arrow')`` previously fell back to the fold
-    silently). Same contract: numpy's pairwise-summed reduction is
-    tolerance-equal to the fold's strict left-to-right order, not
-    hash-equal."""
+    silently). Same contract: numpy's vectorized reduction order
+    differs from the fold's strict left-to-right order, so results
+    are tolerance-equal, not hash-equal."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf("double")
@@ -77,7 +77,7 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     where a fold expression per output column stops being viable.
     For the plain dot product the JVM fold wins (no worker round-trip,
     stays inside whole-stage codegen); SCALE.md records the measured
-    crossover. numpy's pairwise-summed reduction differs from the
+    crossover. numpy's vectorized reduction order differs from the
     fold's strict left-to-right order by float-rounding only (~1e-16
     rel), so results are tolerance-equal, not hash-equal."""
     from pyspark.sql.pandas.functions import pandas_udf

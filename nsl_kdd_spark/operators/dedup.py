@@ -839,8 +839,9 @@ def _sig_cols(sig_col: str | Sequence[str]) -> list[str]:
 
 def _band_slices(cols: list[str], bands: int) -> list:
     """Band-value slice expressions over a 1- or multi-long signature
-    — the ONE definition of the banding geometry, shared by
-    ``_band_explode`` and ``simhash_pairs``' wide branch.
+    — the full-coverage banding geometry used by ``_band_explode``
+    (``simhash_pairs``' wide branch with partial bit coverage uses
+    ``_covered_band_slices`` instead).
 
     Single long: ``width = 64 // bands`` (floor — any band count up
     to 64 works, as it always has; bits past ``bands * width`` stay

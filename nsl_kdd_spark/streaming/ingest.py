@@ -37,14 +37,28 @@ from nsl_kdd_spark.operators.registry import build_registry, dedup_batch
 
 
 def is_missing_path_error(exc: Exception) -> bool:
-    """True iff ``exc`` is Spark's path-does-not-exist read failure —
-    the ONLY condition under which a registry probe may fall back to
-    an empty registry (first batch, nothing written yet). Round-6
-    advisory fix: the probes previously caught bare ``Exception``, so
-    a transient storage/read failure of an EXISTING registry silently
-    degraded to an empty registry and the batch admitted duplicates
-    with no signal; genuine read failures must propagate and fail the
-    micro-batch (at-least-once replay retries it)."""
+    """True iff ``exc`` means "no committed registry yet" — the ONLY
+    condition under which a registry probe may fall back to an empty
+    registry. Round-6 advisory fix: the probes previously caught bare
+    ``Exception``, so a transient storage/read failure of an EXISTING
+    registry silently degraded to an empty registry and the batch
+    admitted duplicates with no signal; genuine read failures must
+    propagate and fail the micro-batch (at-least-once replay retries
+    it). Two conditions qualify as nothing-committed:
+
+    - ``PATH_NOT_FOUND``: the registry directory does not exist
+      (first batch, nothing written yet).
+    - ``UNABLE_TO_INFER_SCHEMA``: the directory EXISTS but holds no
+      committed parquet files. Round-7 advisory: under parquet's
+      commit protocol this is exactly equivalent to nothing-committed
+      — the state a first registry write that crashed mid-write
+      leaves behind (only ``_temporary``, never replayed into data).
+      Treating it as an error would make the at-least-once replay a
+      PERMANENT crash loop (every retry re-reads the same empty dir),
+      whereas admitting it as "no registry yet" is correct: the
+      crashed batch's rows were never committed, so its re-delivery
+      must dedup against the same (empty) standing registry it saw
+      the first time."""
     if isinstance(exc, FileNotFoundError):
         return True
     try:
@@ -53,6 +67,7 @@ def is_missing_path_error(exc: Exception) -> bool:
         from pyspark.sql.utils import AnalysisException  # type: ignore
     if not isinstance(exc, AnalysisException):
         return False
+    _EMPTY = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
     cond = None
     for attr in ("getCondition", "getErrorClass"):
         get = getattr(exc, attr, None)
@@ -64,8 +79,12 @@ def is_missing_path_error(exc: Exception) -> bool:
             if cond:
                 break
     if cond is not None:
-        return "PATH_NOT_FOUND" in cond
-    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+        return any(c in cond for c in _EMPTY)
+    return (
+        any(c in str(exc) for c in _EMPTY)
+        or "Path does not exist" in str(exc)
+        or "Unable to infer schema" in str(exc)
+    )
 
 
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:

@@ -90,3 +90,35 @@ def test_dedup_batch_plans_are_equi_joins(spark):
             df._jdf.queryExecution(), "formatted"
         )
         assert "CartesianProduct" not in plan
+
+
+def test_probe_error_classification(spark, tmp_path):
+    """is_missing_path_error admits exactly the two nothing-committed
+    states — missing path (first batch) and existing-but-empty dir
+    (UNABLE_TO_INFER_SCHEMA: a first registry write that crashed
+    mid-write, round-7 advisory) — and rejects genuine read failures
+    so they fail the micro-batch instead of silently admitting dups."""
+    from nsl_kdd_spark.streaming.ingest import is_missing_path_error
+
+    def classify(path: str) -> bool:
+        try:
+            spark.read.parquet(path).collect()
+        except Exception as e:  # noqa: BLE001 - classifying, not handling
+            return is_missing_path_error(e)
+        raise AssertionError(f"read of {path} unexpectedly succeeded")
+
+    # missing path -> no registry yet
+    assert classify(str(tmp_path / "never_written"))
+
+    # existing dir, zero committed parquet files (crashed first write
+    # leaves only _temporary) -> equivalent to nothing-committed
+    empty = tmp_path / "crashed_first_write"
+    (empty / "_temporary").mkdir(parents=True)
+    assert classify(str(empty))
+
+    # a real read failure (committed file with corrupt content) must
+    # NOT be classified as missing -> propagates, fails the batch
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    assert not classify(str(corrupt))

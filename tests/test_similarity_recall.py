@@ -102,6 +102,22 @@ def test_knn_bruteforce_arrow_scorer_same_neighbors(spark):
     assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
 
 
+def test_knn_bruteforce_dot_arrow_scorer_same_neighbors(spark):
+    """metric='dot' x scorer='arrow' — the exact round-6-advisory
+    combination — returns the same neighbor sets/ranks as the dot
+    fold (round-7 advisory: the arrow-dot path previously had no
+    parity test; only cosine x arrow was exercised)."""
+    e = load_tables(spark, SF_SMOKE).embeddings
+    q = e.filter(F.col("vec_id") < 3)
+    fold = knn_bruteforce(e, q, k=5, metric="dot").select(
+        "query_id", "vec_id", "rank"
+    )
+    arrow = knn_bruteforce(e, q, k=5, metric="dot", scorer="arrow").select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
+
+
 def test_pq_adc_recall_and_refine(spark):
     """PQ/ADC tier: raw ADC top-k finds a majority of the exact
     neighbors; exact-refined shortlist recovers most of the rest.
