@@ -601,8 +601,12 @@ def sf1_timings(spark, sf_dir: str) -> dict[str, float]:
     their tiers."""
     sf1_dir = ensure_sf1_dir(spark, sf_dir)
     timings: dict[str, float] = {}
+    # q143 = q52's exact=False sketch tier (round-7): the sf1 cell is
+    # the evidence that bounded-state GK percentiles beat the exact
+    # group-buffering path exactly where it matters — past the floor
     for name in ("q01_pricing_summary", "q03_revenue_by_nation",
-                 "q52_percentiles", "q54_asof_join"):
+                 "q52_percentiles", "q143_percentiles_approx",
+                 "q54_asof_join"):
         fn = QUERIES[name]
         seen: list[float] = []
         while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):

@@ -1854,16 +1854,28 @@ def q51_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return (
-        t.lineitem.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", 0.5).alias("p50"),
-            F.percentile("l_extendedprice", 0.9).alias("p90"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return agg.percentile_summary(
+        t.lineitem, "l_extendedprice", "l_returnflag", (0.5, 0.9)
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q52's sketch tier (round-7, r5/r6 verdicts): the SAME operator path
+# with exact=False — per-group Greenwald-Khanna percentile_approx,
+# bounded state, identical output schema. Rows-only BY DESIGN: the
+# sketch's rank-error contract (<= n/accuracy) is engine-specific, so
+# there is no bitwise DuckDB twin — the bounded-error guarantee is
+# pinned by tests/test_operators_unit.py::test_percentile_summary_
+# approx_rank_error_bounded instead (same policy as q63's HLL tier).
+# ---------------------------------------------------------------------------
+
+@query("q143_percentiles_approx")
+def q143_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return agg.percentile_summary(
+        t.lineitem, "l_extendedprice", "l_returnflag", (0.5, 0.9),
+        exact=False, accuracy=10_000,
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

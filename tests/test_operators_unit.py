@@ -588,6 +588,80 @@ def test_winsorize_clips_both_tails(spark):
     assert row.sum_u < 6_000 * 1_000_000
 
 
+def test_percentile_summary_approx_rank_error_bounded(spark):
+    """The exact=False sketch tier (round-7; prose-only before):
+    Greenwald-Khanna's contract is that the returned value is an
+    actual element whose rank is within n/accuracy of the target rank
+    — assert that bound per group on the real lineitem table, at an
+    accuracy coarse enough (100) that the sketch genuinely
+    approximates rather than degenerating to exact."""
+    from nsl_kdd_spark.operators.agg import percentile_summary
+    from nsl_kdd_spark.sources.parquet import load_tables
+    from tests.conftest import SF_SMOKE
+
+    li = load_tables(spark, SF_SMOKE).lineitem
+    exact = percentile_summary(li, "l_extendedprice", "l_returnflag")
+    approx = percentile_summary(
+        li, "l_extendedprice", "l_returnflag", exact=False, accuracy=100
+    )
+    # identical output schema: the 100 TB path is a flag flip
+    assert approx.schema == exact.schema
+
+    groups = {
+        r["l_returnflag"]: sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == r["l_returnflag"])
+            .select("l_extendedprice").collect()
+        )
+        for r in approx.collect()
+    }
+    for r in approx.collect():
+        vals = groups[r["l_returnflag"]]
+        n = len(vals)
+        assert n > 500  # the bound must be non-trivial on the fixture
+        for p, col in ((0.5, "p50"), (0.9, "p90")):
+            got = r[col]
+            assert got in vals  # GK returns an element, no interpolation
+            # rank window of `got` among the sorted values
+            import bisect
+            rank_lo = bisect.bisect_left(vals, got)
+            rank_hi = bisect.bisect_right(vals, got)
+            target = p * n
+            err = n / 100 + 1  # n/accuracy, +1 for rank convention slack
+            assert rank_lo - err <= target <= rank_hi + err, (
+                r["l_returnflag"], col, got, rank_lo, rank_hi, target
+            )
+        assert r["lo"] == vals[0] and r["hi"] == vals[-1]
+
+
+def test_winsorize_approx_tier_bounded_vs_exact(spark):
+    """winsorize(exact=False): same schema, same row count, clipped
+    sums within 1% of the exact tier on real data — the clip bounds
+    move by at most the sketch's rank error, which at p01/p99 touches
+    only the tail mass."""
+    from nsl_kdd_spark.operators.agg import winsorize
+    from nsl_kdd_spark.sources.parquet import load_tables
+    from tests.conftest import SF_SMOKE
+
+    li = load_tables(spark, SF_SMOKE).lineitem
+    exact = winsorize(li, "l_extendedprice", "l_returnflag", 0.01, 0.99)
+    approx = winsorize(
+        li, "l_extendedprice", "l_returnflag", 0.01, 0.99,
+        exact=False, accuracy=1000,
+    )
+    assert approx.schema == exact.schema
+    e = {r["l_returnflag"]: r for r in exact.collect()}
+    a = {r["l_returnflag"]: r for r in approx.collect()}
+    assert e.keys() == a.keys()
+    for k in e:
+        assert a[k]["n"] == e[k]["n"]
+        assert abs(a[k]["sum_u"] - e[k]["sum_u"]) <= 0.01 * abs(e[k]["sum_u"])
+        # clip counts stay within the rank-error mass: n/accuracy each side
+        slack = e[k]["n"] / 1000 + 1
+        assert abs(a[k]["n_lo"] - e[k]["n_lo"]) <= slack
+        assert abs(a[k]["n_hi"] - e[k]["n_hi"]) <= slack
+
+
 def test_mad_outliers_flags_only_the_spike(spark):
     from nsl_kdd_spark.operators.timeseries import mad_outliers
 
