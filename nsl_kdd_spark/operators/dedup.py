@@ -874,12 +874,14 @@ def _band_slices(cols: list[str], bands: int) -> list:
 
 
 def _covered_band_slices(
-    lo_col: str, hi_col: str, bits: int, bands: int
+    lo_col: str, hi_col: str | None, bits: int, bands: int
 ) -> list:
     """Band-value slice expressions over the COVERED ``bits`` of a
-    two-long signature (``lo_col`` holds bits 0..63, ``hi_col`` bits
-    64..``bits``-1 packed from position 0) — the wide twin of the
-    single-long near-equal-width geometry in ``simhash_pairs``.
+    one- or two-long signature (``lo_col`` holds bits 0..63,
+    ``hi_col`` bits 64..``bits``-1 packed from position 0; ``hi_col``
+    is ``None`` iff ``bits <= 64``) — the near-equal-width geometry
+    shared by ``simhash_pairs``' wide branch and (round 7) the public
+    banded-hamming backend's ``bits`` contract.
     Widths are ``divmod(bits, bands)``-balanced; a band straddling
     the word boundary is assembled as ``(lo >>> s) | (hi << (64-s))``
     then masked, so every slice stays a codegen-friendly shift/mask
@@ -888,6 +890,10 @@ def _covered_band_slices(
     all-pairs buckets."""
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds the {bits}-bit signature")
+    if (hi_col is None) != (bits <= 64):
+        raise ValueError(
+            f"bits={bits} needs {'one long column' if bits <= 64 else 'two long columns'}"
+        )
     base, extra = divmod(bits, bands)
     widths = [base + (1 if i < extra else 0) for i in range(bands)]
     if widths[0] > 64:
@@ -896,7 +902,8 @@ def _covered_band_slices(
             f"{bits}-bit signature; need <= 64 bits per band "
             f"(use more bands)"
         )
-    lo, hi = F.col(lo_col), F.col(hi_col)
+    lo = F.col(lo_col)
+    hi = F.col(hi_col) if hi_col is not None else None
     slices = []
     start = 0
     for w in widths:
@@ -919,7 +926,11 @@ def _covered_band_slices(
 
 
 def _band_explode(
-    sigs: DataFrame, id_col: str, sig_col: str | Sequence[str], bands: int
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str | Sequence[str],
+    bands: int,
+    bits: int | None = None,
 ) -> DataFrame:
     """(id, sig...) -> one row per (band index, band value) slice of
     the signature — the shared candidate-key derivation for the
@@ -929,14 +940,37 @@ def _band_explode(
     perceptual hash as two longs): the concatenation is sliced into
     ``bands`` equal pieces, so widening the signature widens each
     band's value space — the knob that keeps expected bucket
-    collisions ~ n^2 / 2^width sub-quadratic as the corpus grows."""
+    collisions ~ n^2 / 2^width sub-quadratic as the corpus grows.
+
+    ``bits`` (round-7, from the r6 verdict's residual-edge finding):
+    when the signature populates only the low ``bits`` of the
+    concatenation (e.g. raw 96-bit simhash columns), pass it so the
+    near-equal-width slicer covers exactly bits 0..``bits``-1 —
+    otherwise bands over the always-zero region are constant for all
+    rows and each becomes an all-pairs bucket (the exact degeneration
+    the r6 ``simhash_pairs`` fix closed inside that entry point).
+    With ``bits`` set, ``sig_col`` must be in concatenation order:
+    the fully-populated low long first, the partial top long last."""
     cols = _sig_cols(sig_col)
+    if bits is None:
+        slices = _band_slices(cols, bands)
+    else:
+        if len(cols) > 2:
+            raise ValueError(
+                "bits is only supported for 1- or 2-long signatures"
+            )
+        if not 64 * (len(cols) - 1) < bits <= 64 * len(cols):
+            raise ValueError(
+                f"bits={bits} does not fit {len(cols)} long column(s): "
+                f"need {64 * (len(cols) - 1)} < bits <= {64 * len(cols)}"
+            )
+        slices = _covered_band_slices(
+            cols[0], cols[1] if len(cols) > 1 else None, bits, bands
+        )
     return sigs.select(
         F.col(id_col).alias("__id"),
         *[F.col(c).alias(f"__sig{j}") for j, c in enumerate(cols)],
-        F.posexplode(F.array(*_band_slices(cols, bands))).alias(
-            "__band", "__val"
-        ),
+        F.posexplode(F.array(*slices)).alias("__band", "__val"),
     )
 
 
@@ -956,9 +990,10 @@ def _hamming(prefix_a: str, prefix_b: str, n_parts: int):
 
 
 def _check_band_args(
-    bands: int, max_hamming: int, n_sig_cols: int = 1
+    bands: int, max_hamming: int, n_sig_cols: int = 1,
+    bits: int | None = None,
 ) -> None:
-    total = 64 * n_sig_cols
+    total = bits if bits is not None else 64 * n_sig_cols
     if not 0 <= max_hamming < bands:
         raise ValueError(
             f"pigeonhole guarantee needs 0 <= max_hamming < bands, "
@@ -986,6 +1021,7 @@ def banded_hamming_join(
     right_sig: str | Sequence[str],
     bands: int = 4,
     max_hamming: int = 3,
+    bits: int | None = None,
 ) -> DataFrame:
     """Cross-table variant of :func:`banded_hamming_pairs`: every
     (left, right) pair within ``max_hamming`` bits, candidates from
@@ -996,20 +1032,23 @@ def banded_hamming_join(
     against a standing signature registry (right) — per-batch cost is
     O(batch x collision rate), the registry is never self-joined. No
     bucket cap here: capping would silently drop registry matches,
-    and the batch side bounds the join anyway (broadcast when small)."""
+    and the batch side bounds the join anyway (broadcast when small).
+
+    Pass ``bits`` when the signatures populate only the low ``bits``
+    of the concatenation (see :func:`banded_hamming_pairs`)."""
     lcols, rcols = _sig_cols(left_sig), _sig_cols(right_sig)
     if len(lcols) != len(rcols):
         raise ValueError(
             f"signature widths differ: {len(lcols)} vs {len(rcols)} longs"
         )
     k = len(lcols)
-    _check_band_args(bands, max_hamming, k)
-    a = _band_explode(left, left_id, lcols, bands).select(
+    _check_band_args(bands, max_hamming, k, bits)
+    a = _band_explode(left, left_id, lcols, bands, bits).select(
         F.col("__id").alias("id_l"),
         *[F.col(f"__sig{j}").alias(f"__hl{j}") for j in range(k)],
         "__band", "__val",
     )
-    b = _band_explode(right, right_id, rcols, bands).select(
+    b = _band_explode(right, right_id, rcols, bands, bits).select(
         F.col("__id").alias("id_r"),
         *[F.col(f"__sig{j}").alias(f"__hr{j}") for j in range(k)],
         "__band", "__val",
@@ -1032,12 +1071,24 @@ def banded_hamming_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from PRE-COMPUTED 64-bit (one long column) or
     wider (list of long columns) signatures: split the concatenated
     signature into ``bands`` equal slices, candidates share at least
     one slice (pigeonhole-lossless for ``max_hamming < bands``), exact
     ``bit_count(xor)`` verifies. Returns (id_a, id_b, hamming).
+
+    ``bits`` (round-7, closing the r6 verdict's residual edge): the
+    default geometry assumes the signature covers all 64*k bits of
+    its column(s). When only the low ``bits`` are populated (e.g. raw
+    96-bit simhash columns passed directly, rather than through
+    ``simhash_pairs`` which routes its own covered-bits slicer), pass
+    ``bits`` so banding covers exactly bits 0..``bits``-1 — otherwise
+    every band over the always-zero top region is constant for all
+    rows and degenerates to an all-pairs bucket (O(n^2) candidates).
+    With ``bits``, ``sig_col`` must be in concatenation order: low
+    long first, partial top long last.
 
     The shared pairing backend for every fixed-width-signature tier —
     simhash-style text signatures, perceptual image/audio hashes
@@ -1054,8 +1105,8 @@ def banded_hamming_pairs(
     """
     cols = _sig_cols(sig_col)
     k = len(cols)
-    _check_band_args(bands, max_hamming, k)
-    banded = _band_explode(sigs, id_col, cols, bands)
+    _check_band_args(bands, max_hamming, k, bits)
+    banded = _band_explode(sigs, id_col, cols, bands, bits)
     banded = _cap_buckets(banded, ["__band", "__val"], max_bucket_size)
     a = banded.select(
         F.col("__id").alias("id_a"),

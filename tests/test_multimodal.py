@@ -936,3 +936,124 @@ def test_banded_hamming_128_randomized_equals_bruteforce(spark):
             df, "id", ["hi", "lo"], bands=bands, max_hamming=7).collect()}
         assert got == want, f"bands={bands}"
     assert len(want) >= 40          # the planted neighbors are found
+
+
+def test_banded_backend_partial_bits_contract(spark):
+    """Round-7 (r6 verdict residual edge): the PUBLIC backend entry
+    points accept a ``bits`` contract for partial-coverage two-long
+    signatures. At bits 68/96/124: (a) banded pairs == brute-force
+    truth, (b) no band is constant across a diverse corpus (the
+    degeneration the contract exists to prevent), and (c) the
+    cross-table join finds the same pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.dedup import (
+        _band_explode,
+        banded_hamming_join,
+        banded_hamming_pairs,
+    )
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for bits in (68, 96, 124):
+        rng = random.Random(bits)
+        raw = [rng.getrandbits(bits) for _ in range(60)]
+        for j in range(30):  # planted near-neighbors, <= 7 flips
+            v = raw[rng.randrange(60)]
+            for _ in range(rng.randrange(8)):
+                v ^= 1 << rng.randrange(bits)
+            raw.append(v)
+        want = set()
+        for x in range(len(raw)):
+            for y in range(x + 1, len(raw)):
+                d = bin(raw[x] ^ raw[y]).count("1")
+                if d <= 7:
+                    want.add((x, y, d))
+        assert want, bits
+        mask = (1 << 64) - 1
+        df = spark.createDataFrame(
+            [(i, signed(v & mask), signed(v >> 64))
+             for i, v in enumerate(raw)],
+            "id long, lo long, hi long",
+        )
+        # (a) self-join truth through the public entry point
+        got = {(r.id_a, r.id_b, r.hamming) for r in banded_hamming_pairs(
+            df, "id", ["lo", "hi"], bands=8, max_hamming=7,
+            bits=bits).collect()}
+        assert got == want, bits
+
+        # (b) every band sees >1 distinct value (no constant band)
+        per_band = (
+            _band_explode(df, "id", ["lo", "hi"], 8, bits)
+            .groupBy("__band").agg(F.countDistinct("__val").alias("n"))
+            .collect()
+        )
+        assert len(per_band) == 8 and all(r.n > 1 for r in per_band), bits
+
+        # (c) cross-table variant: probe half against the other half
+        left = df.filter(F.col("id") < 60)
+        right = df.filter(F.col("id") >= 60)
+        got_j = {(r.id_l, r.id_r, r.hamming) for r in banded_hamming_join(
+            left, right, "id", ["lo", "hi"], "id", ["lo", "hi"],
+            bands=8, max_hamming=7, bits=bits).collect()}
+        want_j = {(a, b, d) for a, b, d in want if a < 60 <= b}
+        assert got_j == want_j, bits
+
+
+def test_banded_backend_partial_bits_single_long(spark):
+    """bits <= 64 on a single long column: the covered-bits slicer
+    replaces the floor-width geometry, so bands spread over exactly
+    bits 0..bits-1 (floor-width at bands=8/bits=40 would band only
+    the low 40 bits anyway — but at bands=7 the widths differ; truth
+    must hold either way)."""
+    import random
+
+    from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
+
+    bits = 40
+    rng = random.Random(9)
+    raw = [rng.getrandbits(bits) for _ in range(50)]
+    for j in range(25):
+        v = raw[rng.randrange(50)]
+        for _ in range(rng.randrange(6)):
+            v ^= 1 << rng.randrange(bits)
+        raw.append(v)
+    want = set()
+    for x in range(len(raw)):
+        for y in range(x + 1, len(raw)):
+            d = bin(raw[x] ^ raw[y]).count("1")
+            if d <= 5:
+                want.add((x, y, d))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(raw)], "id long, sig long"
+    )
+    for bands in (7, 8):
+        got = {(r.id_a, r.id_b, r.hamming) for r in banded_hamming_pairs(
+            df, "id", "sig", bands=bands, max_hamming=5,
+            bits=bits).collect()}
+        assert got == want, bands
+
+
+def test_banded_backend_bits_validation(spark):
+    """Invalid bits contracts fail loudly instead of degenerating."""
+    import pytest
+
+    from nsl_kdd_spark.operators.dedup import banded_hamming_pairs
+
+    two = spark.createDataFrame(
+        [(1, 2, 3), (2, 4, 5)], "id long, lo long, hi long"
+    )
+    one = spark.createDataFrame([(1, 2), (2, 3)], "id long, sig long")
+    with pytest.raises(ValueError, match="does not fit"):
+        banded_hamming_pairs(two, "id", ["lo", "hi"], bands=4,
+                             max_hamming=3, bits=60).collect()
+    with pytest.raises(ValueError, match="does not fit"):
+        banded_hamming_pairs(one, "id", "sig", bands=4,
+                             max_hamming=3, bits=96).collect()
+    with pytest.raises(ValueError, match="exceeds"):
+        # bands > bits: width floors to 0 -> constant bands
+        banded_hamming_pairs(one, "id", "sig", bands=48,
+                             max_hamming=3, bits=40).collect()
