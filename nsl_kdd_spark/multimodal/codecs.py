@@ -793,6 +793,18 @@ CODECS: dict[str, dict] = {
     "jpeg": {"decode": jpeg_decode, "encode": jpeg_encode},
 }
 
+# Round-7: auto-detect the accelerated decode tier (import-guarded
+# Pillow — see fast_codecs.py for the determinism contract and the
+# NSL_KDD_SPARK_PURE_CODECS opt-out). When no provider is importable
+# this is a no-op and ACCELERATED == []; decode_image and every
+# caller above it (decode_media, media signatures) pick up whichever
+# tier is registered, with the pure decoder kept under 'pure_decode'.
+from nsl_kdd_spark.multimodal.fast_codecs import (  # noqa: E402
+    register_accelerated_codecs,
+)
+
+ACCELERATED: list[str] = register_accelerated_codecs(CODECS)
+
 
 def decode_image(payload: bytes) -> np.ndarray:
     fmt = detect_format(payload)
