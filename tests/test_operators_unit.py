@@ -502,6 +502,41 @@ def test_jaccard_prefix_filter_keeps_exact_threshold_boundary_pair(spark):
     assert out == [(1, 2, 0.8)]
 
 
+def test_jaccard_size_ratio_prefilter_lossless_vs_inverted_index(spark):
+    """Round-7 (r5 verdict #4): the size-ratio candidate pre-filter
+    (min(sz) >= t * max(sz), nudged like the prefix bound) must be
+    invisible in results — prefix path == plain inverted-index path
+    pair-for-pair, including subset pairs sitting exactly at
+    J = min/max = t where t * max rounds a hair HIGH in float (0.8 *
+    10 -> 8.0000000000000004: an unnudged filter drops the pair)."""
+    from nsl_kdd_spark.operators.dedup import jaccard_pairs
+
+    a = "small join join merge scan group a big join key"
+    rows = [
+        (1, a),
+        (2, a + " dup dup"),          # A ⊂ B, J = 8/10 = t exactly
+        (3, "completely different words here entirely friend ok yes"),
+        (4, a + " dup dup zip zap"),  # J(1,4) = 8/12 < t: ratio-filtered
+        (5, a),                        # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8, prefix_filter=False
+        ).collect()
+    )
+    assert (1, 2, 0.8) in want and (1, 5, 1.0) in want
+    for order in ("freq", "hash"):
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.8, order=order
+            ).collect()
+        )
+        assert got == want, order
+
+
 def test_pagerank_star_graph_and_dangling(spark):
     """Star graph 1->{2,3,4}: the hub is a source, leaves are sinks
     (dangling); leaves end equal by symmetry, total rank stays ~scale
