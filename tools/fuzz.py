@@ -1,0 +1,597 @@
+"""Differential fuzz harness over the DuckDB oracle (round-7; the
+r5/r6 verdicts' #6). The q28 prefix-boundary bug and the q121
+rounding bug were both found by REPLAYING a query against the oracle
+after a parameter moved; this harness generalizes that: each family
+below is a parameterizable (Spark operator, DuckDB SQL) template
+whose BOTH sides are generated from the SAME randomized draw —
+thresholds, bin edges, k, salts, band geometry — then compared
+row-for-row exactly like the driver gate. Boundary/rounding logic
+bugs (the class fuzzing targets) produce whole rows appearing or
+vanishing, not last-ulp noise, so families whose values are floats
+compare with 1e-9 relative tolerance while every row-set/count/int
+comparison stays exact.
+
+Usage:
+    python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
+
+Exit 0 iff every (family x draw) replay matches. Draws are seeded —
+failures reproduce with the printed seed. The default 3 draws x 10
+families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
+a fixed seed of the cheap families as a regression gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+# --------------------------------------------------------------------
+# comparison (mirrors tools/compare.py / the driver gate)
+# --------------------------------------------------------------------
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _close(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare_frames(s_cols, s_rows, d_cols, d_rows, float_tol: bool):
+    """None when equal, else a human-readable mismatch description."""
+    if sorted(s_cols) != sorted(d_cols):
+        return f"columns {sorted(s_cols)} vs {sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return f"row count {len(s_rows)} vs {len(d_rows)}"
+    si = [s_cols.index(c) for c in sorted(s_cols)]
+    di = [d_cols.index(c) for c in sorted(d_cols)]
+    sk = sorted((tuple(_canon(r[i]) for i in si) for r in s_rows), key=repr)
+    dk = sorted((tuple(_canon(r[i]) for i in di) for r in d_rows), key=repr)
+    for a, b in zip(sk, dk):
+        if a == b:
+            continue
+        if float_tol and len(a) == len(b) and all(
+            _close(x, y) for x, y in zip(a, b)
+        ):
+            continue
+        return f"row diff\n    spark: {a}\n    duck:  {b}"
+    return None
+
+
+# --------------------------------------------------------------------
+# families: rng -> (params_repr, spark_fn(spark, sf_dir) -> DataFrame,
+#                   duckdb_sql, float_tol)
+# --------------------------------------------------------------------
+
+_P_GRID = (0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+_VCOLS = ("l_extendedprice", "l_quantity", "l_tax")
+_GCOLS = ("l_returnflag", "l_linestatus")
+
+
+def fam_percentiles(rng: random.Random):
+    vcol = rng.choice(_VCOLS)
+    gcol = rng.choice(_GCOLS)
+    ps = sorted(rng.sample(_P_GRID, rng.randint(1, 3)))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.agg import percentile_summary
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return percentile_summary(
+            load_tables(spark, sf_dir).lineitem, vcol, gcol, ps
+        ).orderBy(gcol)
+
+    cols = ",\n           ".join(
+        f"quantile_cont({vcol}, {p}) AS \"p{100 * p:g}\"" for p in ps
+    )
+    sql = f"""
+    SELECT {gcol}, {cols},
+           MIN({vcol}) AS lo, MAX({vcol}) AS hi
+    FROM lineitem GROUP BY {gcol} ORDER BY {gcol}
+    """
+    return f"vcol={vcol} gcol={gcol} ps={ps}", spark_fn, sql, True
+
+
+def fam_winsorize(rng: random.Random):
+    vcol = rng.choice(_VCOLS)
+    gcol = rng.choice(_GCOLS)
+    p_lo = rng.choice((0.01, 0.02, 0.05, 0.1))
+    p_hi = rng.choice((0.9, 0.95, 0.98, 0.99))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.agg import winsorize
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return winsorize(
+            load_tables(spark, sf_dir).lineitem, vcol, gcol, p_lo, p_hi
+        )
+
+    sql = f"""
+    WITH bounds AS (
+      SELECT {gcol},
+             quantile_cont({vcol}, {p_lo}) AS lo,
+             quantile_cont({vcol}, {p_hi}) AS hi
+      FROM lineitem GROUP BY {gcol}
+    ), c AS (
+      SELECT l.{gcol}, b.lo, b.hi,
+             CASE WHEN l.{vcol} < b.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN l.{vcol} > b.hi THEN 1 ELSE 0 END AS is_hi,
+             CAST(ROUND(LEAST(GREATEST(l.{vcol}, b.lo), b.hi)
+                        * 1000000.0) AS BIGINT) AS cu
+      FROM lineitem l JOIN bounds b USING ({gcol})
+    )
+    SELECT {gcol}, COUNT(*) AS n,
+           CAST(SUM(is_lo) AS BIGINT) AS n_lo,
+           CAST(SUM(is_hi) AS BIGINT) AS n_hi,
+           lo, hi,
+           CAST(SUM(cu) AS BIGINT) AS sum_u,
+           CAST(SUM(cu) AS BIGINT) // COUNT(*) AS mean_u
+    FROM c GROUP BY {gcol}, lo, hi
+    ORDER BY {gcol}
+    """
+    return f"vcol={vcol} gcol={gcol} p=[{p_lo},{p_hi}]", spark_fn, sql, True
+
+
+def fam_topk(rng: random.Random):
+    k = rng.randint(1, 8)
+    cap = rng.choice((50, 100, 200))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators import windows
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        top = windows.top_k_per_group(
+            t.orders.filter(F.col("o_custkey") < cap),
+            partition_by=["o_custkey"],
+            order=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+            k=k,
+        )
+        return top.select(
+            "o_custkey", "o_orderkey", "o_totalprice", "rn"
+        ).orderBy("o_custkey", "rn")
+
+    sql = f"""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= {k} AND o_custkey < {cap}
+    ORDER BY o_custkey, rn
+    """
+    return f"k={k} cap={cap}", spark_fn, sql, False
+
+
+def fam_histogram(rng: random.Random):
+    lo = rng.choice((0.0, 500.0, 1000.0, 5000.0))
+    hi = rng.choice((90000.0, 110000.0, 130000.0))
+    n_bins = rng.randint(3, 16)
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.agg import histogram
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return histogram(
+            load_tables(spark, sf_dir).lineitem, "l_extendedprice",
+            lo=lo, hi=hi, n_bins=n_bins,
+        )
+
+    w = (hi - lo) / n_bins
+    sql = f"""
+    WITH b AS (
+      SELECT LEAST(GREATEST(FLOOR((l_extendedprice - {lo}) / {w!r}), 0),
+                   {n_bins - 1}) AS bucket
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+           {lo} + bucket * {w!r} AS bin_lo
+    FROM b GROUP BY bucket ORDER BY bucket
+    """
+    return f"lo={lo} hi={hi} bins={n_bins}", spark_fn, sql, True
+
+
+def fam_hash_split(rng: random.Random):
+    n_splits = rng.randint(2, 4)
+    raw = [rng.randint(1, 10) for _ in range(n_splits)]
+    total = sum(raw)
+    names = [f"s{i}" for i in range(n_splits)]
+    splits = list(zip(names, [float(x) for x in raw]))
+    salt = rng.choice(("", "s1", "fuzz"))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators import relational
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        return (
+            relational.hash_split(t.documents, "doc_id", splits, salt=salt)
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("key_checksum"),
+            )
+            .orderBy("split")
+        )
+
+    hexpos = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"CAST(doc_id AS VARCHAR)),{i},1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    # same cumulative-threshold arithmetic as relational.hash_split
+    case, cum = [], 0.0
+    for name, wgt in splits[:-1]:
+        cum += wgt
+        case.append(f"WHEN hv < {int(cum / total * 65536)} THEN '{name}'")
+    case_sql = "CASE " + " ".join(case) + f" ELSE '{splits[-1][0]}' END"
+    sql = f"""
+    WITH h AS (SELECT doc_id, ({hexpos}) AS hv FROM documents)
+    SELECT {case_sql} AS split, COUNT(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS key_checksum
+    FROM h GROUP BY 1 ORDER BY split
+    """
+    return f"splits={splits} salt={salt!r}", spark_fn, sql, False
+
+
+def fam_jaccard(rng: random.Random):
+    threshold = rng.choice((0.5, 0.6, 0.7, 0.8, 0.9))
+    n = rng.choice((2, 3, 4))
+    order = rng.choice(("freq", "hash"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.dedup import jaccard_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return jaccard_pairs(
+            load_tables(spark, sf_dir).documents, "doc_id", "text",
+            n=n, threshold=threshold, order=order,
+        )
+
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= {n} THEN
+               list_transform(generate_series(1, len(w) - {n - 1}),
+                              i -> array_to_string(w[i:i+{n - 1}], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS i,
+             len(a.s) AS sa, len(b.s) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, i * 1.0 / (sa + sb - i) AS jaccard
+    FROM inter
+    WHERE i * 1.0 / (sa + sb - i) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+    return f"t={threshold} n={n} order={order}", spark_fn, sql, True
+
+
+def fam_minhash(rng: random.Random):
+    num_hashes = rng.choice((4, 8))
+    band_size = rng.choice([b for b in (1, 2, 4) if b <= num_hashes])
+    threshold = rng.choice((0.6, 0.7, 0.8))
+    shingle_n = rng.choice((2, 3))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.dedup import minhash_lsh_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return minhash_lsh_pairs(
+            load_tables(spark, sf_dir).documents, "doc_id", "text",
+            num_hashes=num_hashes, band_size=band_size,
+            threshold=threshold, shingle_n=shingle_n,
+        )
+
+    # signature: 4 hashes per seeded md5 digest (_minhash_min_exprs)
+    mh = []
+    for j in range((num_hashes + 3) // 4):
+        for k in range(min(4, num_hashes - 4 * j)):
+            mh.append(
+                f"min(substr(md5('{j}:' || t), {1 + 8 * k}, 8)) "
+                f"AS mh{4 * j + k}"
+            )
+    n_bands = num_hashes // band_size
+    buckets = ",\n        ".join(
+        f"'{i}|' || " + " || '|' || ".join(
+            f"mh{i * band_size + k}" for k in range(band_size)
+        )
+        for i in range(n_bands)
+    )
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= {shingle_n} THEN
+               list_transform(generate_series(1, len(w) - {shingle_n - 1}),
+                              i -> array_to_string(w[i:i+{shingle_n - 1}], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), sig AS (
+      SELECT doc_id, {', '.join(mh)}
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {buckets}]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+           (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+             AS jaccard
+    FROM cand JOIN sh a ON cand.id_a = a.doc_id
+              JOIN sh b ON cand.id_b = b.doc_id
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+    return (
+        f"k={num_hashes} band={band_size} t={threshold} n={shingle_n}",
+        spark_fn, sql, True,
+    )
+
+
+def fam_simhash(rng: random.Random):
+    bits = rng.choice((16, 24, 32))
+    bands = rng.choice((4, 5, 8))
+    max_hamming = rng.randint(1, min(bands - 1, 5))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.dedup import simhash_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        out = simhash_pairs(
+            load_tables(spark, sf_dir).documents, "doc_id", "text",
+            max_hamming=max_hamming, bits=bits, bands=bands,
+        )
+        return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+    # hv = big-endian int of the FIRST bits/4 hex chars of md5(t) —
+    # the engine's _md5_bit layout (first fuzz run caught this very
+    # template reading the first 8 chars for every width, which is a
+    # DIFFERENT hash for bits < 32: the harness works)
+    nchars = bits // 4
+    hv = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5(t),{pos},1)) - 1 AS BIGINT)"
+        f" * {16 ** (nchars - pos)}"
+        for pos in range(1, nchars + 1)
+    )
+    bitsums = ",\n        ".join(
+        f"SUM((hv // {2 ** b}) % 2) AS b{b}" for b in range(bits)
+    )
+    sigexpr = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN 1 ELSE 0 END) * CAST({2 ** b} AS BIGINT)"
+        for b in range(bits)
+    )
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ({hv}) AS hv FROM tok
+    ), bitsum AS (
+      SELECT doc_id, COUNT(*) AS n,
+        {bitsums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({sigexpr} AS BIGINT) AS simhash FROM bitsum
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+    return f"bits={bits} bands={bands} h={max_hamming}", spark_fn, sql, False
+
+
+def fam_asof(rng: random.Random):
+    tol = rng.choice((None, 3600, 86400, 7 * 86400))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.asof import asof_join
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        clicks = t.events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purch = t.events.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue")
+        )
+        out = asof_join(
+            clicks, purch, key="user_id", left_ts="ts", right_ts="pts",
+            right_values=["pvalue"], tolerance_seconds=tol,
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.col("pvalue").alias("last_purchase_value"), "matched_ts",
+        ).orderBy("event_id")
+
+    in_tol = (
+        "TRUE" if tol is None
+        else f"date_diff('second', p.pts, c.ts) <= {tol}"
+    )
+    sql = f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts AS pts, value AS pvalue
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN {in_tol} THEN p.pvalue END AS last_purchase_value,
+           CASE WHEN {in_tol} THEN p.pts END AS matched_ts
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.pts
+    ORDER BY c.event_id
+    """
+    return f"tol={tol}", spark_fn, sql, True
+
+
+def fam_filtered_agg(rng: random.Random):
+    date = rng.choice(("1995-06-30", "1996-12-31", "1997-09-01", "1998-06-01"))
+    d_lo = rng.choice((0.02, 0.04, 0.06))
+    d_hi = round(d_lo + rng.choice((0.01, 0.02)), 2)
+    qty = rng.choice((24, 30, 40))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.functions.scalar import exact_sum
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        li = load_tables(spark, sf_dir).lineitem
+        return (
+            li.filter(
+                (F.col("l_shipdate") <= F.lit(date).cast("timestamp"))
+                & (F.col("l_discount") >= d_lo)
+                & (F.col("l_discount") <= d_hi)
+                & (F.col("l_quantity") < qty)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                exact_sum(
+                    F.col("l_extendedprice") * F.col("l_discount"),
+                    scale=6, precision=28,
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    sql = f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{date}'
+      AND l_discount >= {d_lo} AND l_discount <= {d_hi}
+      AND l_quantity < {qty}
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    return f"date={date} disc=[{d_lo},{d_hi}] qty<{qty}", spark_fn, sql, False
+
+
+FAMILIES = {
+    "percentiles": fam_percentiles,
+    "winsorize": fam_winsorize,
+    "topk": fam_topk,
+    "histogram": fam_histogram,
+    "hash_split": fam_hash_split,
+    "jaccard": fam_jaccard,
+    "minhash": fam_minhash,
+    "simhash": fam_simhash,
+    "asof": fam_asof,
+    "filtered_agg": fam_filtered_agg,
+}
+
+#: cheap enough for the per-commit pytest gate (no doc-pair joins)
+CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
+         "asof", "filtered_agg")
+
+
+def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
+             log=print) -> list[str]:
+    """Replay every (family x draw); returns failure descriptions."""
+    failures = []
+    for name in families:
+        build = FAMILIES[name]
+        for d in range(draws):
+            # crc32, not hash(): PYTHONHASHSEED salts str hashes per
+            # process, and draws must reproduce from the printed seed
+            import zlib
+
+            fam_key = zlib.crc32(name.encode()) % 10_000
+            rng = random.Random(seed * 10_000 + fam_key + d)
+            params, spark_fn, sql, float_tol = build(rng)
+            t0 = time.time()
+            try:
+                sdf = spark_fn(spark, sf_dir)
+                s_cols, s_rows = list(sdf.columns), [tuple(r) for r in sdf.collect()]
+                res = con.sql(sql)
+                d_cols = [c[0] for c in res.description]
+                d_rows = [tuple(r) for r in res.fetchall()]
+            except Exception as ex:  # noqa: BLE001 - report, keep fuzzing
+                failures.append(f"{name}[{params}] ERROR: {ex}")
+                log(f"FAIL {name} draw{d} [{params}] error: {ex}")
+                continue
+            diff = compare_frames(s_cols, s_rows, d_cols, d_rows, float_tol)
+            if diff is None:
+                log(f"PASS {name} draw{d} [{params}] "
+                    f"({len(s_rows)} rows, {time.time() - t0:.1f}s)")
+            else:
+                failures.append(f"{name}[{params}] {diff}")
+                log(f"FAIL {name} draw{d} [{params}]: {diff}")
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("families", nargs="*", default=[])
+    ap.add_argument("--draws", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    fams = args.families or list(FAMILIES)
+    unknown = [f for f in fams if f not in FAMILIES]
+    if unknown:
+        print(f"unknown families: {unknown}; available: {list(FAMILIES)}")
+        return 2
+
+    import duckdb
+
+    from nsl_kdd_spark.session import get_session
+
+    spark = get_session(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    failures = run_fuzz(spark, con, args.sf, fams, args.draws, args.seed)
+    print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}"
+          f" ({len(fams)} families x {args.draws} draws, seed {args.seed})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
