@@ -39,6 +39,93 @@ def test_ann_tiers_recall(spark):
             assert r["count"] <= 5
 
 
+def test_knn_lsh_multi_probe_recall_and_cost(spark):
+    """Multi-probe LSH (round-7): on a planted-neighbor fixture
+    (queries = corpus vectors + seeded jitter, so each query's true
+    nearest neighbor sits just across the query's NARROWEST margins —
+    the regime multi-probe targets): (a) probing more buckets at
+    fixed planes is recall-monotone, (b) multi-probe at FINER planes
+    matches-or-beats single-probe at coarser planes while scanning
+    fewer candidates — the claim that makes n_probe a better recall
+    lever than dropping n_planes. Fully deterministic: fixture data,
+    seeded jitter, seeded planes."""
+    import numpy as np
+
+    from nsl_kdd_spark.functions.vector import sign_bits_hex, to_double_array
+    from nsl_kdd_spark.operators.similarity import hyperplanes
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    base_rows = e.filter(F.col("vec_id") < 20).collect()
+    rng = np.random.default_rng(3)
+    qrows = []
+    for r in base_rows:
+        v = np.array(r["embedding"], dtype=float)
+        jitter = rng.normal(0, 0.25 * np.abs(v).mean(), size=v.shape)
+        qrows.append(
+            (int(r["vec_id"]) + 100_000, [float(x) for x in v + jitter])
+        )
+    q = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+    want = {qid: qid - 100_000 for qid, _ in qrows}
+
+    def recall_at_1(df) -> float:
+        got = {
+            r["query_id"]: r["vec_id"]
+            for r in df.filter(F.col("rank") == 1).collect()
+        }
+        return sum(got.get(k) == v for k, v in want.items()) / len(want)
+
+    r_single_fine = recall_at_1(knn_lsh(e, q, k=3, dim=64, n_planes=6))
+    r_multi_fine = recall_at_1(
+        knn_lsh(e, q, k=3, dim=64, n_planes=6, n_probe=4)
+    )
+    r_single_coarse = recall_at_1(knn_lsh(e, q, k=3, dim=64, n_planes=3))
+    assert r_multi_fine >= r_single_fine          # (a) probe-monotone
+    assert r_multi_fine >= r_single_coarse        # (b) beats coarser planes
+    assert r_multi_fine >= 0.9                    # absolute floor (seeded: 1.0)
+
+    # cost side of (b): candidate volume of the bucket join (pre-
+    # top-k) — fine planes + 4 probes scans FEWER rows than coarse
+    # single-probe (4/64 of the space, concentrated, vs 1/8 blind)
+    def bucket_sizes(n_planes: int) -> dict[int, int]:
+        planes = hyperplanes(64, n_planes)
+        rows = (
+            e.select(
+                sign_bits_hex(to_double_array("embedding"), planes).alias("b")
+            )
+            .groupBy("b").count().collect()
+        )
+        return {r["b"]: r["count"] for r in rows}
+
+    def candidates(n_planes: int, n_probe: int) -> int:
+        planes = hyperplanes(64, n_planes)
+        sizes = bucket_sizes(n_planes)
+        total = 0
+        for _, v in qrows:
+            projs = [sum(a * b for a, b in zip(v, p)) for p in planes]
+            base = sum((1 << i) for i, p in enumerate(projs) if p >= 0)
+            probes = [base] + [
+                base ^ (1 << i)
+                for _, i in sorted((abs(p), i) for i, p in enumerate(projs))[
+                    : n_probe - 1
+                ]
+            ]
+            total += sum(sizes.get(b, 0) for b in probes)
+        return total
+
+    assert candidates(6, 4) < candidates(3, 1)
+
+
+def test_knn_lsh_n_probe_validation(spark):
+    import pytest
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    q = e.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="n_probe"):
+        knn_lsh(e, q, k=3, dim=64, n_planes=3, n_probe=9)
+    with pytest.raises(ValueError, match="n_probe"):
+        knn_lsh(e, q, k=3, dim=64, n_planes=3, n_probe=0)
+
+
 def test_cosine_arrow_matches_fold_expression(spark):
     """Arrow pandas-UDF cosine == JVM fold cosine to float tolerance
     (accumulation order is the only difference)."""
