@@ -6071,11 +6071,22 @@ def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the last code change — 50/50 PASS). r6 should rotate in any new
 # queries plus re-anchors for whatever code paths r6 touches,
 # keeping the oracle-paired-only rule.
+# Round-7 rotation (VERDICT r06 #8): re-anchor the families r7
+# touched — q52 (percentile_summary extraction + exact/approx tier),
+# q106 (winsorize exact/accuracy knobs, IN), q28 (size-ratio
+# pre-filter), q61 (shared banding backend bits contract), q31
+# (similarity.py multi-probe change, IN). q133/q137 rotate OUT: code
+# untouched this round and both already hold green rows in BOTH r5
+# and r6 records. q143 (approx-percentile tier) stays outside the
+# window: rows-only by design (GK sketch has no bitwise SQL twin),
+# pinned by the rank-error-bound tests instead.
 DRIVER_WINDOW = [
     # round-5 new / never-recorded / changed-this-round
-    "q133_sliding_chunks", "q134_script_profile", "q135_psi_drift",
-    "q136_psi_categorical", "q137_sample_exact_n", "q138_ensemble_report",
+    "q134_script_profile", "q135_psi_drift",
+    "q136_psi_categorical", "q138_ensemble_report",
     "q139_normalize_text", "q94_semantic_dedup",
+    # round-7 re-anchors for touched code paths
+    "q106_winsorize", "q31_knn_bruteforce",
     # flagship + family re-anchors (q46 held by the q03 join family)
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_topk_per_group",
     "q19_rollup", "q21_binary_metrics", "q22_auc_roc",
