@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 10
+failures reproduce with the printed seed. The default 3 draws x 13
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -512,6 +512,115 @@ def fam_filtered_agg(rng: random.Random):
     return f"date={date} disc=[{d_lo},{d_hi}] qty<{qty}", spark_fn, sql, False
 
 
+def fam_containment(rng: random.Random):
+    threshold = rng.choice((0.5, 0.6, 0.7, 0.8))
+    n = rng.choice((2, 3))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.dedup import containment_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return containment_pairs(
+            load_tables(spark, sf_dir).documents, "doc_id", "text",
+            n=n, threshold=threshold,
+        ).orderBy("id_a", "id_b")
+
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= {n} THEN
+               list_transform(generate_series(1, len(w) - {n - 1}),
+                              i -> array_to_string(w[i:i+{n - 1}], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS i,
+             len(a.s) AS sa, len(b.s) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, i * 1.0 / LEAST(sa, sb) AS overlap
+    FROM inter
+    WHERE sa > 0 AND sb > 0 AND i * 1.0 / LEAST(sa, sb) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+    return f"t={threshold} n={n}", spark_fn, sql, True
+
+
+def fam_spans(rng: random.Random):
+    span_words = rng.choice((3, 4, 5, 7))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.dedup import dedup_spans
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return dedup_spans(
+            load_tables(spark, sf_dir).documents, "doc_id", "text",
+            span_words=span_words, max_docs=1,
+        ).orderBy("doc_id")
+
+    s = span_words
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id, t.i AS ord,
+             array_to_string(w[(t.i*{s}+1):(t.i*{s}+{s})], ' ') AS span
+      FROM toks,
+           unnest(generate_series(0,
+             CAST(ceil(len(w) / {s}.0) AS BIGINT) - 1)) AS t(i)
+      WHERE len(w) > 0
+    ), dup AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ), flagged AS (
+      SELECT s.doc_id, s.ord, s.span, d.span IS NOT NULL AS is_dup
+      FROM spans s LEFT JOIN dup d USING (span)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_dup THEN span END,
+                               ' ' ORDER BY ord), '') AS clean_text,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COUNT(*) AS n_spans
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """
+    return f"span_words={span_words}", spark_fn, sql, False
+
+
+def fam_hash_sample(rng: random.Random):
+    fraction = rng.choice((0.1, 0.25, 0.5, 0.77))
+    salt = rng.choice(("", "z", "resample2"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.relational import sample_hash
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return (
+            sample_hash(
+                load_tables(spark, sf_dir).documents, "doc_id",
+                fraction=fraction, salt=salt,
+            )
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+
+    hexpos = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"CAST(doc_id AS VARCHAR)),{i},1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    sql = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({hexpos}) < {int(fraction * 65536)}
+    ORDER BY doc_id
+    """
+    return f"fraction={fraction} salt={salt!r}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -523,11 +632,14 @@ FAMILIES = {
     "simhash": fam_simhash,
     "asof": fam_asof,
     "filtered_agg": fam_filtered_agg,
+    "containment": fam_containment,
+    "spans": fam_spans,
+    "hash_sample": fam_hash_sample,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins)
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
-         "asof", "filtered_agg")
+         "asof", "filtered_agg", "hash_sample")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
