@@ -492,6 +492,16 @@ def skew_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             lambda: salted_join(fact, dim, "k", n_salts=32,
                                 build_hint="shuffle_hash"),
         ),
+        "skew_salted_hot": (
+            {"spark.sql.adaptive.skewJoin.enabled": "false"},
+            # round-7 targeted salting: only the hot key (k=0, known
+            # by construction) is salted — dim replication shrinks
+            # from 1.6M to 50k + 32 rows and every non-hot row keeps
+            # its single-copy join
+            lambda: salted_join(fact, dim, "k", n_salts=32,
+                                build_hint="shuffle_hash",
+                                hot_keys=[0]),
+        ),
     }
     timings: dict[str, float] = {}
     try:
@@ -560,7 +570,17 @@ def ensure_sf1_dir(spark, sf_dir: str) -> str:
     )
     marker = os.path.join(out_dir, "_BUILT")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            built_from = f.read().strip()
+        # provenance guard (round-7): the replica is only "sf1" when
+        # built from sf0.1 — a cache first built during an sf0.01 run
+        # would silently serve 600k-row tables to every later sf0.1
+        # bench. "ok" = legacy marker from the sf0.1-only era: trust.
+        if built_from in ("ok", sf_dir):
+            return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     from nsl_kdd_spark.sources.parquet import load_tables
 
@@ -590,7 +610,7 @@ def ensure_sf1_dir(spark, sf_dir: str) -> str:
             os.path.join(out_dir, f"{name}.parquet")
         )
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(f"{sf_dir}\n")
     return out_dir
 
 

@@ -31,6 +31,7 @@ def salted_join(
     how: str = "inner",
     seed: int = 42,
     build_hint: str | None = None,
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Equi-join with salting: use when one/few key values dominate the
     big side and the other side is too large to broadcast outright.
@@ -38,6 +39,21 @@ def salted_join(
     big:   +salt = uniform random int in [0, n_salts)
     small: replicated n_salts times (explode), one copy per salt
     join on (key, salt), salt columns dropped after.
+
+    ``hot_keys`` (round-7): TARGETED salting — pass the pathological
+    key values (from :func:`top_keys`, a tiny driver-side list) and
+    only THOSE rows are salted: the big side salts hot rows in
+    [0, n_salts) and everything else 0; the small side replicates
+    only the hot keys ``n_salts`` times and everything else once.
+    Same exact join result, but the dim replication shrinks from
+    |small| * n_salts to |small| + n_hot * n_salts rows and every
+    non-hot row keeps its original single-copy join — full salting
+    taxes the entire join to fix a few keys, targeted salting prices
+    the fix at the hot keys alone (measured solo on the bench skew
+    fixture, idle host, two runs: targeted 1.24-1.29 s vs
+    full-salting 1.36-1.46 s vs 2.9-3.8 s unsalted straggler; the
+    per-round committed number is BENCH_r{N}'s ``skew_salted_hot``
+    cell).
 
     ``build_hint="shuffle_hash"`` hints the replicated small side as
     the hash build side: salting spreads the hot key across reducers,
@@ -50,14 +66,24 @@ def salted_join(
     boundary at high ``n_salts`` can OOM where the default sort-merge
     would have spilled; turn it on when the replicated-dim-per-task
     arithmetic clearly fits (the common case for genuinely small
-    dims).
+    dims, and always for targeted salting's |small| + n_hot * n_salts
+    build).
     """
-    salted_big = big.withColumn(
-        "__salt", (F.rand(seed) * n_salts).cast("int")
-    )
-    salted_small = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
+    rand_salt = (F.rand(seed) * n_salts).cast("int")
+    all_salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    if hot_keys is None:
+        salted_big = big.withColumn("__salt", rand_salt)
+        salted_small = small.withColumn("__salt", F.explode(all_salts))
+    else:
+        hot = F.array(*[F.lit(k) for k in hot_keys])
+        is_hot = F.array_contains(hot, F.col(on))
+        salted_big = big.withColumn(
+            "__salt", F.when(is_hot, rand_salt).otherwise(F.lit(0))
+        )
+        salted_small = small.withColumn(
+            "__salt",
+            F.explode(F.when(is_hot, all_salts).otherwise(F.array(F.lit(0)))),
+        )
     if build_hint is not None:
         salted_small = salted_small.hint(build_hint)
     return salted_big.join(salted_small, on=[on, "__salt"], how=how).drop("__salt")

@@ -30,6 +30,33 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_targeted_salted_join_equals_plain_join(spark):
+    """hot_keys mode (round-7): salting only the pathological keys
+    must still produce exactly the plain join's result — for inner
+    AND left joins (left keeps unmatched big rows, whose salt never
+    finds a dim copy unless the non-hot side defaults to salt 0)."""
+    t = load_tables(spark, SF_SMOKE)
+    li = t.lineitem.select("l_orderkey", "l_quantity")
+    ords = t.orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    # pick genuine heavy keys from the diagnosis operator
+    hot = [r["l_orderkey"] for r in top_keys(li, "l_orderkey", n=3).collect()]
+    for how in ("inner", "left"):
+        plain = (
+            li.join(ords, on="l_orderkey", how=how)
+            .groupBy("o_orderstatus").count()
+        )
+        targeted = (
+            salted_join(li, ords, on="l_orderkey", n_salts=8, how=how,
+                        hot_keys=hot)
+            .groupBy("o_orderstatus").count()
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, targeted.collect())
+        ), how
+
+
 def test_top_keys_diagnosis(spark):
     t = load_tables(spark, SF_SMOKE)
     top = top_keys(t.lineitem, "l_returnflag", n=3).collect()
