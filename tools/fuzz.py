@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 13
+failures reproduce with the printed seed. The default 3 draws x 16
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -621,6 +621,124 @@ def fam_hash_sample(rng: random.Random):
     return f"fraction={fraction} salt={salt!r}", spark_fn, sql, False
 
 
+def fam_resample(rng: random.Random):
+    interval = rng.choice((900, 1800, 3600, 7200))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.functions.scalar import exact_sum
+        from nsl_kdd_spark.operators.timeseries import resample_ffill
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        out = resample_ffill(
+            t.events, "ts", ["event_type"], interval,
+            aggs=[exact_sum("value").alias("total_value")],
+            ffill_cols=["total_value"],
+        )
+        return out.select(
+            "event_type", "bucket", "n_events", "total_value",
+            "total_value_ffill",
+        )
+
+    sql = f"""
+    WITH b AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // {interval}) * {interval}
+               AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, {interval})) AS bucket
+      FROM span
+    ), grid AS (
+      SELECT s.event_type, s.bucket,
+             COALESCE(b.n_events, 0) AS n_events, b.total_value
+      FROM spine s LEFT JOIN b
+        ON s.event_type = b.event_type AND s.bucket = b.bucket
+    )
+    SELECT event_type, bucket, n_events, total_value,
+           last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS total_value_ffill
+    FROM grid ORDER BY event_type, bucket
+    """
+    return f"interval={interval}", spark_fn, sql, True
+
+
+def fam_pack_chunks(rng: random.Random):
+    budget = rng.choice((1024, 2048, 4096, 8192))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.packing import pack_chunks
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return (
+            pack_chunks(
+                load_tables(spark, sf_dir).documents, "doc_id", "n_chars",
+                budget=budget,
+            )
+            .select(
+                "doc_id", "n_chars", "stream_end",
+                "first_bin", "last_bin", "n_bins", "offset_in_first",
+            )
+            .orderBy("doc_id")
+        )
+
+    sql = f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS stream_end
+      FROM documents
+    )
+    SELECT doc_id, n_chars, stream_end,
+           CAST((stream_end - n_chars) // {budget} AS BIGINT) AS first_bin,
+           CAST(GREATEST((stream_end - n_chars) // {budget},
+                         (stream_end - 1) // {budget}) AS BIGINT) AS last_bin,
+           CAST(GREATEST((stream_end - n_chars) // {budget},
+                         (stream_end - 1) // {budget})
+                - (stream_end - n_chars) // {budget} + 1 AS BIGINT) AS n_bins,
+           CAST((stream_end - n_chars) % {budget} AS BIGINT) AS offset_in_first
+    FROM c ORDER BY doc_id
+    """
+    return f"budget={budget}", spark_fn, sql, False
+
+
+def fam_sample_exact_n(rng: random.Random):
+    n = rng.choice((5, 10, 30, 100))
+    salt = rng.choice(("ev1", "x", ""))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.relational import sample_exact_n
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return (
+            sample_exact_n(
+                load_tables(spark, sf_dir).documents, "doc_id", "lang",
+                n=n, salt=salt,
+            )
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+
+    sql = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{salt}' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {n} ORDER BY doc_id
+    """
+    return f"n={n} salt={salt!r}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -635,11 +753,15 @@ FAMILIES = {
     "containment": fam_containment,
     "spans": fam_spans,
     "hash_sample": fam_hash_sample,
+    "resample": fam_resample,
+    "pack_chunks": fam_pack_chunks,
+    "sample_exact_n": fam_sample_exact_n,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins)
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
-         "asof", "filtered_agg", "hash_sample")
+         "asof", "filtered_agg", "hash_sample", "pack_chunks",
+         "sample_exact_n")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
