@@ -346,3 +346,25 @@ def test_sliding_chunks_shuffle_free(spark):
     assert "Window" not in plan
     assert tree.count("Exchange") == 1      # presentation sort only
     assert "EvalPython" not in plan
+
+
+def test_jaccard_size_ratio_filter_fuses_into_candidate_join(spark):
+    """Round-7 size-ratio pre-filter placement: Catalyst must fuse the
+    least/greatest ratio comparison into the prefix-index self-join's
+    CONDITION (candidates die at join emission), upstream of the
+    candidate-distinct HashAggregate — not as a post-distinct filter,
+    where it would prune nothing the distinct already paid for."""
+    plan = plan_of(QUERIES["q28_jaccard_pairs"](spark, SF_SMOKE))
+    join_blocks = [
+        b for b in plan.split("\n\n")
+        if b.splitlines() and "Join" in b.splitlines()[0]
+        and "Join condition" in b
+    ]
+    ratio_joins = [
+        b for b in join_blocks
+        if "least" in b and "greatest" in b and "1.0E-9" in b
+    ]
+    assert ratio_joins, "size-ratio filter not fused into any join condition"
+    # and the candidate join emits only ids (+ sizes): no payload
+    # arrays ride the exploded index through the self-join shuffle
+    assert "__shs" not in ratio_joins[0].split("Join condition")[0]
