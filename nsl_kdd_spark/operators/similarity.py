@@ -320,29 +320,136 @@ def knn_ivf(
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
-    def dist2_expr(vec: "F.Column", center: list[float]) -> "F.Column":
-        diff = F.zip_with(
-            vec, F.array(*[F.lit(x) for x in center]), lambda a, b: (a - b) * (a - b)
-        )
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
     )
     # nearest n_probe cells per query: literal centroid distances,
-    # sorted as an array of (dist, cell) structs
+    # sorted as an array of (dist, cell) structs (shared with the
+    # persisted-index path, round 7)
+    q = q.withColumn(
+        "__cell", F.explode(_probe_cells_expr(centroids, "__qv", n_probe))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(q), on="__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _probe_cells_expr(centroids: list[list[float]], vec_col: str, n_probe: int):
+    """Array of the ``n_probe`` nearest cell ids for a query vector —
+    literal centroid distances folded into one expression (centroids
+    are driver-side, n_cells x dim floats)."""
+    def dist2_expr(vec, center: list[float]):
+        diff = F.zip_with(
+            vec, F.array(*[F.lit(x) for x in center]),
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
     cells_sorted = F.array_sort(
         F.array(*[
-            F.struct(dist2_expr(F.col("__qv"), ctr).alias("d"),
+            F.struct(dist2_expr(F.col(vec_col), ctr).alias("d"),
                      F.lit(i).alias("c"))
             for i, ctr in enumerate(centroids)
         ])
     )
-    probes = F.transform(F.slice(cells_sorted, 1, n_probe), lambda s: s["c"])
-    q = q.withColumn("__cell", F.explode(probes))
+    return F.transform(F.slice(cells_sorted, 1, n_probe), lambda s: s["c"])
 
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVF index (round-7): fit the KMeans coarse
+    quantizer once, write the corpus as parquet **partitioned by cell
+    id** (one directory per inverted list) plus a tiny centroid
+    table. The production split ``knn_ivf`` folds into one call: at
+    100 TB the quantizer fit + cell shuffle happen ONCE at build
+    time, and every later query batch (:func:`knn_ivf_index`) reads
+    only its probed cells via static partition pruning — a scan of
+    ~n_probe/n_cells of the corpus, which is the entire point of an
+    inverted-file index. Layout: ``{path}/cells/`` (columns id, __cv;
+    partition column __cell) and ``{path}/centroids/`` (cell,
+    centroid)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), to_double_array(vec_col).alias("__cv"))
+    vecs = c.withColumn("__v", array_to_vector("__cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vecs)
+    (
+        model.transform(vecs)
+        .select(id_col, "__cv", "__cell")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = corpus.sparkSession
+    centroids = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def knn_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (see
+    :func:`ivf_build`): load the centroid table (tiny, driver-side),
+    compute each query's ``n_probe`` nearest cells, and scan ONLY the
+    union of probed cell partitions — the ``.isin`` filter on the
+    partition column is static partition pruning, visible as
+    ``PartitionFilters`` on the parquet scan (plan-gated in tests).
+    The per-query cell lists then equi-join the (broadcast) queries,
+    exact cosine re-scores inside probed cells, top-k per query.
+    Scan cost per batch = |union of probed cells| / n_cells of the
+    corpus — independent of corpus growth for a fixed layout, and the
+    quantizer is never re-fit."""
+    rows = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    centroids = [list(map(float, ctr)) for _, ctr in rows]
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
+    )
+    q = q.withColumn("__cell", F.explode(_probe_cells_expr(centroids, "__qv", n_probe)))
+    q = q.localCheckpoint()  # probe cells consumed twice (collect + join)
+    probed = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
+
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("__cell").isin([int(c) for c in probed]))
+    )
     scored = (
-        assigned.join(F.broadcast(q), on="__cell")
+        cells.join(F.broadcast(q), on="__cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,

@@ -330,3 +330,43 @@ def test_rrf_fuse_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes_partitions(
+    spark, tmp_path
+):
+    """Persisted IVF (round-7): build-once/query-many must return the
+    SAME neighbors as the inline knn_ivf at the same seed, and the
+    query-side scan must read only the probed cell partitions —
+    static partition pruning visible as PartitionFilters on the
+    parquet scan."""
+    from nsl_kdd_spark.operators.similarity import ivf_build, knn_ivf_index
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    q = e.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    ivf_build(e, path, n_cells=8, seed=42)
+
+    inline = knn_ivf(e, q, k=5, n_cells=8, n_probe=4, seed=42).select(
+        "query_id", "vec_id", "rank"
+    )
+    indexed_df = knn_ivf_index(spark, path, q, k=5, n_probe=4)
+    indexed = indexed_df.select("query_id", "vec_id", "rank")
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+
+    plan = indexed_df._sc._jvm.PythonSQLUtils.explainString(
+        indexed_df._jdf.queryExecution(), "formatted"
+    )
+    scan = next(
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and "cells" in b
+    )
+    assert "PartitionFilters" in scan and "__cell" in scan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0], "probed-cell filter must prune at the partition level"
+
+    # recall floor against exact brute force, same contract as inline
+    exact = knn_bruteforce(e, q, k=5)
+    assert _recall(indexed_df, exact) >= 0.6
