@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 16
+failures reproduce with the printed seed. The default 3 draws x 17
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -739,6 +739,62 @@ def fam_sample_exact_n(rng: random.Random):
     return f"n={n} salt={salt!r}", spark_fn, sql, False
 
 
+_BM25_POOL = ("spark", "vector", "stream", "merge", "window", "join",
+              "data", "shuffle", "index", "batch")
+
+
+def fam_bm25(rng: random.Random):
+    k1 = rng.choice((0.9, 1.2, 1.5, 2.0))
+    b = rng.choice((0.5, 0.75, 1.0))
+    terms = tuple(sorted(rng.sample(_BM25_POOL, rng.randint(3, 6))))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.ml.text_features import bm25_scores
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return (
+            bm25_scores(
+                load_tables(spark, sf_dir).documents, list(terms),
+                k1=k1, b=b,
+            )
+            .orderBy(F.desc("bm25_u"), "doc_id")
+            .limit(15)
+        )
+
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents
+    ), clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM clean GROUP BY 1),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM clean
+      WHERE token IN {terms!r} GROUP BY 1, 2
+    ), dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM dl
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * {k1 + 1.0!r})
+               / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r}
+                  * CAST(dl.dl AS DOUBLE)
+                  / (CAST(stats.total AS DOUBLE) / CAST(stats.n AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS su
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(su) AS BIGINT) AS bm25_u
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_u DESC, doc_id LIMIT 15
+    """
+    return f"k1={k1} b={b} terms={terms}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -754,6 +810,7 @@ FAMILIES = {
     "spans": fam_spans,
     "hash_sample": fam_hash_sample,
     "resample": fam_resample,
+    "bm25": fam_bm25,
     "pack_chunks": fam_pack_chunks,
     "sample_exact_n": fam_sample_exact_n,
 }
