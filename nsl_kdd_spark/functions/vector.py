@@ -47,6 +47,44 @@ def sign_bits_hex(a: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def sign_probe_buckets(
+    a: Column, planes: list[list[float]], n_probe: int = 1
+) -> Column:
+    """Array of ``n_probe`` sign-LSH buckets for a vector: its own
+    bucket plus the ``n_probe - 1`` single-flip buckets of its
+    narrowest hyperplane margins (multi-probe LSH, round-7) — the
+    buckets a true near neighbor most likely fell into, since a
+    neighbor lands elsewhere exactly when it crosses a plane the
+    vector sits close to. ``n_probe=1`` reduces to ``[bucket]``.
+    Shared by ``similarity.knn_lsh`` and the streaming embedding
+    registry (``streaming/vector_ingest.py``); bit masks come from an
+    exact literal long array indexed by the sorted plane id
+    (shiftleft's Python wrapper only takes constant shifts)."""
+    if not 1 <= n_probe <= 2 ** len(planes):
+        raise ValueError(
+            f"n_probe must be in [1, 2^n_planes], got {n_probe}"
+        )
+    projs = [
+        dot(a, F.array(*[F.lit(float(x)) for x in p])) for p in planes
+    ]
+    base = F.lit(0).cast("long")
+    for i, proj in enumerate(projs):
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        base = base + bit * F.lit(2 ** i).cast("long")
+    if n_probe == 1:
+        return F.array(base)
+    margins = F.array(*[
+        F.struct(F.abs(proj).alias("m"), F.lit(i).alias("i"))
+        for i, proj in enumerate(projs)
+    ])
+    powers = F.array(*[F.lit(2 ** i).cast("long") for i in range(len(planes))])
+    flips = F.transform(
+        F.slice(F.array_sort(margins), 1, n_probe - 1),
+        lambda s: base.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
+    )
+    return F.concat(F.array(base), flips)
+
+
 def dot_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized inner product — the ``dot`` twin of
     :func:`cosine_arrow` (round-6 advisory: ``knn_bruteforce(metric=

@@ -30,6 +30,7 @@ from nsl_kdd_spark.functions.vector import (
     dot_arrow,
     norm,
     sign_bits_hex,
+    sign_probe_buckets,
     to_double_array,
 )
 
@@ -225,52 +226,20 @@ def knn_lsh(
     candidates). The corpus side is untouched — still one bucket per
     row, built once; only the broadcast query side fans out
     ``n_probe`` rows, so the join stays corpus-shuffle-free."""
-    if not 1 <= n_probe <= 2 ** n_planes:
-        raise ValueError(
-            f"n_probe must be in [1, 2^n_planes], got {n_probe}"
-        )
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col), to_double_array(vec_col).alias("__cv"))
     c = c.withColumn("__bucket", sign_bits_hex(F.col("__cv"), planes))
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
     )
-    if n_probe == 1:
-        q = q.withColumn("__bucket", sign_bits_hex(F.col("__qv"), planes))
-    else:
-        # per-plane projections as one expression block: base bucket
-        # from the signs, probe buckets by flipping the narrowest
-        # margins (sorted (|proj|, plane) structs -> slice -> xor)
-        projs = [
-            dot(F.col("__qv"), F.array(*[F.lit(float(x)) for x in p]))
-            for p in planes
-        ]
-        base = F.lit(0).cast("long")
-        for i, proj in enumerate(projs):
-            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            base = base + bit * F.lit(2 ** i).cast("long")
-        margins = F.array(*[
-            F.struct(F.abs(proj).alias("m"), F.lit(i).alias("i"))
-            for i, proj in enumerate(projs)
-        ])
-        # exact bit masks as a literal long array indexed by the
-        # sorted plane id (shiftleft's Python wrapper only takes a
-        # constant shift; element_at over 2^i literals is exact for
-        # every plane index, no float pow round-trip)
-        powers = F.array(
-            *[F.lit(2 ** i).cast("long") for i in range(n_planes)]
-        )
-        flips = F.transform(
-            F.slice(F.array_sort(margins), 1, n_probe - 1),
-            lambda s: base.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
-        )
-        # a corpus row has ONE bucket and a query's probe buckets are
-        # distinct, so no (query, corpus) pair can match twice — the
-        # explode needs no downstream dedup
-        q = q.withColumn(
-            "__bucket",
-            F.explode(F.concat(F.array(base), flips)),
-        )
+    # a corpus row has ONE bucket and a query's probe buckets are
+    # distinct, so no (query, corpus) pair can match twice — the
+    # explode needs no downstream dedup (probe construction shared
+    # with the streaming embedding registry: vector.sign_probe_buckets)
+    q = q.withColumn(
+        "__bucket",
+        F.explode(sign_probe_buckets(F.col("__qv"), planes, n_probe)),
+    )
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
