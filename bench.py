@@ -553,6 +553,84 @@ def bpe_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def vector_scale_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Streaming-embedding-registry probe at scale (round-7): one
+    ingest batch (2k vectors) probed against a 16k vs 64k registry.
+    At FIXED n_planes the bucket join grows ~linearly with registry
+    size (bucket occupancy = n / 2^n_planes), so the tier also
+    measures the 4x registry at n_planes+2 — the documented
+    corpus-size knob — where per-bucket occupancy (and so probe cost)
+    returns to the 1x level. Mirrors the media tier's evidence shape:
+    the knob, not the data, sets the cost."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.functions.vector import (
+        cosine,
+        sign_bits_hex,
+        sign_probe_buckets,
+    )
+    from nsl_kdd_spark.operators.similarity import hyperplanes
+
+    dim = 64
+
+    def synth(n: int, salt: int):
+        # seeded uniform-ish vectors as pure expressions: no driver
+        # data generation, no RNG state
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.hash(F.col("id"), F.lit(salt), F.lit(j))
+                 .cast("double") % 1000.0) / 500.0
+                for j in range(dim)
+            ]).alias("embedding"),
+        )
+
+    batch = synth(2_000, 7).persist()
+    batch.count()
+    out: dict[str, float] = {}
+    cases = (
+        ("vecingest_probe_16k_p6", 16_000, 6),
+        ("vecingest_probe_64k_p6", 64_000, 6),
+        ("vecingest_probe_64k_p8", 64_000, 8),
+    )
+    try:
+        for name, n_reg, n_planes in cases:
+            planes = hyperplanes(dim, n_planes, 42)
+            registry = synth(n_reg, 3).withColumn(
+                "__bucket", sign_bits_hex(F.col("embedding"), planes)
+            ).persist()
+            registry.count()
+            probes = batch.select(
+                F.col("vec_id").alias("id_l"),
+                F.col("embedding").alias("__lv"),
+                F.explode(
+                    sign_probe_buckets(F.col("embedding"), planes, 4)
+                ).alias("__bucket"),
+            )
+            seen: list[float] = []
+            while len(seen) < 2 or (
+                len(seen) < 3 and max(seen) > 3 * min(seen)
+            ):
+                t0 = time.perf_counter()
+                (
+                    probes.join(
+                        registry.select(
+                            F.col("embedding").alias("__rv"), "__bucket"
+                        ),
+                        on="__bucket",
+                    )
+                    .filter(cosine(F.col("__lv"), F.col("__rv")) >= 0.95)
+                    .select("id_l").distinct()
+                    .write.format("noop").mode("overwrite").save()
+                )
+                seen.append(round(time.perf_counter() - t0, 3))
+            out[name] = min(seen)
+            registry.unpersist()
+    finally:
+        batch.unpersist()
+    return out
+
+
 def ensure_sf1_dir(spark, sf_dir: str) -> str:
     """Materialize an sf1-scale copy of the relational tables next to
     the repo (built once, reused across bench runs): lineitem/orders
@@ -727,6 +805,9 @@ def main() -> None:
     skew = guard_tier(
         "skew_scale", skew_scale_timings(spark, sf_dir), prior,
         lambda: skew_scale_timings(spark, sf_dir), guard_log)
+    vec = guard_tier(
+        "vector_scale", vector_scale_timings(spark, sf_dir), prior,
+        lambda: vector_scale_timings(spark, sf_dir), guard_log)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -739,6 +820,7 @@ def main() -> None:
         "media_scale": media,
         "bpe_scale": bpe,
         "skew_scale": skew,
+        "vector_scale": vec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if guard_log:
