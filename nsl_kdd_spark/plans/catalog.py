@@ -1879,6 +1879,90 @@ def q143_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic registry dedup, batch mode (round-7): the exact semantics
+# of the streaming embedding ingest (streaming/vector_ingest.py) run
+# as one batch so DuckDB can twin them — registry = vectors with
+# vec_id < 250; the "incoming batch" is the rest, with planted EXACT
+# duplicates (vec_id%10==0 copies registry vector vec_id-250 ->
+# registry reject; vec_id%10==5 copies batch vector vec_id-1 ->
+# within-batch keep-lowest). Exact copies make every rejection a
+# cosine==1.0 decision — no float-boundary sensitivity — and
+# n_probe = 2^n_planes (full probe) makes recall exact, so accepted
+# ids are a pure function of the data. Oracle = plain pairwise
+# list_cosine_similarity with the same two-tier drop order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q144_vector_registry_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), batch AS (
+      SELECT b.vec_id,
+             CASE WHEN b.vec_id % 10 = 0 THEN r.v
+                  WHEN b.vec_id % 10 = 5 THEN p.v
+                  ELSE b.v END AS v
+      FROM e b
+      LEFT JOIN e r ON r.vec_id = b.vec_id - 250
+      LEFT JOIN e p ON p.vec_id = b.vec_id - 1
+      WHERE b.vec_id >= 250
+    ), self_drop AS (
+      SELECT DISTINCT GREATEST(a.vec_id, b.vec_id) AS vec_id
+      FROM batch a JOIN batch b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ), surv AS (
+      SELECT * FROM batch
+      WHERE vec_id NOT IN (SELECT vec_id FROM self_drop)
+    ), reg_drop AS (
+      SELECT DISTINCT s.vec_id
+      FROM surv s JOIN e r ON r.vec_id < 250
+      WHERE list_cosine_similarity(s.v, r.v) >= 0.95
+    )
+    SELECT vec_id FROM surv
+    WHERE vec_id NOT IN (SELECT vec_id FROM reg_drop)
+    ORDER BY vec_id
+    """,
+)
+def q144_vector_registry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.vector import sign_bits_hex, to_double_array
+    from nsl_kdd_spark.operators.similarity import hyperplanes
+    from nsl_kdd_spark.streaming.vector_ingest import semantic_dedup_batch
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", to_double_array("embedding").alias("embedding"))
+    planes = hyperplanes(64, 3, 42)
+    registry = e.filter(F.col("vec_id") < 250).withColumn(
+        "__bucket", sign_bits_hex(F.col("embedding"), planes)
+    )
+    b = e.filter(F.col("vec_id") >= 250).alias("b")
+    r = e.select(
+        (F.col("vec_id") + 250).alias("__bid"), F.col("embedding").alias("__rv")
+    )
+    p = e.select(
+        (F.col("vec_id") + 1).alias("__bid"), F.col("embedding").alias("__pv")
+    )
+    batch = (
+        b.join(r, F.col("b.vec_id") == F.col("__bid"), "left").drop("__bid")
+        .join(p, F.col("b.vec_id") == F.col("__bid"), "left").drop("__bid")
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 == 0, F.col("__rv"))
+            .when(F.col("vec_id") % 10 == 5, F.col("__pv"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    return (
+        semantic_dedup_batch(
+            batch, registry,
+            threshold=0.95, dim=64, n_planes=3, n_probe=8, seed=42,
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LIKE / regexp_extract pattern matching (§2.7; RE2∩Java-safe patterns)
 # ---------------------------------------------------------------------------
 
@@ -6079,13 +6163,17 @@ def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # untouched this round and both already hold green rows in BOTH r5
 # and r6 records. q143 (approx-percentile tier) stays outside the
 # window: rows-only by design (GK sketch has no bitwise SQL twin),
-# pinned by the rank-error-bound tests instead.
+# pinned by the rank-error-bound tests instead. q144 (semantic
+# registry dedup, batch mode — the streaming embedding ingest's exact
+# semantics under the oracle) is NEW this round and rotates in for
+# q134 (untouched code, green in both r5 and r6 records).
 DRIVER_WINDOW = [
     # round-5 new / never-recorded / changed-this-round
-    "q134_script_profile", "q135_psi_drift",
+    "q135_psi_drift",
     "q136_psi_categorical", "q138_ensemble_report",
     "q139_normalize_text", "q94_semantic_dedup",
-    # round-7 re-anchors for touched code paths
+    # round-7 new + re-anchors for touched code paths
+    "q144_vector_registry_dedup",
     "q106_winsorize", "q31_knn_bruteforce",
     # flagship + family re-anchors (q46 held by the q03 join family)
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_topk_per_group",

@@ -71,34 +71,35 @@ _REGISTRY_SCHEMA = StructType([
 ])
 
 
-def _vector_sink(
-    batch_df: DataFrame,
-    batch_id: int,
+def semantic_dedup_batch(
+    batch: DataFrame,
+    registry: DataFrame,
     *,
-    corpus_path: str,
-    registry_path: str,
     threshold: float,
     dim: int,
-    n_planes: int,
-    n_probe: int,
-    seed: int,
-) -> None:
-    """One micro-batch of the semantically-deduplicating embedding
-    ingest (module-level so the replay contract is directly testable:
-    re-running the SAME batch_id must reproduce its output, not
-    empty-overwrite it). The registry probe reads only
-    ``__batch_id < batch_id`` partitions — a replayed batch never
-    sees its own prior registry rows."""
-    s = batch_df.sparkSession
+    n_planes: int = 6,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The pure dedup computation of one ingest batch — exposed so
+    batch-mode callers (and the q144 oracle gate) exercise the exact
+    sink semantics without a stream. ``batch`` is VECTOR_SCHEMA rows;
+    ``registry`` is (vec_id, embedding, __bucket) rows in the SAME
+    plane geometry (compute buckets with
+    ``sign_bits_hex(embedding, hyperplanes(dim, n_planes, seed))``).
+    Returns the ACCEPTED batch rows as (vec_id, embedding, __bucket):
+    within-batch near-dups (cosine >= ``threshold``) keep the lowest
+    vec_id, then survivors matching any registry vector are dropped.
+    ``n_probe = 2**n_planes`` probes every bucket = exact recall."""
     planes = hyperplanes(dim, n_planes, seed)
-    sigs = batch_df.select(
+    sigs = batch.select(
         "vec_id", to_double_array("embedding").alias("embedding")
     ).withColumn(
         "__bucket", sign_bits_hex(F.col("embedding"), planes)
     ).localCheckpoint()
 
     # self-tier: candidates where one row's probe set covers the
-    # other's bucket (either direction — normalize to (lo, hi) so a
+    # other's bucket (either direction — GREATEST-normalized so a
     # one-directional probe hit still drops the higher id), verified
     # with the exact cosine
     probes = sigs.select(
@@ -124,14 +125,6 @@ def _vector_sink(
 
     # registry tier: probe the standing registry's buckets, exact
     # cosine verifies every candidate before rejection
-    try:
-        registry = read_registry_before(s, registry_path, batch_id)
-    except Exception as e:
-        # first batch only (nothing committed yet); any other read
-        # failure fails the micro-batch (round-6 advisory contract)
-        if not is_missing_path_error(e):
-            raise
-        registry = s.createDataFrame([], _REGISTRY_SCHEMA)
     probes_s = survivors.select(
         F.col("vec_id").alias("id_l"),
         F.col("embedding").alias("__lv"),
@@ -150,7 +143,41 @@ def _vector_sink(
         .select(F.col("id_l").alias("vec_id"))
         .distinct()
     )
-    accepted = survivors.join(reg_hits, "vec_id", "left_anti").persist()
+    return survivors.join(reg_hits, "vec_id", "left_anti")
+
+
+def _vector_sink(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    corpus_path: str,
+    registry_path: str,
+    threshold: float,
+    dim: int,
+    n_planes: int,
+    n_probe: int,
+    seed: int,
+) -> None:
+    """One micro-batch of the semantically-deduplicating embedding
+    ingest (module-level so the replay contract is directly testable:
+    re-running the SAME batch_id must reproduce its output, not
+    empty-overwrite it). The registry probe reads only
+    ``__batch_id < batch_id`` partitions — a replayed batch never
+    sees its own prior registry rows."""
+    s = batch_df.sparkSession
+    try:
+        registry = read_registry_before(s, registry_path, batch_id)
+    except Exception as e:
+        # first batch only (nothing committed yet); any other read
+        # failure fails the micro-batch (round-6 advisory contract)
+        if not is_missing_path_error(e):
+            raise
+        registry = s.createDataFrame([], _REGISTRY_SCHEMA)
+    accepted = semantic_dedup_batch(
+        batch_df, registry,
+        threshold=threshold, dim=dim, n_planes=n_planes,
+        n_probe=n_probe, seed=seed,
+    ).persist()
     try:
         accepted_rows = batch_df.join(
             accepted.select("vec_id"), "vec_id", "left_semi"
