@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 17
+failures reproduce with the printed seed. The default 3 draws x 20
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -795,6 +795,126 @@ def fam_bm25(rng: random.Random):
     return f"k1={k1} b={b} terms={terms}", spark_fn, sql, False
 
 
+def fam_rolling_window(rng: random.Random):
+    seconds = rng.choice((600, 1800, 3600, 14400))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.functions.scalar import epoch_seconds
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        e = load_tables(spark, sf_dir).events.withColumn(
+            "epoch_s", epoch_seconds("ts", "long")
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("epoch_s")
+            .rangeBetween(-(seconds - 1), Window.currentRow)
+        )
+        return e.select(
+            "event_id", "user_id", "epoch_s",
+            F.count(F.lit(1)).over(w).alias("n_w"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").alias("sum_w"),
+        ).orderBy("event_id")
+
+    sql = f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_s,
+           COUNT(*) OVER w AS n_w,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_w
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN {seconds - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """
+    return f"window={seconds}s", spark_fn, sql, True
+
+
+def fam_grouping_sets(rng: random.Random):
+    c1, c2 = rng.sample(["o_orderstatus", "o_orderpriority"], 2)
+    include_mid = rng.choice((True, False))
+    sets = f"(({c1}, {c2}), ({c1}), ())" if include_mid else f"(({c1}, {c2}), ())"
+
+    def body(grouping_fn: str, table: str) -> str:
+        return f"""
+        SELECT {c1}, {c2},
+               CAST({grouping_fn}({c1}, {c2}) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM {table}
+        GROUP BY GROUPING SETS {sets}
+        ORDER BY gid, {c1} NULLS FIRST, {c2} NULLS FIRST
+        """
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        load_tables(spark, sf_dir).orders.createOrReplaceTempView(
+            "orders_fuzz_gs"
+        )
+        return spark.sql(body("grouping_id", "orders_fuzz_gs"))
+
+    return (
+        f"cols=({c1},{c2}) mid={include_mid}",
+        spark_fn, body("GROUPING", "orders"), True,
+    )
+
+
+def fam_decontam(rng: random.Random):
+    n = rng.choice((2, 3, 4))
+    min_hits = rng.choice((1, 2, 3))
+    mod = rng.choice((29, 41, 53))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.decontam import overlap_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        corpus = docs.filter(F.col("doc_id") % mod != 0)
+        bench = docs.filter(F.col("doc_id") % mod == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return overlap_pairs(
+            corpus, bench, "doc_id", "text", "bench_id", "text",
+            n=n, min_hits=min_hits,
+        ).orderBy("doc_id", "bench_id")
+
+    grams = f"""list_distinct(CASE WHEN len(w) >= {n} THEN
+               list_transform(generate_series(1, len(w) - {n - 1}),
+                              i -> array_to_string(w[i:i+{n - 1}], ' '))
+               ELSE [] END)"""
+    sql = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {mod} <> 0
+    ), bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % {mod} = 0
+    ), cw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), cg AS (
+      SELECT doc_id, unnest({grams}) AS g FROM cw
+    ), bw AS (
+      SELECT bench_id, string_split(text, ' ') AS w FROM bench
+    ), bg AS (
+      SELECT bench_id, unnest({grams}) AS g FROM bw
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS hits
+    FROM cg c JOIN bg b ON c.g = b.g
+    GROUP BY c.doc_id, b.bench_id
+    HAVING COUNT(*) >= {min_hits}
+    ORDER BY doc_id, bench_id
+    """
+    return f"n={n} min_hits={min_hits} mod={mod}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -811,6 +931,9 @@ FAMILIES = {
     "hash_sample": fam_hash_sample,
     "resample": fam_resample,
     "bm25": fam_bm25,
+    "rolling_window": fam_rolling_window,
+    "grouping_sets": fam_grouping_sets,
+    "decontam": fam_decontam,
     "pack_chunks": fam_pack_chunks,
     "sample_exact_n": fam_sample_exact_n,
 }
@@ -818,7 +941,7 @@ FAMILIES = {
 #: cheap enough for the per-commit pytest gate (no doc-pair joins)
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
-         "sample_exact_n")
+         "sample_exact_n", "grouping_sets")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
