@@ -50,17 +50,33 @@ def sign_bits_hex(a: Column, planes: list[list[float]]) -> Column:
 def sign_probe_buckets(
     a: Column, planes: list[list[float]], n_probe: int = 1
 ) -> Column:
-    """Array of ``n_probe`` sign-LSH buckets for a vector: its own
-    bucket plus the ``n_probe - 1`` single-flip buckets of its
-    narrowest hyperplane margins (multi-probe LSH, round-7) — the
-    buckets a true near neighbor most likely fell into, since a
-    neighbor lands elsewhere exactly when it crosses a plane the
-    vector sits close to. ``n_probe=1`` reduces to ``[bucket]``.
-    Shared by ``similarity.knn_lsh`` and the streaming embedding
-    registry (``streaming/vector_ingest.py``); bit masks come from an
-    exact literal long array indexed by the sorted plane id
-    (shiftleft's Python wrapper only takes constant shifts)."""
-    if not 1 <= n_probe <= 2 ** len(planes):
+    """Array of ``n_probe`` sign-LSH buckets for a vector, best-first:
+    its own bucket, then the buckets a true near neighbor most likely
+    fell into — a neighbor lands elsewhere exactly when it crosses
+    planes the vector sits close to, so buckets are ranked by the sum
+    of the flipped planes' |projection| margins (multi-probe LSH,
+    round-7). ``n_probe=1`` reduces to ``[bucket]``. Shared by
+    ``similarity.knn_lsh`` and the streaming embedding registry
+    (``streaming/vector_ingest.py``).
+
+    Two probe generators, same contract (probes[0] = base bucket,
+    pairwise distinct):
+
+    - ``n_probe <= n_planes + 1`` — the fast path: base plus the
+      ``n_probe - 1`` SINGLE-flip buckets of the narrowest margins
+      (one k-entry sort per row). Covers every 1-plane miss.
+    - larger ``n_probe`` — exhaustive perturbation ordering: all
+      ``2^n_planes`` flip masks scored by their total flipped margin,
+      sorted, first ``n_probe`` taken (a ``2^k``-entry sort per row —
+      requires ``n_planes <= 12``; the registry/corpus side never
+      pays this, only the probing side). This is the true best-first
+      multi-probe order (a two-narrow-margin double flip can outrank
+      a wide single flip), and ``n_probe = 2^n_planes`` enumerates
+      every bucket — exact recall. (Round-7 review: the single-flip
+      path alone cannot reach multi-flip buckets, so it silently
+      capped coverage at ``n_planes + 1`` probes.)"""
+    k = len(planes)
+    if not 1 <= n_probe <= 2 ** k:
         raise ValueError(
             f"n_probe must be in [1, 2^n_planes], got {n_probe}"
         )
@@ -73,16 +89,43 @@ def sign_probe_buckets(
         base = base + bit * F.lit(2 ** i).cast("long")
     if n_probe == 1:
         return F.array(base)
-    margins = F.array(*[
-        F.struct(F.abs(proj).alias("m"), F.lit(i).alias("i"))
-        for i, proj in enumerate(projs)
-    ])
-    powers = F.array(*[F.lit(2 ** i).cast("long") for i in range(len(planes))])
-    flips = F.transform(
-        F.slice(F.array_sort(margins), 1, n_probe - 1),
-        lambda s: base.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
+    if n_probe <= k + 1:
+        # single-flip fast path; exact bit masks as a literal long
+        # array indexed by the sorted plane id (shiftleft's Python
+        # wrapper only takes constant shifts)
+        margins = F.array(*[
+            F.struct(F.abs(proj).alias("m"), F.lit(i).alias("i"))
+            for i, proj in enumerate(projs)
+        ])
+        powers = F.array(*[F.lit(2 ** i).cast("long") for i in range(k)])
+        flips = F.transform(
+            F.slice(F.array_sort(margins), 1, n_probe - 1),
+            lambda s: base.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
+        )
+        return F.concat(F.array(base), flips)
+    if k > 12:
+        raise ValueError(
+            f"n_probe > n_planes + 1 enumerates 2^n_planes flip masks "
+            f"per row; need n_planes <= 12, got {k}"
+        )
+    abs_projs = [F.abs(p) for p in projs]
+    entries = []
+    for mask in range(2 ** k):
+        cost: Column | None = None
+        for i in range(k):
+            if (mask >> i) & 1:
+                cost = abs_projs[i] if cost is None else cost + abs_projs[i]
+        entries.append(
+            F.struct(
+                (F.lit(0.0) if cost is None else cost).alias("m"),
+                F.lit(mask).alias("i"),
+            )
+        )
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(
+        F.slice(ranked, 1, n_probe),
+        lambda s: base.bitwiseXOR(s["i"].cast("long")),
     )
-    return F.concat(F.array(base), flips)
 
 
 def dot_arrow(a: Column, b: Column) -> Column:

@@ -218,8 +218,12 @@ def knn_lsh(
     falls on the other side of some hyperplane the QUERY sits close
     to — so the next-most-likely buckets are the query's own bucket
     with the smallest-|projection| sign bits flipped. Each query
-    probes its base bucket plus the ``n_probe - 1`` single-flip
-    buckets of its narrowest margins. This moves the recall/cost
+    probes its base bucket plus the ``n_probe - 1`` next-likeliest
+    buckets, ranked by total flipped margin (single flips up to
+    ``n_planes + 1`` probes — the cheap path; past that, exhaustive
+    best-first mask ordering, up to every bucket at
+    ``n_probe = 2^n_planes`` — see ``vector.sign_probe_buckets``).
+    This moves the recall/cost
     trade onto a second, finer knob: recall comparable to halving
     n_planes, at a fraction of the candidate volume (halving n_planes
     DOUBLES every bucket; probing adds ~n_probe * n / 2^n_planes

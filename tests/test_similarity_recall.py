@@ -370,3 +370,44 @@ def test_ivf_persisted_index_matches_inline_and_prunes_partitions(
     # recall floor against exact brute force, same contract as inline
     exact = knn_bruteforce(e, q, k=5)
     assert _recall(indexed_df, exact) >= 0.6
+
+
+def test_sign_probe_buckets_contract(spark):
+    """The shared probe-bucket builder (knn_lsh + vector ingest):
+    probes[0] is exactly the sign_bits_hex base bucket, probes are
+    pairwise distinct single-bit flips of it ordered by margin
+    narrowness, and n_probe=2^n_planes enumerates every bucket."""
+    from nsl_kdd_spark.functions.vector import (
+        sign_bits_hex,
+        sign_probe_buckets,
+        to_double_array,
+    )
+    from nsl_kdd_spark.operators.similarity import hyperplanes
+
+    e = load_tables(spark, SF_SMOKE).embeddings.filter(F.col("vec_id") < 30)
+    planes = hyperplanes(64, 4)
+    rows = e.select(
+        sign_bits_hex(to_double_array("embedding"), planes).alias("base"),
+        sign_probe_buckets(to_double_array("embedding"), planes, 4).alias("p4"),
+        sign_probe_buckets(
+            to_double_array("embedding"), planes, 16
+        ).alias("pall"),
+        to_double_array("embedding").alias("v"),
+    ).collect()
+    for r in rows:
+        assert r["p4"][0] == r["base"]
+        assert len(set(r["p4"])) == 4
+        # every non-base probe is a single-bit flip of the base
+        for b in r["p4"][1:]:
+            x = b ^ r["base"]
+            assert x != 0 and (x & (x - 1)) == 0
+        # full probe enumerates the whole bucket space
+        assert sorted(r["pall"]) == list(range(16))
+        # flip order follows margin narrowness: recompute margins in
+        # Python and check the flipped plane ids match the 3 smallest
+        projs = [
+            sum(a * b for a, b in zip(r["v"], p)) for p in planes
+        ]
+        want = [i for _, i in sorted((abs(p), i) for i, p in enumerate(projs))][:3]
+        got = [(b ^ r["base"]).bit_length() - 1 for b in r["p4"][1:]]
+        assert got == want
