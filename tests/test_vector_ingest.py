@@ -154,3 +154,32 @@ def test_vector_ingest_validation(spark, tmp_path):
             str(tmp_path / "r"), str(tmp_path / "k"),
             n_planes=3, n_probe=9,
         )
+
+
+def test_semantic_dedup_batch_plans_are_equi_joins(spark):
+    """Both tiers' candidate joins must be bucket equi-joins — never a
+    cartesian: the whole point of the LSH probe is that the registry
+    and the batch meet only on bucket keys."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.functions.vector import sign_bits_hex
+    from nsl_kdd_spark.operators.similarity import hyperplanes
+    from nsl_kdd_spark.streaming.vector_ingest import semantic_dedup_batch
+
+    batch = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = hyperplanes(DIM, 3, 42)
+    registry = spark.createDataFrame(
+        [(100 + i, _unit(50 + i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("__bucket", sign_bits_hex(F.col("embedding"), planes))
+    out = semantic_dedup_batch(
+        batch, registry, threshold=0.95, dim=DIM, n_planes=3, n_probe=4
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
