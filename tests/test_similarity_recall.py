@@ -411,3 +411,46 @@ def test_sign_probe_buckets_contract(spark):
         want = [i for _, i in sorted((abs(p), i) for i, p in enumerate(projs))][:3]
         got = [(b ^ r["base"]).bit_length() - 1 for b in r["p4"][1:]]
         assert got == want
+
+
+def test_sign_probe_buckets_matches_python_reference(spark):
+    """Both probe generators checked against a pure-Python reference
+    over seeded random vectors and planes: single-flip path (n_probe
+    <= k+1) and exhaustive best-first mask path, including equal-cost
+    tie order (array_sort ties on the mask/plane id)."""
+    import random as _random
+
+    from nsl_kdd_spark.functions.vector import sign_probe_buckets
+
+    rng = _random.Random(11)
+    dim, k = 6, 4
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(k)]
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    def ref_probes(v, n_probe):
+        projs = [sum(a * b for a, b in zip(v, p)) for p in planes]
+        base = sum((1 << i) for i, p in enumerate(projs) if p >= 0)
+        if n_probe == 1:
+            return [base]
+        if n_probe <= k + 1:
+            order = sorted((abs(p), i) for i, p in enumerate(projs))
+            return [base] + [base ^ (1 << i) for _, i in order[: n_probe - 1]]
+        masks = sorted(
+            (sum(abs(projs[i]) for i in range(k) if (m >> i) & 1), m)
+            for m in range(2 ** k)
+        )
+        return [base ^ m for _, m in masks[:n_probe]]
+
+    for n_probe in (1, 3, k + 1, 7, 2 ** k):
+        got = {
+            r["id"]: list(r["p"])
+            for r in df.select(
+                "id",
+                sign_probe_buckets(F.col("v"), planes, n_probe).alias("p"),
+            ).collect()
+        }
+        for rid, v in rows:
+            assert got[rid] == ref_probes(v, n_probe), (n_probe, rid)
