@@ -22,5 +22,5 @@ def test_fuzz_cheap_families_fixed_seed(spark):
 
 
 def test_fuzz_families_registry_sane():
-    assert len(FAMILIES) >= 20
+    assert len(FAMILIES) >= 21
     assert set(CHEAP) <= set(FAMILIES)

@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 20
+failures reproduce with the printed seed. The default 3 draws x 21
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -423,6 +423,7 @@ def fam_simhash(rng: random.Random):
 
 def fam_asof(rng: random.Random):
     tol = rng.choice((None, 3600, 86400, 7 * 86400))
+    direction = rng.choice(("backward", "forward"))
 
     def spark_fn(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -435,21 +436,24 @@ def fam_asof(rng: random.Random):
             "user_id", "ts", "event_id"
         )
         purch = t.events.filter(F.col("event_type") == "purchase").select(
-            "user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue")
+            "user_id", F.col("ts").alias("pts"),
+            F.col("value").alias("pvalue"),
         )
         out = asof_join(
             clicks, purch, key="user_id", left_ts="ts", right_ts="pts",
             right_values=["pvalue"], tolerance_seconds=tol,
+            direction=direction,
         )
         return out.select(
             "event_id", "user_id",
-            F.col("pvalue").alias("last_purchase_value"), "matched_ts",
+            F.col("pvalue").alias("matched_value"), "matched_ts",
         ).orderBy("event_id")
 
-    in_tol = (
-        "TRUE" if tol is None
-        else f"date_diff('second', p.pts, c.ts) <= {tol}"
-    )
+    if direction == "backward":
+        on, gap = "c.ts >= p.pts", "date_diff('second', p.pts, c.ts)"
+    else:
+        on, gap = "c.ts <= p.pts", "date_diff('second', c.ts, p.pts)"
+    in_tol = "TRUE" if tol is None else f"{gap} <= {tol}"
     sql = f"""
     WITH clicks AS (
       SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
@@ -458,13 +462,61 @@ def fam_asof(rng: random.Random):
       FROM events WHERE event_type = 'purchase'
     )
     SELECT c.event_id, c.user_id,
-           CASE WHEN {in_tol} THEN p.pvalue END AS last_purchase_value,
+           CASE WHEN {in_tol} THEN p.pvalue END AS matched_value,
            CASE WHEN {in_tol} THEN p.pts END AS matched_ts
     FROM clicks c ASOF LEFT JOIN purch p
-      ON c.user_id = p.user_id AND c.ts >= p.pts
+      ON c.user_id = p.user_id AND {on}
     ORDER BY c.event_id
     """
-    return f"tol={tol}", spark_fn, sql, True
+    return f"tol={tol} dir={direction}", spark_fn, sql, True
+
+
+def fam_scd2_pointtime(rng: random.Random):
+    at = rng.choice((
+        "2024-01-05 00:00:00", "2024-01-15 12:00:00",
+        "2024-02-01 06:30:00", "2024-03-01 00:00:00",
+    ))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.merge import scd2_history
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        at_lit = F.lit(at).cast("timestamp")
+        hist = scd2_history(
+            t.events, ["user_id"], "ts", ["event_type"],
+            tiebreak_col="event_id",
+        )
+        return (
+            hist.filter(
+                (F.col("effective_from") <= at_lit)
+                & (
+                    F.col("effective_to").isNull()
+                    | (F.col("effective_to") > at_lit)
+                )
+            )
+            .select(
+                "user_id",
+                F.col("event_type").alias("state_at_t"),
+                "effective_from",
+            )
+            .orderBy("user_id")
+        )
+
+    # reuse the catalog's shared SCD2 CTE so the fuzz twin can never
+    # drift from the q93/q102 oracles' derivation
+    from nsl_kdd_spark.plans.catalog import _scd2_history_sql
+
+    sql = _scd2_history_sql() + f"""
+    SELECT user_id, event_type AS state_at_t, effective_from
+    FROM hist
+    WHERE effective_from <= TIMESTAMP '{at}'
+      AND (effective_to IS NULL OR effective_to > TIMESTAMP '{at}')
+    ORDER BY user_id
+    """
+    return f"at={at}", spark_fn, sql, False
 
 
 def fam_filtered_agg(rng: random.Random):
@@ -934,6 +986,7 @@ FAMILIES = {
     "rolling_window": fam_rolling_window,
     "grouping_sets": fam_grouping_sets,
     "decontam": fam_decontam,
+    "scd2_pointtime": fam_scd2_pointtime,
     "pack_chunks": fam_pack_chunks,
     "sample_exact_n": fam_sample_exact_n,
 }
@@ -941,7 +994,7 @@ FAMILIES = {
 #: cheap enough for the per-commit pytest gate (no doc-pair joins)
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
-         "sample_exact_n", "grouping_sets")
+         "sample_exact_n", "grouping_sets", "scd2_pointtime")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
