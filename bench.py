@@ -70,54 +70,141 @@ HEADLINE = [
 GUARD_RATIO = 1.5
 
 
-def prior_bench_record() -> tuple[str, dict]:
-    """(filename, parsed-record) of the newest committed BENCH_r*.json
-    at the repo root; ('', {}) when none exists (round 1)."""
+def _parse_bench_record(path: str) -> dict | None:
+    """Tier-dict from one driver-written BENCH_r*.json, or None.
+
+    The driver's record wraps the bench's JSON line: {"parsed": <the
+    line as an object>, "tail": <last N chars of stdout>, ...}. Three
+    recovery tiers (round-8; the r7 verdict's one red pytest):
+    1. "parsed" when the driver managed to parse the line itself.
+    2. The raw line recovered from "tail" via its '{"metric"' head.
+    3. Head-truncated tail (BENCH_r07.json shape: "parsed": null and
+       the tail starts mid-object at ': {"q01_...' — the cut head
+       held only the metric/value/unit scalars, which the guard never
+       reads). Prepending '{"queries"' restores a valid object
+       containing every tier dict; verified to round-trip against the
+       r07 record.
+    """
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return None
+    parsed = rec.get("parsed")
+    if isinstance(parsed, dict) and parsed.get("queries"):
+        return parsed
+    tail = rec.get("tail", "")
+    start = tail.rfind('{"metric"')
+    if start >= 0:
+        try:
+            cand = json.loads(tail[start:].strip())
+            if isinstance(cand, dict) and cand.get("queries"):
+                return cand
+        except ValueError:
+            pass
+    frag = tail.lstrip()
+    if frag.startswith(":"):
+        try:
+            cand = json.loads('{"queries"' + frag)
+        except ValueError:
+            return None
+        if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
+            return cand
+    return None
+
+
+def _bench_records(root: str | None = None) -> list[tuple[str, dict]]:
+    """All parseable BENCH_r*.json records at the repo root, newest
+    first: [(filename, tier-dict), ...]. Unparseable records are
+    skipped (never fatal) — the guard prefers a real prior from an
+    older round over silently running unguarded."""
     import glob
     import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_path = -1, ""
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), p
-    if not best_path:
+        if m:
+            rounds.append((int(m.group(1)), p))
+    out = []
+    for _, p in sorted(rounds, reverse=True):
+        parsed = _parse_bench_record(p)
+        if parsed is not None:
+            out.append((os.path.basename(p), parsed))
+    return out
+
+
+def prior_bench_record(root: str | None = None) -> tuple[str, dict]:
+    """(filename, parsed-record) of the newest PARSEABLE committed
+    BENCH_r*.json at the repo root; ('', {}) when none exists
+    (round 1). Round-8: recovers driver-truncated records and falls
+    back across rounds instead of returning ('', {}) — an empty
+    prior silently no-ops the whole noise guard."""
+    recs = _bench_records(root)
+    return recs[0] if recs else ("", {})
+
+
+def prior_bench_envelope(root: str | None = None) -> tuple[str, dict]:
+    """Per-cell best-case prior folded across ALL parseable committed
+    records: min for time cells, max for throughput (*_per_s) cells.
+
+    Newest-only priors ratchet with the host: r7's committed
+    bpe_scale (22.4 s vs r6's 6.5 s, code untouched — sustained
+    throttle) would, as the sole r8 prior, wave through anything
+    under 33.6 s. The envelope keeps the best demonstrated value as
+    the yardstick; a genuine regression still records (the re-measure
+    keeps min(first, redo), it never substitutes the prior)."""
+    recs = _bench_records(root)
+    if not recs:
         return "", {}
-    try:
-        with open(best_path) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
-        return "", {}
-    parsed = rec.get("parsed")
-    if not isinstance(parsed, dict):
-        # fall back to the raw JSON line captured in "tail"
-        tail = rec.get("tail", "")
-        start = tail.rfind('{"metric"')
-        if start < 0:
-            return "", {}
-        try:
-            parsed = json.loads(tail[start:].strip())
-        except ValueError:
-            return "", {}
-    return os.path.basename(best_path), parsed
+    env: dict = {}
+    for _, rec in recs:
+        for tier, cells in rec.items():
+            if not isinstance(cells, dict):
+                continue
+            tgt = env.setdefault(tier, {})
+            for k, v in cells.items():
+                if not isinstance(v, (int, float)):
+                    continue
+                p = tgt.get(k)
+                if not isinstance(p, (int, float)):
+                    tgt[k] = v
+                elif _is_throughput_cell(k):
+                    tgt[k] = max(p, v)
+                else:
+                    tgt[k] = min(p, v)
+    names = [n for n, _ in recs]
+    label = f"envelope({names[-1]}..{names[0]})" if len(names) > 1 else names[0]
+    return label, env
+
+
+def _is_throughput_cell(name: str) -> bool:
+    """Bigger-is-better cells (MB/s, rows/s). Everything else in the
+    record is wall-clock seconds or a deterministic counter."""
+    return name.endswith("_per_s")
 
 
 def _suspect_cells(current: dict, prior: dict) -> list[str]:
-    """Cells measurably slower than GUARD_RATIO x their committed
-    prior. Non-time cells (e.g. *_cycles counters) are deterministic,
+    """Cells measurably WORSE than GUARD_RATIO x their committed
+    prior — slower for time cells, and (round-8; r7 verdict #2: the
+    one-sided guard let media_jpeg512px throughput drop 3.3x
+    unremeasured) below prior/GUARD_RATIO for *_per_s throughput
+    cells. Non-time cells (e.g. *_cycles counters) are deterministic,
     so they can never trip the ratio unless the algorithm changed —
     in which case the re-measure reproduces the same value and the
     new value is (correctly) recorded."""
     out = []
     for k, v in current.items():
         p = prior.get(k)
-        if (
-            isinstance(p, (int, float))
-            and isinstance(v, (int, float))
-            and p > 0
-            and v > GUARD_RATIO * p
-        ):
+        if not (isinstance(p, (int, float)) and isinstance(v, (int, float))
+                and p > 0):
+            continue
+        if _is_throughput_cell(k):
+            if v < p / GUARD_RATIO:
+                out.append(k)
+        elif v > GUARD_RATIO * p:
             out.append(k)
     return out
 
@@ -140,8 +227,13 @@ def guard_tier(
     if not bad:
         return current
     redo = rerun()
+    # best-of-both-reps: min for time cells, max for throughput cells
     merged = {
-        k: (min(v, redo[k]) if isinstance(v, (int, float)) and k in redo else v)
+        k: (
+            (max if _is_throughput_cell(k) else min)(v, redo[k])
+            if isinstance(v, (int, float)) and isinstance(redo.get(k), (int, float))
+            else v
+        )
         for k, v in current.items()
     }
     guard_log[tier] = {
@@ -768,8 +860,10 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in runs.items()}
 
     # record-vs-record guard over the headline cells: re-measure only
-    # the suspect queries (one extra back-to-back rep each, min kept)
-    prior_name, prior = prior_bench_record()
+    # the suspect queries (one extra back-to-back rep each, min kept).
+    # Prior = per-cell envelope across all committed records (round-8)
+    # so one throttled record doesn't become a lenient yardstick.
+    prior_name, prior = prior_bench_envelope()
     guard_log: dict[str, dict] = {}
     headline_bad = _suspect_cells(timings, prior.get("queries") or {})
     for name in headline_bad:

@@ -62,3 +62,101 @@ def test_prior_bench_record_finds_newest_round():
     # the repo has committed records through round 6 at least
     assert int(name[len("BENCH_r"):-len(".json")]) >= 6
     assert "queries" in parsed and parsed["queries"]
+
+
+# --- round-8: loader robustness to the driver's own record formats
+# (the r7 verdict's one red pytest: BENCH_r07.json landed with
+# "parsed": null and a tail truncated mid-object, and the loader
+# returned ('', {}) — silently no-opping the next round's guard).
+
+_GOOD_LINE = (
+    '{"metric": "m", "value": 3.0, "unit": "sec", '
+    '"queries": {"q01": 1.0, "q02": 2.0}, '
+    '"media_scale": {"media_jpeg512px_decode_mb_per_s": 0.433}, "sf": 0.1}'
+)
+
+
+def _write(tmp_path, name, obj):
+    import json
+
+    (tmp_path / name).write_text(json.dumps(obj))
+
+
+def test_parse_record_head_truncated_tail(tmp_path):
+    """The exact BENCH_r07 shape: parsed null, tail cut to start at
+    ': {"q01...' (the '{"metric"' head lost)."""
+    cut = _GOOD_LINE.index(': {"q01')
+    _write(tmp_path, "BENCH_r7.json",
+           {"n": 7, "rc": 0, "parsed": None, "tail": _GOOD_LINE[cut:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r7.json"
+    assert parsed["queries"] == {"q01": 1.0, "q02": 2.0}
+    assert parsed["media_scale"]["media_jpeg512px_decode_mb_per_s"] == 0.433
+
+
+def test_parse_record_real_driver_r07_file():
+    """The actual driver-written BENCH_r07.json in the tree must be
+    recoverable (this was the red test's trigger)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "BENCH_r07.json")
+    parsed = bench._parse_bench_record(path)
+    assert parsed is not None and parsed["queries"]["q01_pricing_summary"] > 0
+    assert "bpe_scale" in parsed and "vector_scale" in parsed
+
+
+def test_prior_record_falls_back_to_newest_parseable(tmp_path):
+    """An unrecoverable newest record must not blank the prior —
+    the next-oldest parseable record serves instead."""
+    _write(tmp_path, "BENCH_r7.json",
+           {"parsed": None, "tail": "garbage with no json at all"})
+    _write(tmp_path, "BENCH_r6.json", {"parsed": None, "tail": _GOOD_LINE})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r6.json"
+    assert parsed["queries"] == {"q01": 1.0, "q02": 2.0}
+
+
+def test_suspect_cells_two_sided_for_throughput():
+    """*_per_s cells are bigger-is-better: a 3x DROP is the suspect
+    direction (r7: media_jpeg512px fell 0.433 -> 0.132 unguarded)."""
+    prior = {"media_jpeg512px_decode_mb_per_s": 0.433, "t": 1.0}
+    current = {"media_jpeg512px_decode_mb_per_s": 0.132, "t": 1.0}
+    assert bench._suspect_cells(current, prior) == [
+        "media_jpeg512px_decode_mb_per_s"
+    ]
+    # ...and a throughput RISE is fine (not suspect)
+    assert bench._suspect_cells(
+        {"media_jpeg512px_decode_mb_per_s": 1.9}, prior) == []
+
+
+def test_guard_tier_keeps_max_for_throughput_cells():
+    prior = {"media_scale": {"x_mb_per_s": 0.4, "y": 1.0}}
+    log: dict = {}
+    merged = bench.guard_tier(
+        "media_scale", {"x_mb_per_s": 0.1, "y": 1.0}, prior,
+        lambda: {"x_mb_per_s": 0.38, "y": 0.9}, log)
+    # best-of-both-reps across the tier: max for throughput, min for time
+    assert merged == {"x_mb_per_s": 0.38, "y": 0.9}
+    assert log["media_scale"]["x_mb_per_s"]["final"] == 0.38
+
+
+def test_prior_bench_envelope_folds_best_across_records(tmp_path):
+    """Envelope prior: per-cell min for time, max for throughput,
+    across ALL parseable records — one throttled newest record (r7's
+    bpe_scale 22.4 s vs r6's 6.5 s) can't become a lenient prior."""
+    _write(tmp_path, "BENCH_r6.json", {"parsed": {
+        "queries": {"q01": 1.0},
+        "bpe_scale": {"bpe32_serial": 6.5},
+        "media_scale": {"x_mb_per_s": 0.433},
+    }})
+    _write(tmp_path, "BENCH_r7.json", {"parsed": {
+        "queries": {"q01": 1.4},
+        "bpe_scale": {"bpe32_serial": 22.4},
+        "media_scale": {"x_mb_per_s": 0.132},
+    }})
+    label, env = bench.prior_bench_envelope(root=str(tmp_path))
+    assert label == "envelope(BENCH_r6.json..BENCH_r7.json)"
+    assert env["bpe_scale"]["bpe32_serial"] == 6.5
+    assert env["media_scale"]["x_mb_per_s"] == 0.433
+    assert env["queries"]["q01"] == 1.0
