@@ -87,6 +87,83 @@ def is_missing_path_error(exc: Exception) -> bool:
     )
 
 
+# Commit marker written alongside the first successful registry write
+# (round-8 advisory). The leading underscore keeps it invisible to
+# parquet's file listing, so registry reads are unaffected.
+_REGISTRY_MARKER = "_REGISTRY_COMMITTED"
+
+
+def _hadoop_path(spark: SparkSession, path: str, name: str):
+    """(FileSystem, Path) for ``<path>/<name>`` via the JVM Hadoop FS
+    API — the registry may live on HDFS/S3A on a real cluster, where
+    driver-local ``open()`` would silently probe the wrong store."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, name)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def mark_registry_committed(spark: SparkSession, registry_path: str) -> None:
+    """Record that at least one registry write has committed. Written
+    AFTER the batch's registry shard lands, and idempotent — a replay
+    that finds the marker already present leaves it alone. If the
+    process crashes between the registry write and the marker, the
+    replay re-runs the same batch_id: its probe reads committed data
+    (no exception), so the marker's absence is never consulted and it
+    is re-attempted at the end of the replay."""
+    fs, marker = _hadoop_path(spark, registry_path, _REGISTRY_MARKER)
+    if not fs.exists(marker):
+        fs.create(marker, True).close()
+
+
+def registry_committed(spark: SparkSession, registry_path: str) -> bool:
+    """True iff some batch has successfully written registry
+    signatures before. Gate for the empty-registry fallback (round-8
+    advisory): a probe failing with a nothing-committed condition
+    while the marker EXISTS means the registry's data files were lost
+    (lifecycle deletion, partial corruption) — indistinguishable, by
+    the read error alone, from a crashed first write. Falling back to
+    an empty registry there silently admits every duplicate; the
+    micro-batch must fail instead."""
+    fs, marker = _hadoop_path(spark, registry_path, _REGISTRY_MARKER)
+    return bool(fs.exists(marker))
+
+
+class RegistryLostError(RuntimeError):
+    """A registry that HAS committed data (its commit marker exists)
+    failed its probe with a nothing-committed condition: the parquet
+    shards are gone but the directory survives. Deduplicating against
+    an assumed-empty registry would silently re-admit every known
+    duplicate, so the micro-batch fails loudly instead (at-least-once
+    replay retries; the operator restores the registry or removes the
+    marker to explicitly accept a cold start)."""
+
+
+def _probe_or_empty(
+    spark: SparkSession,
+    registry_path: str,
+    batch_id: int,
+    empty_registry,
+) -> DataFrame:
+    """The shared registry-probe contract for every ingest sink:
+    return the standing registry as of the previous batch, or — ONLY
+    when nothing has ever committed (no data AND no commit marker) —
+    the caller's empty registry. Any other failure propagates and
+    fails the micro-batch (round-6 advisory), including the
+    marker-present-but-data-gone state (round-8 advisory)."""
+    try:
+        return read_registry_before(spark, registry_path, batch_id)
+    except Exception as e:
+        if not is_missing_path_error(e):
+            raise
+        if registry_committed(spark, registry_path):
+            raise RegistryLostError(
+                f"registry at {registry_path!r} has a commit marker "
+                f"({_REGISTRY_MARKER}) but no readable parquet data; "
+                "refusing the empty-registry fallback"
+            ) from e
+        return empty_registry()
+
+
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
     """Write ``df`` into its own ``__batch_id`` partition with DYNAMIC
     partition overwrite, scoped to THIS write via the writer option —
@@ -150,16 +227,12 @@ def _document_sink(
     ``__batch_id < batch_id`` — a replayed batch never dedups against
     its own prior write."""
     s = batch_df.sparkSession
-    try:
-        registry = read_registry_before(s, registry_path, batch_id)
-    except Exception as e:
-        # first batch only (no registry path yet); any other read
-        # failure fails the micro-batch (round-6 advisory)
-        if not is_missing_path_error(e):
-            raise
-        registry = build_registry(
+    registry = _probe_or_empty(
+        s, registry_path, batch_id,
+        lambda: build_registry(
             batch_df.limit(0), id_col, text_col, num_hashes, shingle_n
-        )
+        ),
+    )
     res = dedup_batch(
         batch_df, registry,
         id_col=id_col, text_col=text_col,
@@ -170,6 +243,7 @@ def _document_sink(
     try:
         _write_partition(accepted, corpus_path, batch_id)
         _write_partition(res.accepted_signatures, registry_path, batch_id)
+        mark_registry_committed(s, registry_path)
     finally:
         accepted.unpersist()
         res.cleanup()  # drop per-batch signature/shingle caches

@@ -41,9 +41,9 @@ from nsl_kdd_spark.operators.dedup import (
     banded_hamming_pairs,
 )
 from nsl_kdd_spark.streaming.ingest import (
+    _probe_or_empty,
     _write_partition,
-    is_missing_path_error,
-    read_registry_before,
+    mark_registry_committed,
 )
 
 _SIG_SCHEMA = StructType([
@@ -110,15 +110,13 @@ def _media_sink(
         F.col("id_b").alias("media_id")
     ).distinct()
     survivors = sigs.join(self_dropped, "media_id", "left_anti")
-    # registry tier: any match within max_hamming rejects
-    try:
-        registry = read_registry_before(s, registry_path, batch_id)
-    except Exception as e:
-        # first batch only (no registry path yet); any other read
-        # failure fails the micro-batch (round-6 advisory)
-        if not is_missing_path_error(e):
-            raise
-        registry = s.createDataFrame([], schema)
+    # registry tier: any match within max_hamming rejects. Fallback
+    # to an empty registry only when nothing ever committed — a
+    # commit marker with unreadable data fails the batch (r8 advisory)
+    registry = _probe_or_empty(
+        s, registry_path, batch_id,
+        lambda: s.createDataFrame([], schema),
+    )
     reg_hits = banded_hamming_join(
         survivors, registry,
         "media_id", sig_cols, "media_id", sig_cols,
@@ -133,6 +131,7 @@ def _media_sink(
         )
         _write_partition(accepted_rows, corpus_path, batch_id)
         _write_partition(accepted_sigs, registry_path, batch_id)
+        mark_registry_committed(s, registry_path)
     finally:
         accepted_sigs.unpersist()
 

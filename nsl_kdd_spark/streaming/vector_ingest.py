@@ -54,9 +54,9 @@ from nsl_kdd_spark.functions.vector import (
 )
 from nsl_kdd_spark.operators.similarity import hyperplanes
 from nsl_kdd_spark.streaming.ingest import (
+    _probe_or_empty,
     _write_partition,
-    is_missing_path_error,
-    read_registry_before,
+    mark_registry_committed,
 )
 
 VECTOR_SCHEMA = StructType([
@@ -165,14 +165,12 @@ def _vector_sink(
     ``__batch_id < batch_id`` partitions — a replayed batch never
     sees its own prior registry rows."""
     s = batch_df.sparkSession
-    try:
-        registry = read_registry_before(s, registry_path, batch_id)
-    except Exception as e:
-        # first batch only (nothing committed yet); any other read
-        # failure fails the micro-batch (round-6 advisory contract)
-        if not is_missing_path_error(e):
-            raise
-        registry = s.createDataFrame([], _REGISTRY_SCHEMA)
+    # nothing-committed fallback only; marker-present-but-data-gone
+    # and transient read failures fail the batch (r6/r8 advisories)
+    registry = _probe_or_empty(
+        s, registry_path, batch_id,
+        lambda: s.createDataFrame([], _REGISTRY_SCHEMA),
+    )
     accepted = semantic_dedup_batch(
         batch_df, registry,
         threshold=threshold, dim=dim, n_planes=n_planes,
@@ -184,6 +182,7 @@ def _vector_sink(
         )
         _write_partition(accepted_rows, corpus_path, batch_id)
         _write_partition(accepted, registry_path, batch_id)
+        mark_registry_committed(s, registry_path)
     finally:
         accepted.unpersist()
 

@@ -650,3 +650,99 @@ def test_streaming_categorical_drift_monitor(spark, tmp_path):
     got = {r.category: r.psi_u for r in
            reports.filter("batch_id = 1").collect()}
     assert got == want
+
+
+def test_registry_commit_marker_blocks_empty_fallback(spark, tmp_path):
+    """Round-8 advisory: a registry that HAS committed (its commit
+    marker exists) but whose parquet data is gone must FAIL the
+    micro-batch, not silently dedup against an assumed-empty registry
+    — that state re-admits every known duplicate with no signal."""
+    import os
+    import shutil
+
+    import pytest
+
+    from nsl_kdd_spark.streaming.ingest import (
+        _REGISTRY_MARKER,
+        RegistryLostError,
+        _document_sink,
+        read_corpus,
+        registry_committed,
+    )
+
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, band_size=1, threshold=0.5, shingle_n=2,
+    )
+    reg = tmp_path / "registry"
+    # fresh start: no marker, empty fallback admitted
+    assert not registry_committed(spark, str(reg))
+    batch0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    _document_sink(batch0, 0, **kw)
+    # the sink stamped the marker after its registry write
+    assert registry_committed(spark, str(reg))
+    assert (reg / _REGISTRY_MARKER).exists()
+
+    # lifecycle "loss": delete the data partitions, keep the marker
+    for entry in os.listdir(reg):
+        if entry.startswith("__batch_id="):
+            shutil.rmtree(reg / entry)
+    batch1 = spark.createDataFrame(
+        [(2, "entirely new material about tuning shuffle partitions")],
+        "doc_id long, text string")
+    with pytest.raises(RegistryLostError):
+        _document_sink(batch1, 1, **kw)
+    # corpus untouched by the failed batch
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1}
+
+    # operator explicitly accepts the cold start by removing the
+    # marker -> the fallback is admitted again
+    (reg / _REGISTRY_MARKER).unlink()
+    _document_sink(batch1, 1, **kw)
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 2}
+    assert registry_committed(spark, str(reg))
+
+
+def test_registry_marker_idempotent_and_crash_tolerant(spark, tmp_path):
+    """Marker mechanics: stamping twice is a no-op, and a crash
+    BETWEEN the registry write and the marker (marker absent, data
+    present) stays correct — the next probe reads committed data, so
+    the marker is never consulted."""
+    from nsl_kdd_spark.streaming.ingest import (
+        _REGISTRY_MARKER,
+        _document_sink,
+        mark_registry_committed,
+        read_corpus,
+        registry_committed,
+    )
+
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, band_size=1, threshold=0.5, shingle_n=2,
+    )
+    reg = tmp_path / "registry"
+    batch0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    _document_sink(batch0, 0, **kw)
+    mark_registry_committed(spark, str(reg))  # idempotent re-stamp
+    assert registry_committed(spark, str(reg))
+
+    # simulate crash-before-marker: data present, marker removed
+    (reg / _REGISTRY_MARKER).unlink()
+    batch1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat tonight"),
+         (11, "entirely new material about tuning shuffle partitions")],
+        "doc_id long, text string")
+    _document_sink(batch1, 1, **kw)  # probe succeeds on real data
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1, 11}
+    assert registry_committed(spark, str(reg))  # re-stamped
