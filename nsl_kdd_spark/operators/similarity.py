@@ -319,6 +319,27 @@ def knn_ivf(
     )
 
 
+def _probe_cells_py(
+    centroids: list[list[float]], qv, n_probe: int
+) -> list[int]:
+    """Driver-side twin of :func:`_probe_cells_expr` for the persisted
+    index path: the ``n_probe`` nearest cell ids for one query vector,
+    computed with the SAME arithmetic (sequential left-to-right IEEE
+    double fold of (a-b)^2, ties broken by cell id via the (dist,
+    cell) sort) so a query is assigned identical probe cells whether
+    the expression or this function decides — the knn_ivf vs
+    knn_ivf_index parity contract."""
+    dists = []
+    for ci, ctr in enumerate(centroids):
+        acc = 0.0
+        for a, b in zip(qv, ctr):
+            d = a - b
+            acc = acc + d * d
+        dists.append((acc, ci))
+    dists.sort()
+    return [ci for _, ci in dists[:n_probe]]
+
+
 def _probe_cells_expr(centroids: list[list[float]], vec_col: str, n_probe: int):
     """Array of the ``n_probe`` nearest cell ids for a query vector —
     literal centroid distances folded into one expression (centroids
@@ -404,18 +425,48 @@ def knn_ivf_index(
     Scan cost per batch = |union of probed cells| / n_cells of the
     corpus — independent of corpus growth for a fixed layout, and the
     quantizer is never re-fit."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     rows = sorted(
         (r["cell"], r["centroid"])
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
     centroids = [list(map(float, ctr)) for _, ctr in rows]
 
-    q = queries.select(
+    # Probe-cell assignment is computed ONCE, driver-side, from the
+    # centroid table and the collected query vectors (round-8
+    # advisory): the query batch is broadcast-sized by contract, so
+    # one collect replaces the previous exploded-plan collect + a
+    # localCheckpoint whose blocks are not fault-tolerant (an executor
+    # loss mid-batch failed the job). The same assignment list feeds
+    # BOTH the partition-pruning filter and the join input, so there
+    # is exactly one source of probe cells — nothing to pin.
+    # _probe_cells_py is arithmetic-identical to _probe_cells_expr
+    # (sequential IEEE-double fold, (dist, cell) sort), keeping the
+    # persisted path bit-compatible with inline knn_ivf (parity test).
+    qrows = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
+    ).collect()
+    assign = [
+        (r[query_id_col], [float(x) for x in r["__qv"]], cell)
+        for r in qrows
+        for cell in _probe_cells_py(centroids, r["__qv"], n_probe)
+    ]
+    probed = sorted({cell for _, _, cell in assign})
+    q = spark.createDataFrame(
+        assign,
+        StructType([
+            StructField(query_id_col, queries.schema[id_col].dataType),
+            StructField("__qv", ArrayType(DoubleType())),
+            StructField("__cell", IntegerType()),
+        ]),
     )
-    q = q.withColumn("__cell", F.explode(_probe_cells_expr(centroids, "__qv", n_probe)))
-    q = q.localCheckpoint()  # probe cells consumed twice (collect + join)
-    probed = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
 
     cells = (
         spark.read.parquet(f"{path}/cells")

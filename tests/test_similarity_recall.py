@@ -454,3 +454,30 @@ def test_sign_probe_buckets_matches_python_reference(spark):
         }
         for rid, v in rows:
             assert got[rid] == ref_probes(v, n_probe), (n_probe, rid)
+
+
+def test_probe_cells_py_matches_expr(spark):
+    """Round-8 advisory: the persisted-index path computes probe
+    cells driver-side (_probe_cells_py) instead of localCheckpoint-
+    pinning an exploded plan; this pins it cell-for-cell (order
+    included) against the Spark expression twin over real embeddings
+    — the knn_ivf vs knn_ivf_index parity depends on it."""
+    from nsl_kdd_spark.functions.vector import to_double_array
+    from nsl_kdd_spark.operators.similarity import (
+        _probe_cells_expr,
+        _probe_cells_py,
+    )
+
+    e = load_tables(spark, SF_SMOKE).embeddings.filter(F.col("vec_id") < 40)
+    rng = __import__("numpy").random.default_rng(11)
+    centroids = [[float(x) for x in rng.normal(size=64)] for _ in range(8)]
+    rows = e.select(
+        "vec_id",
+        to_double_array("embedding").alias("__qv"),
+        _probe_cells_expr(centroids, "__qv", 4).alias("cells"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert list(r["cells"]) == _probe_cells_py(centroids, r["__qv"], 4), (
+            r["vec_id"]
+        )
