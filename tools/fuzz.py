@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 21
+failures reproduce with the printed seed. The default 3 draws x 24
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -967,6 +967,184 @@ def fam_decontam(rng: random.Random):
     return f"n={n} min_hits={min_hits} mod={mod}", spark_fn, sql, False
 
 
+# --------------------------------------------------------------------
+# similarity / vector families (round-8; the r7 verdict's "the newest,
+# least-aged code is the one family the harness skips"). Oracle
+# exactness rests on two identities: n_probe = 2**n_planes probes
+# every sign-LSH bucket, so the candidate set is provably all-pairs
+# and the oracle needs no hash layout at all (the drawn plane count
+# only changes WHICH buckets exist, never the result); and cosine
+# thresholds come from a coarse grid, so no data pair sits within
+# float-noise of the boundary (the boundary class the jaccard fix
+# taught us to respect — here the draw varies the boundary instead
+# of nudging it).
+# --------------------------------------------------------------------
+
+def fam_knn(rng: random.Random):
+    k = rng.choice((3, 5, 10))
+    nq = rng.choice((3, 5, 8))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.similarity import knn_bruteforce
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        return knn_bruteforce(
+            t.embeddings, t.embeddings.filter(F.col("vec_id") < nq), k=k
+        )
+
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {nq}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.v) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qv, e.v)
+                                  DESC, e.vec_id) AS rank
+      FROM e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM scored WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    return f"k={k} nq={nq}", spark_fn, sql, True
+
+
+def fam_semantic_dedup(rng: random.Random):
+    n_centroids = rng.choice((4, 8, 12, 16))
+    threshold = rng.choice((0.2, 0.3, 0.4, 0.5))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.similarity import semantic_dedup
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        return semantic_dedup(
+            load_tables(spark, sf_dir).embeddings, "vec_id", "embedding",
+            n_centroids=n_centroids, threshold=threshold,
+        ).orderBy("vec_id")
+
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT v AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ), s AS (
+      SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+      FROM e, c
+    ), r AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM s
+    ), a AS (
+      SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id, e.v
+      FROM r JOIN e USING (vec_id) WHERE rn = 1
+    ), d AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y
+        ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+    )
+    SELECT a.vec_id, a.cluster_id, d.vec_id IS NULL AS kept
+    FROM a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id
+    """
+    return f"n_centroids={n_centroids} t={threshold}", spark_fn, sql, False
+
+
+def fam_vector_registry(rng: random.Random):
+    threshold = rng.choice((0.7, 0.8, 0.9, 0.95))
+    n_planes = rng.choice((2, 3, 4))
+    split = rng.choice((150, 250, 350))
+    n_probe = 2 ** n_planes  # exact-recall identity: every bucket probed
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.functions.vector import (
+            sign_bits_hex,
+            to_double_array,
+        )
+        from nsl_kdd_spark.operators.similarity import hyperplanes
+        from nsl_kdd_spark.sources.parquet import load_tables
+        from nsl_kdd_spark.streaming.vector_ingest import semantic_dedup_batch
+
+        e = load_tables(spark, sf_dir).embeddings.select(
+            "vec_id", to_double_array("embedding").alias("embedding")
+        )
+        planes = hyperplanes(64, n_planes, 42)
+        registry = e.filter(F.col("vec_id") < split).withColumn(
+            "__bucket", sign_bits_hex(F.col("embedding"), planes)
+        )
+        b = e.filter(F.col("vec_id") >= split).alias("b")
+        r = e.select(
+            (F.col("vec_id") + split).alias("__bid"),
+            F.col("embedding").alias("__rv"),
+        )
+        p = e.select(
+            (F.col("vec_id") + 1).alias("__bid"),
+            F.col("embedding").alias("__pv"),
+        )
+        batch = (
+            b.join(r, F.col("b.vec_id") == F.col("__bid"), "left").drop("__bid")
+            .join(p, F.col("b.vec_id") == F.col("__bid"), "left").drop("__bid")
+            .select(
+                "vec_id",
+                F.when(F.col("vec_id") % 10 == 0, F.col("__rv"))
+                .when(F.col("vec_id") % 10 == 5, F.col("__pv"))
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+        )
+        return (
+            semantic_dedup_batch(
+                batch, registry,
+                threshold=threshold, dim=64,
+                n_planes=n_planes, n_probe=n_probe, seed=42,
+            )
+            .select("vec_id")
+            .orderBy("vec_id")
+        )
+
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), batch AS (
+      SELECT b.vec_id,
+             CASE WHEN b.vec_id % 10 = 0 THEN r.v
+                  WHEN b.vec_id % 10 = 5 THEN p.v
+                  ELSE b.v END AS v
+      FROM e b
+      LEFT JOIN e r ON r.vec_id = b.vec_id - {split}
+      LEFT JOIN e p ON p.vec_id = b.vec_id - 1
+      WHERE b.vec_id >= {split}
+    ), self_drop AS (
+      SELECT DISTINCT GREATEST(a.vec_id, b.vec_id) AS vec_id
+      FROM batch a JOIN batch b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    ), surv AS (
+      SELECT * FROM batch
+      WHERE vec_id NOT IN (SELECT vec_id FROM self_drop)
+    ), reg_drop AS (
+      SELECT DISTINCT s.vec_id
+      FROM surv s JOIN e r ON r.vec_id < {split}
+      WHERE list_cosine_similarity(s.v, r.v) >= {threshold}
+    )
+    SELECT vec_id FROM surv
+    WHERE vec_id NOT IN (SELECT vec_id FROM reg_drop)
+    ORDER BY vec_id
+    """
+    return (
+        f"t={threshold} planes={n_planes} probe={n_probe} split={split}",
+        spark_fn, sql, False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -989,12 +1167,17 @@ FAMILIES = {
     "scd2_pointtime": fam_scd2_pointtime,
     "pack_chunks": fam_pack_chunks,
     "sample_exact_n": fam_sample_exact_n,
+    "knn": fam_knn,
+    "semantic_dedup": fam_semantic_dedup,
+    "vector_registry": fam_vector_registry,
 }
 
-#: cheap enough for the per-commit pytest gate (no doc-pair joins)
+#: cheap enough for the per-commit pytest gate (no doc-pair joins;
+#: the 500-row embeddings families qualify)
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
-         "sample_exact_n", "grouping_sets", "scd2_pointtime")
+         "sample_exact_n", "grouping_sets", "scd2_pointtime",
+         "knn", "semantic_dedup")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
