@@ -6167,30 +6167,48 @@ def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry dedup, batch mode — the streaming embedding ingest's exact
 # semantics under the oracle) is NEW this round and rotates in for
 # q134 (untouched code, green in both r5 and r6 records).
+# Round-8 rotation (VERDICT r07 #5): r8's code changes are harness /
+# streaming-registry / IVF-internals, so only two in-window anchors
+# are genuinely touched — q73 + q144 both exercise the new
+# streaming-ingest commit marker and stay IN. The IVF probe-cell
+# change (similarity.py) has no oracle-paired query of its own
+# (q62/q74 rows-only by design), so its family is re-anchored via
+# the vector siblings q80 embedding-centroids and q123 ranking
+# metrics. Every other r7 anchor is double-or-better green and
+# untouched, so the remaining 46 slots go to a stale-evidence
+# refresh: ALL out-of-window oracle-paired queries whose newest
+# green row is r1-r3 rotate in (ten r1-only rows — q17 q30 q35
+# q43-q49 — have exactly one green record from seven rounds ago),
+# plus four r4-singles (q56 q60 q75 q108) to fill the window. The
+# whole set was re-certified locally at all three fixture scales
+# end-of-r7 (commit b7e62df) and the full 50 re-verified via
+# tools/compare.py before this round's end.
 DRIVER_WINDOW = [
-    # round-5 new / never-recorded / changed-this-round
-    "q135_psi_drift",
-    "q136_psi_categorical", "q138_ensemble_report",
-    "q139_normalize_text", "q94_semantic_dedup",
-    # round-7 new + re-anchors for touched code paths
-    "q144_vector_registry_dedup",
-    "q106_winsorize", "q31_knn_bruteforce",
-    # flagship + family re-anchors (q46 held by the q03 join family)
-    "q01_pricing_summary", "q03_revenue_by_nation", "q08_topk_per_group",
-    "q19_rollup", "q21_binary_metrics", "q22_auc_roc",
-    "q28_jaccard_pairs", "q29_minhash_lsh", "q142_rrf_fusion",
-    "q34_tumbling_window", "q36_session_window",
-    "q52_percentiles", "q54_asof_join", "q57_corpus_funnel",
-    "q61_simhash_banded", "q65_resample_ffill", "q66_grouping_sets",
-    "q68_hash_split", "q69_cdc_merge", "q70_rolling_range_window",
-    "q71_table_diff", "q72_fuzzy_pairs", "q73_registry_dedup",
-    "q141_domain_stats", "q76_decontaminate", "q77_repetition_quality",
-    "q81_pii_scrub", "q82_pack_chunks", "q140_containment_pairs",
-    "q87_vocab_encode", "q88_stratified_sample", "q91_span_dedup",
-    "q95_unigram_logprob", "q101_bigram_logprob", "q103_pagerank",
-    "q104_bm25", "q105_cohort_retention", "q113_expectations",
-    "q114_quantized_ann", "q127_weighted_pagerank", "q129_asof_forward",
-    "q130_association_rules",
+    # touched-this-round re-anchors (streaming registry marker) +
+    # vector-family siblings for the IVF probe-cell change
+    "q73_registry_dedup", "q144_vector_registry_dedup",
+    "q80_embedding_centroids", "q123_ranking_metrics",
+    # newest green row is r1 (single record, seven rounds old)
+    "q17_date_agg", "q30_simhash_pairs", "q35_sliding_window",
+    "q43_cube", "q44_array_ops", "q45_sql_surface",
+    "q46_shipping_priority", "q47_order_priority", "q48_returned_items",
+    "q49_small_quantity_revenue",
+    # newest green row is r2
+    "q02_group_count", "q06_distinct_count", "q09_semi_join",
+    "q12_one_hot", "q14_replace_fillna", "q18_window_lag",
+    "q20_set_ops", "q25_lang_id", "q26_fingerprint",
+    "q27_dedup_exact", "q41_correlation", "q50_from_json",
+    # newest green row is r3
+    "q16_json_extract", "q58_dedup_components", "q59_range_join",
+    "q67_tfidf_terms", "q78_interpolate",
+    "q04_crosstab", "q05_describe", "q07_grouped_avg",
+    "q10_anti_join", "q11_label_map", "q13_zscore",
+    "q15_vote_blend", "q23_attribute_ratio", "q24_text_stats",
+    "q93_scd2_history", "q96_zorder_layout", "q97_corpus_mixture",
+    "q98_rank_bins", "q112_triangle_count", "q121_grouped_trend",
+    # r4-singles filling the window
+    "q56_rank_analytics", "q60_profile", "q75_event_funnel",
+    "q108_inverted_index",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()
