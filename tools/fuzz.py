@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 24
+failures reproduce with the printed seed. The default 3 draws x 25
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -967,6 +967,52 @@ def fam_decontam(rng: random.Random):
     return f"n={n} min_hits={min_hits} mod={mod}", spark_fn, sql, False
 
 
+def fam_winnow(rng: random.Random):
+    """Winnowing fingerprint selection over (k, w) draws. The oracle
+    replays the rightmost-argmin as ROW_NUMBER ordered (hash ASC,
+    pos DESC); hashes are 16-hex md5 prefixes in both engines, so
+    selection is bit-identical — no float or boundary class at all."""
+    k = rng.choice((2, 3, 4, 6))
+    w = rng.choice((2, 3, 4, 8))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.winnow import winnow_fingerprints
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return winnow_fingerprints(docs, "doc_id", "text", k=k, w=w).orderBy(
+            "doc_id", "pos"
+        )
+
+    min_tokens = k + w - 1
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, t.i AS i,
+             substr(md5(array_to_string(tk[t.i:t.i+{k - 1}], ' ')), 1, 16)
+               AS h
+      FROM toks, unnest(generate_series(1, len(tk) - {k - 1})) AS t(i)
+      WHERE len(tk) >= {min_tokens}
+    ), wins AS (
+      SELECT doc_id, t.j AS j
+      FROM toks, unnest(generate_series(1, len(tk) - {min_tokens - 1}))
+             AS t(j)
+      WHERE len(tk) >= {min_tokens}
+    ), cand AS (
+      SELECT w.doc_id, w.j, g.i, g.h,
+             ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
+                                ORDER BY g.h, g.i DESC) AS rn
+      FROM wins w JOIN grams g
+        ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + {w - 1}
+    )
+    SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, h AS fp
+    FROM cand WHERE rn = 1
+    ORDER BY doc_id, pos
+    """
+    return f"k={k} w={w}", spark_fn, sql, False
+
+
 # --------------------------------------------------------------------
 # similarity / vector families (round-8; the r7 verdict's "the newest,
 # least-aged code is the one family the harness skips"). Oracle
@@ -1167,6 +1213,7 @@ FAMILIES = {
     "scd2_pointtime": fam_scd2_pointtime,
     "pack_chunks": fam_pack_chunks,
     "sample_exact_n": fam_sample_exact_n,
+    "winnow": fam_winnow,
     "knn": fam_knn,
     "semantic_dedup": fam_semantic_dedup,
     "vector_registry": fam_vector_registry,
@@ -1177,7 +1224,7 @@ FAMILIES = {
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
-         "knn", "semantic_dedup")
+         "knn", "semantic_dedup", "winnow")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
