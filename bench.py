@@ -409,6 +409,79 @@ def graph_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Round-8 corpus-pipeline tier at 1x (10k docs) vs 4x (40k):
+
+    - decontamination, exact broadcast-index vs Bloom two-phase plan
+      (same answer; the Bloom cells demonstrate the ~60x-smaller
+      broadcast path keeps pace — build is timed separately since
+      production builds once per benchmark suite and probes every
+      corpus shard),
+    - winnowing fingerprint selection (per-doc, should scale ~4x
+      with docs) and the MOSS pair join (fingerprint equi-join
+      behind the max_fp_df guard — the sub-quadratic claim under
+      measurement; replicas have disjoint token spaces, so true
+      pair structure scales linearly like the dedup tier).
+    """
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.decontam import (
+        build_gram_bloom,
+        contaminated_ids,
+        contaminated_ids_bloom,
+    )
+    from nsl_kdd_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    timings: dict[str, float] = {}
+    for replicas, label in ((2, "10k"), (8, "40k")):
+        docs = scaled_documents(spark, sf_dir, replicas).persist()
+        docs.count()
+        corpus = docs.filter(F.col("doc_id") % 41 != 0)
+        bench = docs.filter(F.col("doc_id") % 41 == 0)
+
+        # min-of-2 like every other cell: the first build of a fresh
+        # session otherwise pays JVM/Arrow warmup and records ~4x high
+        build_seen: list[float] = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bloom = build_gram_bloom(bench, "text", n=3, fpp=0.01)
+            build_seen.append(round(time.perf_counter() - t0, 3))
+        timings[f"decontam{label}_bloom_build"] = min(build_seen)
+
+        ops = {
+            f"decontam{label}_exact": lambda: contaminated_ids(
+                corpus, bench, "doc_id", "text", "doc_id", "text",
+                n=3, min_hits=2,
+            ),
+            f"decontam{label}_bloom_probe": lambda: contaminated_ids_bloom(
+                corpus, bench, "doc_id", "text", "text",
+                n=3, min_hits=2, bloom=bloom,
+            ),
+            f"winnow{label}_fingerprints": lambda: winnow_fingerprints(
+                docs, "doc_id", "text", k=4, w=4
+            ),
+            f"winnow{label}_pairs": lambda: winnow_overlap_pairs(
+                docs, "doc_id", "text", k=4, w=4,
+                min_shared=2, max_fp_df=50,
+            ),
+        }
+        for name, fn in ops.items():
+            seen: list[float] = []
+            while len(seen) < 2 or (len(seen) < 3 and max(seen) > 3 * min(seen)):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                seen.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+                docs.persist()
+                docs.count()
+            timings[name] = min(seen)
+        docs.unpersist()
+    return timings
+
+
 def media_scale_timings(spark) -> dict[str, float]:
     """Multimodal tier evidence: strict Arrow decode+features and
     perceptual near-dup over a synthetic mixed PNG/JPEG corpus at 1x
@@ -902,6 +975,9 @@ def main() -> None:
     vec = guard_tier(
         "vector_scale", vector_scale_timings(spark, sf_dir), prior,
         lambda: vector_scale_timings(spark, sf_dir), guard_log)
+    corpus = guard_tier(
+        "corpus_scale", corpus_scale_timings(spark, sf_dir), prior,
+        lambda: corpus_scale_timings(spark, sf_dir), guard_log)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -915,6 +991,7 @@ def main() -> None:
         "bpe_scale": bpe,
         "skew_scale": skew,
         "vector_scale": vec,
+        "corpus_scale": corpus,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if guard_log:

@@ -6169,6 +6169,50 @@ def q146_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-gated decontamination (operators/decontam.py round-8): the
+# EXACT contaminated_ids semantics (total distinct-gram hits vs the
+# union of benchmark grams) on the two-phase plan — map-side Bloom
+# bitmap probe, exact re-check join on the survivors. Because phase 2
+# removes every false positive, the oracle is the plain exact SQL:
+# this is a faster plan for the same answer, not a sketch tier. Same
+# doc_id % 41 corpus/benchmark split as q76.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q147_decontaminate_bloom",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+    ), bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 41 = 0
+    ), cw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), cg AS (
+      SELECT doc_id, unnest({_GRAMS3}) AS g FROM cw
+    ), bw AS (
+      SELECT bench_id, string_split(text, ' ') AS w FROM bench
+    ), bg AS (
+      SELECT DISTINCT unnest({_GRAMS3}) AS g FROM bw
+    )
+    SELECT c.doc_id, COUNT(*) AS hits
+    FROM cg c JOIN bg b ON c.g = b.g
+    GROUP BY c.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_id
+    """,
+)
+def q147_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.decontam import contaminated_ids_bloom
+
+    docs = load_tables(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return contaminated_ids_bloom(
+        corpus, bench, "doc_id", "text", "text", n=3, min_hits=2, fpp=0.01
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -6277,10 +6321,12 @@ def q146_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # refresh: ALL out-of-window oracle-paired queries whose newest
 # green row is r1-r3 rotate in (ten r1-only rows — q17 q30 q35
 # q43-q49 — have exactly one green record from seven rounds ago),
-# plus two r4-singles (q75 q108) and the round-8 NEW oracle-paired
-# queries q145/q146 (winnowing fingerprints + MOSS-style overlap
-# pairs; new queries outrank stale refreshes for driver evidence —
-# q56/q60's rank/profile surfaces are held in-window by q98/q05).
+# plus one r4-single (q108) and the round-8 NEW oracle-paired
+# queries q145/q146/q147 (winnowing fingerprints + MOSS-style
+# overlap pairs + Bloom-gated decontamination; new queries outrank
+# stale refreshes for driver evidence — q56/q60's rank/profile
+# surfaces are held in-window by q98/q05, q75's funnel family by
+# q57's corpus funnel).
 # The whole set was re-certified locally at all three fixture scales
 # end-of-r7 (commit b7e62df) and the full 50 re-verified via
 # tools/compare.py before this round's end.
@@ -6307,9 +6353,10 @@ DRIVER_WINDOW = [
     "q15_vote_blend", "q23_attribute_ratio", "q24_text_stats",
     "q93_scd2_history", "q96_zorder_layout", "q97_corpus_mixture",
     "q98_rank_bins", "q112_triangle_count", "q121_grouped_trend",
-    # r4-singles + round-8 new queries filling the window
-    "q75_event_funnel", "q108_inverted_index",
+    # r4-single + round-8 new queries filling the window
+    "q108_inverted_index",
     "q145_winnow_fingerprints", "q146_winnow_pairs",
+    "q147_decontaminate_bloom",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()

@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 25
+failures reproduce with the printed seed. The default 3 draws x 26
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -967,6 +967,57 @@ def fam_decontam(rng: random.Random):
     return f"n={n} min_hits={min_hits} mod={mod}", spark_fn, sql, False
 
 
+def fam_decontam_bloom(rng: random.Random):
+    """Bloom-gated decontamination vs the PLAIN exact oracle: the
+    two-phase plan must be bit-identical at every drawn fpp — even a
+    deliberately dense fpp=0.5 filter, where phase 1 passes nearly
+    everything and phase 2 does all the work."""
+    n = rng.choice((2, 3, 4))
+    min_hits = rng.choice((1, 2, 3))
+    mod = rng.choice((29, 41, 53))
+    fpp = rng.choice((0.01, 0.1, 0.5))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.decontam import contaminated_ids_bloom
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        corpus = docs.filter(F.col("doc_id") % mod != 0)
+        bench = docs.filter(F.col("doc_id") % mod == 0)
+        return contaminated_ids_bloom(
+            corpus, bench, "doc_id", "text", "text",
+            n=n, min_hits=min_hits, fpp=fpp,
+        ).orderBy("doc_id")
+
+    grams = f"""list_distinct(CASE WHEN len(w) >= {n} THEN
+               list_transform(generate_series(1, len(w) - {n - 1}),
+                              i -> array_to_string(w[i:i+{n - 1}], ' '))
+               ELSE [] END)"""
+    sql = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {mod} <> 0
+    ), bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % {mod} = 0
+    ), cw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), cg AS (
+      SELECT doc_id, unnest({grams}) AS g FROM cw
+    ), bw AS (
+      SELECT bench_id, string_split(text, ' ') AS w FROM bench
+    ), bg AS (
+      SELECT DISTINCT unnest({grams}) AS g FROM bw
+    )
+    SELECT c.doc_id, COUNT(*) AS hits
+    FROM cg c JOIN bg b ON c.g = b.g
+    GROUP BY c.doc_id
+    HAVING COUNT(*) >= {min_hits}
+    ORDER BY doc_id
+    """
+    return f"n={n} min_hits={min_hits} mod={mod} fpp={fpp}", spark_fn, sql, False
+
+
 def fam_winnow(rng: random.Random):
     """Winnowing fingerprint selection over (k, w) draws. The oracle
     replays the rightmost-argmin as ROW_NUMBER ordered (hash ASC,
@@ -1214,6 +1265,7 @@ FAMILIES = {
     "pack_chunks": fam_pack_chunks,
     "sample_exact_n": fam_sample_exact_n,
     "winnow": fam_winnow,
+    "decontam_bloom": fam_decontam_bloom,
     "knn": fam_knn,
     "semantic_dedup": fam_semantic_dedup,
     "vector_registry": fam_vector_registry,
