@@ -31,12 +31,17 @@ that does not change counts at 64-bit collision rates).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.operators.bloom import (
+    KeyBloom,
+    bloom_might_contain_col,
+    build_bloom_from_keys,
+    key_hash_cols,
+)
 from nsl_kdd_spark.operators.dedup import word_shingles
 
 
@@ -117,62 +122,30 @@ def contaminated_ids(
 # eliminated by phase 2, so the result is IDENTICAL to the exact
 # path — same oracle, not a weaker sketch tier.
 #
-# One arithmetic implementation: `_bloom_positions` (numpy, wrapping
-# int64 — the same two's-complement semantics as Java longs) is used
-# by the builder and the probe, so build/probe can never disagree.
-# The two 64-bit keys per gram are Spark-side `xxhash64(gram)` and
-# `xxhash64(gram, 1)`; positions follow the standard double-hashing
-# scheme (h1 + i*h2 mod m, Kirsch & Mitzenmacher 2006).
+# The bitmap machinery (geometry, distributive build, probe column,
+# the shared build/probe position arithmetic) is the generic
+# operators/bloom.py core — this module only owns the GRAM layer:
+# which strings get inserted (distinct word n-grams) and the
+# two-phase contaminated_ids/decontaminate plans on top.
 # ---------------------------------------------------------------------------
 
 
-def _bloom_positions(h1, h2, m: int, k: int):
-    """(len(h1), k) int64 array of bit positions; wrapping int64
-    arithmetic, then a floored mod into [0, m)."""
-    import numpy as np
-
-    with np.errstate(over="ignore"):
-        h1 = np.asarray(h1, dtype=np.int64)
-        h2 = np.asarray(h2, dtype=np.int64)
-        i = np.arange(k, dtype=np.int64)
-        raw = h1[:, None] + i[None, :] * h2[:, None]  # wraps like Java
-    return np.mod(raw, np.int64(m))  # floored mod -> non-negative
-
-
 @dataclass(frozen=True)
-class GramBloom:
-    """A built benchmark-gram Bloom filter: packed little-endian bit
-    array plus the (m, k) geometry and build metadata."""
+class GramBloom(KeyBloom):
+    """A KeyBloom built over word n-grams; remembers the shingle
+    width so a probe at a different ``n`` fails loudly instead of
+    silently matching nothing."""
 
-    bits: bytes  # ceil(m/8) bytes, bit j = bits[j//8] >> (j%8) & 1
-    m: int  # filter size in bits
-    k: int  # hashes per item
-    n_items: int  # distinct grams inserted
-    n: int  # shingle width the grams were built with
-
-    @property
-    def n_bytes(self) -> int:
-        return len(self.bits)
-
-
-def bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
-    """Standard sizing: m = -n ln(p)/ln(2)^2 bits, k = m/n ln(2)."""
-    n_items = max(1, n_items)
-    m = max(64, math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, round(m / n_items * math.log(2)))
-    return m, k
+    n: int = 13  # shingle width the grams were built with
 
 
 def _gram_keys(df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct (h1, h2) 64-bit key pairs over all word n-grams."""
-    return (
-        df.select(F.explode(word_shingles(text_col, n)).alias("__g"))
-        .distinct()
-        .select(
-            F.xxhash64("__g").alias("__h1"),
-            F.xxhash64("__g", F.lit(1)).alias("__h2"),
-        )
-    )
+    grams = df.select(
+        F.explode(word_shingles(text_col, n)).alias("__g")
+    ).distinct()
+    h1, h2 = key_hash_cols(["__g"])
+    return grams.select(h1.alias("__h1"), h2.alias("__h2"))
 
 
 def build_gram_bloom(
@@ -181,74 +154,14 @@ def build_gram_bloom(
     n: int = 13,
     fpp: float = 0.01,
 ) -> GramBloom:
-    """Build the benchmark-side Bloom filter distributively.
-
-    Executors emit (word_index, 64-bit word) partial rows via an
-    Arrow-batched mapInPandas; a single bit_or aggregation merges
-    them; the driver materializes exactly ``m/8`` bytes (the filter
-    itself — the one artifact that MUST land on the driver to be
-    broadcast). Peak driver transfer is the set-word count, <= m/64
-    rows — the dense limit equals the filter size, never the gram
-    count. One extra count() job sizes the filter first (the
-    benchmark side is the small side by assumption; pass a corpus-
-    scale DataFrame here and the count is the least of your
-    problems)."""
-    import numpy as np
-
-    keys = _gram_keys(benchmark, bench_text_col, n)
-    n_items = keys.count()
-    m, k = bloom_geometry(n_items, fpp)
-
-    def emit_words(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            pos = _bloom_positions(
-                pdf["__h1"].to_numpy(), pdf["__h2"].to_numpy(), m, k
-            ).ravel()
-            words = np.unique(pos // 64)
-            acc = np.zeros(len(words), dtype=np.uint64)
-            idx = np.searchsorted(words, pos // 64)
-            np.bitwise_or.at(
-                acc, idx, np.uint64(1) << (pos % 64).astype(np.uint64)
-            )
-            yield pd.DataFrame(
-                {"widx": words.astype("int64"), "word": acc.astype("int64")}
-            )
-
-    merged = (
-        keys.mapInPandas(emit_words, "widx long, word long")
-        .groupBy("widx")
-        .agg(F.bit_or("word").alias("word"))
-        .collect()
+    """Build the benchmark-side gram Bloom filter distributively (see
+    bloom.build_bloom_from_keys for the build shape and driver-
+    transfer bound; the benchmark side is the small side by
+    assumption, so the sizing count() is cheap)."""
+    kb = build_bloom_from_keys(_gram_keys(benchmark, bench_text_col, n), fpp)
+    return GramBloom(
+        bits=kb.bits, m=kb.m, k=kb.k, n_items=kb.n_items, n=n
     )
-    arr = np.zeros((m + 63) // 64, dtype=np.int64)
-    for row in merged:
-        arr[row["widx"]] = row["word"]
-    bits = arr.view(np.uint8).tobytes()[: (m + 7) // 8]
-    return GramBloom(bits=bits, m=m, k=k, n_items=n_items, n=n)
-
-
-def _bloom_probe_col(spark, bloom: GramBloom):
-    """Arrow-batched membership test column over (__h1, __h2). The
-    packed bitmap rides a SparkContext broadcast so executors fetch
-    it once per worker, not per task."""
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    bc = spark.sparkContext.broadcast(bloom.bits)
-    m, k = bloom.m, bloom.k
-
-    @pandas_udf("boolean")
-    def might_contain(h1, h2):  # type: ignore[no-untyped-def]
-        import numpy as np
-        import pandas as pd
-
-        buf = np.frombuffer(bc.value, dtype=np.uint8)
-        pos = _bloom_positions(h1.to_numpy(), h2.to_numpy(), m, k)
-        hit = (buf[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
-        return pd.Series(hit.all(axis=1))
-
-    return might_contain
 
 
 def contaminated_ids_bloom(
@@ -273,18 +186,12 @@ def contaminated_ids_bloom(
         raise ValueError(
             f"bloom was built with n={bloom.n}, probe asked n={n}"
         )
-    cg = (
-        corpus.select(
-            F.col(id_col),
-            F.explode(word_shingles(text_col, n)).alias("__g"),
-        )
-        .select(
-            id_col,
-            F.xxhash64("__g").alias("__h1"),
-            F.xxhash64("__g", F.lit(1)).alias("__h2"),
-        )
-    )
-    probe = _bloom_probe_col(corpus.sparkSession, bloom)
+    h1, h2 = key_hash_cols(["__g"])
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select(id_col, h1.alias("__h1"), h2.alias("__h2"))
+    probe = bloom_might_contain_col(corpus.sparkSession, bloom)
     candidates = cg.filter(probe(F.col("__h1"), F.col("__h2")))
     exact = _gram_keys(benchmark, bench_text_col, n).select("__h1", "__h2")
     return (

@@ -6213,6 +6213,49 @@ def q147_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom semi-join reduction (operators/bloom.py): the generic
+# runtime-filter primitive behind q147 — fact rows whose key appears
+# in a dimension subset, via map-side bitmap probe + exact re-check
+# (the fact side never shuffles; result is EXACTLY the semi join, so
+# the oracle is a plain IN-subquery). Integer-only aggregates keep
+# the compare engine-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q148_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.bloom import bloom_semi_join
+
+    t = load_tables(spark, sf_dir)
+    hot = t.orders.filter(F.col("o_totalprice") > 450_000)
+    return (
+        bloom_semi_join(
+            t.lineitem, hot, on="l_orderkey", small_on="o_orderkey"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("l_orderkey").alias("key_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -6322,11 +6365,12 @@ def q147_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green row is r1-r3 rotate in (ten r1-only rows — q17 q30 q35
 # q43-q49 — have exactly one green record from seven rounds ago),
 # plus one r4-single (q108) and the round-8 NEW oracle-paired
-# queries q145/q146/q147 (winnowing fingerprints + MOSS-style
-# overlap pairs + Bloom-gated decontamination; new queries outrank
-# stale refreshes for driver evidence — q56/q60's rank/profile
-# surfaces are held in-window by q98/q05, q75's funnel family by
-# q57's corpus funnel).
+# queries q145/q146/q147/q148 (winnowing fingerprints + MOSS-style
+# overlap pairs + Bloom-gated decontamination + Bloom semi-join;
+# new queries outrank stale refreshes for driver evidence —
+# q56/q60's rank/profile surfaces are held in-window by q98/q05,
+# q75's funnel family by q57's corpus funnel, q07's grouped-avg
+# surface by q05/q13).
 # The whole set was re-certified locally at all three fixture scales
 # end-of-r7 (commit b7e62df) and the full 50 re-verified via
 # tools/compare.py before this round's end.
@@ -6348,7 +6392,7 @@ DRIVER_WINDOW = [
     # newest green row is r3
     "q16_json_extract", "q58_dedup_components", "q59_range_join",
     "q67_tfidf_terms", "q78_interpolate",
-    "q04_crosstab", "q05_describe", "q07_grouped_avg",
+    "q04_crosstab", "q05_describe",
     "q10_anti_join", "q11_label_map", "q13_zscore",
     "q15_vote_blend", "q23_attribute_ratio", "q24_text_stats",
     "q93_scd2_history", "q96_zorder_layout", "q97_corpus_mixture",
@@ -6356,7 +6400,7 @@ DRIVER_WINDOW = [
     # r4-single + round-8 new queries filling the window
     "q108_inverted_index",
     "q145_winnow_fingerprints", "q146_winnow_pairs",
-    "q147_decontaminate_bloom",
+    "q147_decontaminate_bloom", "q148_bloom_semi_join",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()

@@ -10,10 +10,10 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from nsl_kdd_spark.operators.bloom import bloom_geometry
+from nsl_kdd_spark.operators.bloom import bloom_positions as _bloom_positions
 from nsl_kdd_spark.operators.decontam import (
     GramBloom,
-    _bloom_positions,
-    bloom_geometry,
     build_gram_bloom,
     contaminated_ids,
     contaminated_ids_bloom,
