@@ -1276,7 +1276,7 @@ FAMILIES = {
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
-         "knn", "semantic_dedup", "winnow")
+         "knn", "semantic_dedup", "winnow", "decontam_bloom")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
