@@ -44,12 +44,19 @@ def knn_bruteforce(
     query_id_col: str = "query_id",
     scorer: str = "fold",
     metric: str = "cosine",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
 
     Returns (query_id, vec_id, <score>, rank). Ties broken by vec_id
     so results are total-ordered and reproducible — the ONE ranking
     contract every run variant shares (q142's fusion depends on it).
+
+    ``exclude`` (round 8): optional (query_id_col, id_col) pair table
+    removed BEFORE ranking, so excluded pairs don't consume top-k
+    slots — the hard-negative-mining shape (see
+    ``mine_hard_negatives``). The pair set is per-query-small by
+    assumption and broadcast into an anti join on the scored stream.
 
     ``scorer="fold"`` (default) computes the score as a JVM fold
     expression — deterministic accumulation order, bit-identical to
@@ -90,6 +97,12 @@ def knn_bruteforce(
             score_fn(F.col("__qv"), F.col("__cv")).alias(score_col),
         )
     )
+    if exclude is not None:
+        scored = scored.join(
+            F.broadcast(exclude.select(query_id_col, id_col).distinct()),
+            on=[query_id_col, id_col],
+            how="left_anti",
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc(score_col), F.asc(id_col)
     )
@@ -97,6 +110,42 @@ def knn_bruteforce(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
+    )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scorer: str = "fold",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Top-k HARD negatives per query: the highest-scoring corpus
+    vectors that are NOT labeled positives (round 8; the mining step
+    of contrastive embedding training — e.g. DPR, Karpukhin et al.
+    2020 — where in-batch randoms are too easy and the model learns
+    from near-miss negatives).
+
+    ``positives`` is the labeled (query_id_col, id_col) pair table;
+    those pairs and self-matches are removed BEFORE the rank window,
+    so every returned row is a genuine negative and ranks are dense
+    1..k. Output schema/tie-break contract is exactly
+    ``knn_bruteforce``'s (score desc, id asc).
+
+    Scale shape: identical to knn_bruteforce — one broadcast of the
+    query batch, corpus never shuffles for scoring, plus one
+    broadcast anti join on the (small, per-query-bounded) positive
+    pair set. Mining against a 1e9-vector corpus runs at scan speed
+    per query batch; swap the scorer/metric knobs exactly as for
+    retrieval."""
+    return knn_bruteforce(
+        corpus, queries, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        scorer=scorer, metric=metric, exclude=positives,
     )
 
 

@@ -6256,6 +6256,55 @@ def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining (similarity.mine_hard_negatives): top-k
+# highest-cosine corpus vectors that are NOT labeled positives — the
+# contrastive-training mining step (DPR-style). Positives here are a
+# synthetic labeling (vec_id % 10 == query_id) derivable identically
+# in both engines; exclusion happens BEFORE the rank window, so ranks
+# are dense over genuine negatives and interleave non-trivially with
+# the plain q31 ranking. Fold scorer -> scores bit-identical to
+# DuckDB's list_cosine_similarity.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q149_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+    ), pos AS (
+      SELECT CAST(e.vec_id % 10 AS BIGINT) AS query_id, e.vec_id
+      FROM e WHERE e.vec_id % 10 < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.v) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ), neg AS (
+      SELECT s.query_id, s.vec_id, s.cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY s.cos_sim DESC, s.vec_id) AS rank
+      FROM scored s
+      LEFT JOIN pos p ON p.query_id = s.query_id AND p.vec_id = s.vec_id
+      WHERE p.vec_id IS NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM neg WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q149_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.similarity import mine_hard_negatives
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t.embeddings.filter(F.col("vec_id") < 5)
+    positives = t.embeddings.select(
+        (F.col("vec_id") % 10).alias("query_id"), "vec_id"
+    ).filter(F.col("query_id") < 5)
+    return mine_hard_negatives(t.embeddings, queries_df, positives, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -6365,12 +6414,13 @@ def q148_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green row is r1-r3 rotate in (ten r1-only rows — q17 q30 q35
 # q43-q49 — have exactly one green record from seven rounds ago),
 # plus one r4-single (q108) and the round-8 NEW oracle-paired
-# queries q145/q146/q147/q148 (winnowing fingerprints + MOSS-style
-# overlap pairs + Bloom-gated decontamination + Bloom semi-join;
-# new queries outrank stale refreshes for driver evidence —
-# q56/q60's rank/profile surfaces are held in-window by q98/q05,
-# q75's funnel family by q57's corpus funnel, q07's grouped-avg
-# surface by q05/q13).
+# queries q145-q149 (winnowing fingerprints + MOSS-style overlap
+# pairs + Bloom-gated decontamination + Bloom semi-join +
+# hard-negative mining; new queries outrank stale refreshes for
+# driver evidence — q56/q60's rank/profile surfaces are held
+# in-window by q98/q05, q75's funnel family by q57's corpus funnel,
+# q07's grouped-avg surface by q05/q13, q15's scalar-expr family by
+# q11/q13).
 # The whole set was re-certified locally at all three fixture scales
 # end-of-r7 (commit b7e62df) and the full 50 re-verified via
 # tools/compare.py before this round's end.
@@ -6394,13 +6444,14 @@ DRIVER_WINDOW = [
     "q67_tfidf_terms", "q78_interpolate",
     "q04_crosstab", "q05_describe",
     "q10_anti_join", "q11_label_map", "q13_zscore",
-    "q15_vote_blend", "q23_attribute_ratio", "q24_text_stats",
+    "q23_attribute_ratio", "q24_text_stats",
     "q93_scd2_history", "q96_zorder_layout", "q97_corpus_mixture",
     "q98_rank_bins", "q112_triangle_count", "q121_grouped_trend",
     # r4-single + round-8 new queries filling the window
     "q108_inverted_index",
     "q145_winnow_fingerprints", "q146_winnow_pairs",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
+    "q149_hard_negatives",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()

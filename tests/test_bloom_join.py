@@ -110,6 +110,43 @@ def test_bloom_probe_column_standalone(spark):
     assert fp <= 0.03 * 8_000
 
 
+def test_bloom_probe_plan_is_arrow_and_precedes_fact_exchange(spark):
+    # the probe must be Arrow-batched (never row-at-a-time
+    # BatchEvalPython) and sit on the fact side BEFORE any Exchange —
+    # the whole point is that the big side is filtered map-side
+    from tests.test_plan_quality import plan_of
+
+    t = load_tables(spark, SF_SMOKE)
+    hot = t.orders.filter(F.col("o_totalprice") > 400_000)
+    df = bloom_semi_join(
+        t.lineitem, hot, on="l_orderkey", small_on="o_orderkey"
+    )
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    # the fact-side probe's SUBTREE (everything deeper-indented below
+    # it, down to the scan) must contain no Exchange: the filter sits
+    # directly on the scan, map-side
+    # depth = position of the "+-" marker (leading whitespace alone
+    # is wrong: sibling branches continue with ":" gutter characters)
+    probe_idx = next(
+        i for i, line in enumerate(lines) if "ArrowEvalPython" in line
+    )
+    probe_depth = lines[probe_idx].index("+-")
+    subtree = []
+    for line in lines[probe_idx + 1:]:
+        if "+-" not in line or line.index("+-") <= probe_depth:
+            break
+        subtree.append(line)
+    assert subtree and any("Scan" in line for line in subtree)
+    assert not any("Exchange" in line for line in subtree), (
+        "fact side shuffled below the probe"
+    )
+
+
 def test_bloom_key_width_mismatch_raises(spark):
     t = load_tables(spark, SF_SMOKE)
     try:

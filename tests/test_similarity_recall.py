@@ -481,3 +481,33 @@ def test_probe_cells_py_matches_expr(spark):
         assert list(r["cells"]) == _probe_cells_py(centroids, r["__qv"], 4), (
             r["vec_id"]
         )
+
+
+def test_mine_hard_negatives_excludes_positives_and_densifies_ranks(spark):
+    """Round 8: positives vanish from the result, ranks stay dense
+    1..k over genuine negatives, and the result equals the plain knn
+    ranking with positives deleted and ranks recomputed."""
+    from nsl_kdd_spark.operators.similarity import mine_hard_negatives
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    queries = e.filter(F.col("vec_id") < 3)
+    positives = e.select(
+        (F.col("vec_id") % 10).alias("query_id"), "vec_id"
+    ).filter(F.col("query_id") < 3)
+    k = 8
+    neg = mine_hard_negatives(e, queries, positives, k=k).collect()
+    pos_pairs = {(r.query_id, r.vec_id) for r in positives.collect()}
+    assert not any((r.query_id, r.vec_id) in pos_pairs for r in neg)
+    by_q: dict[int, list] = {}
+    for r in neg:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert [r.rank for r in rows] == list(range(1, k + 1)), qid
+    # equivalence: knn with a huge k, drop positives, re-rank, cut
+    big = knn_bruteforce(e, queries, k=k + 60).collect()
+    for qid in by_q:
+        kept = [r for r in big
+                if r.query_id == qid and (qid, r.vec_id) not in pos_pairs]
+        want = [(r.vec_id, r.cos_sim) for r in kept[:k]]
+        got = [(r.vec_id, r.cos_sim) for r in by_q[qid]]
+        assert got == want, qid
