@@ -15,7 +15,7 @@ Usage:
     python tools/fuzz.py [--draws N] [--seed S] [--sf DIR] [family...]
 
 Exit 0 iff every (family x draw) replay matches. Draws are seeded —
-failures reproduce with the printed seed. The default 3 draws x 26
+failures reproduce with the printed seed. The default 3 draws x 28
 families runs in a few minutes at sf0.01; tests/test_fuzz.py replays
 a fixed seed of the cheap families as a regression gate.
 """
@@ -967,6 +967,101 @@ def fam_decontam(rng: random.Random):
     return f"n={n} min_hits={min_hits} mod={mod}", spark_fn, sql, False
 
 
+def fam_bloom_semi_join(rng: random.Random):
+    """Bloom semi-join reduction vs a plain IN-subquery oracle: the
+    two-phase plan must equal the semi join at every drawn fpp and
+    dimension-filter selectivity (including fpp=0.5, where phase 2
+    does nearly all the work)."""
+    cut = rng.choice((350_000, 400_000, 450_000, 500_000))
+    fpp = rng.choice((0.01, 0.1, 0.5))
+    gcol = rng.choice(("l_returnflag", "l_linestatus"))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.bloom import bloom_semi_join
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        t = load_tables(spark, sf_dir)
+        hot = t.orders.filter(F.col("o_totalprice") > cut)
+        return (
+            bloom_semi_join(
+                t.lineitem, hot, on="l_orderkey", small_on="o_orderkey",
+                fpp=fpp,
+            )
+            .groupBy(gcol)
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                F.sum("l_orderkey").alias("key_checksum"),
+            )
+            .orderBy(gcol)
+        )
+
+    sql = f"""
+    SELECT {gcol},
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > {cut}
+    )
+    GROUP BY {gcol}
+    ORDER BY {gcol}
+    """
+    return f"cut={cut} fpp={fpp} gcol={gcol}", spark_fn, sql, False
+
+
+def fam_hard_negatives(rng: random.Random):
+    """Hard-negative mining over (k, n_queries, positive-labeling)
+    draws — the exclusion must happen BEFORE the rank window so
+    negatives fill dense 1..k ranks; oracle replays scoring, the
+    anti-join, and the re-rank."""
+    k = rng.choice((3, 5, 10))
+    nq = rng.choice((3, 5))
+    mod = rng.choice((7, 10, 13))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.similarity import mine_hard_negatives
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        e = load_tables(spark, sf_dir).embeddings
+        queries = e.filter(F.col("vec_id") < nq)
+        positives = e.select(
+            (F.col("vec_id") % mod).alias("query_id"), "vec_id"
+        ).filter(F.col("query_id") < nq)
+        return mine_hard_negatives(e, queries, positives, k=k)
+
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {nq}
+    ), pos AS (
+      SELECT CAST(e.vec_id % {mod} AS BIGINT) AS query_id, e.vec_id
+      FROM e WHERE e.vec_id % {mod} < {nq}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.v) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ), neg AS (
+      SELECT s.query_id, s.vec_id, s.cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY s.cos_sim DESC, s.vec_id) AS rank
+      FROM scored s
+      LEFT JOIN pos p ON p.query_id = s.query_id AND p.vec_id = s.vec_id
+      WHERE p.vec_id IS NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM neg WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    return f"k={k} nq={nq} mod={mod}", spark_fn, sql, True
+
+
 def fam_decontam_bloom(rng: random.Random):
     """Bloom-gated decontamination vs the PLAIN exact oracle: the
     two-phase plan must be bit-identical at every drawn fpp — even a
@@ -1266,6 +1361,8 @@ FAMILIES = {
     "sample_exact_n": fam_sample_exact_n,
     "winnow": fam_winnow,
     "decontam_bloom": fam_decontam_bloom,
+    "bloom_semi_join": fam_bloom_semi_join,
+    "hard_negatives": fam_hard_negatives,
     "knn": fam_knn,
     "semantic_dedup": fam_semantic_dedup,
     "vector_registry": fam_vector_registry,
@@ -1276,7 +1373,8 @@ FAMILIES = {
 CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
-         "knn", "semantic_dedup", "winnow", "decontam_bloom")
+         "knn", "semantic_dedup", "winnow", "decontam_bloom",
+         "hard_negatives")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
