@@ -6083,10 +6083,12 @@ def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hash ASC, pos DESC).
 # ---------------------------------------------------------------------------
 
-@query(
-    "q145_winnow_fingerprints",
-    oracle="""
-    WITH toks AS (
+# Shared oracle fragment: winnowed fingerprint selection at the
+# catalog's fixed (k=4, w=4) — interpolated by q145/q146/q150 so the
+# selection semantics cannot drift between the fingerprint, pair,
+# and clustering tiers (same pattern as _NEARDUP_EDGES_SQL).
+_WINNOW_WFP_SQL = """
+    toks AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ), grams AS (
       SELECT doc_id, t.i AS i,
@@ -6103,9 +6105,37 @@ def q142_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY g.h, g.i DESC) AS rn
       FROM wins w JOIN grams g
         ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 3
+    ),
+    wfp AS (
+      SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, h
+      FROM cand WHERE rn = 1
     )
-    SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, h AS fp
-    FROM cand WHERE rn = 1
+"""
+
+# q146/q150 pair layer on top of the selection: distinct fingerprint
+# VALUES per doc, the max_fp_df=50 stop-fingerprint guard, then
+# shared-count pairs at min_shared=2.
+_WINNOW_PAIRS_SQL = """
+    fp AS (
+      SELECT DISTINCT doc_id, h FROM wfp
+    ), keep AS (
+      SELECT * FROM fp WHERE h NOT IN (
+        SELECT h FROM fp GROUP BY h HAVING COUNT(*) > 50)
+    ),
+    winnow_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    )
+"""
+
+
+@query(
+    "q145_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_WFP_SQL}
+    SELECT doc_id, pos, h AS fp FROM wfp
     ORDER BY doc_id, pos
     """,
 )
@@ -6128,34 +6158,10 @@ def q145_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q146_winnow_pairs",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-    ), grams AS (
-      SELECT doc_id, t.i AS i,
-             substr(md5(array_to_string(tk[t.i:t.i+3], ' ')), 1, 16) AS h
-      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
-      WHERE len(tk) >= 7
-    ), wins AS (
-      SELECT doc_id, t.j AS j
-      FROM toks, unnest(generate_series(1, len(tk) - 6)) AS t(j)
-      WHERE len(tk) >= 7
-    ), cand AS (
-      SELECT w.doc_id, w.j, g.i, g.h,
-             ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
-                                ORDER BY g.h, g.i DESC) AS rn
-      FROM wins w JOIN grams g
-        ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 3
-    ), fp AS (
-      SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1
-    ), keep AS (
-      SELECT * FROM fp WHERE h NOT IN (
-        SELECT h FROM fp GROUP BY h HAVING COUNT(*) > 50)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-    FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING COUNT(*) >= 2
+    oracle=f"""
+    WITH {_WINNOW_WFP_SQL},
+    {_WINNOW_PAIRS_SQL}
+    SELECT id_a, id_b, shared FROM winnow_pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -6305,6 +6311,66 @@ def q149_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnow-based near-dup clustering pipeline (round 8): the three-tier
+# composition — winnowed overlap pairs (q146's exact edge semantics
+# via the shared SQL fragment) -> connected components (q58's CC
+# contract) -> quality-based canonical selection (q126's operator,
+# score = token count: keep the LONGEST copy, ties by id). Output is
+# the full survivor set: clustered survivors carry their component
+# id, singletons pass through with comp NULL. Substring-level
+# near-dup clustering that jaccard misses when the duplicated span is
+# a small fraction of a long document.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q150_winnow_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_WINNOW_WFP_SQL},
+    {_WINNOW_PAIRS_SQL},
+    edges AS (
+      SELECT id_a, id_b FROM winnow_pairs
+    ),
+    {_CC_COMPS_SQL},
+    scored AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+             c.comp
+      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, comp,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM scored WHERE comp IS NOT NULL
+    )
+    SELECT doc_id, comp, n_tokens FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, comp, n_tokens FROM scored WHERE comp IS NULL
+    ORDER BY doc_id
+    """,
+)
+def q150_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import select_canonical
+    from nsl_kdd_spark.operators.graph import connected_components
+    from nsl_kdd_spark.operators.winnow import winnow_overlap_pairs
+
+    docs = load_tables(spark, sf_dir).documents
+    pairs = winnow_overlap_pairs(
+        docs, "doc_id", "text", k=4, w=4, min_shared=2, max_fp_df=50
+    )
+    comps = connected_components(pairs)
+    survivors = select_canonical(
+        docs, comps, score=F.size(F.split("text", " "))
+    )
+    return survivors.select(
+        "doc_id",
+        "comp",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -6414,13 +6480,14 @@ def q149_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green row is r1-r3 rotate in (ten r1-only rows — q17 q30 q35
 # q43-q49 — have exactly one green record from seven rounds ago),
 # plus one r4-single (q108) and the round-8 NEW oracle-paired
-# queries q145-q149 (winnowing fingerprints + MOSS-style overlap
+# queries q145-q150 (winnowing fingerprints + MOSS-style overlap
 # pairs + Bloom-gated decontamination + Bloom semi-join +
-# hard-negative mining; new queries outrank stale refreshes for
-# driver evidence — q56/q60's rank/profile surfaces are held
-# in-window by q98/q05, q75's funnel family by q57's corpus funnel,
-# q07's grouped-avg surface by q05/q13, q15's scalar-expr family by
-# q11/q13).
+# hard-negative mining + winnow-cluster canonical pipeline; new
+# queries outrank stale refreshes for driver evidence — q56/q60's
+# rank/profile surfaces are held in-window by q98/q05, q75's funnel
+# family by q57's corpus funnel, q07's grouped-avg surface by
+# q05/q13, q15's scalar-expr family by q11/q13, q24's text-stats
+# family by q25/q26).
 # The whole set was re-certified locally at all three fixture scales
 # end-of-r7 (commit b7e62df) and the full 50 re-verified via
 # tools/compare.py before this round's end.
@@ -6444,14 +6511,14 @@ DRIVER_WINDOW = [
     "q67_tfidf_terms", "q78_interpolate",
     "q04_crosstab", "q05_describe",
     "q10_anti_join", "q11_label_map", "q13_zscore",
-    "q23_attribute_ratio", "q24_text_stats",
+    "q23_attribute_ratio",
     "q93_scd2_history", "q96_zorder_layout", "q97_corpus_mixture",
     "q98_rank_bins", "q112_triangle_count", "q121_grouped_trend",
     # r4-single + round-8 new queries filling the window
     "q108_inverted_index",
     "q145_winnow_fingerprints", "q146_winnow_pairs",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
-    "q149_hard_negatives",
+    "q149_hard_negatives", "q150_winnow_clusters",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()
