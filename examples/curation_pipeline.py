@@ -1,0 +1,94 @@
+"""End-to-end corpus curation with the round-8 tier composed in one
+file:
+
+    winnowing fingerprints (Schleimer et al. local fingerprints)
+    -> MOSS-style overlap pairs (shared-fingerprint equi-join)
+    -> connected components -> longest-copy canonical selection
+    -> Bloom-gated benchmark decontamination (two-phase, exact)
+    -> Bloom semi-join reduction (generic runtime-filter primitive)
+    -> hard-negative mining for contrastive embedding training
+
+    python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nsl_kdd_spark.operators.bloom import bloom_semi_join  # noqa: E402
+from nsl_kdd_spark.operators.decontam import (  # noqa: E402
+    build_gram_bloom,
+    decontaminate_bloom,
+)
+from nsl_kdd_spark.operators.corpus import select_canonical  # noqa: E402
+from nsl_kdd_spark.operators.graph import connected_components  # noqa: E402
+from nsl_kdd_spark.operators.similarity import (  # noqa: E402
+    mine_hard_negatives,
+)
+from nsl_kdd_spark.operators.winnow import (  # noqa: E402
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from nsl_kdd_spark.session import get_session  # noqa: E402
+from nsl_kdd_spark.sources.parquet import load_tables  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session(app_name="curation-pipeline", master="local[8]",
+                        shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, sf_dir)
+
+    print("== winnowed fingerprints (density ~2/(w+1) of k-grams) ==")
+    fps = winnow_fingerprints(t.documents, "doc_id", "text", k=4, w=4)
+    print(f"selected fingerprints: {fps.count()}")
+
+    print("== near-dup clusters from shared fingerprints ==")
+    pairs = winnow_overlap_pairs(
+        t.documents, "doc_id", "text", k=4, w=4, min_shared=2, max_fp_df=50
+    )
+    comps = connected_components(pairs)
+    survivors = select_canonical(
+        t.documents, comps, score=F.size(F.split("text", " "))
+    )
+    n_docs, n_surv = t.documents.count(), survivors.count()
+    print(f"docs: {n_docs} -> canonical survivors: {n_surv} "
+          f"({n_docs - n_surv} near-dup copies dropped)")
+
+    print("== Bloom-gated decontamination (exact, two-phase) ==")
+    corpus = survivors.filter(F.col("doc_id") % 41 != 0)
+    bench = t.documents.filter(F.col("doc_id") % 41 == 0)
+    bloom = build_gram_bloom(bench, "text", n=3, fpp=0.01)
+    print(f"benchmark grams: {bloom.n_items}, bitmap: {bloom.n_bytes} B "
+          f"(vs ~{bloom.n_items * 8} B broadcast index)")
+    clean = decontaminate_bloom(
+        corpus, bench, "doc_id", "text", "text", n=3, min_hits=2,
+        bloom=bloom,
+    )
+    print(f"corpus: {corpus.count()} -> decontaminated: {clean.count()}")
+
+    print("== Bloom semi-join: lineitems of high-value orders ==")
+    hot = t.orders.filter(F.col("o_totalprice") > 450_000)
+    reduced = bloom_semi_join(
+        t.lineitem, hot, on="l_orderkey", small_on="o_orderkey"
+    )
+    print(f"fact rows kept map-side: {reduced.count()} "
+          f"of {t.lineitem.count()}")
+
+    print("== hard negatives for contrastive training ==")
+    queries = t.embeddings.filter(F.col("vec_id") < 3)
+    positives = t.embeddings.select(
+        (F.col("vec_id") % 10).alias("query_id"), "vec_id"
+    ).filter(F.col("query_id") < 3)
+    mine_hard_negatives(t.embeddings, queries, positives, k=5).show(15)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
