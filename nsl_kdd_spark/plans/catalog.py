@@ -6371,6 +6371,70 @@ def q150_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnow registry dedup, batch mode (round 8): the exact semantics of
+# the streaming winnow-fingerprint ingest (streaming/winnow_ingest.py)
+# run as one batch so DuckDB can twin them — registry = fingerprints
+# of docs with doc_id < 250; the "incoming batch" is the rest.
+# Within-batch MOSS pairs keep the lowest id, then survivors sharing
+# >= 2 non-boilerplate fingerprints with any single registry doc are
+# rejected (the substring-containment guard whole-doc similarity
+# misses). Selection rides the shared _WINNOW_WFP_SQL fragment, so
+# q145/q146/q150/q151 can never drift apart.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q151_winnow_registry_dedup",
+    oracle=f"""
+    WITH {_WINNOW_WFP_SQL},
+    bfp AS (
+      SELECT DISTINCT doc_id, h FROM wfp WHERE doc_id >= 250
+    ), bkeep AS (
+      SELECT * FROM bfp WHERE h NOT IN (
+        SELECT h FROM bfp GROUP BY h HAVING COUNT(*) > 50)
+    ), self_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bkeep a JOIN bkeep b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+    ), surv AS (
+      SELECT DISTINCT doc_id FROM bfp
+      WHERE doc_id NOT IN (SELECT id_b FROM self_pairs)
+      UNION
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM bfp)
+    ), sfp AS (
+      SELECT b.doc_id, b.h FROM bfp b JOIN surv USING (doc_id)
+    ), rfp AS (
+      SELECT DISTINCT doc_id, h FROM wfp WHERE doc_id < 250
+    ), hits AS (
+      SELECT s.doc_id AS bid, r.doc_id AS rid, s.h
+      FROM sfp s JOIN rfp r ON s.h = r.h
+    ), rej AS (
+      SELECT DISTINCT bid FROM hits
+      WHERE h NOT IN (
+        SELECT h FROM hits GROUP BY h HAVING COUNT(DISTINCT rid) > 50)
+      GROUP BY bid, rid HAVING COUNT(*) >= 2
+    )
+    SELECT doc_id FROM surv
+    WHERE doc_id NOT IN (SELECT bid FROM rej)
+    ORDER BY doc_id
+    """,
+)
+def q151_winnow_registry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.winnow import winnow_fingerprints
+    from nsl_kdd_spark.streaming.winnow_ingest import winnow_dedup_batch
+
+    docs = load_tables(spark, sf_dir).documents
+    reg_fps = winnow_fingerprints(
+        docs.filter(F.col("doc_id") < 250), "doc_id", "text", k=4, w=4
+    ).select("doc_id", "fp").distinct()
+    accepted = winnow_dedup_batch(
+        docs.filter(F.col("doc_id") >= 250), reg_fps,
+        k=4, w=4, min_shared=2, max_fp_df=50,
+    )
+    return accepted.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -6480,14 +6544,15 @@ def q150_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green row is r1-r3 rotate in (ten r1-only rows — q17 q30 q35
 # q43-q49 — have exactly one green record from seven rounds ago),
 # plus one r4-single (q108) and the round-8 NEW oracle-paired
-# queries q145-q150 (winnowing fingerprints + MOSS-style overlap
+# queries q145-q151 (winnowing fingerprints + MOSS-style overlap
 # pairs + Bloom-gated decontamination + Bloom semi-join +
-# hard-negative mining + winnow-cluster canonical pipeline; new
-# queries outrank stale refreshes for driver evidence — q56/q60's
-# rank/profile surfaces are held in-window by q98/q05, q75's funnel
-# family by q57's corpus funnel, q07's grouped-avg surface by
-# q05/q13, q15's scalar-expr family by q11/q13, q24's text-stats
-# family by q25/q26).
+# hard-negative mining + winnow-cluster canonical pipeline + the
+# winnow-registry ingest's batch-mode twin; new queries outrank
+# stale refreshes for driver evidence — q56/q60's rank/profile
+# surfaces are held in-window by q98/q05, q75's funnel family by
+# q57's corpus funnel, q07's grouped-avg surface by q05/q13, q15's
+# scalar-expr family by q11/q13, q24's text-stats family by
+# q25/q26, q27's exact-dedup surface by q57's in-window funnel).
 # The whole set was re-certified locally at all three fixture scales
 # end-of-r7 (commit b7e62df) and the full 50 re-verified via
 # tools/compare.py before this round's end.
@@ -6505,7 +6570,7 @@ DRIVER_WINDOW = [
     "q02_group_count", "q06_distinct_count", "q09_semi_join",
     "q12_one_hot", "q14_replace_fillna", "q18_window_lag",
     "q20_set_ops", "q25_lang_id", "q26_fingerprint",
-    "q27_dedup_exact", "q41_correlation", "q50_from_json",
+    "q41_correlation", "q50_from_json",
     # newest green row is r3
     "q16_json_extract", "q58_dedup_components", "q59_range_join",
     "q67_tfidf_terms", "q78_interpolate",
@@ -6519,6 +6584,7 @@ DRIVER_WINDOW = [
     "q145_winnow_fingerprints", "q146_winnow_pairs",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
     "q149_hard_negatives", "q150_winnow_clusters",
+    "q151_winnow_registry_dedup",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()
