@@ -434,11 +434,23 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         winnow_fingerprints,
         winnow_overlap_pairs,
     )
+    from nsl_kdd_spark.streaming.winnow_ingest import winnow_dedup_batch
+
+    # fixed 5k-doc incoming batch for the registry-probe cells: the
+    # standing registry grows 4x underneath it (registry fps are
+    # PRE-materialized — production registries are standing parquet
+    # state, so only the probe is timed)
+    batch1 = scaled_documents(spark, sf_dir, 1).persist()
+    batch1.count()
 
     timings: dict[str, float] = {}
     for replicas, label in ((2, "10k"), (8, "40k")):
         docs = scaled_documents(spark, sf_dir, replicas).persist()
         docs.count()
+        reg_fps = winnow_fingerprints(
+            docs, "doc_id", "text", k=4, w=4
+        ).select("doc_id", "fp").distinct().persist()
+        reg_fps.count()
         corpus = docs.filter(F.col("doc_id") % 41 != 0)
         bench = docs.filter(F.col("doc_id") % 41 == 0)
 
@@ -467,6 +479,10 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 docs, "doc_id", "text", k=4, w=4,
                 min_shared=2, max_fp_df=50,
             ),
+            f"winnowreg{label}_probe": lambda: winnow_dedup_batch(
+                batch1, reg_fps,
+                k=4, w=4, min_shared=2, max_fp_df=50,
+            ),
         }
         for name, fn in ops.items():
             seen: list[float] = []
@@ -477,8 +493,14 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 spark.catalog.clearCache()
                 docs.persist()
                 docs.count()
+                batch1.persist()
+                batch1.count()
+                reg_fps.persist()
+                reg_fps.count()
             timings[name] = min(seen)
         docs.unpersist()
+        reg_fps.unpersist()
+    batch1.unpersist()
     return timings
 
 

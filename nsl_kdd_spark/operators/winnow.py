@@ -130,6 +130,37 @@ def winnow_fingerprints(
     )
 
 
+def overlap_pairs_from_fps(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    max_fp_df: int | None = 50,
+) -> DataFrame:
+    """The pair join of :func:`winnow_overlap_pairs` over an ALREADY
+    COMPUTED distinct ``(id_col, fp)`` table — the reuse seam for
+    callers that need the fingerprint table for more than one purpose
+    (the streaming registry ingest pairs the batch AND probes the
+    registry from one fp table instead of fingerprinting twice)."""
+    fps = fps.select(F.col(id_col).alias("__id"), "fp")
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), on="fp", how="left_anti")
+    a = fps.select(F.col("__id").alias("id_a"), "fp")
+    b = fps.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -154,22 +185,8 @@ def winnow_overlap_pairs(
     ``None`` disables the guard (exact, fixture-scale only).
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        F.col(id_col).alias("__id"), "fp"
+        id_col, "fp"
     ).distinct()
-    if max_fp_df is not None:
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_fp_df)
-            .select("fp")
-        )
-        fps = fps.join(F.broadcast(hot), on="fp", how="left_anti")
-    a = fps.select(F.col("__id").alias("id_a"), "fp")
-    b = fps.select(F.col("__id").alias("id_b"), "fp")
-    return (
-        a.join(b, on="fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
+    return overlap_pairs_from_fps(
+        fps, id_col=id_col, min_shared=min_shared, max_fp_df=max_fp_df
     )

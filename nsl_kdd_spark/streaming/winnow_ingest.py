@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from nsl_kdd_spark.operators.winnow import (
+    overlap_pairs_from_fps,
     winnow_fingerprints,
-    winnow_overlap_pairs,
 )
 from nsl_kdd_spark.streaming.ingest import (
     _probe_or_empty,
@@ -79,18 +79,24 @@ def winnow_dedup_batch(
     registry document are dropped. Documents shorter than w+k-1
     tokens have no fingerprints and always pass (route them through
     the exact/minhash tiers instead)."""
-    self_pairs = winnow_overlap_pairs(
-        batch, "doc_id", "text",
-        k=k, w=w, min_shared=min_shared, max_fp_df=max_fp_df,
+    # ONE fingerprint pass serves both tiers: the within-batch pair
+    # join and the registry probe read the same persisted fp table
+    # (fingerprinting is the per-doc O(m·w) md5 cost — paying it
+    # twice per batch doubled the probe cell in corpus_scale)
+    batch_fps = winnow_fingerprints(
+        batch, "doc_id", "text", k=k, w=w
+    ).select("doc_id", "fp").distinct().localCheckpoint()
+    self_pairs = overlap_pairs_from_fps(
+        batch_fps, min_shared=min_shared, max_fp_df=max_fp_df
     )
     self_dropped = self_pairs.select(
         F.greatest("id_a", "id_b").alias("doc_id")
     ).distinct()
     survivors = batch.join(self_dropped, "doc_id", "left_anti")
 
-    fps = winnow_fingerprints(survivors, "doc_id", "text", k=k, w=w).select(
+    fps = batch_fps.join(self_dropped, "doc_id", "left_anti").select(
         F.col("doc_id").alias("__bid"), "fp"
-    ).distinct()
+    )
     hits = fps.join(
         registry.select(F.col("doc_id").alias("__rid"), "fp"), on="fp"
     )

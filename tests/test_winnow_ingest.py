@@ -137,14 +137,10 @@ def test_winnow_registry_boilerplate_guard(spark):
         "doc_id long, pos int, fp string",
     )
     # pin the fingerprint extraction so the guard logic is tested in
-    # isolation from md5 selection
+    # isolation from md5 selection (the two fake docs share no fp, so
+    # the real within-batch pair join finds nothing)
     with mock.patch.object(
         wi, "winnow_fingerprints", return_value=fake_fps
-    ), mock.patch.object(
-        wi, "winnow_overlap_pairs",
-        return_value=spark.createDataFrame(
-            [], "id_a long, id_b long, shared long"
-        ),
     ):
         got = {r.doc_id for r in wi.winnow_dedup_batch(
             batch, reg_fps, k=4, w=4, min_shared=2, max_fp_df=3
