@@ -482,7 +482,7 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             f"winnowreg{label}_probe": lambda: winnow_dedup_batch(
                 batch1, reg_fps,
                 k=4, w=4, min_shared=2, max_fp_df=50,
-            ),
+            ).accepted,
         }
         for name, fn in ops.items():
             seen: list[float] = []

@@ -60,6 +60,17 @@ class KeyBloom:
     def n_bytes(self) -> int:
         return len(self.bits)
 
+    def unpersist(self) -> None:
+        """Destroy the cached bitmap broadcast (if one was created by
+        a probe). Call when a long-lived session is done probing this
+        filter; idempotent, and a later probe simply re-broadcasts."""
+        cached = self.__dict__.pop("_bc", None)
+        if cached is not None:
+            try:
+                cached[1].destroy()
+            except Exception:
+                pass  # context already stopped — nothing to free
+
 
 def bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
     """Standard sizing: m = -n ln(p)/ln(2)^2 bits, k = m/n ln(2)."""
@@ -130,13 +141,31 @@ def build_key_bloom(
     )
 
 
+def _bloom_broadcast(spark, bloom: KeyBloom):
+    """ONE bitmap broadcast per KeyBloom per SparkContext, cached on
+    the instance (round-9 advisory: a fresh broadcast per probe call
+    accumulated driver+executor broadcast blocks in long-lived
+    sessions that probe the same filter repeatedly — the prebuilt-
+    bloom decontam path, the fuzz/bench loops). ``KeyBloom.unpersist``
+    releases it; a stale cache from a stopped context is replaced."""
+    sc = spark.sparkContext
+    cached = bloom.__dict__.get("_bc")
+    if cached is not None and cached[0] == id(sc):
+        return cached[1]
+    bc = sc.broadcast(bloom.bits)
+    object.__setattr__(bloom, "_bc", (id(sc), bc))  # frozen dataclass
+    return bc
+
+
 def bloom_might_contain_col(spark, bloom: KeyBloom):
     """Arrow-batched membership-test column factory over (h1, h2).
     The packed bitmap rides a SparkContext broadcast so executors
-    fetch it once per worker, not per task."""
+    fetch it once per worker, not per task — and repeated probes of
+    the same KeyBloom reuse one cached broadcast instead of leaking
+    a new block per call."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast(bloom.bits)
+    bc = _bloom_broadcast(spark, bloom)
     m, k = bloom.m, bloom.k
 
     @pandas_udf("boolean")

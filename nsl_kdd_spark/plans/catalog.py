@@ -6430,7 +6430,7 @@ def q151_winnow_registry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = winnow_dedup_batch(
         docs.filter(F.col("doc_id") >= 250), reg_fps,
         k=4, w=4, min_shared=2, max_fp_df=50,
-    )
+    ).accepted
     return accepted.select("doc_id").orderBy("doc_id")
 
 

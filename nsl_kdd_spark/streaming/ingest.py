@@ -164,6 +164,28 @@ def _probe_or_empty(
         return empty_registry()
 
 
+def _write_registry_partition(
+    df: DataFrame, registry_path: str, batch_id: int
+) -> None:
+    """Write a registry shard AND stamp the commit marker — but only
+    when the write actually landed data files (round-9 advisory). A
+    zero-row registry write (empty first micro-batch; a winnow batch
+    of all short, fingerprint-less docs) creates the registry dir
+    with just ``_SUCCESS`` — no parquet files, no partition dir — so
+    the next probe raises UNABLE_TO_INFER_SCHEMA; with the marker
+    already present, ``_probe_or_empty`` would then raise
+    RegistryLostError on EVERY replay: a permanent crash loop that
+    re-wedges exactly what the round-7 nothing-committed handling
+    unwedged. The gate is a pure FS existence check on this batch's
+    ``__batch_id=N`` partition dir (dynamic partition overwrite only
+    creates it when rows were written) — no recompute, no count."""
+    s = df.sparkSession
+    _write_partition(df, registry_path, batch_id)
+    fs, part = _hadoop_path(s, registry_path, f"__batch_id={batch_id}")
+    if fs.exists(part):
+        mark_registry_committed(s, registry_path)
+
+
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
     """Write ``df`` into its own ``__batch_id`` partition with DYNAMIC
     partition overwrite, scoped to THIS write via the writer option —
@@ -242,8 +264,7 @@ def _document_sink(
     accepted = res.accepted.persist()
     try:
         _write_partition(accepted, corpus_path, batch_id)
-        _write_partition(res.accepted_signatures, registry_path, batch_id)
-        mark_registry_committed(s, registry_path)
+        _write_registry_partition(res.accepted_signatures, registry_path, batch_id)
     finally:
         accepted.unpersist()
         res.cleanup()  # drop per-batch signature/shingle caches

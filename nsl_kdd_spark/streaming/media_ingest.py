@@ -43,7 +43,7 @@ from nsl_kdd_spark.operators.dedup import (
 from nsl_kdd_spark.streaming.ingest import (
     _probe_or_empty,
     _write_partition,
-    mark_registry_committed,
+    _write_registry_partition,
 )
 
 _SIG_SCHEMA = StructType([
@@ -130,8 +130,7 @@ def _media_sink(
             accepted_sigs.select("media_id"), "media_id", "left_semi"
         )
         _write_partition(accepted_rows, corpus_path, batch_id)
-        _write_partition(accepted_sigs, registry_path, batch_id)
-        mark_registry_committed(s, registry_path)
+        _write_registry_partition(accepted_sigs, registry_path, batch_id)
     finally:
         accepted_sigs.unpersist()
 

@@ -56,7 +56,7 @@ from nsl_kdd_spark.operators.similarity import hyperplanes
 from nsl_kdd_spark.streaming.ingest import (
     _probe_or_empty,
     _write_partition,
-    mark_registry_committed,
+    _write_registry_partition,
 )
 
 VECTOR_SCHEMA = StructType([
@@ -181,8 +181,7 @@ def _vector_sink(
             accepted.select("vec_id"), "vec_id", "left_semi"
         )
         _write_partition(accepted_rows, corpus_path, batch_id)
-        _write_partition(accepted, registry_path, batch_id)
-        mark_registry_committed(s, registry_path)
+        _write_registry_partition(accepted, registry_path, batch_id)
     finally:
         accepted.unpersist()
 

@@ -35,6 +35,8 @@ bounded by per-fp document frequency, never a corpus self-join.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -46,7 +48,7 @@ from nsl_kdd_spark.operators.winnow import (
 from nsl_kdd_spark.streaming.ingest import (
     _probe_or_empty,
     _write_partition,
-    mark_registry_committed,
+    _write_registry_partition,
 )
 
 DOC_SCHEMA = StructType([
@@ -60,6 +62,25 @@ _REGISTRY_SCHEMA = StructType([
 ])
 
 
+@dataclass(frozen=True)
+class WinnowBatchResult:
+    """One ingest batch's dedup output: the ACCEPTED (doc_id, text)
+    rows and their (doc_id, fp) fingerprints — the registry shard —
+    both carved from the SAME fingerprint pass (round-9 advisory:
+    the sink previously re-ran the per-doc O(m·w) md5 selection over
+    the accepted rows to build the shard, paying the cost the single
+    pass was introduced to avoid). ``cleanup()`` drops the batch's
+    cached fingerprint/reject tables once both outputs are consumed."""
+
+    accepted: DataFrame
+    accepted_fps: DataFrame
+    _caches: tuple[DataFrame, ...]
+
+    def cleanup(self) -> None:
+        for df in self._caches:
+            df.unpersist()
+
+
 def winnow_dedup_batch(
     batch: DataFrame,
     registry: DataFrame,
@@ -68,31 +89,41 @@ def winnow_dedup_batch(
     w: int = 4,
     min_shared: int = 2,
     max_fp_df: int = 50,
-) -> DataFrame:
+) -> WinnowBatchResult:
     """The pure dedup computation of one ingest batch — exposed so
     batch-mode callers (and the q151 oracle gate) exercise the exact
     sink semantics without a stream. ``batch`` is DOC_SCHEMA rows;
     ``registry`` is the standing (doc_id, fp) fingerprint table.
-    Returns the ACCEPTED batch rows (doc_id, text): within-batch
-    overlap pairs keep the lowest doc_id, then survivors sharing >=
-    ``min_shared`` non-boilerplate fingerprints with any single
-    registry document are dropped. Documents shorter than w+k-1
-    tokens have no fingerprints and always pass (route them through
-    the exact/minhash tiers instead)."""
-    # ONE fingerprint pass serves both tiers: the within-batch pair
-    # join and the registry probe read the same persisted fp table
-    # (fingerprinting is the per-doc O(m·w) md5 cost — paying it
-    # twice per batch doubled the probe cell in corpus_scale)
-    batch_fps = winnow_fingerprints(
-        batch, "doc_id", "text", k=k, w=w
-    ).select("doc_id", "fp").distinct().localCheckpoint()
+    ``.accepted`` holds the surviving batch rows (doc_id, text):
+    within-batch overlap pairs keep the lowest doc_id, then survivors
+    sharing >= ``min_shared`` non-boilerplate fingerprints with any
+    single registry document are dropped. ``.accepted_fps`` is the
+    survivors' (doc_id, fp) table, ready to append to the registry.
+    Documents shorter than w+k-1 tokens have no fingerprints and
+    always pass (route them through the exact/minhash tiers
+    instead)."""
+    # ONE fingerprint pass serves everything: the within-batch pair
+    # join, the registry probe, and the accepted-fps registry shard
+    # all read the same cached fp table (fingerprinting is the
+    # per-doc O(m·w) md5 cost — paying it twice per batch doubled
+    # the probe cell in corpus_scale). persist()+count(), not
+    # localCheckpoint (round-9 advisory): checkpoint blocks are not
+    # fault-tolerant, so an executor loss mid-batch would fail the
+    # micro-batch and lean on foreachBatch replay; a persisted plan
+    # just recomputes the lost partitions. The count() materializes
+    # the cache up front so the two downstream tiers can never race
+    # a cold cache into computing the pass twice.
+    batch_fps = (
+        winnow_fingerprints(batch, "doc_id", "text", k=k, w=w)
+        .select("doc_id", "fp").distinct().persist()
+    )
+    batch_fps.count()
     self_pairs = overlap_pairs_from_fps(
         batch_fps, min_shared=min_shared, max_fp_df=max_fp_df
     )
     self_dropped = self_pairs.select(
         F.greatest("id_a", "id_b").alias("doc_id")
     ).distinct()
-    survivors = batch.join(self_dropped, "doc_id", "left_anti")
 
     fps = batch_fps.join(self_dropped, "doc_id", "left_anti").select(
         F.col("doc_id").alias("__bid"), "fp"
@@ -117,7 +148,15 @@ def winnow_dedup_batch(
         .select(F.col("__bid").alias("doc_id"))
         .distinct()
     )
-    return survivors.join(reg_rejects, "doc_id", "left_anti")
+    # cached because BOTH outputs anti-join it, and the sink runs one
+    # write action per output — without the cache the second action
+    # would re-run the probe join
+    rejected = self_dropped.unionByName(reg_rejects).distinct().persist()
+    return WinnowBatchResult(
+        accepted=batch.join(rejected, "doc_id", "left_anti"),
+        accepted_fps=batch_fps.join(rejected, "doc_id", "left_anti"),
+        _caches=(batch_fps, rejected),
+    )
 
 
 def _winnow_sink(
@@ -140,19 +179,17 @@ def _winnow_sink(
         s, registry_path, batch_id,
         lambda: s.createDataFrame([], _REGISTRY_SCHEMA),
     )
-    accepted = winnow_dedup_batch(
+    res = winnow_dedup_batch(
         batch_df, registry,
         k=k, w=w, min_shared=min_shared, max_fp_df=max_fp_df,
-    ).persist()
+    )
     try:
-        _write_partition(accepted, corpus_path, batch_id)
-        accepted_fps = winnow_fingerprints(
-            accepted, "doc_id", "text", k=k, w=w
-        ).select("doc_id", "fp").distinct()
-        _write_partition(accepted_fps, registry_path, batch_id)
-        mark_registry_committed(s, registry_path)
+        _write_partition(res.accepted, corpus_path, batch_id)
+        # the registry shard is the SAME fingerprint table the dedup
+        # pass already computed (round-9 advisory: no re-fingerprint)
+        _write_registry_partition(res.accepted_fps, registry_path, batch_id)
     finally:
-        accepted.unpersist()
+        res.cleanup()
 
 
 def ingest_winnow_stream(

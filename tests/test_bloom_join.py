@@ -155,3 +155,33 @@ def test_bloom_key_width_mismatch_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "key widths differ" in str(e)
+
+
+def test_bloom_broadcast_cached_per_instance(spark):
+    """Round-9 advisory: repeated probes of one KeyBloom must reuse a
+    single bitmap broadcast (a fresh broadcast per call accumulated
+    blocks in long-lived sessions), and unpersist() releases it so a
+    later probe re-broadcasts cleanly."""
+    from nsl_kdd_spark.operators.bloom import (
+        _bloom_broadcast,
+        build_key_bloom,
+    )
+
+    small = spark.range(100).withColumnRenamed("id", "k")
+    bloom = build_key_bloom(small, ["k"])
+    bc1 = _bloom_broadcast(spark, bloom)
+    bc2 = _bloom_broadcast(spark, bloom)
+    assert bc1 is bc2
+
+    # the cached broadcast serves a real probe end-to-end
+    big = spark.range(1_000).withColumnRenamed("id", "k")
+    from nsl_kdd_spark.operators.bloom import bloom_semi_join
+
+    assert bloom_semi_join(big, small, on="k", bloom=bloom).count() == 100
+
+    bloom.unpersist()
+    assert "_bc" not in bloom.__dict__
+    bloom.unpersist()  # idempotent
+    bc3 = _bloom_broadcast(spark, bloom)
+    assert bc3 is not bc1
+    assert bloom_semi_join(big, small, on="k", bloom=bloom).count() == 100

@@ -709,6 +709,36 @@ def test_registry_commit_marker_blocks_empty_fallback(spark, tmp_path):
     assert registry_committed(spark, str(reg))
 
 
+def test_registry_empty_first_batch_does_not_wedge(spark, tmp_path):
+    """Round-9 advisory: an EMPTY first micro-batch (zero-row source
+    file) writes a zero-row registry partition — dir exists, no
+    parquet. Stamping the commit marker there turned the next probe's
+    UNABLE_TO_INFER_SCHEMA into RegistryLostError on every replay."""
+    from nsl_kdd_spark.streaming.ingest import (
+        _document_sink,
+        read_corpus,
+        registry_committed,
+    )
+
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, band_size=1, threshold=0.5, shingle_n=2,
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    _document_sink(empty, 0, **kw)
+    assert not registry_committed(spark, kw["registry_path"])
+
+    batch1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    _document_sink(batch1, 1, **kw)  # must not raise RegistryLostError
+    assert {r.doc_id for r in
+            read_corpus(spark, kw["corpus_path"]).collect()} == {1}
+    assert registry_committed(spark, kw["registry_path"])
+
+
 def test_registry_marker_idempotent_and_crash_tolerant(spark, tmp_path):
     """Marker mechanics: stamping twice is a no-op, and a crash
     BETWEEN the registry write and the marker (marker absent, data

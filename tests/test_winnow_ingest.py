@@ -52,10 +52,13 @@ def test_winnow_dedup_batch_semantics(spark):
         (12, NOVEL + " tail9"), # within-batch dup of 11 -> keep lowest
         (13, SHORT),            # no fingerprints -> passes
     ])
-    got = {r.doc_id for r in winnow_dedup_batch(
-        batch, reg_fps, **KW
-    ).collect()}
+    res = winnow_dedup_batch(batch, reg_fps, **KW)
+    got = {r.doc_id for r in res.accepted.collect()}
     assert got == {11, 13}
+    # the registry shard comes from the same pass: fingerprints for
+    # exactly the fingerprinted survivors (13 is too short to have any)
+    assert {r.doc_id for r in res.accepted_fps.collect()} == {11}
+    res.cleanup()
 
 
 def test_winnow_ingest_stream_and_registry(spark, tmp_path):
@@ -116,6 +119,40 @@ def test_winnow_ingest_replay_idempotent(spark, tmp_path):
     assert {d for d, _ in first} == {1, 11}
 
 
+def test_winnow_first_batch_all_short_docs_no_wedge(spark, tmp_path):
+    """Round-9 advisory: a first batch of all short (< w+k-1 token)
+    docs is accepted but yields a ZERO-ROW registry write — a dir
+    with only _SUCCESS. Stamping the commit marker for that write
+    made every later probe raise RegistryLostError (marker present,
+    UNABLE_TO_INFER_SCHEMA): a permanent crash loop. The marker must
+    only be stamped once a registry shard actually lands data."""
+    from nsl_kdd_spark.streaming.ingest import registry_committed
+
+    kw = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        registry_path=str(tmp_path / "registry"),
+        **KW,
+    )
+    _winnow_sink(_df(spark, [(1, SHORT)]), 0, **kw)
+    # corpus accepted the short doc; registry got zero rows -> the
+    # marker must NOT exist yet
+    assert {r.doc_id for r in read_corpus(spark, kw["corpus_path"])
+            .collect()} == {1}
+    assert not registry_committed(spark, kw["registry_path"])
+
+    # next batch probes the empty-dir registry: must fall back to
+    # empty (not RegistryLostError) and commit normally
+    _winnow_sink(_df(spark, [(2, A)]), 1, **kw)
+    assert {r.doc_id for r in read_corpus(spark, kw["corpus_path"])
+            .collect()} == {1, 2}
+    assert registry_committed(spark, kw["registry_path"])
+
+    # and the registry now rejects a containment redelivery
+    _winnow_sink(_df(spark, [(3, CONTAINS_A)]), 2, **kw)
+    assert {r.doc_id for r in read_corpus(spark, kw["corpus_path"])
+            .collect()} == {1, 2}
+
+
 def test_winnow_registry_boilerplate_guard(spark):
     # handcrafted registry fingerprint table: fp "hot0" sits in 6
     # registry docs (> max_fp_df=3 -> boilerplate, must not count),
@@ -144,5 +181,5 @@ def test_winnow_registry_boilerplate_guard(spark):
     ):
         got = {r.doc_id for r in wi.winnow_dedup_batch(
             batch, reg_fps, k=4, w=4, min_shared=2, max_fp_df=3
-        ).collect()}
+        ).accepted.collect()}
     assert got == {100}  # 101 rejected via the two rare fps of doc 1
