@@ -160,3 +160,128 @@ def test_prior_bench_envelope_folds_best_across_records(tmp_path):
     assert env["bpe_scale"]["bpe32_serial"] == 6.5
     assert env["media_scale"]["x_mb_per_s"] == 0.433
     assert env["queries"]["q01"] == 1.0
+
+
+# --- round-9: the r8 verdict's #1 — the driver truncated
+# BENCH_r08.json deeper than the tier-3 recovery handles (tail starts
+# INSIDE the queries dict at ', "q28_...'), so the newest committed
+# record was again unusable as the guard prior. Tier-5 splice + the
+# BENCH_LOCAL.json full-record sidecar + least-valuable-first emit
+# ordering make the committed record truncation-proof.
+
+
+def test_parse_record_real_driver_r08_file():
+    """The actual driver-written BENCH_r08.json must be recoverable
+    (tail begins mid-queries-dict — the shape tier 3 missed)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "BENCH_r08.json")
+    parsed = bench._parse_bench_record(path)
+    assert parsed is not None
+    # surviving headline cells after the cut point
+    assert parsed["queries"]["q28_jaccard_pairs"] == 3.749
+    assert parsed["queries"]["q132_bpe_encode"] == 3.414
+    # every LATER tier survives intact
+    assert parsed["dedup_scale"]["dedup100k_jaccard"] == 8.815
+    assert parsed["corpus_scale"]["winnowreg40k_probe"] == 3.165
+    assert parsed["vector_scale"]["vecingest_probe_64k_p8"] == 1.315
+
+
+def test_parse_record_mid_token_cut(tmp_path):
+    """A cut landing MID-TOKEN (inside a key or number) advances to
+    the next ', \"' cell boundary before splicing."""
+    cut = _GOOD_LINE.index('"q01') + 2  # inside the q01 key token
+    _write(tmp_path, "BENCH_r8.json",
+           {"parsed": None, "tail": _GOOD_LINE[cut:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r8.json"
+    # q01 is the truncation casualty; q02 and the later tier survive
+    assert parsed["queries"]["q02"] == 2.0
+    assert parsed["media_scale"]["media_jpeg512px_decode_mb_per_s"] == 0.433
+
+
+def test_sidecar_preferred_when_line_matches(tmp_path):
+    """A matching BENCH_LOCAL.json sidecar restores the FULL record —
+    including cells the truncated tail lost."""
+    import json
+
+    full = {"metric": "m", "value": 3.0, "unit": "sec",
+            "queries": {"q01": 1.0, "q02": 2.0},
+            "media_scale": {"x_mb_per_s": 0.4}, "sf": 0.1}
+    line = json.dumps(bench._ordered_for_emit(full))
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"line": line, "record": full}))
+    # driver kept only the last 60 chars — far too little for any
+    # tail recovery, but enough to prove same-run identity
+    _write(tmp_path, "BENCH_r9.json", {"parsed": None, "tail": line[-60:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r9.json"
+    assert parsed == full
+
+
+def test_sidecar_stale_mismatch_falls_through(tmp_path):
+    """A sidecar from a DIFFERENT run (line mismatch) must be ignored
+    — tail recovery serves what it can instead."""
+    import json
+
+    stale = {"metric": "m", "value": 9.9, "unit": "sec",
+             "queries": {"q01": 9.9}, "sf": 0.1}
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"line": json.dumps(stale), "record": stale}))
+    cut = _GOOD_LINE.index(': {"q01')
+    _write(tmp_path, "BENCH_r9.json",
+           {"parsed": None, "tail": _GOOD_LINE[cut:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r9.json"
+    assert parsed["queries"] == {"q01": 1.0, "q02": 2.0}  # not 9.9
+
+
+def test_ordered_emit_survives_driver_truncation(tmp_path):
+    """End-to-end shape check: a realistic reordered line cut to the
+    driver's ~2k-char tail window still yields every headline query
+    and the guard log via tail recovery alone (no sidecar)."""
+    import json
+
+    out = {
+        "metric": "headline query wall-clock", "value": 29.9,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_some_operator_name": round(0.3 + i * 0.17, 3)
+                    for i in range(1, 26)},
+        "dedup_scale": {f"dedup{s}_{op}": 3.21 for s in ("25k", "100k")
+                        for op in ("jaccard", "containment", "minhash",
+                                   "simhash", "spans")},
+        "graph_scale": {"pagerank_1x_586k_edges": 3.0,
+                        "pagerank_4x_2347k_edges": 8.1},
+        "sf1": {"q01": 1.0, "q03": 1.0, "q52": 5.9},
+        "media_scale": {f"media{s}_{op}": 0.4 for s in ("2k", "8k")
+                        for op in ("decode", "neardup")},
+        "bpe_scale": {"bpe32_serial": 5.6, "bpe32_batch16": 4.3},
+        "skew_scale": {"skew_plain": 3.3, "skew_aqe": 1.4},
+        "vector_scale": {"vecingest_probe_16k_p6": 1.3},
+        "corpus_scale": {f"winnow{s}_pairs": 1.5 for s in ("10k", "40k")},
+        "sf": 0.1,
+        "guard": {"ratio": 1.5, "prior_record": "BENCH_r08.json",
+                  "remeasured": {}},
+    }
+    line = json.dumps(bench._ordered_for_emit(out))
+    ordered_keys = list(json.loads(line))
+    assert ordered_keys[-2:] == ["queries", "guard"]
+    _write(tmp_path, "BENCH_r9.json", {"parsed": None, "tail": line[-2000:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r9.json"
+    assert len(parsed["queries"]) == 25  # every headline cell survives
+    assert parsed["guard"]["prior_record"] == "BENCH_r08.json"
+
+
+def test_compare_rejects_unknown_query_names():
+    """r8 verdict #5: tools/compare.py silently skipped typo'd names
+    and printed ALL PASS having run nothing."""
+    from tools.compare import unknown_names
+
+    registered = {"q01_pricing_summary": 1, "q02_counts": 2}
+    assert unknown_names({"q01_pricing_summary"}, registered) == []
+    assert unknown_names(
+        {"q01_pricing_summary", "q01_typo", "zzz"}, registered
+    ) == ["q01_typo", "zzz"]
+    assert unknown_names(set(), registered) == []

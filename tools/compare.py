@@ -39,12 +39,25 @@ def rows_key(rows: list[tuple]) -> list[tuple]:
     return sorted([tuple(canon(v) for v in r) for r in rows], key=repr)
 
 
+def unknown_names(only: set[str], registered) -> list[str]:
+    """Requested query names that don't exist in ``queries()`` —
+    round-9 (r8 verdict #5): these previously vanished silently, so a
+    typo'd subset run printed 'ALL PASS' having compared nothing."""
+    return sorted(n for n in only if n not in registered)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
     from nsl_kdd_spark.session import get_session
+
+    bad = unknown_names(only, e.queries())
+    if bad:
+        print(f"ERROR: unknown query name(s): {', '.join(bad)}")
+        print("(names must match __spark_entry__.queries() keys exactly)")
+        return 2
 
     spark = get_session(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
