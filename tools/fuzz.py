@@ -1337,6 +1337,110 @@ def fam_vector_registry(rng: random.Random):
     )
 
 
+def fam_winnow_registry(rng: random.Random):
+    """The q151 two-tier winnow-registry dedup (round-9; the r8
+    verdict's #4 — the exact analogue of fam_vector_registry for the
+    4th registry ingest): within-batch MOSS pairs keep the lowest
+    doc_id, then survivors sharing >= min_shared non-boilerplate
+    fingerprints with any single registry doc are rejected. Draws
+    move the winnow geometry (k, w), both rejection knobs
+    (min_shared, max_fp_df — the boilerplate guard is applied on the
+    batch side AND, recomputed from the probe-join output, on the
+    registry side), and the registry/batch split. The oracle replays
+    the ENGINE's exact hash layout (16-hex md5 prefix per k-gram,
+    rightmost-argmin window selection — the r7 lesson: templates
+    replicate the engine's layout, not an approximation of it), so
+    every comparison is bit-exact row sets."""
+    k = rng.choice((2, 3, 4))
+    w = rng.choice((2, 3, 4))
+    min_shared = rng.choice((1, 2, 3))
+    max_fp_df = rng.choice((2, 5, 50))
+    split = rng.choice((150, 250, 350))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.winnow import winnow_fingerprints
+        from nsl_kdd_spark.sources.parquet import load_tables
+        from nsl_kdd_spark.streaming.winnow_ingest import winnow_dedup_batch
+
+        docs = load_tables(spark, sf_dir).documents
+        reg_fps = winnow_fingerprints(
+            docs.filter(F.col("doc_id") < split), "doc_id", "text", k=k, w=w
+        ).select("doc_id", "fp").distinct()
+        res = winnow_dedup_batch(
+            docs.filter(F.col("doc_id") >= split), reg_fps,
+            k=k, w=w, min_shared=min_shared, max_fp_df=max_fp_df,
+        )
+        out = res.accepted.select("doc_id").orderBy("doc_id")
+        # materialize before cleanup: the result plan reads the
+        # batch's cached fingerprint/reject tables
+        rows = out.collect()
+        res.cleanup()
+        return spark.createDataFrame(rows, "doc_id long")
+
+    min_tokens = k + w - 1
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, t.i AS i,
+             substr(md5(array_to_string(tk[t.i:t.i+{k - 1}], ' ')), 1, 16)
+               AS h
+      FROM toks, unnest(generate_series(1, len(tk) - {k - 1})) AS t(i)
+      WHERE len(tk) >= {min_tokens}
+    ), wins AS (
+      SELECT doc_id, t.j AS j
+      FROM toks, unnest(generate_series(1, len(tk) - {min_tokens - 1}))
+             AS t(j)
+      WHERE len(tk) >= {min_tokens}
+    ), cand AS (
+      SELECT w.doc_id, w.j, g.h,
+             ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
+                                ORDER BY g.h, g.i DESC) AS rn
+      FROM wins w JOIN grams g
+        ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + {w - 1}
+    ), wfp AS (
+      SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1
+    ), bfp AS (
+      SELECT doc_id, h FROM wfp WHERE doc_id >= {split}
+    ), bkeep AS (
+      SELECT * FROM bfp WHERE h NOT IN (
+        SELECT h FROM bfp GROUP BY h HAVING COUNT(*) > {max_fp_df})
+    ), self_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bkeep a JOIN bkeep b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {min_shared}
+    ), surv AS (
+      SELECT DISTINCT doc_id FROM bfp
+      WHERE doc_id NOT IN (SELECT id_b FROM self_pairs)
+      UNION
+      SELECT doc_id FROM documents
+      WHERE doc_id >= {split} AND doc_id NOT IN (SELECT doc_id FROM bfp)
+    ), sfp AS (
+      SELECT b.doc_id, b.h FROM bfp b JOIN surv USING (doc_id)
+    ), rfp AS (
+      SELECT doc_id, h FROM wfp WHERE doc_id < {split}
+    ), hits AS (
+      SELECT s.doc_id AS bid, r.doc_id AS rid, s.h
+      FROM sfp s JOIN rfp r ON s.h = r.h
+    ), rej AS (
+      SELECT DISTINCT bid FROM hits
+      WHERE h NOT IN (
+        SELECT h FROM hits GROUP BY h HAVING COUNT(DISTINCT rid) > {max_fp_df})
+      GROUP BY bid, rid HAVING COUNT(*) >= {min_shared}
+    )
+    SELECT doc_id FROM surv
+    WHERE doc_id NOT IN (SELECT bid FROM rej)
+    ORDER BY doc_id
+    """
+    return (
+        f"k={k} w={w} min_shared={min_shared} max_fp_df={max_fp_df} "
+        f"split={split}",
+        spark_fn, sql, False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1366,6 +1470,7 @@ FAMILIES = {
     "knn": fam_knn,
     "semantic_dedup": fam_semantic_dedup,
     "vector_registry": fam_vector_registry,
+    "winnow_registry": fam_winnow_registry,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -1374,7 +1479,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
-         "hard_negatives")
+         "hard_negatives", "winnow_registry")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
