@@ -499,7 +499,12 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
       with docs) and the MOSS pair join (fingerprint equi-join
       behind the max_fp_df guard — the sub-quadratic claim under
       measurement; replicas have disjoint token spaces, so true
-      pair structure scales linearly like the dedup tier).
+      pair structure scales linearly like the dedup tier),
+    - exact-substring duplicated spans (round-9, Lee et al. 2022
+      ExactSubstr): gram hashing + ONE hash-partitioned window
+      count + island merge, no pair join anywhere — wall should
+      grow ~linearly with docs (duplicated structure scales
+      linearly across token-disjoint replicas).
     """
     from pyspark.sql import functions as F
 
@@ -508,6 +513,7 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         contaminated_ids,
         contaminated_ids_bloom,
     )
+    from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
     from nsl_kdd_spark.operators.winnow import (
         winnow_fingerprints,
         winnow_overlap_pairs,
@@ -561,6 +567,9 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 batch1, reg_fps,
                 k=4, w=4, min_shared=2, max_fp_df=50,
             ).accepted,
+            f"substr{label}_spans": lambda: duplicated_spans(
+                docs, "doc_id", "text", min_tokens=8
+            ),
         }
         for name, fn in ops.items():
             seen: list[float] = []

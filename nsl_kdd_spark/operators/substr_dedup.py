@@ -1,0 +1,185 @@
+"""Exact-substring corpus dedup (SURVEY.md §2.13 dedup tier).
+
+The ExactSubstr procedure of Lee et al. 2022 ("Deduplicating Training
+Data Makes Language Models Better", ACL 2022): any token run of at
+least ``min_tokens`` that occurs more than once in the corpus is a
+duplicated span, and training-data curation removes those spans (all
+occurrences, or all but one canonical copy) while keeping the rest of
+each document. This is the EXACT counterpart of the approximate
+winnowing tier (operators/winnow.py): winnowing finds documents that
+*probably* share a long run from a fingerprint sample; this operator
+finds every duplicated run itself, exactly.
+
+The reference notebook (README.md) has no corpus-dedup stage at all;
+this extends the engine's curation surface per the BASELINE.json
+north-star, alongside q91's C4-style span dedup (keep-first over
+fixed sentence spans) — ExactSubstr differs in that spans are
+MAXIMAL merged runs at token granularity and the default removes
+every occurrence, the paper's setting.
+
+Spark shape (100 TB) — deliberately NOT a suffix array:
+
+- Lee et al. build a single-node suffix array because their corpus
+  fits one big machine's disk. The distributed-native equivalence:
+  a token run of length >= L occurs twice iff some L-gram inside it
+  occurs twice, and merging overlapping duplicated L-gram positions
+  per document recovers exactly the maximal duplicated runs. L-gram
+  hashing is one scan-shaped projection (the same
+  materialize-hashes-as-a-column pattern as winnow.py — no
+  re-evaluation trap), and "occurs twice" is ONE hash-partitioned
+  window count: no suffix sorting, no prefix-doubling rounds, no
+  driver-side anything.
+- Cost envelope: one shuffle of (id, pos, hash) rows — linear in
+  token count — then a per-document window over only the DUPLICATED
+  positions (tiny unless the corpus is mostly duplicate). No pair
+  join exists anywhere in the plan, so there is no quadratic path
+  and no hot-key fan-out to guard: a gram shared by a million
+  documents still contributes one counted group, not a million²
+  pair candidates.
+- Hashes are the first 16 hex chars of md5 over the gram text
+  (winnow.py's layout — bit-identical in Spark and DuckDB, so the
+  oracle replays exactly). A production run at 1e11+ grams would
+  flip to ``xxhash64`` (8-byte longs, ~half the shuffle bytes, same
+  plan); collisions only ever MERGE two runs into one false
+  duplicated span (~n²/2⁶⁴ odds), never lose one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.text import tokens
+from nsl_kdd_spark.operators.winnow import _gram_hashes
+
+_KEEP_MODES = ("none", "first")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+    keep: str = "none",
+) -> DataFrame:
+    """Maximal duplicated token runs: ``(id_col, span_start,
+    span_end, span_tokens)`` with 1-based inclusive token positions.
+
+    A position is covered iff some ``min_tokens``-gram through it
+    occurs >= 2 times in the corpus (across documents AND repeats
+    within one document, per the paper); overlapping or adjacent
+    covered grams merge into one maximal span per document.
+
+    ``keep``:
+      - ``"none"`` (default, the paper's setting): every occurrence
+        of a duplicated run is reported.
+      - ``"first"``: the corpus-first occurrence of each duplicated
+        gram — ordered by (id, pos) — is exempted, so one canonical
+        copy of every run survives removal.
+    """
+    if keep not in _KEEP_MODES:
+        raise ValueError(f"keep must be one of {_KEEP_MODES}, got {keep!r}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    L = min_tokens
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .withColumn("__h", _gram_hashes(F.col("__tk"), L))
+        .select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__g")
+    )
+    # ONE hash-partitioned window serves both the duplicate count and
+    # (keep="first") the canonical-occurrence rank — a single shuffle
+    # on the gram hash, no join back to an aggregate
+    wh = Window.partitionBy("__g")
+    counted = grams.withColumn("__c", F.count(F.lit(1)).over(wh))
+    if keep == "first":
+        counted = counted.withColumn(
+            "__rn", F.row_number().over(wh.orderBy(id_col, "pos"))
+        )
+        dup = counted.filter((F.col("__c") >= 2) & (F.col("__rn") >= 2))
+    else:
+        dup = counted.filter(F.col("__c") >= 2)
+    # gaps-and-islands per document over the duplicated positions:
+    # fixed-length intervals [pos, pos+L-1], so runs merge exactly
+    # when the next start is within L of the previous start
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.select(id_col, "pos")
+        .withColumn("__prev", F.lag("pos").over(wd))
+        .withColumn(
+            "__new",
+            F.when(F.col("pos") > F.col("__prev") + L, 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(wd))
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+    keep: str = "none",
+) -> DataFrame:
+    """The curation output: ``(id_col, text_clean, removed_tokens)``
+    — each document's text with every duplicated span (per
+    :func:`duplicated_spans` under the same ``keep`` mode) removed
+    and the survivors re-joined on single spaces. Documents whose
+    every token sat in a duplicated span come back with empty
+    ``text_clean`` (and are candidates for dropping downstream);
+    untouched documents report ``removed_tokens = 0``.
+
+    Span coverage is tested with JVM higher-order functions against
+    each document's (small) merged-span array — no explode of the
+    token table, no Python. Note text is REBUILT from the token
+    array for every document, touched or not, so output is a pure
+    function of the tokenization (a doc with consecutive separators
+    normalizes identically whether or not it had duplicates)."""
+    spans = duplicated_spans(
+        df, id_col, text_col, min_tokens=min_tokens, keep=keep
+    )
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    empty_spans = F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    )
+    sp = F.coalesce(F.col("__spans"), empty_spans)
+    indexed = F.transform(
+        F.col("__tk"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda span: (s["p"] >= span["span_start"])
+            & (s["p"] <= span["span_end"]),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .join(span_arr, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("text_clean"),
+            (F.size("__tk") - F.size(kept)).alias("removed_tokens"),
+        )
+    )

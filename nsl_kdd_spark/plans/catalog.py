@@ -6435,6 +6435,118 @@ def q151_winnow_registry_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup (operators/substr_dedup.py, round-9; Lee et
+# al. 2022 ExactSubstr): maximal duplicated token runs >= L, found by
+# L-gram hash counting + per-doc island merge — the EXACT counterpart
+# of q145's approximate winnowing tier, with no pair join anywhere in
+# the plan (one hash-partitioned window count, linear in tokens).
+# Shared SQL fragments so q152/q153 selection can never drift.
+# ---------------------------------------------------------------------------
+
+# L = 8: grams of 8 tokens (tk[i:i+7] is DuckDB's inclusive slice),
+# hash layout identical to the engine (16-hex md5 prefix).
+_SUBSTR_GRAMS_SQL = """toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, t.i AS pos,
+             substr(md5(array_to_string(tk[t.i:t.i+7], ' ')), 1, 16) AS h
+      FROM toks, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+      WHERE len(tk) >= 8
+    )"""
+
+# fixed-length [pos, pos+7] intervals merge exactly when the next
+# start is within L=8 of the previous start
+_SUBSTR_ISLANDS_SQL = """isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos <= prev + 8
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup) lagged
+    )"""
+
+
+@query(
+    "q152_exact_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c
+        FROM grams) counted
+      WHERE c >= 2
+    ),
+    {_SUBSTR_ISLANDS_SQL}
+    SELECT doc_id,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INTEGER) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def q152_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
+
+    docs = load_tables(spark, sf_dir).documents
+    return duplicated_spans(
+        docs, "doc_id", "text", min_tokens=8, keep="none"
+    ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "q153_exact_substring_strip",
+    oracle=f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    dup AS (
+      -- keep="first": the corpus-first occurrence of each duplicated
+      -- gram (by doc_id, pos) is exempt, so one copy survives
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM grams) ranked
+      WHERE c >= 2 AND rn >= 2
+    ),
+    {_SUBSTR_ISLANDS_SQL},
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    ), cov AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM spans, unnest(generate_series(s, e)) AS u(p)
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ), agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.txt, '') AS text_clean,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.nk, 0)
+                AS INTEGER) AS removed_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q153_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.substr_dedup import strip_duplicate_spans
+
+    docs = load_tables(spark, sf_dir).documents
+    return strip_duplicate_spans(
+        docs, "doc_id", "text", min_tokens=8, keep="first"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

