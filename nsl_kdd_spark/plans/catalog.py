@@ -6668,35 +6668,49 @@ def q153_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The whole set was re-certified locally at all three fixture scales
 # end-of-r7 (commit b7e62df) and the full 50 re-verified via
 # tools/compare.py before this round's end.
+# Round-9 rotation (VERDICT r08 #7): the round's code changes are
+# the registry commit-marker gate (re-anchor q73 text / q144 vector
+# — q151's winnow ingest shares the gate AND the reworked
+# single-pass winnow_dedup_batch, so it stays IN), the bloom
+# broadcast cache (re-anchor q147/q148), and the NEW exact-substring
+# dedup (q152/q153 rotate in). Every r8 anchor not in those families
+# is freshly green in CORRECTNESS_r08 and untouched, so the other 43
+# slots continue the stale-evidence refresh: ALL 36 out-of-window
+# oracle-paired queries whose newest green driver row is r2-r4
+# (q27/q32/q37 are r2-singles from seven rounds ago; the q51-q131
+# band is r4), the three r6-singles q133/q134/q137, and four
+# r7-anchors for family breadth — q01 (the flagship headline), q21 +
+# q22 (the eval-metrics tier), q57 (the corpus-funnel composite that
+# holds the exact-dedup family in-window alongside q27). Dropped r8
+# anchors (q02-q50 band, q145/q146/q149/q150, q80/q123 etc.) are all
+# double-green with an r8 row and untouched this round.
 DRIVER_WINDOW = [
-    # touched-this-round re-anchors (streaming registry marker) +
-    # vector-family siblings for the IVF probe-cell change
+    # touched-this-round re-anchors + round-9 NEW queries
     "q73_registry_dedup", "q144_vector_registry_dedup",
-    "q80_embedding_centroids", "q123_ranking_metrics",
-    # newest green row is r1 (single record, seven rounds old)
-    "q17_date_agg", "q30_simhash_pairs", "q35_sliding_window",
-    "q43_cube", "q44_array_ops", "q45_sql_surface",
-    "q46_shipping_priority", "q47_order_priority", "q48_returned_items",
-    "q49_small_quantity_revenue",
-    # newest green row is r2
-    "q02_group_count", "q06_distinct_count", "q09_semi_join",
-    "q12_one_hot", "q14_replace_fillna", "q18_window_lag",
-    "q20_set_ops", "q25_lang_id", "q26_fingerprint",
-    "q41_correlation", "q50_from_json",
-    # newest green row is r3
-    "q16_json_extract", "q58_dedup_components", "q59_range_join",
-    "q67_tfidf_terms", "q78_interpolate",
-    "q04_crosstab", "q05_describe",
-    "q10_anti_join", "q11_label_map", "q13_zscore",
-    "q23_attribute_ratio",
-    "q93_scd2_history", "q96_zorder_layout", "q97_corpus_mixture",
-    "q98_rank_bins", "q112_triangle_count", "q121_grouped_trend",
-    # r4-single + round-8 new queries filling the window
-    "q108_inverted_index",
-    "q145_winnow_fingerprints", "q146_winnow_pairs",
-    "q147_decontaminate_bloom", "q148_bloom_semi_join",
-    "q149_hard_negatives", "q150_winnow_clusters",
     "q151_winnow_registry_dedup",
+    "q147_decontaminate_bloom", "q148_bloom_semi_join",
+    "q152_exact_substring_spans", "q153_exact_substring_strip",
+    # newest green row is r2 (single record, seven rounds old)
+    "q27_dedup_exact", "q32_cosine_neardup", "q37_sessionize",
+    # newest green row is r3
+    "q07_grouped_avg", "q15_vote_blend", "q24_text_stats",
+    # newest green row is r4
+    "q51_string_funcs", "q53_pattern_extract", "q55_histogram",
+    "q56_rank_analytics", "q60_profile", "q64_unpivot_profile",
+    "q75_event_funnel", "q79_ewma", "q83_hash_sample",
+    "q84_chunk_pieces", "q85_bin_texts", "q86_weighted_sample",
+    "q89_latest_per_key", "q90_group_split", "q92_ngram_topk",
+    "q99_shuffle_order", "q100_token_budget", "q102_point_in_time",
+    "q107_mad_outliers", "q109_event_transitions",
+    "q110_mutual_information", "q115_windowed_expectations",
+    "q117_skew_topkeys", "q119_table_digest", "q120_upsample",
+    "q124_skipping_stats", "q125_calibration", "q126_select_canonical",
+    "q128_time_weighted_avg", "q131_rfm_segments",
+    # newest green row is r6
+    "q133_sliding_chunks", "q134_script_profile", "q137_sample_exact_n",
+    # r7 anchors kept for family breadth
+    "q01_pricing_summary", "q21_binary_metrics", "q22_auc_roc",
+    "q57_corpus_funnel",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()
