@@ -4,6 +4,7 @@ file:
     winnowing fingerprints (Schleimer et al. local fingerprints)
     -> MOSS-style overlap pairs (shared-fingerprint equi-join)
     -> connected components -> longest-copy canonical selection
+    -> exact-substring span strip (Lee et al. 2022 ExactSubstr, r9)
     -> Bloom-gated benchmark decontamination (two-phase, exact)
     -> Bloom semi-join reduction (generic runtime-filter primitive)
     -> hard-negative mining for contrastive embedding training
@@ -28,6 +29,9 @@ from nsl_kdd_spark.operators.corpus import select_canonical  # noqa: E402
 from nsl_kdd_spark.operators.graph import connected_components  # noqa: E402
 from nsl_kdd_spark.operators.similarity import (  # noqa: E402
     mine_hard_negatives,
+)
+from nsl_kdd_spark.operators.substr_dedup import (  # noqa: E402
+    strip_duplicate_spans,
 )
 from nsl_kdd_spark.operators.winnow import (  # noqa: E402
     winnow_fingerprints,
@@ -59,6 +63,23 @@ def main() -> None:
     n_docs, n_surv = t.documents.count(), survivors.count()
     print(f"docs: {n_docs} -> canonical survivors: {n_surv} "
           f"({n_docs - n_surv} near-dup copies dropped)")
+
+    print("== exact-substring strip (duplicated >= 5-token runs) ==")
+    # canonical selection above already removed whole-document
+    # copies, so the runs left for ExactSubstr are the short
+    # boilerplate repeats document-level dedup cannot see — hence a
+    # tighter L here than the q152/q153 default of 8
+    stripped = strip_duplicate_spans(
+        survivors, "doc_id", "text", min_tokens=5, keep="first"
+    )
+    removed = stripped.agg(F.sum("removed_tokens")).first()[0] or 0
+    survivors = (
+        survivors.drop("text")
+        .join(stripped.filter(F.length("text_clean") > 0), "doc_id")
+        .withColumnRenamed("text_clean", "text")
+    )
+    print(f"duplicated-span tokens removed: {removed}; "
+          f"docs remaining non-empty: {survivors.count()}")
 
     print("== Bloom-gated decontamination (exact, two-phase) ==")
     corpus = survivors.filter(F.col("doc_id") % 41 != 0)
