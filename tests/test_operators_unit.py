@@ -1312,3 +1312,40 @@ def test_graph_ops_reliable_checkpoint_dir(spark, tmp_path):
     assert any(
         files for _, _, files in os.walk(ck)
     ), "no checkpoint files written"
+
+
+def test_retrieval_eval_known_values(spark):
+    """Round-9 retrieval-eval composition: recall@k / precision@k /
+    reciprocal rank against a labeled positives table, all
+    fixed-point integers (the q123 convention)."""
+    from nsl_kdd_spark.ml.metrics import retrieval_eval
+
+    run = spark.createDataFrame(
+        # q1: positives at ranks 2 and 5 (of 3 judged); q2: none of
+        # its 2 positives retrieved; q3: unjudged (no positives row)
+        [("q1", d, r) for r, d in enumerate(
+            ["a", "p1", "b", "c", "p2"], start=1)]
+        + [("q2", d, r) for r, d in enumerate(["x", "y", "z"], start=1)]
+        + [("q3", d, r) for r, d in enumerate(["m", "n"], start=1)],
+        ["query_id", "vec_id", "rank"],
+    )
+    positives = spark.createDataFrame(
+        [("q1", "p1"), ("q1", "p2"), ("q1", "p9"),
+         ("q2", "g1"), ("q2", "g2")],
+        ["query_id", "vec_id"],
+    )
+    out = {r.query_id: r for r in retrieval_eval(
+        run, positives, k=5).collect()}
+    assert (out["q1"].n_pos, out["q1"].hits) == (3, 2)
+    assert out["q1"].recall_ppm == (2 * 1_000_000) // 3
+    assert out["q1"].precision_ppm == (2 * 1_000_000) // 5
+    assert out["q1"].rr_u == 500_000  # first hit at rank 2
+    assert (out["q2"].n_pos, out["q2"].hits, out["q2"].recall_ppm,
+            out["q2"].rr_u) == (2, 0, 0, 0)
+    # unjudged query surfaces with zeros instead of vanishing
+    assert (out["q3"].n_pos, out["q3"].recall_ppm, out["q3"].rr_u) == (
+        0, 0, 0)
+    # k cutoff: rank-5 hit drops when k=4
+    out4 = {r.query_id: r for r in retrieval_eval(
+        run, positives, k=4).collect()}
+    assert (out4["q1"].hits, out4["q1"].rr_u) == (1, 500_000)
