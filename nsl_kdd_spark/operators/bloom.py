@@ -147,13 +147,20 @@ def _bloom_broadcast(spark, bloom: KeyBloom):
     accumulated driver+executor broadcast blocks in long-lived
     sessions that probe the same filter repeatedly — the prebuilt-
     bloom decontam path, the fuzz/bench loops). ``KeyBloom.unpersist``
-    releases it; a stale cache from a stopped context is replaced."""
+    releases it. The context is held by WEAK reference: identity is
+    checked against the live object (an ``id()`` key could collide
+    after a restarted context reuses the address), and the cache
+    never keeps a stopped SparkContext alive."""
+    import weakref
+
     sc = spark.sparkContext
     cached = bloom.__dict__.get("_bc")
-    if cached is not None and cached[0] == id(sc):
+    if cached is not None and cached[0]() is sc:
         return cached[1]
     bc = sc.broadcast(bloom.bits)
-    object.__setattr__(bloom, "_bc", (id(sc), bc))  # frozen dataclass
+    object.__setattr__(  # frozen dataclass: bypass the field guard
+        bloom, "_bc", (weakref.ref(sc), bc)
+    )
     return bc
 
 
