@@ -150,6 +150,21 @@ def _parse_bench_record(path: str) -> dict | None:
         except ValueError:
             pass
     frag = tail.lstrip()
+    # tier 4a (round-9 review): the cut landed BEFORE the queries
+    # dict (between the scale tiers and the '"queries"' key, e.g.
+    # inside '"value": 29.9, '). The whole queries dict is intact in
+    # the fragment — splice a bare '{' at its key so no cell is lost.
+    # First occurrence is the real key when intact; a '"queries"'
+    # that only appears inside guard.remeasured fails the parse (the
+    # braces don't balance) and falls through to the cut-splice tier.
+    qpos = frag.find('"queries"')
+    if qpos >= 0:
+        try:
+            cand = json.loads("{" + frag[qpos:])
+            if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
+                return cand
+        except ValueError:
+            pass
     if frag.startswith(":"):
         try:
             cand = json.loads('{"queries"' + frag)

@@ -69,9 +69,11 @@ def main() -> None:
     # copies, so the runs left for ExactSubstr are the short
     # boilerplate repeats document-level dedup cannot see — hence a
     # tighter L here than the q152/q153 default of 8
+    # persist: three actions below (agg, join, count) would otherwise
+    # each re-run the full gram-hash + window lineage (round-9 review)
     stripped = strip_duplicate_spans(
         survivors, "doc_id", "text", min_tokens=5, keep="first"
-    )
+    ).persist()
     removed = stripped.agg(F.sum("removed_tokens")).first()[0] or 0
     survivors = (
         survivors.drop("text")

@@ -285,12 +285,12 @@ def retrieval_eval(
     query set so a query retrieving zero positives reports zeros
     instead of vanishing."""
     hit = F.col("__pos").isNotNull()
+    # ONE distinct judgment table feeds both the label join and the
+    # per-query positive counts (round-9 review: two independent
+    # .distinct() calls scanned and shuffled the positives twice)
+    pairs = positives.select(query_col, doc_col).distinct()
     labeled = run.filter(F.col(rank_col) <= k).join(
-        F.broadcast(
-            positives.select(query_col, doc_col)
-            .distinct()
-            .withColumn("__pos", F.lit(1))
-        ),
+        F.broadcast(pairs.withColumn("__pos", F.lit(1))),
         on=[query_col, doc_col],
         how="left",
     )
@@ -298,9 +298,9 @@ def retrieval_eval(
         F.sum(hit.cast("long")).alias("hits"),
         F.min(F.when(hit, F.col(rank_col))).alias("__first"),
     )
-    n_pos = positives.select(query_col, doc_col).distinct().groupBy(
-        query_col
-    ).agg(F.count(F.lit(1)).alias("n_pos"))
+    n_pos = pairs.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
     all_q = run.select(query_col).distinct()
     return (
         all_q.join(per_q, query_col, "left")

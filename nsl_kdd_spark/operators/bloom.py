@@ -71,6 +71,19 @@ class KeyBloom:
             except Exception:
                 pass  # context already stopped — nothing to free
 
+    def __getstate__(self):
+        """Pickle only the filter itself, never the broadcast cache
+        (round-9 review): a probed instance would otherwise become
+        unpicklable (weakref + Broadcast in __dict__), breaking the
+        documented build-once/cache/probe-many amortization pattern.
+        The deserialized copy simply re-broadcasts on first probe."""
+        state = dict(self.__dict__)
+        state.pop("_bc", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
 
 def bloom_geometry(n_items: int, fpp: float) -> tuple[int, int]:
     """Standard sizing: m = -n ln(p)/ln(2)^2 bits, k = m/n ln(2)."""

@@ -285,3 +285,46 @@ def test_compare_rejects_unknown_query_names():
         {"q01_pricing_summary", "q01_typo", "zzz"}, registered
     ) == ["q01_typo", "zzz"]
     assert unknown_names(set(), registered) == []
+
+
+def test_cut_before_queries_keeps_every_cell(tmp_path):
+    """Round-9 review: a cut landing BETWEEN the scale tiers and the
+    '"queries"' key (e.g. inside '"value": 29.9, ') must recover the
+    FULL intact queries dict, not lose its head cells to the
+    mid-dict splice tier."""
+    import json
+
+    out = {"metric": "m", "unit": "sec", "sf": 0.1,
+           "media_scale": {"x_mb_per_s": 0.4}, "value": 29.9,
+           "queries": {"q01": 1.0, "q02": 2.0, "q03": 3.0},
+           "guard": {"ratio": 1.5, "prior_record": "BENCH_r08.json",
+                     "remeasured": {}}}
+    line = json.dumps(bench._ordered_for_emit(out))
+    cut = line.index('"value"') + 8  # mid-token, before "queries"
+    _write(tmp_path, "BENCH_r9.json", {"parsed": None, "tail": line[cut:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r9.json"
+    assert parsed["queries"] == {"q01": 1.0, "q02": 2.0, "q03": 3.0}
+    assert parsed["guard"]["prior_record"] == "BENCH_r08.json"
+
+
+def test_cut_inside_queries_with_guard_queries_remnant(tmp_path):
+    """A cut INSIDE the queries dict when guard.remeasured ALSO has a
+    'queries' entry: the later '"queries"' occurrence must not be
+    mistaken for the real dict (its braces don't balance); the splice
+    tier recovers the surviving cells instead."""
+    import json
+
+    out = {"metric": "m", "unit": "sec", "sf": 0.1,
+           "queries": {"q01": 1.0, "q02": 2.0, "q03": 3.0},
+           "guard": {"ratio": 1.5, "prior_record": "BENCH_r08.json",
+                     "remeasured": {"queries": {"q01": {
+                       "prior": 0.9, "first": 1.4, "final": 1.0}}}}}
+    line = json.dumps(bench._ordered_for_emit(out))
+    cut = line.index('"q02"') - 2  # at the ', ' before q02
+    _write(tmp_path, "BENCH_r9.json", {"parsed": None, "tail": line[cut:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r9.json"
+    # q01 is the truncation casualty; q02/q03 survive as numbers
+    assert parsed["queries"]["q02"] == 2.0
+    assert parsed["queries"]["q03"] == 3.0

@@ -185,3 +185,26 @@ def test_bloom_broadcast_cached_per_instance(spark):
     bc3 = _bloom_broadcast(spark, bloom)
     assert bc3 is not bc1
     assert bloom_semi_join(big, small, on="k", bloom=bloom).count() == 100
+
+
+def test_bloom_picklable_after_probe(spark):
+    """Round-9 review: probing caches (weakref, Broadcast) on the
+    instance; pickling must drop that cache, not crash — the
+    build-once/cache/probe-many pattern ships blooms through
+    pickle/cloudpickle."""
+    import pickle
+
+    from nsl_kdd_spark.operators.bloom import (
+        _bloom_broadcast,
+        bloom_semi_join,
+        build_key_bloom,
+    )
+
+    small = spark.range(50).withColumnRenamed("id", "k")
+    bloom = build_key_bloom(small, ["k"])
+    _bloom_broadcast(spark, bloom)  # populate the cache
+    clone = pickle.loads(pickle.dumps(bloom))
+    assert clone.bits == bloom.bits and clone.m == bloom.m
+    assert "_bc" not in clone.__dict__  # cache not carried over
+    big = spark.range(200).withColumnRenamed("id", "k")
+    assert bloom_semi_join(big, small, on="k", bloom=clone).count() == 50
