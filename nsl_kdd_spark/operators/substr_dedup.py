@@ -130,6 +130,68 @@ def duplicated_spans(
     )
 
 
+def duplicated_run_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """The corpus's dominant duplicated runs: ``(gram_text,
+    n_occurrences, n_docs)`` for the ``top_k`` most frequent
+    duplicated ``min_tokens``-grams — the observability view an
+    operator consults BEFORE tuning dedup (is the duplication one
+    viral quote or ubiquitous boilerplate? what should the
+    ``max_fp_df`` stop list / a stop-shingle cap be set to?).
+
+    Ties at the top-k boundary break on the gram hash (total order,
+    engine-portable), and each gram's text is reconstructed from its
+    first occurrence — by (id, pos) — so the report is deterministic.
+
+    Scale shape: the gram aggregation is the same single
+    hash-partitioned pass as :func:`duplicated_spans` (count +
+    distinct-docs + min-position in ONE groupBy); the top-k is a
+    TakeOrdered of aggregate rows (never a full sort of the gram
+    table), and only those ``top_k`` winners join back to documents
+    for text slicing — a broadcast join of k rows."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    L = min_tokens
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    grams = (
+        toks.withColumn("__h", _gram_hashes(F.col("__tk"), L))
+        .select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__g")
+    )
+    top = (
+        grams.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("__rep"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("__g"))
+        .limit(top_k)
+    )
+    return (
+        top.join(
+            toks.select(F.col(id_col).alias("__rid"), "__tk"),
+            top["__rep.d"] == F.col("__rid"),
+        )
+        .select(
+            F.concat_ws(
+                " ", F.slice("__tk", F.col("__rep.p"), L)
+            ).alias("gram_text"),
+            "n_occurrences",
+            "n_docs",
+        )
+        .orderBy(F.desc("n_occurrences"), "gram_text")
+    )
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     id_col: str,

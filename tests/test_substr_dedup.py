@@ -120,3 +120,42 @@ def test_plan_shape_linear_no_pairs(spark):
     assert tree.count("Exchange") == 2
     assert "Join" not in tree and "CartesianProduct" not in tree
     assert "EvalPython" not in plan
+
+
+def test_duplicated_run_report_counts_and_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + RUN),
+            (2, RUN + " y1 y2"),
+            (3, RUN + " " + RUN),   # two more occurrences, one doc
+            (4, "all unique words here nothing repeated at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from nsl_kdd_spark.operators.substr_dedup import duplicated_run_report
+
+    rows = duplicated_run_report(
+        docs, "doc_id", "text", min_tokens=8, top_k=5
+    ).collect()
+    by_text = {r.gram_text: (r.n_occurrences, r.n_docs) for r in rows}
+    # RUN occurs 4x across 3 docs; its text reconstructs verbatim
+    assert by_text[RUN] == (4, 3)
+    # every reported gram is genuinely duplicated
+    assert all(n >= 2 for n, _ in by_text.values())
+    # ordering: most frequent first
+    assert rows[0].gram_text == RUN
+
+
+def test_duplicated_run_report_top_k_cutoff(spark):
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, a), (4, b), (5, b)],
+        "doc_id long, text string",
+    )
+    from nsl_kdd_spark.operators.substr_dedup import duplicated_run_report
+
+    rows = duplicated_run_report(
+        docs, "doc_id", "text", min_tokens=8, top_k=1
+    ).collect()
+    assert len(rows) == 1 and rows[0].gram_text == a  # 3 occ beats 2
