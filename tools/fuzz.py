@@ -1497,6 +1497,61 @@ def fam_substr_spans(rng: random.Random):
     return f"L={L} keep={keep}", spark_fn, sql, False
 
 
+def fam_substr_report(rng: random.Random):
+    """Duplicated-run report (round-9, q155's operator): draws move
+    the run length L and the top-k cutoff. Tie-breaking at the
+    cutoff is on the md5 gram hash — engine-portable — so the
+    selected SET is identical across engines even when several runs
+    share an occurrence count; text reconstructs from the first
+    (doc_id, pos) occurrence in both."""
+    L = rng.choice((4, 5, 6, 8))
+    top_k = rng.choice((5, 10, 20, 40))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.substr_dedup import (
+            duplicated_run_report,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return duplicated_run_report(
+            docs, "doc_id", "text", min_tokens=L, top_k=top_k
+        )
+
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, t.i AS pos,
+             substr(md5(array_to_string(tk[t.i:t.i+{L - 1}], ' ')), 1, 16)
+               AS h
+      FROM toks, unnest(generate_series(1, len(tk) - {L - 1})) AS t(i)
+      WHERE len(tk) >= {L}
+    ), agg AS (
+      SELECT h, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM grams GROUP BY h HAVING COUNT(*) >= 2
+    ), rep AS (
+      SELECT h, doc_id, pos FROM (
+        SELECT h, doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM grams) ranked
+      WHERE rn = 1
+    ), top AS (
+      SELECT a.h, a.n_occurrences, a.n_docs, r.doc_id, r.pos
+      FROM agg a JOIN rep r USING (h)
+      ORDER BY a.n_occurrences DESC, a.h LIMIT {top_k}
+    )
+    SELECT array_to_string(tk[t.pos:t.pos+{L - 1}], ' ') AS gram_text,
+           CAST(t.n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(t.n_docs AS BIGINT) AS n_docs
+    FROM top t JOIN toks USING (doc_id)
+    ORDER BY n_occurrences DESC, gram_text
+    """
+    return f"L={L} top_k={top_k}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1528,6 +1583,7 @@ FAMILIES = {
     "vector_registry": fam_vector_registry,
     "winnow_registry": fam_winnow_registry,
     "substr_spans": fam_substr_spans,
+    "substr_report": fam_substr_report,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -1536,7 +1592,8 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "asof", "filtered_agg", "hash_sample", "pack_chunks",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
-         "hard_negatives", "winnow_registry", "substr_spans")
+         "hard_negatives", "winnow_registry", "substr_spans",
+         "substr_report")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
