@@ -328,3 +328,45 @@ def test_cut_inside_queries_with_guard_queries_remnant(tmp_path):
     # q01 is the truncation casualty; q02/q03 survive as numbers
     assert parsed["queries"]["q02"] == 2.0
     assert parsed["queries"]["q03"] == 3.0
+
+
+def test_recovery_sound_at_every_cut_position(tmp_path):
+    """Exhaustive sweep: for EVERY possible truncation point of a
+    realistic reordered line, the loader must (a) never return
+    corrupted cells — any recovered numeric cell that names a real
+    query matches the true value — and (b) recover the FULL queries
+    dict whenever the cut lands at or before the '"queries"' key
+    (the dict is intact in the fragment)."""
+    import json
+
+    out = {
+        "metric": "m", "unit": "sec", "sf": 0.1,
+        "dedup_scale": {"dedup25k_jaccard": 5.3, "dedup100k_jaccard": 9.1},
+        "corpus_scale": {"winnow10k_pairs": 1.4, "substr10k_spans": 2.5},
+        "value": 12.3,
+        "queries": {"q01": 1.0, "q02": 2.0, "q03": 3.0, "q04": 4.0},
+        "guard": {"ratio": 1.5, "prior_record": "BENCH_r08.json",
+                  "remeasured": {"queries": {"q01": {
+                      "prior": 0.9, "first": 1.4, "final": 1.0}}}},
+    }
+    line = json.dumps(bench._ordered_for_emit(out))
+    qkey = line.index('"queries"')
+    truth = out["queries"]
+    recovered_full = 0
+    for cut in range(len(line) - 10):
+        _write(tmp_path, "BENCH_r9.json",
+               {"parsed": None, "tail": line[cut:]})
+        parsed = bench._parse_bench_record(str(tmp_path / "BENCH_r9.json"))
+        if parsed is None:
+            assert cut > qkey, f"cut {cut} before queries key lost the dict"
+            continue
+        q = parsed.get("queries")
+        assert isinstance(q, dict)
+        for k, v in q.items():
+            if k in truth and isinstance(v, (int, float)):
+                assert v == truth[k], (cut, k, v)
+        if cut <= qkey:
+            assert q == truth, f"cut {cut}: intact queries dict lost cells"
+            recovered_full += 1
+    # the pre-queries region must actually have been exercised
+    assert recovered_full == qkey + 1
