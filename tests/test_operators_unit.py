@@ -1349,3 +1349,21 @@ def test_retrieval_eval_known_values(spark):
     out4 = {r.query_id: r for r in retrieval_eval(
         run, positives, k=4).collect()}
     assert (out4["q1"].hits, out4["q1"].rr_u) == (1, 500_000)
+
+
+def test_retrieval_eval_plan_broadcasts_labels(spark):
+    """q154's plan contract: positives label-join and n_pos join are
+    BroadcastHashJoins (judgment tables are tiny by nature), the only
+    nested-loop joins are knn's documented broadcast-query scoring,
+    and nothing falls to CartesianProduct or Python."""
+    from nsl_kdd_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.test_plan_quality import plan_of
+
+    df = QUERIES["q154_retrieval_eval"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert tree.count("BroadcastNestedLoop") <= 2  # knn query broadcast
+    assert "CartesianProduct" not in tree
+    assert "EvalPython" not in plan
