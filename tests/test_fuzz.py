@@ -22,5 +22,5 @@ def test_fuzz_cheap_families_fixed_seed(spark):
 
 
 def test_fuzz_families_registry_sane():
-    assert len(FAMILIES) >= 21
+    assert len(FAMILIES) >= 31  # round-9: +winnow_registry/substr_*
     assert set(CHEAP) <= set(FAMILIES)
