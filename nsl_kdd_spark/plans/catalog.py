@@ -6466,6 +6466,35 @@ _SUBSTR_ISLANDS_SQL = """isl AS (
             FROM dup) lagged
     )"""
 
+# strip tail shared by q153/q156: merged spans -> covered positions ->
+# anti-joined token table -> per-doc reassembly (docs stripped to
+# nothing come back with empty text_clean)
+_SUBSTR_STRIP_TAIL_SQL = """spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    ), cov AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM spans, unnest(generate_series(s, e)) AS u(p)
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ), agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.txt, '') AS text_clean,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.nk, 0)
+                AS INTEGER) AS removed_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
+
 
 @query(
     "q152_exact_substring_spans",
@@ -6510,31 +6539,7 @@ def q152_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c >= 2 AND rn >= 2
     ),
     {_SUBSTR_ISLANDS_SQL},
-    spans AS (
-      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
-      FROM isl GROUP BY doc_id, island
-    ), cov AS (
-      SELECT DISTINCT doc_id, u.p AS pos
-      FROM spans, unnest(generate_series(s, e)) AS u(p)
-    ), tok AS (
-      SELECT doc_id, t.i AS pos, tk[t.i] AS w
-      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
-    ), kept AS (
-      SELECT t.doc_id, t.pos, t.w
-      FROM tok t LEFT JOIN cov c
-        ON t.doc_id = c.doc_id AND t.pos = c.pos
-      WHERE c.pos IS NULL
-    ), agg AS (
-      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt,
-             COUNT(*) AS nk
-      FROM kept GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(a.txt, '') AS text_clean,
-           CAST(len(string_split(d.text, ' ')) - COALESCE(a.nk, 0)
-                AS INTEGER) AS removed_tokens
-    FROM documents d LEFT JOIN agg a USING (doc_id)
-    ORDER BY doc_id
+    {_SUBSTR_STRIP_TAIL_SQL}
     """,
 )
 def q153_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6659,6 +6664,43 @@ def q155_duplicated_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_run_report(
         docs, "doc_id", "text", min_tokens=8, top_k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — exact-substring strip under scope="cross_doc" (round-10): a
+# gram is duplicated only when it occurs in >= 2 DISTINCT documents,
+# the variant curation teams run when intra-document repetition is
+# already handled by the repetition-quality tier (q77) — a chorus
+# repeated inside one lyric survives; cross-document boilerplate is
+# stripped. Engine-side this is one more partial-aggregatable column
+# (countDistinct(doc)) on the same de-skewed gram aggregate as
+# q152/q153; the oracle expresses the same predicate as a grouped
+# HAVING + join back (NOT a window — mirroring the engine shape).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q156_exact_substring_cross_doc",
+    oracle=f"""
+    WITH {_SUBSTR_GRAMS_SQL},
+    dup AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g
+      JOIN (SELECT h FROM grams GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2) d USING (h)
+    ),
+    {_SUBSTR_ISLANDS_SQL},
+    {_SUBSTR_STRIP_TAIL_SQL}
+    """,
+)
+def q156_exact_substring_cross_doc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.substr_dedup import strip_duplicate_spans
+
+    docs = load_tables(spark, sf_dir).documents
+    return strip_duplicate_spans(
+        docs, "doc_id", "text", min_tokens=8, keep="none", scope="cross_doc"
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

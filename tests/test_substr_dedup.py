@@ -108,18 +108,105 @@ def test_invalid_args_raise(spark):
 
 
 def test_plan_shape_linear_no_pairs(spark):
-    """The 100 TB claim in the plan: gram hashing is a projection,
-    duplicate detection is ONE hash-partitioned window, island merge
-    is ONE doc-partitioned window whose groupBy reuses its exchange —
-    2 exchanges total, no join of any kind, no Python."""
+    """The 100 TB claim in the plan (round-10 de-skewed shape): gram
+    hashing is a projection; duplicate detection is a map-side-partial
+    groupBy(gram) aggregate — a partial/final HashAggregate pair
+    around its exchange, so a hot boilerplate gram is absorbed in
+    map-side combine instead of buffering in one WindowExec task —
+    joined back on the gram hash (sort-merge against a one-row-per-key
+    table: no fan-out, AQE-skew-splittable); island merge is ONE
+    doc-partitioned window whose groupBy reuses its exchange. 3
+    exchanges, exactly one equi-join, no gram-partitioned window, no
+    Python."""
     from tests.test_plan_quality import plan_of
 
     df = duplicated_spans(_docs(spark), "doc_id", "text", min_tokens=8)
     plan = plan_of(df)
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 2
-    assert "Join" not in tree and "CartesianProduct" not in tree
+    assert tree.count("Exchange") == 3
+    # exactly one join: the no-fan-out probe of the gram aggregate
+    assert tree.count("SortMergeJoin") + tree.count(
+        "BroadcastHashJoin"
+    ) == 1
+    assert "CartesianProduct" not in tree
+    assert "NestedLoop" not in tree
+    # the island merge's doc window is the ONLY window left — the
+    # gram-partitioned count/rank window (hot-key buffering) is gone
+    assert tree.count("Window") == 2  # lag + running-sum share a pane
+    # partial/final aggregate pair => map-side combine on the gram key
+    assert tree.count("HashAggregate") >= 4
     assert "EvalPython" not in plan
+
+
+def test_cross_doc_scope_ignores_intra_doc_repeats(spark):
+    """scope="cross_doc": a run repeated only WITHIN one document is
+    not duplicated (countDistinct(doc) == 1), while any-scope flags
+    it; cross-document runs are flagged by both."""
+    chorus = " ".join(f"c{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one two " + RUN + " tail xyz"),
+            (2, "prefix " + RUN + " suffix here now"),
+            # chorus repeats inside doc 3 only — never in another doc
+            (3, chorus + " bridge word " + chorus),
+        ],
+        "doc_id long, text string",
+    )
+    any_ids = {
+        (r.doc_id, r.span_start)
+        for r in duplicated_spans(
+            docs, "doc_id", "text", min_tokens=8, scope="any"
+        ).collect()
+    }
+    cross_ids = {
+        (r.doc_id, r.span_start)
+        for r in duplicated_spans(
+            docs, "doc_id", "text", min_tokens=8, scope="cross_doc"
+        ).collect()
+    }
+    assert (3, 1) in any_ids and (3, 11) in any_ids
+    assert not any(d == 3 for d, _ in cross_ids)
+    assert (1, 4) in cross_ids and (2, 2) in cross_ids
+
+
+def test_cross_doc_keep_first_exempts_corpus_first(spark):
+    got = {
+        (r.doc_id, r.span_start)
+        for r in duplicated_spans(
+            _docs(spark),
+            "doc_id",
+            "text",
+            min_tokens=8,
+            keep="first",
+            scope="cross_doc",
+        ).collect()
+    }
+    # doc 1 holds the corpus-first occurrence of RUN -> exempt
+    assert not any(d == 1 for d, _ in got)
+    assert (2, 2) in got and (4, 1) in got
+
+
+def test_strip_cross_doc_keeps_intra_doc_repetition(spark):
+    chorus = " ".join(f"c{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [
+            (1, chorus + " bridge word " + chorus),
+            (2, "zz " + RUN), (3, RUN + " yy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.removed_tokens
+        for r in strip_duplicate_spans(
+            docs, "doc_id", "text", min_tokens=8, scope="cross_doc"
+        ).collect()
+    }
+    assert got == {1: 0, 2: 8, 3: 8}
+
+
+def test_invalid_scope_raises(spark):
+    with pytest.raises(ValueError, match="scope"):
+        duplicated_spans(_docs(spark), "doc_id", "text", scope="within")
 
 
 def test_duplicated_run_report_counts_and_text(spark):

@@ -40,7 +40,7 @@ PICKS = {
     "q147_decontaminate_bloom": "bloom decontamination: ArrowEvalPython probe directly on the exploded gram stream, exact re-check join only over survivors",
     "q148_bloom_semi_join": "bloom semi join: Arrow probe on the fact scan (no fact exchange below it), BroadcastHashJoin LeftSemi re-check",
     "q150_winnow_clusters": "winnow-cluster pipeline: fingerprint equi-join pairs -> iterative CC (lineage-truncated, plan shows final round) -> cluster-keyed canonical window",
-    "q152_exact_substring_spans": "exact-substring dedup (r9): gram-hash projection in the scan stage, ONE hash-partitioned window count, doc-partitioned island merge whose groupBy reuses the exchange — 2 exchanges, no join anywhere",
+    "q152_exact_substring_spans": "exact-substring dedup (r10 de-skewed): gram-hash projection in the scan stage, map-side-partial groupBy(gram) aggregate (hot boilerplate grams absorbed in partial combine, never buffered in a window partition) joined back on the gram hash (one row per key — no fan-out, AQE-skew-splittable), doc-partitioned island merge whose groupBy reuses the exchange — 3 exchanges, one equi-join",
     "q154_retrieval_eval": "retrieval eval (r9): brute-force rank window over the broadcast query set, broadcast positives label join, one grouped integer aggregation",
     "q155_duplicated_run_report": "duplicated-run report (r9): one gram aggregation (count + distinct-docs + min-position in a single groupBy), TakeOrdered top-k, k-row broadcast join back for text slicing",
 }

@@ -1439,13 +1439,16 @@ def fam_winnow_registry(rng: random.Random):
 def fam_substr_spans(rng: random.Random):
     """Exact-substring duplicated spans (round-9; Lee et al. 2022
     ExactSubstr, operators/substr_dedup.py). Draws move the run
-    length L and the keep mode (remove-all vs corpus-first-exempt);
-    the oracle replays the engine's exact layout — 16-hex md5 gram
-    hashes, window count >= 2, (doc_id, pos) rank for keep="first",
-    fixed-interval island merge — so row sets compare bit-exact
-    (int positions only, no float class at all)."""
+    length L, the keep mode (remove-all vs corpus-first-exempt) and
+    — round-10, matching the de-skewed groupBy engine shape — the
+    scope (any occurrence vs >= 2 distinct docs); the oracle replays
+    the engine's exact layout — 16-hex md5 gram hashes, grouped
+    duplicate predicate + join back, (doc_id, pos)-min exemption for
+    keep="first", fixed-interval island merge — so row sets compare
+    bit-exact (int positions only, no float class at all)."""
     L = rng.choice((5, 6, 8, 10))
     keep = rng.choice(("none", "first"))
+    scope = rng.choice(("any", "cross_doc"))
 
     def spark_fn(spark, sf_dir):
         from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
@@ -1453,16 +1456,32 @@ def fam_substr_spans(rng: random.Random):
 
         docs = load_tables(spark, sf_dir).documents
         return duplicated_spans(
-            docs, "doc_id", "text", min_tokens=L, keep=keep
+            docs, "doc_id", "text", min_tokens=L, keep=keep, scope=scope
         ).orderBy("doc_id", "span_start")
 
-    rank = (
-        f""",
-               ROW_NUMBER() OVER (PARTITION BY h
-                                  ORDER BY doc_id, pos) AS rn"""
-        if keep == "first" else ""
+    pred = (
+        "COUNT(DISTINCT doc_id)" if scope == "cross_doc" else "COUNT(*)"
     )
-    where = "c >= 2 AND rn >= 2" if keep == "first" else "c >= 2"
+    if keep == "first":
+        dup = f"""dup AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g
+      JOIN (SELECT h FROM grams GROUP BY h
+            HAVING {pred} >= 2) d USING (h)
+      JOIN (SELECT h, doc_id AS fd, pos AS fp FROM (
+              SELECT h, doc_id, pos,
+                     ROW_NUMBER() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM grams) r WHERE rn = 1) f USING (h)
+      WHERE NOT (g.doc_id = f.fd AND g.pos = f.fp)
+    )"""
+    else:
+        dup = f"""dup AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g
+      JOIN (SELECT h FROM grams GROUP BY h
+            HAVING {pred} >= 2) d USING (h)
+    )"""
     sql = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -1472,12 +1491,7 @@ def fam_substr_spans(rng: random.Random):
                AS h
       FROM toks, unnest(generate_series(1, len(tk) - {L - 1})) AS t(i)
       WHERE len(tk) >= {L}
-    ), dup AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c{rank}
-        FROM grams) counted
-      WHERE {where}
-    ), isl AS (
+    ), {dup}, isl AS (
       SELECT doc_id, pos,
              SUM(CASE WHEN prev IS NOT NULL AND pos <= prev + {L}
                       THEN 0 ELSE 1 END)
@@ -1494,7 +1508,7 @@ def fam_substr_spans(rng: random.Random):
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
     """
-    return f"L={L} keep={keep}", spark_fn, sql, False
+    return f"L={L} keep={keep} scope={scope}", spark_fn, sql, False
 
 
 def fam_substr_report(rng: random.Random):
