@@ -128,6 +128,10 @@ def _parse_bench_record(path: str) -> dict | None:
        shadowed by the real (later, duplicate-keyed) queries dict;
        cell names are unique across tiers, so a surviving remnant can
        never masquerade as another tier's prior.
+    Tiers 4a/4/5 compete rather than short-circuit: every splice that
+    parses becomes a candidate and the richest (most tier dicts, then
+    most cells) wins — round-10 advisory: first-match-wins let 4a
+    discard intact tiers sitting before the queries key.
     """
     try:
         with open(path) as f:
@@ -150,26 +154,35 @@ def _parse_bench_record(path: str) -> dict | None:
         except ValueError:
             pass
     frag = tail.lstrip()
+    # Tiers 4a/4/5 are splice guesses over the same fragment; no one
+    # splice dominates (round-10 advisory: when the cut lands inside
+    # an EARLY scale tier, the 4a bare-brace splice at '"queries"'
+    # parses fine but discards the later intact tiers sitting BEFORE
+    # that key, which the tier-5 cut-splice preserves via
+    # duplicate-key shadowing). So collect every candidate that
+    # parses and keep the richest — most tier dicts, then most cells:
+    # a strictly-information-ordered choice, never first-match-wins.
+    candidates: list[dict] = []
     # tier 4a (round-9 review): the cut landed BEFORE the queries
     # dict (between the scale tiers and the '"queries"' key, e.g.
     # inside '"value": 29.9, '). The whole queries dict is intact in
     # the fragment — splice a bare '{' at its key so no cell is lost.
     # First occurrence is the real key when intact; a '"queries"'
     # that only appears inside guard.remeasured fails the parse (the
-    # braces don't balance) and falls through to the cut-splice tier.
+    # braces don't balance) and contributes no candidate.
     qpos = frag.find('"queries"')
     if qpos >= 0:
         try:
             cand = json.loads("{" + frag[qpos:])
             if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
-                return cand
+                candidates.append(cand)
         except ValueError:
             pass
     if frag.startswith(":"):
         try:
             cand = json.loads('{"queries"' + frag)
             if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
-                return cand
+                candidates.append(cand)
         except ValueError:
             pass
     import re as _re
@@ -183,7 +196,16 @@ def _parse_bench_record(path: str) -> dict | None:
         except ValueError:
             continue
         if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
-            return cand
+            candidates.append(cand)
+            break
+    if candidates:
+        return max(
+            candidates,
+            key=lambda c: (
+                sum(1 for v in c.values() if isinstance(v, dict)),
+                sum(len(v) for v in c.values() if isinstance(v, dict)),
+            ),
+        )
     return None
 
 

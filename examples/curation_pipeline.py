@@ -75,13 +75,24 @@ def main() -> None:
         survivors, "doc_id", "text", min_tokens=5, keep="first"
     ).persist()
     removed = stripped.agg(F.sum("removed_tokens")).first()[0] or 0
+    # rebuild with ONLY (doc_id, text): letting removed_tokens ride
+    # along would leak a curation-internal column into every
+    # downstream stage's corpus (round-10 advisory)
     survivors = (
         survivors.drop("text")
-        .join(stripped.filter(F.length("text_clean") > 0), "doc_id")
-        .withColumnRenamed("text_clean", "text")
+        .join(
+            stripped.filter(F.length("text_clean") > 0)
+            .select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        )
+        .persist()
     )
     print(f"duplicated-span tokens removed: {removed}; "
           f"docs remaining non-empty: {survivors.count()}")
+    # survivors is materialized above, so the stripped cache has no
+    # remaining consumer (downstream lineages read the survivors
+    # cache, not the gram-hash pipeline)
+    stripped.unpersist()
 
     print("== Bloom-gated decontamination (exact, two-phase) ==")
     corpus = survivors.filter(F.col("doc_id") % 41 != 0)

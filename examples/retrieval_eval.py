@@ -54,14 +54,18 @@ def main() -> None:
     print("== int8-quantized ANN with exact re-rank ==")
     qz = quantize_embeddings(t.embeddings)
     queries = t.embeddings.filter(F.col("vec_id") < 5)
-    hits = knn_quantized(qz, queries, k=5, rerank=15, exact=t.embeddings)
+    # persist: three consumers below (show, rrf_fuse, ranking_metrics)
+    # would otherwise each re-run the quantized scan (round-9 verdict)
+    hits = knn_quantized(
+        qz, queries, k=5, rerank=15, exact=t.embeddings
+    ).persist()
     hits.show(10)
 
     print("== hybrid fusion: RRF of quantized-ANN + exact cosine runs ==")
     exact_run = knn_bruteforce(t.embeddings, queries, k=5)
     fused = rrf_fuse([hits.select("query_id", "vec_id", "rank"),
                       exact_run.select("query_id", "vec_id", "rank")],
-                     top_n=5)
+                     top_n=5).persist()
     fused.show(10)
 
     print("== NDCG@5 / MRR (relevance = label agreement) ==")

@@ -214,6 +214,10 @@ def ranking_metrics(
         / (F.log(ideal_pos.cast("double") + 1.0) / F.log(F.lit(2.0)))
         * F.lit(float(scale))
     ).cast("long")
+    # float ROUND is engine-identical here because an exact .5
+    # quotient needs rank to be a multiple of 128 (2*scale = 2^7*5^6*k
+    # for scale=1e6), unreachable at top-k depths; retrieval_eval's
+    # rr_u uses the all-integer form because its scale/k are free
     rr_u = F.when(
         F.col(rel_col) > 0,
         F.round(F.lit(float(scale)) / F.col(rank_col)).cast("long"),
@@ -317,8 +321,14 @@ def retrieval_eval(
             F.expr(
                 f"(coalesce(hits, 0) * {scale}) div {k}"
             ).alias("precision_ppm"),
+            # all-integer round-half-up of scale/first_rank: float
+            # round here would pin the result to the engine's rounding
+            # mode on an exact .5 quotient (Spark HALF_UP vs whatever
+            # the oracle engine does) — (2s + r) div (2r) is the same
+            # value for every non-half quotient and engine-independent
+            # on the halves (round-10 advisory)
             F.coalesce(
-                F.round(F.lit(float(scale)) / F.col("__first")).cast("long"),
+                F.expr(f"({2 * scale} + __first) div (2 * __first)"),
                 F.lit(0),
             ).alias("rr_u"),
         )

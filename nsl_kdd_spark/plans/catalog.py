@@ -6600,8 +6600,8 @@ def q153_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0 END AS BIGINT) AS recall_ppm,
            CAST((COALESCE(p.hits, 0) * 1000000) // 20 AS BIGINT)
              AS precision_ppm,
-           CAST(COALESCE(ROUND(1000000.0 / p.first_hit), 0) AS BIGINT)
-             AS rr_u
+           CAST(COALESCE((2000000 + p.first_hit) // (2 * p.first_hit), 0)
+                AS BIGINT) AS rr_u
     FROM (SELECT DISTINCT query_id FROM run) allq
     LEFT JOIN perq p USING (query_id)
     LEFT JOIN np USING (query_id)

@@ -370,3 +370,35 @@ def test_recovery_sound_at_every_cut_position(tmp_path):
             recovered_full += 1
     # the pre-queries region must actually have been exercised
     assert recovered_full == qkey + 1
+
+
+def test_cut_inside_early_tier_keeps_later_intact_tiers(tmp_path):
+    """Round-10 advisory: a cut INSIDE an early scale-tier dict
+    leaves later tiers (corpus_scale here) intact in the fragment
+    BEFORE the '"queries"' key. The 4a bare-brace splice at that key
+    parses but would discard them; the candidates must compete and
+    the cut-splice (which preserves them via duplicate-key
+    shadowing) must win."""
+    import json
+
+    out = {
+        "metric": "m", "unit": "sec", "sf": 0.1,
+        "dedup_scale": {"dedup25k_jaccard": 5.3, "dedup100k_jaccard": 9.1},
+        "corpus_scale": {"winnow10k_pairs": 1.4, "substr10k_spans": 2.5},
+        "value": 12.3,
+        "queries": {"q01": 1.0, "q02": 2.0},
+        "guard": {"ratio": 1.5, "prior_record": "BENCH_r08.json",
+                  "remeasured": {}},
+    }
+    line = json.dumps(bench._ordered_for_emit(out))
+    cut = line.index('"dedup100k_jaccard"') - 2  # inside dedup_scale
+    _write(tmp_path, "BENCH_r9.json", {"parsed": None, "tail": line[cut:]})
+    parsed = bench._parse_bench_record(str(tmp_path / "BENCH_r9.json"))
+    assert parsed is not None
+    # the later tier survived whole — this is what 4a-first discarded
+    assert parsed["corpus_scale"] == {
+        "winnow10k_pairs": 1.4, "substr10k_spans": 2.5
+    }
+    # the real queries dict shadows the remnant
+    assert parsed["queries"] == {"q01": 1.0, "q02": 2.0}
+    assert parsed["guard"]["prior_record"] == "BENCH_r08.json"
