@@ -538,10 +538,21 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
       measurement; replicas have disjoint token spaces, so true
       pair structure scales linearly like the dedup tier),
     - exact-substring duplicated spans (round-9, Lee et al. 2022
-      ExactSubstr): gram hashing + ONE hash-partitioned window
-      count + island merge, no pair join anywhere — wall should
-      grow ~linearly with docs (duplicated structure scales
-      linearly across token-disjoint replicas).
+      ExactSubstr; round-10 de-skewed): gram hashing + map-side
+      -partial groupBy(gram) + join-back + island merge, no pair
+      join anywhere — wall should grow ~linearly with docs
+      (duplicated structure scales linearly across token-disjoint
+      replicas),
+    - the substrhot cells re-run spans over the same corpus with an
+      8-token boilerplate footer appended to EVERY document — one
+      gram at df = n_docs, ~1e4x the median df of the replicated
+      fixture (replicas share no tokens, so an ordinary duplicated
+      gram has df ~ replicas). This is the regime the r9 window
+      shape stalled in (all n_docs occurrences buffered in one
+      WindowExec task) and the r10 groupBy+join-back absorbs in
+      map-side partial combine; staying ~linear 1x->4x WITH the hot
+      gram present is the guard-specific stress evidence (same
+      pattern as the winnow/bloom tiers).
     """
     from pyspark.sql import functions as F
 
@@ -574,6 +585,16 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         reg_fps.count()
         corpus = docs.filter(F.col("doc_id") % 41 != 0)
         bench = docs.filter(F.col("doc_id") % 41 == 0)
+        # hot-gram stress corpus: one boilerplate 8-gram in EVERY doc
+        # (df = n_docs; a cheap projection over the persisted docs)
+        hot_docs = docs.withColumn(
+            "text",
+            F.concat_ws(
+                " ", "text",
+                F.lit("standard license header boilerplate footer "
+                      "terms apply everywhere"),
+            ),
+        )
 
         # min-of-2 like every other cell: the first build of a fresh
         # session otherwise pays JVM/Arrow warmup and records ~4x high
@@ -606,6 +627,9 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             ).accepted,
             f"substr{label}_spans": lambda: duplicated_spans(
                 docs, "doc_id", "text", min_tokens=8
+            ),
+            f"substrhot{label}_spans": lambda: duplicated_spans(
+                hot_docs, "doc_id", "text", min_tokens=8
             ),
         }
         for name, fn in ops.items():

@@ -112,15 +112,18 @@ def unpivot(
     return casted.unpivot(list(ids), list(values), var_name, value_name)
 
 
-def md5_key(key_col: str, salt: str = "") -> "Column":
+def md5_key(key_col, salt: str = "") -> "Column":
     """``md5(salt || key)`` as a hex string — the shared hash every
     deterministic sampler/splitter/sharder AND the epoch shuffle key
     on. One definition so the salting/cast scheme can never diverge
-    between consumers (review r03)."""
-    return F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    between consumers (review r03). Accepts a column name or a
+    Column expression (r10: the hashed-n-gram classifier buckets
+    computed gram strings, not physical columns)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.md5(F.concat(F.lit(salt), c.cast("string")))
 
 
-def md5_bucket16(key_col: str, salt: str = "") -> "Column":
+def md5_bucket16(key_col, salt: str = "") -> "Column":
     """The ONE 16-bit md5 bucket expression every deterministic
     splitter/sampler/sharder keys on (``md5(salt || key)`` first 4 hex
     digits as an int in [0, 65536)). Centralized because the

@@ -116,13 +116,20 @@ def duplicated_spans(
         )
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    from pyspark import StorageLevel
+
     L = min_tokens
+    # persisted because TWO consumers read it (the duplicate
+    # aggregate and the join-back probe) and Spark does not reuse a
+    # scan across consumers — without this the corpus is tokenized +
+    # hashed twice. The q67 TF-IDF tier's persisted-TF pattern:
+    # disk-backed blocks, ~the bytes the gram shuffle moves anyway.
     grams = (
         df.select(F.col(id_col), tokens(text_col).alias("__tk"))
         .withColumn("__h", _gram_hashes(F.col("__tk"), L))
         .select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
         .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__g")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     aggs = [
         (
             F.countDistinct(id_col) if scope == "cross_doc"

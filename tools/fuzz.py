@@ -1566,6 +1566,87 @@ def fam_substr_report(rng: random.Random):
     return f"L={L} top_k={top_k}", spark_fn, sql, False
 
 
+def fam_linear_text(rng: random.Random):
+    """fastText-style linear classifier inference (round-10 growth
+    item; ml/linear_text.py). Draws move the n-gram order, the
+    hashed-bucket count, the label-set size and the model seed; the
+    oracle regenerates the deterministic demo model with
+    demo_weights_sql (kept in-module next to the generator) and
+    replays the engine's exact layout — 16-bit md5 gram buckets mod
+    n_buckets, division-free n-scaled integer margins — comparing
+    the FULL per-(doc, label) score table bit-exact."""
+    word_ngrams = rng.choice((1, 2, 3))
+    n_buckets = rng.choice((256, 1024, 4096))
+    n_labels = rng.choice((2, 3, 4))
+    seed = rng.randrange(100)
+    labels = ("keep", "review", "spam", "toss")[:n_labels]
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.ml.linear_text import (
+            demo_weights,
+            linear_text_scores,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        w, b = demo_weights(
+            spark, labels, n_buckets=n_buckets, seed=seed
+        )
+        return linear_text_scores(
+            docs, "doc_id", "text", w, b,
+            word_ngrams=word_ngrams, n_buckets=n_buckets,
+        ).orderBy("doc_id", "label")
+
+    from nsl_kdd_spark.ml.linear_text import demo_weights_sql
+    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+
+    wsql, bsql = demo_weights_sql(labels, n_buckets=n_buckets, seed=seed)
+    gram_sel = [
+        """SELECT doc_id, tk[t.i] AS g
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)"""
+    ]
+    n_terms = ["len(tk)"]
+    for n in range(2, word_ngrams + 1):
+        gram_sel.append(
+            f"""SELECT doc_id, array_to_string(tk[t.i:t.i+{n - 1}], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(tk) - {n - 1})) AS t(i)
+      WHERE len(tk) >= {n}"""
+        )
+        n_terms.append(
+            f"CASE WHEN len(tk) >= {n} THEN len(tk) - {n - 1} ELSE 0 END"
+        )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+      {" UNION ALL ".join(gram_sel)}
+    ), w AS ({wsql}),
+    b AS ({bsql}),
+    gb AS (
+      SELECT doc_id, ({_md5_bucket_sql("", "g")}) % {n_buckets} AS bucket
+      FROM grams
+    ), sums AS (
+      SELECT gb.doc_id, w.label, SUM(w.w_u) AS sw
+      FROM gb JOIN w USING (bucket) GROUP BY gb.doc_id, w.label
+    ), nn AS (
+      SELECT doc_id, {" + ".join(n_terms)} AS n FROM toks
+    )
+    SELECT nn.doc_id, b.label,
+           CAST(nn.n * b.bias_u + COALESCE(s.sw, 0) AS BIGINT)
+             AS margin_u
+    FROM nn CROSS JOIN b
+    LEFT JOIN sums s ON s.doc_id = nn.doc_id AND s.label = b.label
+    ORDER BY nn.doc_id, b.label
+    """
+    return (
+        f"ngrams={word_ngrams} buckets={n_buckets} "
+        f"labels={n_labels} seed={seed}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1598,6 +1679,7 @@ FAMILIES = {
     "winnow_registry": fam_winnow_registry,
     "substr_spans": fam_substr_spans,
     "substr_report": fam_substr_report,
+    "linear_text": fam_linear_text,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
