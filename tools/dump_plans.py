@@ -43,6 +43,7 @@ PICKS = {
     "q152_exact_substring_spans": "exact-substring dedup (r10 de-skewed): gram-hash projection in the scan stage, map-side-partial groupBy(gram) aggregate (hot boilerplate grams absorbed in partial combine, never buffered in a window partition) joined back on the gram hash (one row per key — no fan-out, AQE-skew-splittable), doc-partitioned island merge whose groupBy reuses the exchange — 3 exchanges, one equi-join",
     "q154_retrieval_eval": "retrieval eval (r9): brute-force rank window over the broadcast query set, broadcast positives label join, one grouped integer aggregation",
     "q155_duplicated_run_report": "duplicated-run report (r9): one gram aggregation (count + distinct-docs + min-position in a single groupBy), TakeOrdered top-k, k-row broadcast join back for text slicing",
+    "q157_quality_classifier": "linear text classifier (r10): gram generation + md5 bucketing in the scan projection, BROADCAST weight-table join on the exploded gram stream (no exchange below it), one map-side-combined (doc,label) aggregate, broadcast-tiny bias cross join, bounded per-doc argmax window; no EvalPython",
 }
 
 
