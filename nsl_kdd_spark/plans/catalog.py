@@ -6920,14 +6920,33 @@ def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-window alongside q27). Dropped r8 anchors (q02-q50 band,
 # q145/q146/q149/q150, q80/q123 etc.) are all double-green with an
 # r8 row and untouched this round.
+# Round-10 rotation (VERDICT r09 #4): the round's code changes are
+# the de-skewed exact-substring aggregate (q152/q153 stay IN as
+# touched re-anchors; NEW q156 cross-doc scope rotates in), the
+# rr_u integer-rounding fix in retrieval_eval (q154 stays IN,
+# touched), and the NEW linear text classifier (q157 rotates in).
+# The md5_key/md5_bucket16 Column-accepting signature change is
+# expression-identical for every existing consumer, and its family
+# is quadruple-anchored in-window already (q83/q86/q90/q99). Two
+# slots free up for q156/q157: q27_dedup_exact and
+# q32_cosine_neardup rotate OUT — both now double-green (r2 + r9
+# rows), both untouched, with their families held in-window by the
+# q57 corpus-funnel composite (exact dedup) and q154's
+# knn_bruteforce composition (exact cosine). Everything else in the
+# window is either a touched-family anchor or part of the r9
+# stale-evidence refresh whose rows are one round old; the stalest
+# out-of-window greens are r8 rows (one round old) — no further
+# refresh due. The full rotated window re-verified via
+# tools/compare.py at sf0.01 before end of round.
 DRIVER_WINDOW = [
-    # touched-this-round re-anchors + round-9 NEW queries
+    # r9 registry/bloom anchors + touched-this-round substr re-anchors
     "q73_registry_dedup", "q144_vector_registry_dedup",
     "q151_winnow_registry_dedup",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
     "q152_exact_substring_spans", "q153_exact_substring_strip",
-    # newest green row is r2 (single record, seven rounds old)
-    "q27_dedup_exact", "q32_cosine_neardup", "q37_sessionize",
+    # round-10 NEW queries (replacing double-green q27/q32)
+    "q156_exact_substring_cross_doc", "q157_quality_classifier",
+    "q37_sessionize",
     # newest green row is r3
     "q07_grouped_avg", "q15_vote_blend", "q24_text_stats",
     # newest green row is r4
