@@ -5,6 +5,7 @@ file:
     -> MOSS-style overlap pairs (shared-fingerprint equi-join)
     -> connected components -> longest-copy canonical selection
     -> exact-substring span strip (Lee et al. 2022 ExactSubstr, r9)
+    -> linear quality-classifier gate (fastText-style inference, r10)
     -> Bloom-gated benchmark decontamination (two-phase, exact)
     -> Bloom semi-join reduction (generic runtime-filter primitive)
     -> hard-negative mining for contrastive embedding training
@@ -36,6 +37,10 @@ from nsl_kdd_spark.operators.substr_dedup import (  # noqa: E402
 from nsl_kdd_spark.operators.winnow import (  # noqa: E402
     winnow_fingerprints,
     winnow_overlap_pairs,
+)
+from nsl_kdd_spark.ml.linear_text import (  # noqa: E402
+    classify_text,
+    demo_weights,
 )
 from nsl_kdd_spark.session import get_session  # noqa: E402
 from nsl_kdd_spark.sources.parquet import load_tables  # noqa: E402
@@ -93,6 +98,20 @@ def main() -> None:
     # remaining consumer (downstream lineages read the survivors
     # cache, not the gram-hash pipeline)
     stripped.unpersist()
+
+    print("== quality gate: linear classifier inference (r10) ==")
+    # a real pipeline loads an exported fastText model table here;
+    # the demo fixture has the same shapes/dtypes
+    weights, biases = demo_weights(
+        spark, ("keep", "toss"), n_buckets=4096, seed=7
+    )
+    pred = classify_text(
+        survivors, "doc_id", "text", weights, biases, n_buckets=4096
+    )
+    kept = pred.filter(F.col("label") == "keep").select("doc_id")
+    n_before = survivors.count()
+    survivors = survivors.join(kept, "doc_id")
+    print(f"classifier keep-rate: {survivors.count()}/{n_before}")
 
     print("== Bloom-gated decontamination (exact, two-phase) ==")
     corpus = survivors.filter(F.col("doc_id") % 41 != 0)
