@@ -64,6 +64,27 @@ from nsl_kdd_spark.operators.winnow import _gram_hashes
 
 _KEEP_MODES = ("none", "first")
 _SCOPE_MODES = ("any", "cross_doc")
+_HASH_MODES = ("md5", "xxhash64")
+
+
+def _gram_keys(toks, L: int, hash_mode: str):
+    """Per-position gram keys: the shared 16-hex md5 layout (DuckDB
+    -replayable, the oracle/fuzz contract) or 8-byte ``xxhash64``
+    longs — the production setting at 1e11+ grams, ~half the shuffle
+    bytes for the same plan (the module docstring's claim, made
+    executable round-10). Either key only ever MERGES two runs on a
+    collision (~n²/2⁶⁴ for xxhash64), never loses one; outputs are
+    identical between modes absent collisions (pinned by pytest
+    mode-equivalence, since no SQL engine replays xxhash64)."""
+    if hash_mode == "md5":
+        return _gram_hashes(toks, L)
+    return F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (L - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, L))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def duplicated_spans(
@@ -73,6 +94,7 @@ def duplicated_spans(
     min_tokens: int = 8,
     keep: str = "none",
     scope: str = "any",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Maximal duplicated token runs: ``(id_col, span_start,
     span_end, span_tokens)`` with 1-based inclusive token positions.
@@ -98,6 +120,11 @@ def duplicated_spans(
         repetition-quality filter (functions/quality.py), so a
         chorus repeated inside one song lyric is not stripped.
 
+    ``hash_mode``: ``"md5"`` (default; 16-hex keys the DuckDB oracle
+    replays bit-exactly) or ``"xxhash64"`` (8-byte longs, ~half the
+    gram-shuffle bytes — the production setting at 1e11+ grams; see
+    :func:`_gram_keys`).
+
     Scale shape (round-10 verdict fix): duplicate detection is a
     map-side-partial ``groupBy(gram).agg(count, [countDistinct],
     [min(struct(id, pos))])`` joined back to the gram table on the
@@ -114,6 +141,10 @@ def duplicated_spans(
         raise ValueError(
             f"scope must be one of {_SCOPE_MODES}, got {scope!r}"
         )
+    if hash_mode not in _HASH_MODES:
+        raise ValueError(
+            f"hash_mode must be one of {_HASH_MODES}, got {hash_mode!r}"
+        )
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     from pyspark import StorageLevel
@@ -126,7 +157,7 @@ def duplicated_spans(
     # disk-backed blocks, ~the bytes the gram shuffle moves anyway.
     grams = (
         df.select(F.col(id_col), tokens(text_col).alias("__tk"))
-        .withColumn("__h", _gram_hashes(F.col("__tk"), L))
+        .withColumn("__h", _gram_keys(F.col("__tk"), L, hash_mode))
         .select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
         .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -250,6 +281,7 @@ def strip_duplicate_spans(
     min_tokens: int = 8,
     keep: str = "none",
     scope: str = "any",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """The curation output: ``(id_col, text_clean, removed_tokens)``
     — each document's text with every duplicated span (per
@@ -266,7 +298,8 @@ def strip_duplicate_spans(
     function of the tokenization (a doc with consecutive separators
     normalizes identically whether or not it had duplicates)."""
     spans = duplicated_spans(
-        df, id_col, text_col, min_tokens=min_tokens, keep=keep, scope=scope
+        df, id_col, text_col, min_tokens=min_tokens, keep=keep,
+        scope=scope, hash_mode=hash_mode,
     )
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

@@ -246,3 +246,62 @@ def test_duplicated_run_report_top_k_cutoff(spark):
         docs, "doc_id", "text", min_tokens=8, top_k=1
     ).collect()
     assert len(rows) == 1 and rows[0].gram_text == a  # 3 occ beats 2
+
+
+def test_xxhash64_mode_matches_md5_mode(spark):
+    """hash_mode="xxhash64" (the production 8-byte-key setting) must
+    produce the identical span set as the oracle-replayable md5 mode
+    — the keys only define equality classes, which differ between
+    modes only on a hash collision (~n²/2⁶⁴). Checked across the
+    keep x scope matrix on the handcrafted corpus."""
+    docs = _docs(spark)
+    for keep in ("none", "first"):
+        for scope in ("any", "cross_doc"):
+            md5_rows = sorted(
+                tuple(r) for r in duplicated_spans(
+                    docs, "doc_id", "text", min_tokens=8,
+                    keep=keep, scope=scope, hash_mode="md5",
+                ).collect()
+            )
+            xx_rows = sorted(
+                tuple(r) for r in duplicated_spans(
+                    docs, "doc_id", "text", min_tokens=8,
+                    keep=keep, scope=scope, hash_mode="xxhash64",
+                ).collect()
+            )
+            assert md5_rows == xx_rows, (keep, scope)
+
+
+def test_xxhash64_mode_matches_on_fixture_corpus(spark):
+    """Mode equivalence on the real sf0.001 documents table (500
+    docs) through the full strip output — text rebuilt identically."""
+    from nsl_kdd_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001").documents
+    a = strip_duplicate_spans(
+        docs, "doc_id", "text", min_tokens=8, hash_mode="md5"
+    ).collect()
+    b = strip_duplicate_spans(
+        docs, "doc_id", "text", min_tokens=8, hash_mode="xxhash64"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_xxhash64_keys_are_longs_in_plan(spark):
+    """The point of the mode: the shuffled gram key column is an
+    8-byte long, not a 16-char string."""
+    df = duplicated_spans(
+        _docs(spark), "doc_id", "text", min_tokens=8,
+        hash_mode="xxhash64",
+    )
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(df)
+    assert "xxhash64" in plan and "md5" not in plan
+
+
+def test_invalid_hash_mode_raises(spark):
+    with pytest.raises(ValueError, match="hash_mode"):
+        duplicated_spans(
+            _docs(spark), "doc_id", "text", hash_mode="sha1"
+        )
