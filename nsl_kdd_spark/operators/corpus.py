@@ -125,6 +125,128 @@ def mix_corpora(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+_TEMP_ALPHAS = (0.25, 0.5, 0.75, 1.0)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    salt: str = "",
+    exact: bool = False,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-balanced mixture sampling — the multilingual /
+    multi-source pretrain-mix step (XLM's alpha-smoothed language
+    sampling, Conneau & Lample 2019; mT5 / XLM-R sample languages
+    with p_g ∝ n_g^alpha, alpha < 1 upweights low-resource groups):
+    build a corpus of ``target_total`` rows (default: |df|) where
+    group g contributes ``take_g = target_total * n_g^alpha /
+    Σ n^alpha`` rows — DOWNSAMPLING over-represented groups and
+    UPSAMPLING (replicating: multiple training epochs over the same
+    documents, the published mechanics) under-represented ones.
+    Output = the input columns + ``epoch_col`` numbering each copy
+    1..k, so downstream shuffles/shards can tell copies apart.
+
+    Everything is integer-exact so a SQL engine replays it
+    bit-identically (the repo's oracle convention):
+
+    - ``alpha`` is restricted to the quarter grid {0.25, 0.5, 0.75,
+      1.0} — the oracle-exact quantization of published practice
+      (0.3 mT5 / 0.5 XLM / 0.7 XLM-R round to it). Weights are
+      ``w_g = floor(n^alpha * 1e6)`` computed via IEEE ``sqrt``
+      chains (sqrt, sqrt∘sqrt, and their product): sqrt and multiply
+      are correctly-rounded IEEE-754 operations, so ANY compliant
+      engine produces the identical double, hence the identical
+      floor — no cross-engine pow() trust required.
+    - ``take_g = (target_total * w_g) div Σw`` — pure BIGINT
+      arithmetic (Σw is an exact integer sum, order-independent).
+    - epochs ``e_g = take_g div n_g``; the remainder ``take_g mod
+      n_g`` comes from the md5 layout every sampler here shares.
+
+    ``exact=False`` (default, the 100 TB path): the remainder is the
+    deterministic hash-rate set ``md5_bucket16(id, salt) <
+    floor(65536 * rem / n_g)`` — NO window, NO extra shuffle; the
+    whole operator is one k-row count aggregate + a broadcast
+    alloc join + an explode in the scan stage. Remainder size is
+    then binomially noisy around rem_g (the ``sample_hash``
+    contract). ``exact=True`` ranks each group by md5 digest and
+    takes exactly rem_g (the ``sample_exact_n`` contract) — one
+    window over each group partition, so it inherits that
+    function's caveat: fine for many bounded strata, NOT for a few
+    corpus-sized groups (a language IS a corpus-sized group at
+    100 TB — which is why it is not the default).
+    """
+    if alpha not in _TEMP_ALPHAS:
+        raise ValueError(
+            f"alpha must be one of {_TEMP_ALPHAS} (the oracle-exact "
+            f"sqrt-chain grid), got {alpha}"
+        )
+    if target_total is not None and target_total < 1:
+        raise ValueError(
+            f"target_total must be >= 1, got {target_total}"
+        )
+    from nsl_kdd_spark.operators.relational import md5_bucket16, md5_key
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nd = F.col("__n").cast("double")
+    if alpha == 1.0:
+        w = F.col("__n") * F.lit(1000000)
+    elif alpha == 0.5:
+        w = F.floor(F.sqrt(nd) * F.lit(1000000.0))
+    elif alpha == 0.25:
+        w = F.floor(F.sqrt(F.sqrt(nd)) * F.lit(1000000.0))
+    else:  # 0.75
+        w = F.floor(
+            F.sqrt(nd) * F.sqrt(F.sqrt(nd)) * F.lit(1000000.0)
+        )
+    wt = counts.withColumn("__w", w.cast("long"))
+    tot = wt.agg(
+        F.sum("__w").alias("__sw"), F.sum("__n").alias("__sn")
+    )
+    tgt = (
+        F.lit(int(target_total)).cast("long")
+        if target_total is not None
+        else F.col("__sn")
+    )
+    alloc = (
+        wt.crossJoin(F.broadcast(tot))  # k rows x 1 row
+        .withColumn("__take", tgt * F.col("__w"))
+        .withColumn("__take", F.expr("__take div __sw"))
+        .select(
+            group_col,
+            "__n",
+            F.expr("__take div __n").alias("__ep"),
+            (F.col("__take") % F.col("__n")).alias("__rem"),
+        )
+    )
+    joined = df.join(F.broadcast(alloc), on=group_col)
+    if exact:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                md5_key(id_col, salt), F.col(id_col)
+            )
+        )
+        in_rem = rk <= F.col("__rem")
+    else:
+        in_rem = md5_bucket16(id_col, salt) < F.expr(
+            "(65536 * __rem) div __n"
+        )
+    copies = (F.col("__ep") + in_rem.cast("long")).alias("__k")
+    return (
+        joined.withColumn("__k", copies)
+        .filter(F.col("__k") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(1), F.col("__k")))
+        )
+        .drop("__n", "__ep", "__rem", "__k")
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     components: DataFrame,

@@ -6765,6 +6765,62 @@ def _q157_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q158 — temperature-balanced mixture sampling (round-10;
+# operators/corpus.temperature_mixture): the XLM / mT5 / XLM-R
+# alpha-smoothed language-sampling step, p_g ∝ n_g^alpha, with
+# epoch-replication upsampling. Integer-exact end-to-end: weights are
+# floor(sqrt(n)*1e6) (IEEE sqrt + multiply are correctly rounded, so
+# any compliant engine computes the identical double and floor),
+# takes are BIGINT (target * w) div Σw, and the remainder set is the
+# shared md5-bucket layout — so DuckDB replays the whole allocation
+# bit-exactly, epochs included.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q158_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w
+      FROM counts
+    ), tot AS (
+      SELECT SUM(w) AS sw, SUM(n) AS sn FROM w
+    ), alloc AS (
+      SELECT lang, n, ((SELECT sn FROM tot) * w) // (SELECT sw FROM tot)
+               AS take
+      FROM w
+    ), a2 AS (
+      SELECT lang, n, take // n AS ep, take % n AS rem FROM alloc
+    )
+    SELECT d.doc_id, d.lang, CAST(e.epoch AS BIGINT) AS epoch
+    FROM documents d
+    JOIN a2 USING (lang),
+    unnest(generate_series(
+      1,
+      CAST(a2.ep + CASE WHEN ({_md5_bucket_sql("", "d.doc_id")})
+                             < (65536 * a2.rem) // a2.n
+                   THEN 1 ELSE 0 END AS BIGINT)
+    )) AS e(epoch)
+    ORDER BY doc_id, epoch
+    """,
+)
+def q158_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import temperature_mixture
+
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        temperature_mixture(docs, "lang", "doc_id", alpha=0.5)
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 @query("q157_quality_classifier", oracle=_q157_oracle())
 def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
@@ -6936,17 +6992,21 @@ def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window is either a touched-family anchor or part of the r9
 # stale-evidence refresh whose rows are one round old; the stalest
 # out-of-window greens are r8 rows (one round old) — no further
-# refresh due. The full rotated window re-verified via
-# tools/compare.py at sf0.01 before end of round.
+# refresh due. Late-round addition: the NEW q158 temperature-mixture
+# sampler rotates in for q37_sessionize (double-green r2 + r9,
+# untouched; the session family stays held by q36's r8 row and the
+# in-window q109 event-transitions surface). The full rotated
+# window re-verified via tools/compare.py at sf0.01 before end of
+# round.
 DRIVER_WINDOW = [
     # r9 registry/bloom anchors + touched-this-round substr re-anchors
     "q73_registry_dedup", "q144_vector_registry_dedup",
     "q151_winnow_registry_dedup",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
     "q152_exact_substring_spans", "q153_exact_substring_strip",
-    # round-10 NEW queries (replacing double-green q27/q32)
+    # round-10 NEW queries (replacing double-green q27/q32/q37)
     "q156_exact_substring_cross_doc", "q157_quality_classifier",
-    "q37_sessionize",
+    "q158_temperature_mixture",
     # newest green row is r3
     "q07_grouped_avg", "q15_vote_blend", "q24_text_stats",
     # newest green row is r4

@@ -1647,6 +1647,96 @@ def fam_linear_text(rng: random.Random):
     )
 
 
+def fam_temperature_mixture(rng: random.Random):
+    """Temperature-balanced mixture sampling (round-10;
+    operators/corpus.temperature_mixture — the XLM/mT5 alpha
+    -smoothing step with epoch upsampling). Draws move alpha across
+    the sqrt-chain grid, the group column, the target size, the
+    salt and the exact/rate remainder mode; the oracle replays the
+    integer allocation (floor(n^alpha * 1e6) via IEEE sqrt chains,
+    BIGINT take/epoch/remainder math) and the shared md5 layout —
+    rows compare bit-exact, epochs included."""
+    alpha = rng.choice((0.25, 0.5, 0.75, 1.0))
+    grp = rng.choice(("lang", "source"))
+    target = rng.choice((None, 300, 1000))
+    salt = rng.choice(("", "s1"))
+    exact = rng.choice((False, True))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.corpus import temperature_mixture
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return (
+            temperature_mixture(
+                docs, grp, "doc_id", alpha=alpha,
+                target_total=target, salt=salt, exact=exact,
+            )
+            .select("doc_id", F.col(grp).alias("grp"), "epoch")
+            .orderBy("doc_id", "epoch")
+        )
+
+    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+
+    wexpr = {
+        1.0: "n * 1000000",
+        0.5: "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)",
+        0.25: "CAST(FLOOR(SQRT(SQRT(CAST(n AS DOUBLE))) * 1000000.0)"
+              " AS BIGINT)",
+        0.75: "CAST(FLOOR(SQRT(CAST(n AS DOUBLE))"
+              " * SQRT(SQRT(CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)",
+    }[alpha]
+    tgt = "(SELECT sn FROM tot)" if target is None else str(target)
+    if exact:
+        member = """ranked AS (
+      SELECT doc_id, grp,
+             ROW_NUMBER() OVER (PARTITION BY grp
+               ORDER BY md5(CONCAT('{salt}', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS rk
+      FROM docs
+    )""".replace("{salt}", salt)
+        in_rem = "d.rk <= a2.rem"
+    else:
+        member = "ranked AS (SELECT doc_id, grp, 0 AS rk FROM docs)"
+        in_rem = (
+            f"({_md5_bucket_sql(salt, 'd.doc_id')})"
+            f" < (65536 * a2.rem) // a2.n"
+        )
+    sql = f"""
+    WITH docs AS (
+      SELECT doc_id, {grp} AS grp FROM documents
+    ), counts AS (
+      SELECT grp, COUNT(*) AS n FROM docs GROUP BY grp
+    ), w AS (
+      SELECT grp, n, {wexpr} AS w FROM counts
+    ), tot AS (
+      SELECT SUM(w) AS sw, SUM(n) AS sn FROM w
+    ), alloc AS (
+      SELECT grp, n, ({tgt} * w) // (SELECT sw FROM tot) AS take
+      FROM w
+    ), a2 AS (
+      SELECT grp, n, take // n AS ep, take % n AS rem FROM alloc
+    ), {member}
+    SELECT d.doc_id, d.grp, CAST(e.epoch AS BIGINT) AS epoch
+    FROM ranked d
+    JOIN a2 USING (grp),
+    unnest(generate_series(
+      1,
+      CAST(a2.ep + CASE WHEN {in_rem} THEN 1 ELSE 0 END AS BIGINT)
+    )) AS e(epoch)
+    ORDER BY doc_id, epoch
+    """
+    return (
+        f"alpha={alpha} grp={grp} target={target} salt={salt!r} "
+        f"exact={exact}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1680,6 +1770,7 @@ FAMILIES = {
     "substr_spans": fam_substr_spans,
     "substr_report": fam_substr_report,
     "linear_text": fam_linear_text,
+    "temperature_mixture": fam_temperature_mixture,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
