@@ -557,7 +557,11 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
       full-width model (65,536 buckets x 2 classes, built once
       outside the timed region like a production exported model),
       classify_text over 1x vs 4x docs — broadcast weight join +
-      one (doc, label) aggregate, should scale with docs.
+      one (doc, label) aggregate, should scale with docs,
+    - temperature-mixture sampling (round-10, corpus.py): alpha=0.5
+      rate mode over the lang groups — one k-row count aggregate +
+      broadcast alloc join + explode, scan-shaped; wall should
+      track the doc scan.
     """
     from pyspark.sql import functions as F
 
@@ -567,6 +571,7 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         contaminated_ids_bloom,
     )
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
+    from nsl_kdd_spark.operators.corpus import temperature_mixture
     from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
     from nsl_kdd_spark.operators.winnow import (
         winnow_fingerprints,
@@ -649,6 +654,17 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             f"quality{label}_classify": lambda: classify_text(
                 docs, "doc_id", "text", qc_weights, qc_biases,
                 word_ngrams=2, n_buckets=65536,
+            ),
+            # scaled_documents carries no lang column; a skewed
+            # doc_id-derived group (bucket 0 absorbs half the corpus)
+            # keeps the upsample/downsample paths both exercised
+            f"mixture{label}_sample": lambda: temperature_mixture(
+                docs.withColumn(
+                    "grp",
+                    F.when(F.col("doc_id") % 10 < 5, F.lit("g0"))
+                    .otherwise((F.col("doc_id") % 10).cast("string")),
+                ),
+                "grp", "doc_id", alpha=0.5,
             ),
         }
         for name, fn in ops.items():

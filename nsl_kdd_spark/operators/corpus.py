@@ -247,6 +247,90 @@ def temperature_mixture(
     )
 
 
+_FIM_MODES = ("psm", "spm")
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.5,
+    salt: str = "",
+    mode: str = "psm",
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+    out_col: str = "text_fim",
+) -> DataFrame:
+    """Fill-in-the-middle corpus transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle" —
+    the FIM preprocessing every modern code-pretrain pipeline
+    applies): with probability ``rate`` a document is split at two
+    token positions into (prefix, middle, suffix) and re-serialized
+    with sentinel tokens in PSM order ``<PRE> prefix <SUF> suffix
+    <MID> middle`` (or the paper's SPM variant ``<SUF> suffix <PRE>
+    prefix <MID> middle``); the rest pass through unchanged. Output =
+    input columns + ``(out_col, fim_applied)``.
+
+    Everything is a pure function of ``(salt, id)`` — the engine's
+    deterministic-sampling doctrine instead of RNG state: the FIM
+    decision is the shared md5-bucket cut (same truncation convention
+    as ``sample_hash``/``upsample_hash``), and the two split points
+    are independent md5 buckets (salted ``a``/``b``) taken mod
+    (n_tokens + 1), so re-runs, repartitionings and incremental
+    re-ingests transform each document identically — and a SQL engine
+    replays the whole thing bit-exactly (token-boundary splits keep
+    the oracle in the portable string_split algebra).
+
+    Scale shape: zero shuffles, zero joins — the split positions,
+    segment slices and sentinel re-serialization are all scan-stage
+    JVM expressions (array slice + concat, no explode of the token
+    table, no Python).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if mode not in _FIM_MODES:
+        raise ValueError(f"mode must be one of {_FIM_MODES}, got {mode!r}")
+    from nsl_kdd_spark.functions.text import tokens
+    from nsl_kdd_spark.operators.relational import md5_bucket16
+
+    # int() truncation, NOT round(): the sample_hash convention, so
+    # fim_transform(rate) selects the identical doc set as
+    # sample_hash(rate) under the same salt
+    cut = int(rate * 65536)
+    tk = tokens(text_col)
+    L = F.size(tk)
+    c1 = md5_bucket16(id_col, salt + "a") % (L + F.lit(1))
+    c2 = md5_bucket16(id_col, salt + "b") % (L + F.lit(1))
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    prefix = F.slice(tk, 1, lo)
+    middle = F.slice(tk, lo + 1, hi - lo)
+    suffix = F.slice(tk, hi + 1, L - hi)
+    if mode == "psm":
+        parts = (
+            F.array(F.lit(pre_tok)), prefix,
+            F.array(F.lit(suf_tok)), suffix,
+            F.array(F.lit(mid_tok)), middle,
+        )
+    else:
+        parts = (
+            F.array(F.lit(suf_tok)), suffix,
+            F.array(F.lit(pre_tok)), prefix,
+            F.array(F.lit(mid_tok)), middle,
+        )
+    applied = md5_bucket16(id_col, salt) < F.lit(cut)
+    return df.withColumn(
+        "fim_applied", applied
+    ).withColumn(
+        out_col,
+        F.when(
+            F.col("fim_applied"),
+            F.array_join(F.concat(*parts), " "),
+        ).otherwise(F.col(text_col)),
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     components: DataFrame,

@@ -6821,6 +6821,53 @@ def q158_temperature_mixture(
     )
 
 
+# ---------------------------------------------------------------------------
+# q159 — fill-in-the-middle transform (round-10;
+# operators/corpus.fim_transform, Bavarian et al. 2022): with
+# probability rate a document re-serializes as <PRE> prefix <SUF>
+# suffix <MID> middle, split points and the FIM decision all
+# deterministic md5 functions of (salt, doc_id) — zero shuffles, the
+# whole transform lives in the scan projection, and DuckDB replays
+# the bucket arithmetic + token-boundary slices bit-exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q159_fim_transform",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, text, tk, len(tk) AS L,
+             ({_md5_bucket_sql("a", "doc_id")}) % (len(tk) + 1) AS c1,
+             ({_md5_bucket_sql("b", "doc_id")}) % (len(tk) + 1) AS c2,
+             ({_md5_bucket_sql("", "doc_id")}) < 32768 AS applied
+      FROM toks
+    ), seg AS (
+      SELECT doc_id, text, tk, L, applied,
+             LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+      FROM pos
+    )
+    SELECT doc_id, applied AS fim_applied,
+           CASE WHEN applied THEN array_to_string(
+             ['<PRE>'] || tk[1:lo] || ['<SUF>'] || tk[hi+1:L]
+               || ['<MID>'] || tk[lo+1:hi], ' ')
+           ELSE text END AS text_fim
+    FROM seg
+    ORDER BY doc_id
+    """,
+)
+def q159_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import fim_transform
+
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        fim_transform(docs, "doc_id", "text", rate=0.5)
+        .select("doc_id", "fim_applied", "text_fim")
+        .orderBy("doc_id")
+    )
+
+
 @query("q157_quality_classifier", oracle=_q157_oracle())
 def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
@@ -6992,23 +7039,25 @@ def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window is either a touched-family anchor or part of the r9
 # stale-evidence refresh whose rows are one round old; the stalest
 # out-of-window greens are r8 rows (one round old) — no further
-# refresh due. Late-round addition: the NEW q158 temperature-mixture
+# refresh due. Late-round additions: the NEW q158 temperature-mixture
 # sampler rotates in for q37_sessionize (double-green r2 + r9,
 # untouched; the session family stays held by q36's r8 row and the
-# in-window q109 event-transitions surface). The full rotated
-# window re-verified via tools/compare.py at sf0.01 before end of
-# round.
+# in-window q109 event-transitions surface), and the NEW q159 FIM
+# transform rotates in for q07_grouped_avg (double-green r3 + r9,
+# untouched; grouped-avg surface held in-window by q05/q13). The
+# full rotated window re-verified via tools/compare.py at sf0.01
+# before end of round.
 DRIVER_WINDOW = [
     # r9 registry/bloom anchors + touched-this-round substr re-anchors
     "q73_registry_dedup", "q144_vector_registry_dedup",
     "q151_winnow_registry_dedup",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
     "q152_exact_substring_spans", "q153_exact_substring_strip",
-    # round-10 NEW queries (replacing double-green q27/q32/q37)
+    # round-10 NEW queries (replacing double-green q27/q32/q37/q07)
     "q156_exact_substring_cross_doc", "q157_quality_classifier",
-    "q158_temperature_mixture",
+    "q158_temperature_mixture", "q159_fim_transform",
     # newest green row is r3
-    "q07_grouped_avg", "q15_vote_blend", "q24_text_stats",
+    "q15_vote_blend", "q24_text_stats",
     # newest green row is r4
     "q51_string_funcs", "q53_pattern_extract", "q55_histogram",
     "q56_rank_analytics", "q60_profile", "q64_unpivot_profile",

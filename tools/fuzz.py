@@ -1737,6 +1737,66 @@ def fam_temperature_mixture(rng: random.Random):
     )
 
 
+def fam_fim(rng: random.Random):
+    """Fill-in-the-middle transform (round-10;
+    operators/corpus.fim_transform, Bavarian et al. 2022). Draws
+    move the FIM rate across the full range (0 = pure pass-through,
+    1 = every doc), the salt (independent split-point streams) and
+    the PSM/SPM serialization order; the oracle replays the md5
+    bucket cut, the mod-(L+1) split points and the token-boundary
+    slices — strings compare bit-exact."""
+    rate = rng.choice((0.0, 0.25, 0.5, 0.9, 1.0))
+    salt = rng.choice(("", "s1"))
+    mode = rng.choice(("psm", "spm"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.corpus import fim_transform
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return (
+            fim_transform(
+                docs, "doc_id", "text", rate=rate, salt=salt, mode=mode
+            )
+            .select("doc_id", "fim_applied", "text_fim")
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+
+    cut = int(rate * 65536)
+    if mode == "psm":
+        ser = ("['<PRE>'] || tk[1:lo] || ['<SUF>'] || tk[hi+1:L]"
+               " || ['<MID>'] || tk[lo+1:hi]")
+    else:
+        ser = ("['<SUF>'] || tk[hi+1:L] || ['<PRE>'] || tk[1:lo]"
+               " || ['<MID>'] || tk[lo+1:hi]")
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, text, tk, len(tk) AS L,
+             ({_md5_bucket_sql(salt + "a", "doc_id")}) % (len(tk) + 1)
+               AS c1,
+             ({_md5_bucket_sql(salt + "b", "doc_id")}) % (len(tk) + 1)
+               AS c2,
+             ({_md5_bucket_sql(salt, "doc_id")}) < {cut} AS applied
+      FROM toks
+    ), seg AS (
+      SELECT doc_id, text, tk, L, applied,
+             LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+      FROM pos
+    )
+    SELECT doc_id, applied AS fim_applied,
+           CASE WHEN applied THEN array_to_string({ser}, ' ')
+           ELSE text END AS text_fim
+    FROM seg
+    ORDER BY doc_id
+    """
+    return f"rate={rate} salt={salt!r} mode={mode}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1771,6 +1831,7 @@ FAMILIES = {
     "substr_report": fam_substr_report,
     "linear_text": fam_linear_text,
     "temperature_mixture": fam_temperature_mixture,
+    "fim": fam_fim,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
