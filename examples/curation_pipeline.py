@@ -9,6 +9,7 @@ file:
     -> Bloom-gated benchmark decontamination (two-phase, exact)
     -> Bloom semi-join reduction (generic runtime-filter primitive)
     -> hard-negative mining for contrastive embedding training
+    -> temperature-balanced language mix + FIM serialization (r10)
 
     python examples/curation_pipeline.py [sf_dir]
 """
@@ -26,7 +27,11 @@ from nsl_kdd_spark.operators.decontam import (  # noqa: E402
     build_gram_bloom,
     decontaminate_bloom,
 )
-from nsl_kdd_spark.operators.corpus import select_canonical  # noqa: E402
+from nsl_kdd_spark.operators.corpus import (  # noqa: E402
+    fim_transform,
+    select_canonical,
+    temperature_mixture,
+)
 from nsl_kdd_spark.operators.graph import connected_components  # noqa: E402
 from nsl_kdd_spark.operators.similarity import (  # noqa: E402
     mine_hard_negatives,
@@ -139,6 +144,23 @@ def main() -> None:
         (F.col("vec_id") % 10).alias("query_id"), "vec_id"
     ).filter(F.col("query_id") < 3)
     mine_hard_negatives(t.embeddings, queries, positives, k=5).show(15)
+
+    print("== assemble the training mix (r10 tail) ==")
+    # alpha-balance the languages of the decontaminated survivors
+    # (upsampling = training epochs), then apply rate-gated FIM for
+    # the code/infilling objective
+    mixed = temperature_mixture(clean, "lang", "doc_id", alpha=0.5)
+    per_lang = {
+        r.lang: r["count"]
+        for r in mixed.groupBy("lang").count().collect()
+    }
+    print(f"alpha-balanced mix by lang: {per_lang}")
+    fim = fim_transform(mixed, "doc_id", "text", rate=0.5)
+    n_fim = fim.filter("fim_applied").count()
+    print(f"FIM applied to {n_fim}/{mixed.count()} rows")
+    fim.filter("fim_applied").select("doc_id", "text_fim").show(
+        3, truncate=70
+    )
 
     spark.stop()
 
