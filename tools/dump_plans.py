@@ -44,6 +44,8 @@ PICKS = {
     "q154_retrieval_eval": "retrieval eval (r9): brute-force rank window over the broadcast query set, broadcast positives label join, one grouped integer aggregation",
     "q155_duplicated_run_report": "duplicated-run report (r9): one gram aggregation (count + distinct-docs + min-position in a single groupBy), TakeOrdered top-k, k-row broadcast join back for text slicing",
     "q157_quality_classifier": "linear text classifier (r10): gram generation + md5 bucketing in the scan projection, BROADCAST weight-table join on the exploded gram stream (no exchange below it), one map-side-combined (doc,label) aggregate, broadcast-tiny bias cross join, bounded per-doc argmax window; no EvalPython",
+    "q158_temperature_mixture": "temperature mixture (r10): k-row count aggregate + k-row weight/alloc computation, broadcast alloc join onto the corpus scan, explode for epochs — no window, no big-table shuffle",
+    "q159_fim_transform": "FIM transform (r10): md5 decision cut + salted split points + segment slices + sentinel re-serialization, ALL inside the scan-stage projection — zero exchanges before the orderBy",
 }
 
 
