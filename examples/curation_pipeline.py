@@ -149,17 +149,33 @@ def main() -> None:
     # alpha-balance the languages of the decontaminated survivors
     # (upsampling = training epochs), then apply rate-gated FIM for
     # the code/infilling objective
-    mixed = temperature_mixture(clean, "lang", "doc_id", alpha=0.5)
+    # persist: four actions below would otherwise re-run the whole
+    # decontam + classifier + mixture lineage each time (the same
+    # rule as the retrieval_eval example, round-9 verdict)
+    mixed = temperature_mixture(
+        clean, "lang", "doc_id", alpha=0.5
+    ).persist()
     per_lang = {
         r.lang: r["count"]
         for r in mixed.groupBy("lang").count().collect()
     }
     print(f"alpha-balanced mix by lang: {per_lang}")
-    fim = fim_transform(mixed, "doc_id", "text", rate=0.5)
+    # FIM keys on (doc_id, epoch) so each upsampled copy draws its
+    # own split points (epoch copies exist to be distinguishable),
+    # and on its own salt so the FIM gate is independent of the
+    # mixture's remainder-set buckets (round-10 review: sharing the
+    # default '' salt correlated the two samplers — remainder
+    # -upsampled docs would have been FIM'd at ~100%, not rate)
+    fim = fim_transform(
+        mixed.withColumn(
+            "fim_key", F.concat_ws(":", "doc_id", "epoch")
+        ),
+        "fim_key", "text", rate=0.5, salt="fim",
+    ).drop("fim_key")
     n_fim = fim.filter("fim_applied").count()
     print(f"FIM applied to {n_fim}/{mixed.count()} rows")
-    fim.filter("fim_applied").select("doc_id", "text_fim").show(
-        3, truncate=70
+    fim.filter("fim_applied").select("doc_id", "epoch", "text_fim").show(
+        3, truncate=62
     )
 
     spark.stop()

@@ -118,11 +118,7 @@ def linear_text_scores(
     grams = (
         df.select(F.col(id_col), tokens(text_col).alias("__tk"))
         .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
-        .select(
-            F.col(id_col),
-            F.size("__gr").alias("__n"),
-            F.explode("__gr").alias("__g"),
-        )
+        .select(F.col(id_col), F.explode("__gr").alias("__g"))
         .withColumn(
             "bucket",
             (md5_bucket16(F.col("__g")) % F.lit(n_buckets)).cast("int"),
@@ -133,13 +129,16 @@ def linear_text_scores(
         .groupBy(id_col, "label")
         .agg(F.sum("w_u").alias("__sw"))
     )
+    # gram count computed arithmetically from the token count —
+    # sum over j of max(L - (j-1), 0) — instead of building the full
+    # n-gram array a second time just to take its size (round-10
+    # review); the q157 oracle's `nn` CTE uses the same identity
+    L = F.size(tokens(text_col))
+    n_grams = L
+    for j in range(2, word_ngrams + 1):
+        n_grams = n_grams + F.greatest(L - (j - 1), F.lit(0))
     base = (
-        df.select(
-            F.col(id_col),
-            F.size(
-                word_ngram_array(tokens(text_col), word_ngrams)
-            ).alias("__n"),
-        )
+        df.select(F.col(id_col), n_grams.alias("__n"))
         .crossJoin(F.broadcast(biases))  # k rows per doc: class frame
     )
     return (

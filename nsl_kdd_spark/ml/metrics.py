@@ -214,13 +214,16 @@ def ranking_metrics(
         / (F.log(ideal_pos.cast("double") + 1.0) / F.log(F.lit(2.0)))
         * F.lit(float(scale))
     ).cast("long")
-    # float ROUND is engine-identical here because an exact .5
-    # quotient needs rank to be a multiple of 128 (2*scale = 2^7*5^6*k
-    # for scale=1e6), unreachable at top-k depths; retrieval_eval's
-    # rr_u uses the all-integer form because its scale/k are free
+    # all-integer round-half-up of scale/rank, same as retrieval_eval
+    # (round-10 review: scale and k are both free parameters here, so
+    # the float-ROUND variant's "halves are unreachable" argument only
+    # held for the defaults — e.g. k=200 at scale=1e6 hits 1e6/128 =
+    # 7812.5, where HALF_UP vs banker's rounding engines diverge)
     rr_u = F.when(
         F.col(rel_col) > 0,
-        F.round(F.lit(float(scale)) / F.col(rank_col)).cast("long"),
+        F.expr(
+            f"({2 * scale} + {rank_col}) div (2 * {rank_col})"
+        ),
     ).otherwise(F.lit(0))
     per = top.select(
         F.col(query_col),

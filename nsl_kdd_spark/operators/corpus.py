@@ -192,8 +192,12 @@ def temperature_mixture(
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     nd = F.col("__n").cast("double")
+    # alpha=1 needs no fixed-point scale at all (w = n is exact, and
+    # floor(t*n*1e6 / (sum(n)*1e6)) == floor(t*n / sum(n)) — the
+    # shared factor cancels), which also buys 1e6x overflow headroom
+    # on the biggest-group path (round-10 review)
     if alpha == 1.0:
-        w = F.col("__n") * F.lit(1000000)
+        w = F.col("__n")
     elif alpha == 0.5:
         w = F.floor(F.sqrt(nd) * F.lit(1000000.0))
     elif alpha == 0.25:
@@ -204,16 +208,34 @@ def temperature_mixture(
         )
     wt = counts.withColumn("__w", w.cast("long"))
     tot = wt.agg(
-        F.sum("__w").alias("__sw"), F.sum("__n").alias("__sn")
+        F.sum("__w").alias("__sw"),
+        F.sum("__n").alias("__sn"),
+        F.max("__w").alias("__mw"),
     )
     tgt = (
         F.lit(int(target_total)).cast("long")
         if target_total is not None
         else F.col("__sn")
     )
+    # target * w runs in BIGINT; with ANSI off an overflow would wrap
+    # SILENTLY negative and the __k > 0 filter would drop the whole
+    # group — so refuse loudly instead (round-10 review). Reachable
+    # only past ~9.2e18 / max(w): e.g. alpha=0.5 needs target *
+    # sqrt(n_max) > 9.2e12 — pre-aggregate counts or lower the
+    # target scale if a corpus ever hits it.
+    guarded_tgt = F.when(
+        tgt > F.expr(f"{2**63 - 1} div __mw"),
+        F.raise_error(
+            F.lit(
+                "temperature_mixture: target_total * max(weight) "
+                "overflows BIGINT; reduce target_total or "
+                "pre-aggregate group counts"
+            )
+        ).cast("long"),
+    ).otherwise(tgt)
     alloc = (
         wt.crossJoin(F.broadcast(tot))  # k rows x 1 row
-        .withColumn("__take", tgt * F.col("__w"))
+        .withColumn("__take", guarded_tgt * F.col("__w"))
         .withColumn("__take", F.expr("__take div __sw"))
         .select(
             group_col,

@@ -66,6 +66,9 @@ _KEEP_MODES = ("none", "first")
 _SCOPE_MODES = ("any", "cross_doc")
 _HASH_MODES = ("md5", "xxhash64")
 
+#: the single outstanding persisted gram table (see duplicated_spans)
+_GRAM_CACHE: list = []
+
 
 def _gram_keys(toks, L: int, hash_mode: str):
     """Per-position gram keys: the shared 16-hex md5 layout (DuckDB
@@ -161,6 +164,19 @@ def duplicated_spans(
         .select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
         .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # bound the cache to ONE outstanding gram table (round-10 review:
+    # the function has no safe unpersist site after returning a lazy
+    # result, so repeated calls — fuzz draws, the driver's query
+    # sweep — would otherwise pin a corpus-sized cache entry EACH).
+    # Evicting the previous call's entry at worst costs that caller a
+    # recompute (correctness is unaffected; the cache is an
+    # optimization), and keeps session storage O(one corpus).
+    while _GRAM_CACHE:
+        try:
+            _GRAM_CACHE.pop().unpersist()
+        except Exception:
+            pass  # previous entry's session already stopped
+    _GRAM_CACHE.append(grams)
     aggs = [
         (
             F.countDistinct(id_col) if scope == "cross_doc"

@@ -5262,7 +5262,7 @@ def q122_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY rel DESC, rank) AS ipos,
              CASE WHEN rel > 0
-                  THEN CAST(ROUND(1000000.0 / rank) AS BIGINT)
+                  THEN (2000000 + rank) // (2 * rank)
                   ELSE 0 END AS rr
       FROM rel
     ), g2 AS (

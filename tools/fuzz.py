@@ -1681,7 +1681,7 @@ def fam_temperature_mixture(rng: random.Random):
     from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
 
     wexpr = {
-        1.0: "n * 1000000",
+        1.0: "n",
         0.5: "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)",
         0.25: "CAST(FLOOR(SQRT(SQRT(CAST(n AS DOUBLE))) * 1000000.0)"
               " AS BIGINT)",
