@@ -241,3 +241,128 @@ def decontaminate(
         corpus, benchmark, id_col, text_col, bench_id_col, bench_text_col, n, min_hits
     ).select(id_col)
     return corpus.join(bad, on=id_col, how="left_anti")
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    n: int = 13,
+    window: int = 200,
+) -> DataFrame:
+    """Window-level decontamination — GPT-3 Appendix C's SECOND
+    remedy (also the PaLM/Llama practice for long documents): instead
+    of dropping a whole training document that collides with a
+    benchmark (``decontaminate``, the right call for short docs),
+    remove only the contaminated REGION — every position covered by a
+    benchmark-colliding n-gram, expanded by ``window`` tokens on each
+    side — and keep the rest of the document. Output: ``(id_col,
+    text_clean, removed_tokens)``, the same contract as
+    ``strip_duplicate_spans`` (a book with one quoted eval question
+    loses a ~2*window-token hole, not 300 pages).
+
+    Spark shape (100 TB corpus, small benchmark): positional corpus
+    grams are a scan-stage projection (the substr_dedup pattern —
+    hashes materialized as a column, then posexplode); the benchmark
+    gram set is DISTINCT hashes, **broadcast** (eval suites are
+    small by definition), so contamination detection is a map-side
+    BroadcastHashJoin semi-join with NO corpus shuffle; the
+    surviving hit positions (≈0 on a clean corpus) island-merge per
+    document — all expanded intervals share one length, so hits
+    merge exactly when the next start is within ``n + 2*window`` of
+    the previous (the fixed-gap rule), making the merge one tiny
+    per-doc window over hit rows only. Span ends clamp to the doc
+    length; coverage strips via the JVM higher-order filter, no
+    token-table explode, no Python.
+
+    Joins on ``xxhash64`` like the sibling tiers (8-byte broadcast
+    entries; a collision can only over-strip one window, never miss
+    contamination); the oracle replays on gram TEXT, the q76/q147
+    convention.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    from pyspark.sql import Window as W
+
+    from nsl_kdd_spark.functions.text import tokens
+
+    toks = corpus.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    grams = (
+        toks.withColumn(
+            "__h",
+            F.when(
+                F.size("__tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("__tk", i, n))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__tk").alias("__len"),
+            F.posexplode("__h").alias("__p0", "__gh"),
+        )
+        .select(id_col, "__len", (F.col("__p0") + 1).alias("pos"), "__gh")
+    )
+    bgrams = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, n)).alias("__g")
+        )
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bgrams), on="__gh", how="left_semi")
+    gap = n + 2 * window
+    wd = W.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.select(id_col, "__len", "pos")
+        .withColumn("__prev", F.lag("pos").over(wd))
+        .withColumn(
+            "__new",
+            F.when(F.col("pos") > F.col("__prev") + gap, 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(wd))
+    )
+    spans = islands.groupBy(id_col, "__isl").agg(
+        F.greatest(
+            F.min("pos") - window, F.lit(1)
+        ).alias("span_start"),
+        F.least(
+            F.max("pos") + (n - 1) + window, F.first("__len")
+        ).alias("span_end"),
+    )
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    empty_spans = F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    )
+    sp = F.coalesce(F.col("__spans"), empty_spans)
+    indexed = F.transform(
+        F.col("__tk"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda span: (s["p"] >= span["span_start"])
+            & (s["p"] <= span["span_end"]),
+        ),
+    )
+    return (
+        toks.join(span_arr, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("text_clean"),
+            (F.size("__tk") - F.size(kept)).alias("removed_tokens"),
+        )
+    )

@@ -6868,6 +6868,87 @@ def q159_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q160 — window-level decontamination (round-10;
+# decontam.decontaminate_spans, GPT-3 Appendix C's second remedy):
+# strip a +/- window-token region around every benchmark-colliding
+# n-gram instead of dropping the whole document. Same corpus/bench
+# split as q76/q147 (doc_id % 41); n=3, window=2 so the fixture's
+# shared phrases produce real holes. The engine joins on xxhash64,
+# the oracle on gram text — the q76/q147 convention.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q160_decontaminate_spans",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+    ), cg AS (
+      SELECT doc_id, len(tk) AS L, t.i AS pos,
+             array_to_string(tk[t.i:t.i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+      WHERE len(tk) >= 3
+    ), bg AS (
+      SELECT DISTINCT array_to_string(btk[t.i:t.i+2], ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS btk FROM documents
+            WHERE doc_id % 41 = 0) b,
+           unnest(generate_series(1, len(btk) - 2)) AS t(i)
+      WHERE len(btk) >= 3
+    ), hits AS (
+      SELECT DISTINCT doc_id, L, pos FROM cg JOIN bg USING (g)
+    ), isl AS (
+      SELECT doc_id, L, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos <= prev + 7
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, L, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS prev
+            FROM hits) lagged
+    ), spans AS (
+      SELECT doc_id,
+             GREATEST(MIN(pos) - 2, 1) AS s,
+             LEAST(MAX(pos) + 2 + 2, MAX(L)) AS e
+      FROM isl GROUP BY doc_id, island
+    ), cov AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM spans, unnest(generate_series(s, e)) AS u(p)
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ), agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.txt, '') AS text_clean,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.nk, 0)
+                AS INTEGER) AS removed_tokens
+    FROM corpus d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q160_decontaminate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.decontam import decontaminate_spans
+
+    docs = load_tables(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate_spans(
+        corpus, bench, "doc_id", "text", "text", n=3, window=2
+    ).orderBy("doc_id")
+
+
 @query("q157_quality_classifier", oracle=_q157_oracle())
 def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
@@ -7044,20 +7125,23 @@ def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # untouched; the session family stays held by q36's r8 row and the
 # in-window q109 event-transitions surface), and the NEW q159 FIM
 # transform rotates in for q07_grouped_avg (double-green r3 + r9,
-# untouched; grouped-avg surface held in-window by q05/q13). The
-# full rotated window re-verified via tools/compare.py at sf0.01
-# before end of round.
+# untouched; grouped-avg surface held in-window by q05/q13), and the
+# NEW q160 windowed decontamination rotates in for q15_vote_blend
+# (double-green r3 + r9, untouched; the scalar vote/threshold
+# family stays held by q11/q13/q21). The full rotated window
+# re-verified via tools/compare.py at sf0.01 before end of round.
 DRIVER_WINDOW = [
     # r9 registry/bloom anchors + touched-this-round substr re-anchors
     "q73_registry_dedup", "q144_vector_registry_dedup",
     "q151_winnow_registry_dedup",
     "q147_decontaminate_bloom", "q148_bloom_semi_join",
     "q152_exact_substring_spans", "q153_exact_substring_strip",
-    # round-10 NEW queries (replacing double-green q27/q32/q37/q07)
+    # round-10 NEW queries (replacing double-green q27/q32/q37/q07/q15)
     "q156_exact_substring_cross_doc", "q157_quality_classifier",
     "q158_temperature_mixture", "q159_fim_transform",
+    "q160_decontaminate_spans",
     # newest green row is r3
-    "q15_vote_blend", "q24_text_stats",
+    "q24_text_stats",
     # newest green row is r4
     "q51_string_funcs", "q53_pattern_extract", "q55_histogram",
     "q56_rank_analytics", "q60_profile", "q64_unpivot_profile",

@@ -1797,6 +1797,90 @@ def fam_fim(rng: random.Random):
     return f"rate={rate} salt={salt!r} mode={mode}", spark_fn, sql, False
 
 
+def fam_decontam_spans(rng: random.Random):
+    """Window-level decontamination (round-10;
+    decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
+    -region remedy). Draws move the gram order n, the expansion
+    window and the corpus/benchmark split modulus; the oracle
+    replays gram text matching, the fixed-gap (n + 2*window) island
+    merge, clamped span expansion and the token-coverage strip —
+    cleaned text compares bit-exact."""
+    n = rng.choice((2, 3, 4))
+    window = rng.choice((0, 1, 2, 5))
+    mod = rng.choice((41, 53, 29))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.decontam import decontaminate_spans
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return decontaminate_spans(
+            docs.filter(F.col("doc_id") % mod != 0),
+            docs.filter(F.col("doc_id") % mod == 0),
+            "doc_id", "text", "text", n=n, window=window,
+        ).orderBy("doc_id")
+
+    gap = n + 2 * window
+    sql = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {mod} <> 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+    ), cg AS (
+      SELECT doc_id, len(tk) AS L, t.i AS pos,
+             array_to_string(tk[t.i:t.i+{n - 1}], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(tk) - {n - 1})) AS t(i)
+      WHERE len(tk) >= {n}
+    ), bg AS (
+      SELECT DISTINCT array_to_string(btk[t.i:t.i+{n - 1}], ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS btk FROM documents
+            WHERE doc_id % {mod} = 0) b,
+           unnest(generate_series(1, len(btk) - {n - 1})) AS t(i)
+      WHERE len(btk) >= {n}
+    ), hits AS (
+      SELECT DISTINCT doc_id, L, pos FROM cg JOIN bg USING (g)
+    ), isl AS (
+      SELECT doc_id, L, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos <= prev + {gap}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, L, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS prev
+            FROM hits) lagged
+    ), spans AS (
+      SELECT doc_id,
+             GREATEST(MIN(pos) - {window}, 1) AS s,
+             LEAST(MAX(pos) + {n - 1} + {window}, MAX(L)) AS e
+      FROM isl GROUP BY doc_id, island
+    ), cov AS (
+      SELECT DISTINCT doc_id, u.p AS pos
+      FROM spans, unnest(generate_series(s, e)) AS u(p)
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ), agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.txt, '') AS text_clean,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.nk, 0)
+                AS INTEGER) AS removed_tokens
+    FROM corpus d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """
+    return f"n={n} window={window} mod={mod}", spark_fn, sql, False
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1832,6 +1916,7 @@ FAMILIES = {
     "linear_text": fam_linear_text,
     "temperature_mixture": fam_temperature_mixture,
     "fim": fam_fim,
+    "decontam_spans": fam_decontam_spans,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
