@@ -115,8 +115,15 @@ def main() -> None:
     )
     kept = pred.filter(F.col("label") == "keep").select("doc_id")
     n_before = survivors.count()
-    survivors = survivors.join(kept, "doc_id")
+    # persist the POST-classifier frame — it is what every downstream
+    # stage (decontam, bloom demo, mixture) actually consumes; the
+    # pre-classifier cache is superseded once this materializes
+    # (round-10 advisory: the unpersisted reassignment re-ran the
+    # classifier join in all four downstream actions)
+    pre_classifier = survivors
+    survivors = survivors.join(kept, "doc_id").persist()
     print(f"classifier keep-rate: {survivors.count()}/{n_before}")
+    pre_classifier.unpersist()
 
     print("== Bloom-gated decontamination (exact, two-phase) ==")
     corpus = survivors.filter(F.col("doc_id") % 41 != 0)
@@ -178,6 +185,11 @@ def main() -> None:
         3, truncate=62
     )
 
+    # release the long-lived caches before teardown (round-10
+    # advisory) — harmless at end-of-script, but the example models
+    # a pipeline stage a longer-lived session would embed
+    mixed.unpersist()
+    survivors.unpersist()
     spark.stop()
 
 

@@ -218,11 +218,15 @@ def ranking_metrics(
     # (round-10 review: scale and k are both free parameters here, so
     # the float-ROUND variant's "halves are unreachable" argument only
     # held for the defaults — e.g. k=200 at scale=1e6 hits 1e6/128 =
-    # 7812.5, where HALF_UP vs banker's rounding engines diverge)
+    # 7812.5, where HALF_UP vs banker's rounding engines diverge).
+    # rank_col is backtick-quoted (escaped) and scale coerced to int
+    # so exotic column names and float scales can't break the
+    # interpolated `div` at analysis time (round-10 advisory)
+    rank_q = "`" + rank_col.replace("`", "``") + "`"
     rr_u = F.when(
         F.col(rel_col) > 0,
         F.expr(
-            f"({2 * scale} + {rank_col}) div (2 * {rank_col})"
+            f"({2 * int(scale)} + {rank_q}) div (2 * {rank_q})"
         ),
     ).otherwise(F.lit(0))
     per = top.select(
@@ -291,6 +295,11 @@ def retrieval_eval(
     grouped integer aggregation; queries are re-anchored on the run's
     query set so a query retrieving zero positives reports zeros
     instead of vanishing."""
+    # interpolated into `div` expressions below — a float scale/k
+    # would render a non-integral literal that `div` rejects at
+    # analysis time (the round-10 ranking_metrics advisory class)
+    scale = int(scale)
+    k = int(k)
     hit = F.col("__pos").isNotNull()
     # ONE distinct judgment table feeds both the label join and the
     # per-query positive counts (round-9 review: two independent

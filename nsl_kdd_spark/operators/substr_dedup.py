@@ -56,6 +56,8 @@ Spark shape (100 TB) — deliberately NOT a suffix array:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -66,8 +68,32 @@ _KEEP_MODES = ("none", "first")
 _SCOPE_MODES = ("any", "cross_doc")
 _HASH_MODES = ("md5", "xxhash64")
 
-#: the single outstanding persisted gram table (see duplicated_spans)
+#: the single outstanding persisted gram table (see duplicated_spans).
+#: Mutated only under the lock — concurrent duplicated_spans calls
+#: (e.g. threaded test suites) otherwise race the pop/append pair
+#: (round-10 advisory).
 _GRAM_CACHE: list = []
+_GRAM_CACHE_LOCK = threading.Lock()
+
+
+def _evict_gram_cache(replacement: DataFrame) -> None:
+    """Swap the single outstanding persisted gram table for
+    ``replacement`` under the module lock. Eviction is best-effort:
+    a previous entry whose SparkSession has already stopped is
+    dropped silently (its JVM-side blocks died with the session),
+    but any other unpersist failure propagates — the round-10
+    advisory's point that a bare ``except Exception`` here would
+    also swallow real errors."""
+    with _GRAM_CACHE_LOCK:
+        while _GRAM_CACHE:
+            prev = _GRAM_CACHE.pop()
+            try:
+                stopped = prev.sparkSession.sparkContext._jsc is None
+            except Exception:
+                stopped = True  # session torn down mid-check
+            if not stopped:
+                prev.unpersist()
+        _GRAM_CACHE.append(replacement)
 
 
 def _gram_keys(toks, L: int, hash_mode: str):
@@ -170,13 +196,11 @@ def duplicated_spans(
     # sweep — would otherwise pin a corpus-sized cache entry EACH).
     # Evicting the previous call's entry at worst costs that caller a
     # recompute (correctness is unaffected; the cache is an
-    # optimization), and keeps session storage O(one corpus).
-    while _GRAM_CACHE:
-        try:
-            _GRAM_CACHE.pop().unpersist()
-        except Exception:
-            pass  # previous entry's session already stopped
-    _GRAM_CACHE.append(grams)
+    # optimization), and keeps session storage O(one corpus). Callers
+    # that interleave TWO still-lazy results (e.g. comparing two L
+    # values) should materialize the first before computing the
+    # second, or the first recomputes its gram lineage on action.
+    _evict_gram_cache(grams)
     aggs = [
         (
             F.countDistinct(id_col) if scope == "cross_doc"
