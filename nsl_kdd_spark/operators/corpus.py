@@ -137,18 +137,35 @@ def temperature_mixture(
     salt: str = "",
     exact: bool = False,
     epoch_col: str = "epoch",
+    weight_col: str | Column | None = None,
 ) -> DataFrame:
     """Temperature-balanced mixture sampling — the multilingual /
     multi-source pretrain-mix step (XLM's alpha-smoothed language
     sampling, Conneau & Lample 2019; mT5 / XLM-R sample languages
     with p_g ∝ n_g^alpha, alpha < 1 upweights low-resource groups):
-    build a corpus of ``target_total`` rows (default: |df|) where
-    group g contributes ``take_g = target_total * n_g^alpha /
-    Σ n^alpha`` rows — DOWNSAMPLING over-represented groups and
-    UPSAMPLING (replicating: multiple training epochs over the same
-    documents, the published mechanics) under-represented ones.
-    Output = the input columns + ``epoch_col`` numbering each copy
-    1..k, so downstream shuffles/shards can tell copies apart.
+    build a corpus of ``target_total`` units (default: the corpus
+    size) where group g contributes ``take_g = target_total *
+    n_g^alpha / Σ n^alpha`` units — DOWNSAMPLING over-represented
+    groups and UPSAMPLING (replicating: multiple training epochs
+    over the same documents, the published mechanics)
+    under-represented ones. Output = the input columns +
+    ``epoch_col`` numbering each copy 1..k, so downstream
+    shuffles/shards can tell copies apart.
+
+    ``weight_col`` (round-10 verdict): the group mass ``n_g``. By
+    default groups weigh by DOC COUNT (units = rows); pass a per-doc
+    non-negative integer weight — a token count — and groups weigh
+    by CORPUS SIZE ``n_g = Σ weight`` (units = tokens), the published
+    basis (mT5 §3.1 / XLM-R §3.1 sample languages by data size, not
+    document count; doc-count balancing over-weights short-doc
+    languages). Epoch semantics are unchanged and per-GROUP: every
+    doc in group g gets ``e_g = take_g div n_g`` full copies — a
+    doc's copy count never depends on other docs' lengths — and the
+    remainder ``take_g mod n_g`` (tokens) becomes a uniform doc-rate
+    ``rem/n_g`` hash set whose EXPECTED token mass is exactly rem_g.
+    Docs with weight 0 ride along in full epochs (a pass over the
+    group is a pass); a group whose total mass is 0 allocates
+    nothing and is dropped.
 
     Everything is integer-exact so a SQL engine replays it
     bit-identically (the repo's oracle convention):
@@ -160,24 +177,38 @@ def temperature_mixture(
       chains (sqrt, sqrt∘sqrt, and their product): sqrt and multiply
       are correctly-rounded IEEE-754 operations, so ANY compliant
       engine produces the identical double, hence the identical
-      floor — no cross-engine pow() trust required.
-    - ``take_g = (target_total * w_g) div Σw`` — pure BIGINT
-      arithmetic (Σw is an exact integer sum, order-independent).
+      floor — no cross-engine pow() trust required. A sqrt-chain
+      value that would itself overflow BIGINT (alpha=0.75 needs a
+      single group past ~2e17 tokens) raises loudly.
+    - ``take_g = (target_total * w_g) div Σw`` in DECIMAL(38,0) —
+      exact integral division, and since BIGINT * BIGINT < 10^38 the
+      product can NEVER overflow the decimal, which retires the
+      round-10 BIGINT raise_error guard entirely (token-scale
+      targets * 1e6-scaled weights overflowed BIGINT at exactly the
+      corpus sizes weight_col exists for). DuckDB replays it as
+      HUGEINT.
     - epochs ``e_g = take_g div n_g``; the remainder ``take_g mod
       n_g`` comes from the md5 layout every sampler here shares.
 
     ``exact=False`` (default, the 100 TB path): the remainder is the
-    deterministic hash-rate set ``md5_bucket16(id, salt) <
-    floor(65536 * rem / n_g)`` — NO window, NO extra shuffle; the
-    whole operator is one k-row count aggregate + a broadcast
-    alloc join + an explode in the scan stage. Remainder size is
-    then binomially noisy around rem_g (the ``sample_hash``
-    contract). ``exact=True`` ranks each group by md5 digest and
-    takes exactly rem_g (the ``sample_exact_n`` contract) — one
-    window over each group partition, so it inherits that
-    function's caveat: fine for many bounded strata, NOT for a few
-    corpus-sized groups (a language IS a corpus-sized group at
-    100 TB — which is why it is not the default).
+    deterministic hash-rate set ``md5_bucket32(id, salt) <
+    (2^32 * rem) div n_g`` (the cut in DECIMAL(38,0) — 2^32 * a
+    token-scale remainder overflows BIGINT) — NO window, NO extra
+    shuffle; the whole operator is one k-row aggregate + a broadcast
+    alloc join + an explode in the scan stage. 32-bit, not 16
+    (round-10 verdict): the 16-bit cut ``(65536*rem) div n``
+    truncation systematically undershot heavy downsampling (take/n =
+    1e-4 ran ~8% short); at 32 bits the worst undershoot is
+    ~2.3e-10. Remainder size is binomially noisy around rem_g (the
+    ``sample_hash`` contract). ``exact=True`` ranks each group by
+    md5 digest and takes exactly rem_g rows (doc-count mode, the
+    ``sample_exact_n`` contract) or the longest digest-ordered
+    prefix whose cumulative weight fits rem_g (weighted mode —
+    greedy prefix packing) — one window over each group partition,
+    so it inherits that function's caveat: fine for many bounded
+    strata, NOT for a few corpus-sized groups (a language IS a
+    corpus-sized group at 100 TB — which is why it is not the
+    default).
     """
     if alpha not in _TEMP_ALPHAS:
         raise ValueError(
@@ -188,76 +219,101 @@ def temperature_mixture(
         raise ValueError(
             f"target_total must be >= 1, got {target_total}"
         )
-    from nsl_kdd_spark.operators.relational import md5_bucket16, md5_key
+    from nsl_kdd_spark.operators.relational import md5_bucket32, md5_key
 
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    if weight_col is None:
+        mass = F.count(F.lit(1))
+        wrow = None
+    else:
+        wrow = (
+            F.col(weight_col) if isinstance(weight_col, str)
+            else weight_col
+        ).cast("long")
+        # negative masses would corrupt the allocation silently —
+        # surface them at the (cheap, k-row) aggregate instead
+        mass = F.when(
+            F.min(wrow) < 0,
+            F.raise_error(
+                F.lit("temperature_mixture: weight_col is negative")
+            ).cast("long"),
+        ).otherwise(F.sum(wrow))
+    counts = df.groupBy(group_col).agg(mass.alias("__n"))
     nd = F.col("__n").cast("double")
     # alpha=1 needs no fixed-point scale at all (w = n is exact, and
     # floor(t*n*1e6 / (sum(n)*1e6)) == floor(t*n / sum(n)) — the
-    # shared factor cancels), which also buys 1e6x overflow headroom
-    # on the biggest-group path (round-10 review)
+    # shared factor cancels)
     if alpha == 1.0:
         w = F.col("__n")
-    elif alpha == 0.5:
-        w = F.floor(F.sqrt(nd) * F.lit(1000000.0))
-    elif alpha == 0.25:
-        w = F.floor(F.sqrt(F.sqrt(nd)) * F.lit(1000000.0))
-    else:  # 0.75
-        w = F.floor(
-            F.sqrt(nd) * F.sqrt(F.sqrt(nd)) * F.lit(1000000.0)
-        )
+    else:
+        if alpha == 0.5:
+            wd = F.sqrt(nd) * F.lit(1000000.0)
+        elif alpha == 0.25:
+            wd = F.sqrt(F.sqrt(nd)) * F.lit(1000000.0)
+        else:  # 0.75
+            wd = F.sqrt(nd) * F.sqrt(F.sqrt(nd)) * F.lit(1000000.0)
+        # floor(wd) past BIGINT would wrap silently with ANSI off;
+        # reachable for alpha=0.75 once ONE group masses ~2e17 —
+        # raise loudly (the doc-count path can't hit it: 9.2e18 rows
+        # would overflow the count first)
+        w = F.when(
+            wd >= F.lit(9.223372036854776e18),
+            F.raise_error(
+                F.lit(
+                    "temperature_mixture: n_g^alpha * 1e6 overflows "
+                    "BIGINT; rescale weight_col units"
+                )
+            ).cast("long"),
+        ).otherwise(F.floor(wd))
     wt = counts.withColumn("__w", w.cast("long"))
     tot = wt.agg(
         F.sum("__w").alias("__sw"),
         F.sum("__n").alias("__sn"),
-        F.max("__w").alias("__mw"),
     )
     tgt = (
         F.lit(int(target_total)).cast("long")
         if target_total is not None
         else F.col("__sn")
     )
-    # target * w runs in BIGINT; with ANSI off an overflow would wrap
-    # SILENTLY negative and the __k > 0 filter would drop the whole
-    # group — so refuse loudly instead (round-10 review). Reachable
-    # only past ~9.2e18 / max(w): e.g. alpha=0.5 needs target *
-    # sqrt(n_max) > 9.2e12 — pre-aggregate counts or lower the
-    # target scale if a corpus ever hits it.
-    guarded_tgt = F.when(
-        tgt > F.expr(f"{2**63 - 1} div __mw"),
-        F.raise_error(
-            F.lit(
-                "temperature_mixture: target_total * max(weight) "
-                "overflows BIGINT; reduce target_total or "
-                "pre-aggregate group counts"
-            )
-        ).cast("long"),
-    ).otherwise(tgt)
+    # DECIMAL(38,0) alloc arithmetic: exact integral `div`, immune to
+    # BIGINT overflow by construction (see docstring); everything
+    # downstream (__take, __ep, __rem, __cut) is back in BIGINT
     alloc = (
         wt.crossJoin(F.broadcast(tot))  # k rows x 1 row
-        .withColumn("__take", guarded_tgt * F.col("__w"))
-        .withColumn("__take", F.expr("__take div __sw"))
+        .withColumn("__tgt", tgt)
+        .withColumn(
+            "__take",
+            F.expr("(CAST(__tgt AS DECIMAL(38,0)) * __w) div __sw"),
+        )
+        .filter(F.col("__n") > 0)  # mass-0 group: nothing to copy
         .select(
             group_col,
             "__n",
             F.expr("__take div __n").alias("__ep"),
             (F.col("__take") % F.col("__n")).alias("__rem"),
+            F.expr(
+                "(CAST(4294967296 AS DECIMAL(38,0)) * (__take % __n))"
+                " div __n"
+            ).alias("__cut"),
         )
     )
     joined = df.join(F.broadcast(alloc), on=group_col)
     if exact:
         from pyspark.sql import Window
 
-        rk = F.row_number().over(
-            Window.partitionBy(group_col).orderBy(
-                md5_key(id_col, salt), F.col(id_col)
+        wo = Window.partitionBy(group_col).orderBy(
+            md5_key(id_col, salt), F.col(id_col)
+        )
+        if weight_col is None:
+            in_rem = F.row_number().over(wo) <= F.col("__rem")
+        else:
+            # greedy prefix packing: longest digest-ordered prefix
+            # whose cumulative token mass fits the remainder budget
+            cum = F.sum(wrow).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
             )
-        )
-        in_rem = rk <= F.col("__rem")
+            in_rem = cum <= F.col("__rem")
     else:
-        in_rem = md5_bucket16(id_col, salt) < F.expr(
-            "(65536 * __rem) div __n"
-        )
+        in_rem = md5_bucket32(id_col, salt) < F.col("__cut")
     copies = (F.col("__ep") + in_rem.cast("long")).alias("__k")
     return (
         joined.withColumn("__k", copies)
@@ -265,7 +321,7 @@ def temperature_mixture(
         .withColumn(
             epoch_col, F.explode(F.sequence(F.lit(1), F.col("__k")))
         )
-        .drop("__n", "__ep", "__rem", "__k")
+        .drop("__n", "__ep", "__rem", "__cut", "__k")
     )
 
 
@@ -298,11 +354,22 @@ def fim_transform(
     deterministic-sampling doctrine instead of RNG state: the FIM
     decision is the shared md5-bucket cut (same truncation convention
     as ``sample_hash``/``upsample_hash``), and the two split points
-    are independent md5 buckets (salted ``a``/``b``) taken mod
+    are independent 32-bit md5 buckets (salted ``a``/``b``) taken mod
     (n_tokens + 1), so re-runs, repartitionings and incremental
     re-ingests transform each document identically — and a SQL engine
     replays the whole thing bit-exactly (token-boundary splits keep
     the oracle in the portable string_split algebra).
+
+    Split-point resolution (round-10 verdict fix): the points draw
+    from ``md5_bucket32``, not the 16-bit bucket — at 16 bits a
+    100k-token document could never split past position 65,535 (the
+    tail of exactly the long code/book files FIM targets) and the
+    mod carried a ~2:1 bias over the low positions once L+1 crossed
+    32,768. At 32 bits positions to 4.3e9 are reachable and the
+    per-position bias is ~(L+1)/2^32. The APPLY decision stays
+    16-bit on purpose: it shares ``sample_hash``'s truncation
+    convention, so ``fim_transform(rate)`` transforms the identical
+    doc set ``sample_hash(rate)`` selects under the same salt.
 
     Scale shape: zero shuffles, zero joins — the split positions,
     segment slices and sentinel re-serialization are all scan-stage
@@ -314,7 +381,10 @@ def fim_transform(
     if mode not in _FIM_MODES:
         raise ValueError(f"mode must be one of {_FIM_MODES}, got {mode!r}")
     from nsl_kdd_spark.functions.text import tokens
-    from nsl_kdd_spark.operators.relational import md5_bucket16
+    from nsl_kdd_spark.operators.relational import (
+        md5_bucket16,
+        md5_bucket32,
+    )
 
     # int() truncation, NOT round(): the sample_hash convention, so
     # fim_transform(rate) selects the identical doc set as
@@ -322,8 +392,14 @@ def fim_transform(
     cut = int(rate * 65536)
     tk = tokens(text_col)
     L = F.size(tk)
-    c1 = md5_bucket16(id_col, salt + "a") % (L + F.lit(1))
-    c2 = md5_bucket16(id_col, salt + "b") % (L + F.lit(1))
+    # cast back to int after the mod (the result is < L+1, an int):
+    # slice()'s start/length arguments type-check as int
+    c1 = (
+        md5_bucket32(id_col, salt + "a") % (L + F.lit(1)).cast("long")
+    ).cast("int")
+    c2 = (
+        md5_bucket32(id_col, salt + "b") % (L + F.lit(1)).cast("long")
+    ).cast("int")
     lo = F.least(c1, c2)
     hi = F.greatest(c1, c2)
     prefix = F.slice(tk, 1, lo)

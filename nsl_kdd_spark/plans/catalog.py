@@ -3944,6 +3944,19 @@ def _md5_bucket_sql(salt: str, key: str) -> str:
     )
 
 
+def _md5_bucket32_sql(salt: str, key: str) -> str:
+    """DuckDB replay of relational.md5_bucket32 — first 8 md5 hex
+    digits as nibble arithmetic (BIGINT-cast multipliers: the top
+    nibble's 15 * 16^7 exceeds INT32)."""
+    h = f"md5(CONCAT('{salt}', CAST({key} AS VARCHAR)))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h},{i},1)) - 1)"
+        f" * CAST({16 ** (8 - i)} AS BIGINT)"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
 @query(
     "q97_corpus_mixture",
     oracle=f"""
@@ -6772,8 +6785,10 @@ def _q157_oracle() -> str:
 # epoch-replication upsampling. Integer-exact end-to-end: weights are
 # floor(sqrt(n)*1e6) (IEEE sqrt + multiply are correctly rounded, so
 # any compliant engine computes the identical double and floor),
-# takes are BIGINT (target * w) div Σw, and the remainder set is the
-# shared md5-bucket layout — so DuckDB replays the whole allocation
+# takes are exact integral division — Spark DECIMAL(38,0) `div`,
+# replayed here as HUGEINT `//` — and the remainder set is the
+# 32-bit md5 layout (round-11: the 16-bit cut truncation undershot
+# heavy downsampling) — so DuckDB replays the whole allocation
 # bit-exactly, epochs included.
 # ---------------------------------------------------------------------------
 
@@ -6790,8 +6805,9 @@ def _q157_oracle() -> str:
     ), tot AS (
       SELECT SUM(w) AS sw, SUM(n) AS sn FROM w
     ), alloc AS (
-      SELECT lang, n, ((SELECT sn FROM tot) * w) // (SELECT sw FROM tot)
-               AS take
+      SELECT lang, n,
+             CAST((CAST((SELECT sn FROM tot) AS HUGEINT) * w)
+                  // (SELECT sw FROM tot) AS BIGINT) AS take
       FROM w
     ), a2 AS (
       SELECT lang, n, take // n AS ep, take % n AS rem FROM alloc
@@ -6801,8 +6817,9 @@ def _q157_oracle() -> str:
     JOIN a2 USING (lang),
     unnest(generate_series(
       1,
-      CAST(a2.ep + CASE WHEN ({_md5_bucket_sql("", "d.doc_id")})
-                             < (65536 * a2.rem) // a2.n
+      CAST(a2.ep + CASE WHEN ({_md5_bucket32_sql("", "d.doc_id")})
+                             < CAST((CAST(4294967296 AS HUGEINT)
+                                     * a2.rem) // a2.n AS BIGINT)
                    THEN 1 ELSE 0 END AS BIGINT)
     )) AS e(epoch)
     ORDER BY doc_id, epoch
@@ -6828,7 +6845,10 @@ def q158_temperature_mixture(
 # suffix <MID> middle, split points and the FIM decision all
 # deterministic md5 functions of (salt, doc_id) — zero shuffles, the
 # whole transform lives in the scan projection, and DuckDB replays
-# the bucket arithmetic + token-boundary slices bit-exactly.
+# the bucket arithmetic + token-boundary slices bit-exactly. Split
+# points draw from the 32-bit bucket (round-11: 16 bits capped
+# reachable positions at 65,535 and biased the mod); the apply
+# decision stays on the 16-bit sample_hash cut.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -6839,8 +6859,8 @@ def q158_temperature_mixture(
       FROM documents
     ), pos AS (
       SELECT doc_id, text, tk, len(tk) AS L,
-             ({_md5_bucket_sql("a", "doc_id")}) % (len(tk) + 1) AS c1,
-             ({_md5_bucket_sql("b", "doc_id")}) % (len(tk) + 1) AS c2,
+             ({_md5_bucket32_sql("a", "doc_id")}) % (len(tk) + 1) AS c1,
+             ({_md5_bucket32_sql("b", "doc_id")}) % (len(tk) + 1) AS c2,
              ({_md5_bucket_sql("", "doc_id")}) < 32768 AS applied
       FROM toks
     ), seg AS (
@@ -6961,6 +6981,72 @@ def q157_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", weights, biases,
         word_ngrams=2, n_buckets=_Q157_BUCKETS,
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q161 — TOKEN-weighted temperature mixture (round-11 verdict task 1;
+# operators/corpus.temperature_mixture(weight_col=...)): groups weigh
+# by corpus SIZE n_g = Σ token counts, the published basis (mT5 §3.1
+# / XLM-R §3.1 sample languages by data size, not document count).
+# Same sqrt-chain weights and epoch mechanics as q158 with masses in
+# token units; the alloc runs in Spark DECIMAL(38,0) / DuckDB HUGEINT
+# (token-scale products overflow BIGINT) and the remainder set is the
+# 32-bit md5 cut.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q161_token_weighted_mixture",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), counts AS (
+      SELECT lang, SUM(n_tok) AS n FROM docs GROUP BY lang
+    ), w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w
+      FROM counts
+    ), tot AS (
+      SELECT SUM(w) AS sw, SUM(n) AS sn FROM w
+    ), alloc AS (
+      SELECT lang, n,
+             CAST((CAST((SELECT sn FROM tot) AS HUGEINT) * w)
+                  // (SELECT sw FROM tot) AS BIGINT) AS take
+      FROM w
+    ), a2 AS (
+      SELECT lang, n, take // n AS ep, take % n AS rem FROM alloc
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_tok AS BIGINT) AS n_tok,
+           CAST(e.epoch AS BIGINT) AS epoch
+    FROM docs d
+    JOIN a2 USING (lang),
+    unnest(generate_series(
+      1,
+      CAST(a2.ep + CASE WHEN ({_md5_bucket32_sql("", "d.doc_id")})
+                             < CAST((CAST(4294967296 AS HUGEINT)
+                                     * a2.rem) // a2.n AS BIGINT)
+                   THEN 1 ELSE 0 END AS BIGINT)
+    )) AS e(epoch)
+    ORDER BY doc_id, epoch
+    """,
+)
+def q161_token_weighted_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.functions.text import token_count
+    from nsl_kdd_spark.operators.corpus import temperature_mixture
+
+    docs = load_tables(spark, sf_dir).documents.withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    return (
+        temperature_mixture(
+            docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok"
+        )
+        .select("doc_id", "lang", "n_tok", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,20 +15,28 @@ from pyspark.sql import functions as F
 from nsl_kdd_spark.operators.corpus import fim_transform
 
 
-def _bucket(doc_id: int, salt: str = "") -> int:
+def _bucket(doc_id, salt: str = "") -> int:
     return int(
         hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:4], 16
     )
 
 
+def _bucket32(doc_id, salt: str = "") -> int:
+    return int(
+        hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16
+    )
+
+
 def _py_fim(doc_id: int, text: str, rate: float, salt: str, mode: str):
+    # apply decision: 16-bit (the sample_hash cut convention);
+    # split points: 32-bit (round-11 — long-doc reachability)
     applied = _bucket(doc_id, salt) < int(rate * 65536)
     if not applied:
         return False, text
     tk = text.split(" ")
     L = len(tk)
-    c1 = _bucket(doc_id, salt + "a") % (L + 1)
-    c2 = _bucket(doc_id, salt + "b") % (L + 1)
+    c1 = _bucket32(doc_id, salt + "a") % (L + 1)
+    c2 = _bucket32(doc_id, salt + "b") % (L + 1)
     lo, hi = min(c1, c2), max(c1, c2)
     prefix, middle, suffix = tk[:lo], tk[lo:hi], tk[hi:]
     if mode == "psm":
@@ -121,6 +129,70 @@ def test_invalid_args_raise(spark):
         fim_transform(docs, "doc_id", "text", rate=1.5)
     with pytest.raises(ValueError, match="mode"):
         fim_transform(docs, "doc_id", "text", mode="msp")
+
+
+def test_long_doc_split_points_reach_past_65536(spark):
+    """Round-10 verdict finding: 16-bit split points made every
+    position >= 65,536 UNREACHABLE — a 100k-token file never split
+    in its tail. Drive a real 70,001-token doc through the engine
+    with an id whose 32-bit bucket lands past the old ceiling and
+    assert the prefix length (lo, recoverable from the PSM layout)
+    exceeds 65,535."""
+    L = 70_000
+    # find ids whose BOTH split draws land past the 16-bit ceiling
+    # (lo = min(c1, c2) must exceed 65535)
+    doc_id = next(
+        i for i in range(1, 10_000)
+        if _bucket32(i, "a") % (L + 1) > 65535
+        and _bucket32(i, "b") % (L + 1) > 65535
+    )
+    text = " ".join(f"t{j}" for j in range(L))
+    docs = spark.createDataFrame(
+        [(doc_id, text)], "doc_id long, text string"
+    )
+    r = fim_transform(docs, "doc_id", "text", rate=1.0).first()
+    body = r.text_fim.split(" ")
+    assert body[0] == "<PRE>"
+    lo = body.index("<SUF>") - 1  # prefix token count == lo
+    expected_lo = min(
+        _bucket32(doc_id, "a") % (L + 1),
+        _bucket32(doc_id, "b") % (L + 1),
+    )
+    assert lo == expected_lo
+    assert lo > 65535  # unreachable at 16 bits, reachable now
+
+
+def test_split_point_histogram_exact_at_small_L(spark):
+    """Distribution pin (round-10 verdict): at small L the split
+    points must hit EVERY position 0..L with near-uniform mass —
+    the exact histogram over a large id draw equals the pure-Python
+    32-bit reference, and no position is starved below 60% of the
+    uniform expectation (the 16-bit mod's 2:1 bias class would
+    trip this at large L; at 32 bits the bias is ~L/2^32)."""
+    import collections
+
+    L = 7
+    n_ids = 4096
+    expected = collections.Counter(
+        _bucket32(i, "a") % (L + 1) for i in range(n_ids)
+    )
+    text = " ".join(f"t{j}" for j in range(L))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n_ids)], "doc_id long, text string"
+    )
+    out = fim_transform(docs, "doc_id", "text", rate=1.0).collect()
+    got = collections.Counter()
+    for r in out:
+        body = r.text_fim.split(" ")
+        lo = body.index("<SUF>") - 1
+        hi = lo + (len(body) - body.index("<MID>") - 1)
+        a = _bucket32(r.doc_id, "a") % (L + 1)
+        b = _bucket32(r.doc_id, "b") % (L + 1)
+        assert {lo, hi} == {a, b}, r.doc_id
+        got[a] += 1
+    assert got == expected
+    floor_mass = 0.6 * n_ids / (L + 1)
+    assert all(expected[p] > floor_mass for p in range(L + 1))
 
 
 def test_plan_is_pure_scan_projection(spark):

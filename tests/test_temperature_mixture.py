@@ -48,9 +48,9 @@ def _py_alloc(counts: dict[str, int], alpha: float, target: int):
     }
 
 
-def _bucket(doc_id: int, salt: str = "") -> int:
+def _bucket32(doc_id: int, salt: str = "") -> int:
     return int(
-        hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:4], 16
+        hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16
     )
 
 
@@ -68,8 +68,10 @@ def test_rate_mode_matches_python_reference(spark, alpha):
     grp_of = {r.doc_id: r.lang for r in docs.collect()}
     for doc_id, grp in grp_of.items():
         ep, rem = alloc[grp]
-        thr = (65536 * rem) // counts[grp]
-        expected = ep + (1 if _bucket(doc_id) < thr else 0)
+        # 32-bit remainder cut (round-11 — the 16-bit truncation
+        # undershot heavy downsampling)
+        thr = (2**32 * rem) // counts[grp]
+        expected = ep + (1 if _bucket32(doc_id) < thr else 0)
         eps = sorted(got.get(doc_id, []))
         assert eps == list(range(1, expected + 1)), (doc_id, alpha)
 
@@ -138,6 +140,176 @@ def test_invalid_args_raise(spark):
         temperature_mixture(
             docs, "lang", "doc_id", target_total=0
         )
+
+
+def _weighted_docs(spark):
+    # per-doc token-count weights: en docs are LONG (10 tokens
+    # each), zh docs are short (2) — doc-count balancing and
+    # token-mass balancing disagree sharply on this corpus
+    rows = []
+    doc = 0
+    for grp, n, toks in (("en", 8, 10), ("fr", 6, 5), ("zh", 12, 2)):
+        for _ in range(n):
+            rows.append((doc, grp, toks))
+            doc += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tok long"
+    )
+
+
+def _py_weighted_alloc(masses, alpha, target):
+    w = {}
+    for g, m in masses.items():
+        if alpha == 1.0:
+            w[g] = m * 1000000
+        elif alpha == 0.5:
+            w[g] = math.floor(math.sqrt(m) * 1000000.0)
+    sw = sum(w.values())
+    take = {g: (target * w[g]) // sw for g in masses}
+    return {g: (take[g] // masses[g], take[g] % masses[g]) for g in masses}
+
+
+def test_weight_col_allocates_by_token_mass(spark):
+    """Round-10 verdict task 1: weight_col balances groups by
+    CORPUS SIZE (mT5/XLM-R's published basis), replaying the same
+    alloc arithmetic with n_g = sum(weight). Epoch semantics stay
+    group-uniform: a doc's copy count is e_g + the id-hash
+    remainder draw, never a function of other docs' lengths."""
+    docs = _weighted_docs(spark)
+    masses = {"en": 80, "fr": 30, "zh": 24}  # token masses
+    alloc = _py_weighted_alloc(masses, 0.5, 134)  # default tgt = Σmass
+    out = temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok"
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    for r in docs.collect():
+        ep, rem = alloc[r.lang]
+        thr = (2**32 * rem) // masses[r.lang]
+        expected = ep + (1 if _bucket32(r.doc_id) < thr else 0)
+        eps = sorted(got.get(r.doc_id, []))
+        assert eps == list(range(1, expected + 1)), r.doc_id
+
+
+def test_weight_col_disagrees_with_doc_count_balancing(spark):
+    """The motivating case: zh has the MOST docs but the LEAST
+    tokens. Doc-count alpha=1 keeps zh the biggest group of the mix;
+    token-weighted alpha=1 allocates zh the least token mass."""
+    docs = _weighted_docs(spark)
+    by_doc = temperature_mixture(docs, "lang", "doc_id", alpha=1.0)
+    doc_counts = {
+        r.lang: r["count"]
+        for r in by_doc.groupBy("lang").count().collect()
+    }
+    assert max(doc_counts, key=doc_counts.get) == "zh"
+    by_tok = temperature_mixture(
+        docs, "lang", "doc_id", alpha=1.0, weight_col="n_tok"
+    )
+    tok_mass = {
+        r.lang: r.mass
+        for r in by_tok.groupBy("lang")
+        .agg(F.sum("n_tok").alias("mass"))
+        .collect()
+    }
+    assert min(tok_mass, key=tok_mass.get) == "zh"
+
+
+def test_weight_col_exact_mode_greedy_prefix_packing(spark):
+    """exact=True + weight_col: the remainder is the longest
+    md5-digest-ordered prefix whose cumulative weight fits rem_g."""
+    docs = _weighted_docs(spark)
+    masses = {"en": 80, "fr": 30, "zh": 24}
+    alloc = _py_weighted_alloc(masses, 0.5, 134)
+    out = temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok",
+        exact=True,
+    )
+    per = {
+        r.lang: r.mass
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tok").alias("mass"))
+        .collect()
+    }
+    rows = sorted(
+        docs.collect(),
+        key=lambda r: (
+            hashlib.md5(f"{r.doc_id}".encode()).hexdigest(),
+            r.doc_id,
+        ),
+    )
+    for g, (ep, rem) in alloc.items():
+        cum = packed = 0
+        for r in rows:
+            if r.lang != g:
+                continue
+            cum += r.n_tok
+            if cum <= rem:
+                packed += r.n_tok
+        assert per.get(g, 0) == ep * masses[g] + packed, g
+
+
+def test_weight_col_negative_raises(spark):
+    docs = _weighted_docs(spark).withColumn(
+        "n_tok",
+        F.when(F.col("doc_id") == 3, F.lit(-1)).otherwise(F.col("n_tok")),
+    )
+    with pytest.raises(Exception, match="negative"):
+        temperature_mixture(
+            docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok"
+        ).collect()
+
+
+def test_zero_mass_group_is_dropped_not_divided(spark):
+    docs = _weighted_docs(spark).withColumn(
+        "n_tok",
+        F.when(F.col("lang") == "fr", F.lit(0)).otherwise(F.col("n_tok")),
+    )
+    out = temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok"
+    )
+    assert out.filter(F.col("lang") == "fr").count() == 0
+    assert out.filter(F.col("lang") == "en").count() > 0
+
+
+def test_token_scale_targets_do_not_overflow(spark):
+    """The DECIMAL(38,0) alloc: a ~100-trillion-token corpus with a
+    token-scale target puts tgt * w at ~1e27 — far past BIGINT,
+    where the round-10 arithmetic raised loudly — and 2^32 * rem at
+    ~1e23. Both must now allocate exactly (epoch counts stay O(1):
+    the target is the same order as the corpus, the realistic
+    regime — explode materializes epochs physically)."""
+    per_doc = 4_000_000_000_000  # 4e12 tokens per doc
+    rows = []
+    doc = 0
+    for grp, n in (("en", 15), ("fr", 7), ("zh", 4)):
+        for _ in range(n):
+            rows.append((doc, grp, per_doc))
+            doc += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tok long"
+    )
+    masses = {g: n * per_doc for g, n in (("en", 15), ("fr", 7), ("zh", 4))}
+    tgt = sum(masses.values())  # ~1.04e14 tokens
+    alloc = _py_weighted_alloc(masses, 0.5, tgt)
+    out = temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok",
+        target_total=tgt,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    n_docs = {"en": 15, "fr": 7, "zh": 4}
+    for r in rows:
+        doc_id, grp, _ = r
+        ep, rem = alloc[grp]
+        thr = (2**32 * rem) // masses[grp]
+        expected = ep + (1 if _bucket32(doc_id) < thr else 0)
+        eps = sorted(got.get(doc_id, []))
+        assert eps == list(range(1, expected + 1)), doc_id
+    # the zh upweight genuinely replicates (alpha=0.5 over-allocates
+    # the smallest group past one epoch)
+    assert alloc["zh"][0] >= 1 and alloc["en"][0] <= 1
 
 
 def test_rate_mode_plan_has_no_window(spark):

@@ -1654,31 +1654,41 @@ def fam_temperature_mixture(rng: random.Random):
     the sqrt-chain grid, the group column, the target size, the
     salt and the exact/rate remainder mode; the oracle replays the
     integer allocation (floor(n^alpha * 1e6) via IEEE sqrt chains,
-    BIGINT take/epoch/remainder math) and the shared md5 layout —
-    rows compare bit-exact, epochs included."""
+    HUGEINT take math mirroring Spark's DECIMAL(38,0) div, 32-bit
+    md5 remainder cut — round-11) — rows compare bit-exact, epochs
+    included."""
     alpha = rng.choice((0.25, 0.5, 0.75, 1.0))
     grp = rng.choice(("lang", "source"))
-    target = rng.choice((None, 300, 1000))
     salt = rng.choice(("", "s1"))
     exact = rng.choice((False, True))
+    # round-11: toggle doc-count vs token-mass weighting (the mT5/
+    # XLM-R corpus-size basis); targets scale with the unit
+    weighted = rng.choice((False, True))
+    target = rng.choice((None, 3000, 30000) if weighted else (None, 300, 1000))
 
     def spark_fn(spark, sf_dir):
         from pyspark.sql import functions as F
 
+        from nsl_kdd_spark.functions.text import token_count
         from nsl_kdd_spark.operators.corpus import temperature_mixture
         from nsl_kdd_spark.sources.parquet import load_tables
 
         docs = load_tables(spark, sf_dir).documents
+        if weighted:
+            docs = docs.withColumn(
+                "n_tok", token_count("text").cast("long")
+            )
         return (
             temperature_mixture(
                 docs, grp, "doc_id", alpha=alpha,
                 target_total=target, salt=salt, exact=exact,
+                weight_col="n_tok" if weighted else None,
             )
             .select("doc_id", F.col(grp).alias("grp"), "epoch")
             .orderBy("doc_id", "epoch")
         )
 
-    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+    from nsl_kdd_spark.plans.catalog import _md5_bucket32_sql
 
     wexpr = {
         1.0: "n",
@@ -1689,8 +1699,23 @@ def fam_temperature_mixture(rng: random.Random):
               " * SQRT(SQRT(CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)",
     }[alpha]
     tgt = "(SELECT sn FROM tot)" if target is None else str(target)
+    doc_mass = (
+        "len(string_split(text, ' '))" if weighted else "1"
+    )
     if exact:
-        member = """ranked AS (
+        if weighted:
+            # greedy prefix packing: cumulative token mass in
+            # md5-digest order must fit the remainder budget
+            member = """ranked AS (
+      SELECT doc_id, grp,
+             SUM(n_tok) OVER (PARTITION BY grp
+               ORDER BY md5(CONCAT('{salt}', CAST(doc_id AS VARCHAR))),
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS rk
+      FROM docs
+    )""".replace("{salt}", salt)
+        else:
+            member = """ranked AS (
       SELECT doc_id, grp,
              ROW_NUMBER() OVER (PARTITION BY grp
                ORDER BY md5(CONCAT('{salt}', CAST(doc_id AS VARCHAR))),
@@ -1701,20 +1726,23 @@ def fam_temperature_mixture(rng: random.Random):
     else:
         member = "ranked AS (SELECT doc_id, grp, 0 AS rk FROM docs)"
         in_rem = (
-            f"({_md5_bucket_sql(salt, 'd.doc_id')})"
-            f" < (65536 * a2.rem) // a2.n"
+            f"({_md5_bucket32_sql(salt, 'd.doc_id')})"
+            f" < CAST((CAST(4294967296 AS HUGEINT) * a2.rem) // a2.n"
+            f" AS BIGINT)"
         )
     sql = f"""
     WITH docs AS (
-      SELECT doc_id, {grp} AS grp FROM documents
+      SELECT doc_id, {grp} AS grp, {doc_mass} AS n_tok FROM documents
     ), counts AS (
-      SELECT grp, COUNT(*) AS n FROM docs GROUP BY grp
+      SELECT grp, SUM(n_tok) AS n FROM docs GROUP BY grp
     ), w AS (
       SELECT grp, n, {wexpr} AS w FROM counts
     ), tot AS (
       SELECT SUM(w) AS sw, SUM(n) AS sn FROM w
     ), alloc AS (
-      SELECT grp, n, ({tgt} * w) // (SELECT sw FROM tot) AS take
+      SELECT grp, n,
+             CAST((CAST({tgt} AS HUGEINT) * w) // (SELECT sw FROM tot)
+                  AS BIGINT) AS take
       FROM w
     ), a2 AS (
       SELECT grp, n, take // n AS ep, take % n AS rem FROM alloc
@@ -1730,7 +1758,7 @@ def fam_temperature_mixture(rng: random.Random):
     """
     return (
         f"alpha={alpha} grp={grp} target={target} salt={salt!r} "
-        f"exact={exact}",
+        f"exact={exact} weighted={weighted}",
         spark_fn,
         sql,
         False,
@@ -1742,9 +1770,9 @@ def fam_fim(rng: random.Random):
     operators/corpus.fim_transform, Bavarian et al. 2022). Draws
     move the FIM rate across the full range (0 = pure pass-through,
     1 = every doc), the salt (independent split-point streams) and
-    the PSM/SPM serialization order; the oracle replays the md5
-    bucket cut, the mod-(L+1) split points and the token-boundary
-    slices — strings compare bit-exact."""
+    the PSM/SPM serialization order; the oracle replays the 16-bit
+    md5 apply cut, the 32-bit mod-(L+1) split points (round-11) and
+    the token-boundary slices — strings compare bit-exact."""
     rate = rng.choice((0.0, 0.25, 0.5, 0.9, 1.0))
     salt = rng.choice(("", "s1"))
     mode = rng.choice(("psm", "spm"))
@@ -1762,7 +1790,10 @@ def fam_fim(rng: random.Random):
             .orderBy("doc_id")
         )
 
-    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+    from nsl_kdd_spark.plans.catalog import (
+        _md5_bucket32_sql,
+        _md5_bucket_sql,
+    )
 
     cut = int(rate * 65536)
     if mode == "psm":
@@ -1777,9 +1808,9 @@ def fam_fim(rng: random.Random):
       FROM documents
     ), pos AS (
       SELECT doc_id, text, tk, len(tk) AS L,
-             ({_md5_bucket_sql(salt + "a", "doc_id")}) % (len(tk) + 1)
+             ({_md5_bucket32_sql(salt + "a", "doc_id")}) % (len(tk) + 1)
                AS c1,
-             ({_md5_bucket_sql(salt + "b", "doc_id")}) % (len(tk) + 1)
+             ({_md5_bucket32_sql(salt + "b", "doc_id")}) % (len(tk) + 1)
                AS c2,
              ({_md5_bucket_sql(salt, "doc_id")}) < {cut} AS applied
       FROM toks
