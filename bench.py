@@ -561,7 +561,12 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     - temperature-mixture sampling (round-10, corpus.py): alpha=0.5
       rate mode over the lang groups — one k-row count aggregate +
       broadcast alloc join + explode, scan-shaped; wall should
-      track the doc scan.
+      track the doc scan,
+    - DSIR importance resampling (round-11, ml/dsir.py): END-TO-END
+      fit + select — two corpus histograms (the raw histogram is the
+      corpus-sized part), broadcast weight join + one margin
+      aggregate, id join-back + scan-stage acceptance; every stage
+      is linear in docs, so wall should scale with the corpus.
     """
     from pyspark.sql import functions as F
 
@@ -570,6 +575,7 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         contaminated_ids,
         contaminated_ids_bloom,
     )
+    from nsl_kdd_spark.ml.dsir import dsir_select, dsir_weights
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
     from nsl_kdd_spark.operators.corpus import temperature_mixture
     from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
@@ -654,6 +660,17 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
             f"quality{label}_classify": lambda: classify_text(
                 docs, "doc_id", "text", qc_weights, qc_biases,
                 word_ngrams=2, n_buckets=65536,
+            ),
+            # fit + select in one timed cell: the raw-side histogram
+            # scan dominates and scales with the corpus (the target
+            # slice is the small %41 cut, the published DSIR shape)
+            f"dsir{label}_select": lambda: dsir_select(
+                corpus, "doc_id", "text",
+                *dsir_weights(
+                    bench, corpus, "text",
+                    word_ngrams=2, n_buckets=65536,
+                ),
+                tau_u=0, word_ngrams=2, n_buckets=65536,
             ),
             # scaled_documents carries no lang column; a skewed
             # doc_id-derived group (bucket 0 absorbs half the corpus)

@@ -6,6 +6,7 @@ file:
     -> connected components -> longest-copy canonical selection
     -> exact-substring span strip (Lee et al. 2022 ExactSubstr, r9)
     -> linear quality-classifier gate (fastText-style inference, r10)
+    -> DSIR importance resampling toward a target domain (r11)
     -> Bloom-gated benchmark decontamination (two-phase, exact)
     -> Bloom semi-join reduction (generic runtime-filter primitive)
     -> hard-negative mining for contrastive embedding training
@@ -42,6 +43,10 @@ from nsl_kdd_spark.operators.substr_dedup import (  # noqa: E402
 from nsl_kdd_spark.operators.winnow import (  # noqa: E402
     winnow_fingerprints,
     winnow_overlap_pairs,
+)
+from nsl_kdd_spark.ml.dsir import (  # noqa: E402
+    dsir_select,
+    dsir_weights,
 )
 from nsl_kdd_spark.ml.linear_text import (  # noqa: E402
     classify_text,
@@ -124,6 +129,24 @@ def main() -> None:
     survivors = survivors.join(kept, "doc_id").persist()
     print(f"classifier keep-rate: {survivors.count()}/{n_before}")
     pre_classifier.unpersist()
+
+    print("== DSIR: importance-resample toward a target domain (r11) ==")
+    # the published position (Xie et al. 2023): between the quality
+    # gate and mixing — pull domain-relevant docs out of the pool;
+    # the en slice stands in for a curated domain sample
+    domain = t.documents.filter(F.col("lang") == "en")
+    dw, db = dsir_weights(
+        domain, survivors, "text", word_ngrams=2, n_buckets=4096
+    )
+    n_pool = survivors.count()
+    selected = dsir_select(
+        survivors, "doc_id", "text", dw, db,
+        tau_u=-10_000_000, n_buckets=4096, keep_score=False,
+    ).persist()
+    print(f"DSIR kept {selected.count()}/{n_pool} "
+          f"(log-space hash acceptance, deterministic)")
+    survivors.unpersist()
+    survivors = selected
 
     print("== Bloom-gated decontamination (exact, two-phase) ==")
     corpus = survivors.filter(F.col("doc_id") % 41 != 0)

@@ -1,0 +1,238 @@
+"""DSIR — Data Selection via Importance Resampling (round-11 growth
+item; Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023).
+
+The published target-domain data-selection step that sits between
+quality classification and corpus mixing in an LLM data pipeline:
+fit two hashed-n-gram bag models — one on a small TARGET corpus (the
+domain you want more of: encyclopedic text, code, a benchmark's
+training split) and one on the RAW pool — then keep raw documents
+with probability proportional to the importance ratio
+``p_target(doc) / p_raw(doc)``. DSIR is how published pipelines
+(e.g. the paper's Pile->Wikipedia+books selection) pull
+domain-relevant data out of a web-scale crawl without a trained
+classifier.
+
+Model (the paper's §3, hashed generative bag-of-ngrams): a document
+is a bag of word 1..n-grams; each gram hashes into one of B buckets;
+``p(doc) = Π_g p(bucket(g))`` with per-corpus bucket categoricals.
+With Laplace(+1) smoothing the per-doc log importance is
+
+    log w(doc) = Σ_g [ ln(t_b + 1) - ln(r_b + 1) ]
+               + n_grams * [ ln(R + B) - ln(T + B) ]
+
+where ``t_b / r_b`` are target/raw bucket counts and ``T / R`` the
+corpora's total gram counts. That is EXACTLY the linear-classifier
+margin shape (ml/linear_text.py): per-bucket weight = the bracketed
+log-ratio, per-gram bias = the corpus-constant term — so importance
+scoring reuses :func:`linear_text_scores` verbatim (broadcast weight
+join + ONE map-side-combined aggregate; the 100 TB shape is already
+graded there).
+
+Fixed-point contract (the q95 micro-nat convention): every ln()
+quantizes to integer micro-nats with round() BEFORE aggregation —
+``ln`` runs on exact integer-valued doubles (counts), so any libm
+agrees to the last ulp and the micro-rounding is engine-portable;
+all arithmetic after quantization is BIGINT. DuckDB replays weights,
+importance AND selection bit-exactly.
+
+Selection: the paper resamples with Gumbel noise; the engine's
+deterministic doctrine replaces RNG with the md5 layout, compared in
+LOG space so no exp()/float division ever runs:
+
+    keep  iff  ln(u) < (log_w_u - tau_u) / 1e6,
+    u = (md5_bucket32(id, salt) + 1) / 2^32
+
+i.e. ``lu_u < log_w_u - tau_u`` with ``lu_u = round(1e6 * ln(u))``.
+(b32+1)/2^32 is an EXACT binary double (power-of-two denominator),
+so both engines take ln of the identical input. P(keep) =
+min(1, exp((log_w - tau)/1e6)) — true importance acceptance, a pure
+function of (salt, id): reproducible, incremental-ingest-safe, and
+oracle-checkable row-for-row. ``tau_u`` shifts the acceptance scale
+(the paper's resample budget): raise it to keep fewer, higher-
+importance docs.
+
+Reference parity: the reference notebook (README.md) has no data
+-selection stage; this extends the curation surface per the
+BASELINE.md north-star alongside the quality tiers it composes with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.functions.text import tokens
+from nsl_kdd_spark.ml.linear_text import (
+    linear_text_scores,
+    word_ngram_array,
+)
+from nsl_kdd_spark.operators.relational import md5_bucket16, md5_bucket32
+
+#: micro-nat scale shared by every ln() quantization in this module
+_SCALE = 1_000_000
+
+
+def ngram_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    word_ngrams: int = 2,
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """Hashed-n-gram bucket histogram of a corpus: ``(bucket, cnt)``
+    over the engine's shared 16-bit md5 gram buckets mod
+    ``n_buckets`` (the linear_text layout, so DSIR weights and
+    classifier weights address the same feature space).
+
+    Scale shape: gram generation is a scan-stage projection
+    (materialized array + posexplode); the histogram is ONE
+    map-side-combined groupBy with at most ``n_buckets`` output rows
+    — the partial aggregate absorbs any hot bucket."""
+    if word_ngrams < 1:
+        raise ValueError(f"word_ngrams must be >= 1, got {word_ngrams}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(
+            f"n_buckets must be in [1, 65536], got {n_buckets}"
+        )
+    return (
+        df.select(tokens(text_col).alias("__tk"))
+        .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
+        .select(F.explode("__gr").alias("__g"))
+        .select(
+            (md5_bucket16(F.col("__g")) % F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _ln_u(x: Column) -> Column:
+    """round(1e6 * ln(x)) as BIGINT — the module's single ln
+    quantization (micro-nats, rounded BEFORE any aggregation)."""
+    return F.round(F.log(x) * F.lit(float(_SCALE))).cast("long")
+
+
+def dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    word_ngrams: int = 2,
+    n_buckets: int = 65536,
+    label: str = "dsir",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the DSIR importance model: ``(weights, biases)`` in the
+    linear_text layout —
+
+    - weights: ``(bucket, label, w_u)`` with ``w_u = round(1e6 *
+      ln(t_b + 1)) - round(1e6 * ln(r_b + 1))`` for every bucket
+      present in either corpus (absent-from-both buckets contribute
+      exactly 0 under Laplace smoothing, so they need no row). Each
+      ln quantizes SEPARATELY on an exact integer input — the most
+      engine-portable form;
+    - biases: ``(label, bias_u)`` with ``bias_u = round(1e6 *
+      ln(R + B)) - round(1e6 * ln(T + B))`` — the per-gram corpus
+      constant.
+
+    Feed both straight into :func:`dsir_log_importance` /
+    :func:`dsir_select` (or ``linear_text_scores`` directly: the
+    importance IS that margin).
+
+    Scale shape: two corpus histograms (see
+    :func:`ngram_bucket_counts`), then a full outer join of two
+    <= ``n_buckets``-row tables and a 1x1 cross for the totals —
+    everything after the histograms is bucket-sized."""
+    tcnt = ngram_bucket_counts(
+        target, text_col, word_ngrams=word_ngrams, n_buckets=n_buckets
+    )
+    rcnt = ngram_bucket_counts(
+        raw, text_col, word_ngrams=word_ngrams, n_buckets=n_buckets
+    )
+    joined = tcnt.withColumnRenamed("cnt", "__tc").join(
+        rcnt.withColumnRenamed("cnt", "__rc"), on="bucket", how="full"
+    )
+    weights = joined.select(
+        "bucket",
+        F.lit(label).alias("label"),
+        (
+            _ln_u(F.coalesce("__tc", F.lit(0)) + F.lit(1))
+            - _ln_u(F.coalesce("__rc", F.lit(0)) + F.lit(1))
+        ).alias("w_u"),
+    )
+    totals = tcnt.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__T")
+    ).crossJoin(
+        rcnt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__R"))
+    )
+    biases = totals.select(
+        F.lit(label).alias("label"),
+        (
+            _ln_u(F.col("__R") + F.lit(n_buckets))
+            - _ln_u(F.col("__T") + F.lit(n_buckets))
+        ).alias("bias_u"),
+    )
+    return weights, biases
+
+
+def dsir_log_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    biases: DataFrame,
+    word_ngrams: int = 2,
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """Per-document fixed-point log importance ``(id_col, log_w_u)``
+    in micro-nats: ``log_w_u = n_grams * bias_u + Σ_g w_u[bucket(g)]``
+    — :func:`linear_text_scores` with the DSIR model (see module
+    docstring for the identity). Positive = the document looks more
+    target-like than raw-like under the hashed n-gram models."""
+    return linear_text_scores(
+        df, id_col, text_col, weights, biases,
+        word_ngrams=word_ngrams, n_buckets=n_buckets,
+    ).select(F.col(id_col), F.col("margin_u").alias("log_w_u"))
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    biases: DataFrame,
+    tau_u: int = 0,
+    salt: str = "",
+    word_ngrams: int = 2,
+    n_buckets: int = 65536,
+    keep_score: bool = True,
+) -> DataFrame:
+    """Importance-resample ``df``: keep a row iff ``lu_u < log_w_u -
+    tau_u`` where ``lu_u = round(1e6 * ln((md5_bucket32(id, salt) +
+    1) / 2^32))`` — log-space hash acceptance with P(keep) =
+    min(1, exp((log_w - tau)/1e6)), deterministic in (salt, id) (see
+    module docstring). ``tau_u`` is the selection temperature in
+    micro-nats; vary ``salt`` for independent draws. Output = the
+    selected input rows (+ ``log_w_u`` when ``keep_score``).
+
+    Scale shape: the importance table is one gram shuffle + one
+    bucket-sized broadcast join (linear_text's audited plan); the
+    join back to the corpus is a plain equi-join on the id, and the
+    acceptance test is a scan-stage expression — no window, no
+    Python, no driver collect."""
+    imp = dsir_log_importance(
+        df, id_col, text_col, weights, biases,
+        word_ngrams=word_ngrams, n_buckets=n_buckets,
+    )
+    # (b32 + 1) / 2^32 is an exact binary double: power-of-two
+    # denominator, numerator <= 2^32 — both engines ln() the
+    # identical input
+    lu_u = _ln_u(
+        (md5_bucket32(id_col, salt) + F.lit(1)).cast("double")
+        / F.lit(4294967296.0)
+    )
+    out = (
+        df.join(imp, on=id_col)
+        .filter(lu_u < F.col("log_w_u") - F.lit(int(tau_u)))
+    )
+    return out if keep_score else out.drop("log_w_u")

@@ -7050,6 +7050,113 @@ def q161_token_weighted_mixture(
 
 
 # ---------------------------------------------------------------------------
+# q162 — DSIR importance resampling (round-11 growth item; ml/dsir.py,
+# Xie et al. 2023): hashed-n-gram bucket models for a TARGET domain
+# (doc_id % 7 == 0) vs the RAW pool (the rest), per-doc log-importance
+# in fixed-point micro-nats via the linear_text margin machinery, then
+# deterministic log-space hash acceptance (keep iff round(1e6 *
+# ln((b32+1)/2^32)) < log_w_u). Every ln() runs on an exact integer or
+# power-of-two-denominator double and quantizes with round() BEFORE
+# aggregation, so DuckDB replays weights, importance and the selection
+# bit-exactly.
+# ---------------------------------------------------------------------------
+
+_Q162_BUCKETS = 4096
+# +30-nat acceptance shift: the fixture's raw docs score ~[-63, -3]
+# nats against the % 7 target slice, so tau=0 would select ~1 row;
+# this tau exercises all three regimes (always-kept docs past 0
+# effective nats, hash-boundary docs, never-kept docs below -22)
+_Q162_TAU_U = -30_000_000
+
+
+def _q162_oracle() -> str:
+    bucket = _md5_bucket_sql("", "g")
+    lnu = "CAST(round(ln({x}) * 1000000.0) AS BIGINT)"
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), ttoks AS (
+      SELECT string_split(text, ' ') AS tk FROM documents
+      WHERE doc_id % 7 = 0
+    ), tgrams AS (
+      SELECT tk[t.i] AS g
+      FROM ttoks, unnest(generate_series(1, len(tk))) AS t(i)
+      UNION ALL
+      SELECT array_to_string(tk[t.i:t.i+1], ' ') AS g
+      FROM ttoks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2
+    ), tcnt AS (
+      SELECT ({bucket}) % {_Q162_BUCKETS} AS bucket, COUNT(*) AS c
+      FROM tgrams GROUP BY 1
+    ), rtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM raw
+    ), rgrams AS (
+      SELECT doc_id, tk[t.i] AS g
+      FROM rtoks, unnest(generate_series(1, len(tk))) AS t(i)
+      UNION ALL
+      SELECT doc_id, array_to_string(tk[t.i:t.i+1], ' ') AS g
+      FROM rtoks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2
+    ), rb AS (
+      SELECT doc_id, ({bucket}) % {_Q162_BUCKETS} AS bucket FROM rgrams
+    ), rcnt AS (
+      SELECT bucket, COUNT(*) AS c FROM rb GROUP BY bucket
+    ), w AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             {lnu.format(x="COALESCE(t.c, 0) + 1")}
+               - {lnu.format(x="COALESCE(r.c, 0) + 1")} AS w_u
+      FROM tcnt t FULL JOIN rcnt r ON t.bucket = r.bucket
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt) AS T,
+             (SELECT COALESCE(SUM(c), 0) FROM rcnt) AS R
+    ), b AS (
+      SELECT {lnu.format(x='R + ' + str(_Q162_BUCKETS))}
+               - {lnu.format(x='T + ' + str(_Q162_BUCKETS))} AS bias_u
+      FROM tot
+    ), sums AS (
+      SELECT rb.doc_id, SUM(w.w_u) AS sw
+      FROM rb JOIN w USING (bucket) GROUP BY rb.doc_id
+    ), nn AS (
+      SELECT doc_id,
+             len(tk) + CASE WHEN len(tk) >= 2 THEN len(tk) - 1
+                            ELSE 0 END AS n
+      FROM rtoks
+    ), imp AS (
+      SELECT nn.doc_id,
+             CAST(nn.n * (SELECT bias_u FROM b)
+                  + COALESCE(s.sw, 0) AS BIGINT) AS log_w_u
+      FROM nn LEFT JOIN sums s USING (doc_id)
+    )
+    SELECT r.doc_id, imp.log_w_u
+    FROM raw r JOIN imp USING (doc_id)
+    WHERE CAST(round(ln(({_md5_bucket32_sql("", "r.doc_id")} + 1)
+                        / 4294967296.0) * 1000000.0) AS BIGINT)
+          < imp.log_w_u - ({_Q162_TAU_U})
+    ORDER BY r.doc_id
+    """
+
+
+@query("q162_dsir_select", oracle=_q162_oracle())
+def q162_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.dsir import dsir_select, dsir_weights
+
+    docs = load_tables(spark, sf_dir).documents
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    weights, biases = dsir_weights(
+        target, raw, "text", word_ngrams=2, n_buckets=_Q162_BUCKETS
+    )
+    return (
+        dsir_select(
+            raw, "doc_id", "text", weights, biases,
+            tau_u=_Q162_TAU_U, n_buckets=_Q162_BUCKETS,
+        )
+        .select("doc_id", "log_w_u")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -1912,6 +1912,128 @@ def fam_decontam_spans(rng: random.Random):
     return f"n={n} window={window} mod={mod}", spark_fn, sql, False
 
 
+def fam_dsir(rng: random.Random):
+    """DSIR importance resampling (round-11; ml/dsir.py — Xie et al.
+    2023 hashed-n-gram importance weights + deterministic log-space
+    hash acceptance). Draws move the n-gram order, the bucket count,
+    the acceptance temperature tau, the selection salt and the
+    target/raw split modulus; the oracle replays the micro-nat
+    -quantized Laplace log-ratios, the margin sum and the ln(u)
+    acceptance — selected rows + scores compare bit-exact."""
+    ngrams = rng.choice((1, 2))
+    buckets = rng.choice((512, 4096))
+    tau = rng.choice((0, -30_000_000, -45_000_000))
+    salt = rng.choice(("", "s1"))
+    mod = rng.choice((5, 7, 11))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.ml.dsir import dsir_select, dsir_weights
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        target = docs.filter(F.col("doc_id") % mod == 0)
+        raw = docs.filter(F.col("doc_id") % mod != 0)
+        w, b = dsir_weights(
+            target, raw, "text", word_ngrams=ngrams, n_buckets=buckets
+        )
+        return (
+            dsir_select(
+                raw, "doc_id", "text", w, b, tau_u=tau, salt=salt,
+                word_ngrams=ngrams, n_buckets=buckets,
+            )
+            .select("doc_id", "log_w_u")
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import (
+        _md5_bucket32_sql,
+        _md5_bucket_sql,
+    )
+
+    bucket = _md5_bucket_sql("", "g")
+    lnu = "CAST(round(ln({x}) * 1000000.0) AS BIGINT)"
+    bigram_t = (
+        """UNION ALL
+      SELECT array_to_string(tk[t.i:t.i+1], ' ') AS g
+      FROM ttoks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2"""
+        if ngrams == 2 else ""
+    )
+    bigram_r = (
+        """UNION ALL
+      SELECT doc_id, array_to_string(tk[t.i:t.i+1], ' ') AS g
+      FROM rtoks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2"""
+        if ngrams == 2 else ""
+    )
+    nexpr = (
+        "len(tk) + CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END"
+        if ngrams == 2 else "len(tk)"
+    )
+    sql = f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {mod} <> 0
+    ), ttoks AS (
+      SELECT string_split(text, ' ') AS tk FROM documents
+      WHERE doc_id % {mod} = 0
+    ), tgrams AS (
+      SELECT tk[t.i] AS g
+      FROM ttoks, unnest(generate_series(1, len(tk))) AS t(i)
+      {bigram_t}
+    ), tcnt AS (
+      SELECT ({bucket}) % {buckets} AS bucket, COUNT(*) AS c
+      FROM tgrams GROUP BY 1
+    ), rtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM raw
+    ), rgrams AS (
+      SELECT doc_id, tk[t.i] AS g
+      FROM rtoks, unnest(generate_series(1, len(tk))) AS t(i)
+      {bigram_r}
+    ), rb AS (
+      SELECT doc_id, ({bucket}) % {buckets} AS bucket FROM rgrams
+    ), rcnt AS (
+      SELECT bucket, COUNT(*) AS c FROM rb GROUP BY bucket
+    ), w AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             {lnu.format(x="COALESCE(t.c, 0) + 1")}
+               - {lnu.format(x="COALESCE(r.c, 0) + 1")} AS w_u
+      FROM tcnt t FULL JOIN rcnt r ON t.bucket = r.bucket
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt) AS T,
+             (SELECT COALESCE(SUM(c), 0) FROM rcnt) AS R
+    ), b AS (
+      SELECT {lnu.format(x='R + ' + str(buckets))}
+               - {lnu.format(x='T + ' + str(buckets))} AS bias_u
+      FROM tot
+    ), sums AS (
+      SELECT rb.doc_id, SUM(w.w_u) AS sw
+      FROM rb JOIN w USING (bucket) GROUP BY rb.doc_id
+    ), nn AS (
+      SELECT doc_id, {nexpr} AS n FROM rtoks
+    ), imp AS (
+      SELECT nn.doc_id,
+             CAST(nn.n * (SELECT bias_u FROM b)
+                  + COALESCE(s.sw, 0) AS BIGINT) AS log_w_u
+      FROM nn LEFT JOIN sums s USING (doc_id)
+    )
+    SELECT r.doc_id, imp.log_w_u
+    FROM raw r JOIN imp USING (doc_id)
+    WHERE CAST(round(ln(({_md5_bucket32_sql(salt, "r.doc_id")} + 1)
+                        / 4294967296.0) * 1000000.0) AS BIGINT)
+          < imp.log_w_u - ({tau})
+    ORDER BY r.doc_id
+    """
+    return (
+        f"ngrams={ngrams} buckets={buckets} tau={tau} salt={salt!r} "
+        f"mod={mod}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -1948,6 +2070,7 @@ FAMILIES = {
     "temperature_mixture": fam_temperature_mixture,
     "fim": fam_fim,
     "decontam_spans": fam_decontam_spans,
+    "dsir": fam_dsir,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
