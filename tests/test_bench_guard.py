@@ -237,6 +237,58 @@ def test_sidecar_stale_mismatch_falls_through(tmp_path):
     assert parsed["queries"] == {"q01": 1.0, "q02": 2.0}  # not 9.9
 
 
+def test_records_archive_survives_sidecar_overwrite(tmp_path):
+    """Round-11 (verdict #2): the single-slot sidecar is
+    last-run-wins — when a NEWER run overwrites it, the older
+    round's full record must still resolve via its records/ archive
+    (content-addressed, written by _archive_record)."""
+    import json
+
+    old_full = {"metric": "m", "value": 3.0, "unit": "sec",
+                "queries": {"q01": 1.0, "q02": 2.0},
+                "media_scale": {"x_mb_per_s": 0.4}, "sf": 0.1}
+    old_line = json.dumps(bench._ordered_for_emit(old_full))
+    new_full = {"metric": "m", "value": 4.0, "unit": "sec",
+                "queries": {"q01": 2.0}, "sf": 0.1}
+    # simulate run order: old run archives, new run overwrites the
+    # sidecar (and archives itself)
+    rec_dir = tmp_path / "records"
+    rec_dir.mkdir()
+    (rec_dir / "BENCH_full_aaaa0000.json").write_text(
+        json.dumps({"line": old_line, "record": old_full}))
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"line": json.dumps(new_full), "record": new_full}))
+    # the driver record for the OLD round: 60-char tail, no parse
+    _write(tmp_path, "BENCH_r9.json",
+           {"parsed": None, "tail": old_line[-60:]})
+    name, parsed = bench.prior_bench_record(root=str(tmp_path))
+    assert name == "BENCH_r9.json"
+    assert parsed == old_full  # full record, via the archive
+
+
+def test_archive_record_writes_and_prunes(tmp_path, monkeypatch):
+    import json
+    import os
+    import time as _time
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    for i in range(63):
+        line = json.dumps({"queries": {"q": i}})
+        bench._archive_record(line, {"queries": {"q": i}})
+        # distinct mtimes so prune order is deterministic
+        for p in (tmp_path / "records").iterdir():
+            pass
+        _time.sleep(0.002)
+    files = list((tmp_path / "records").glob("BENCH_full_*.json"))
+    assert len(files) == 60  # pruned oldest-first past the cap
+    # every surviving archive parses to its own payload
+    for p in files:
+        side = json.loads(p.read_text())
+        assert side["record"]["queries"]["q"] >= 3
+
+
 def test_ordered_emit_survives_driver_truncation(tmp_path):
     """End-to-end shape check: a realistic reordered line cut to the
     driver's ~2k-char tail window still yields every headline query
