@@ -7157,6 +7157,161 @@ def q162_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q163 — Gopher document-quality rules (round-11; operators/gopher.py,
+# Rae et al. 2021 table A1's non-repetition half — the repetition half
+# is q-covered via repetition_stats). The fixture text is single-line
+# prose, so the query first injects newlines/bullets/ellipses with two
+# deterministic literal replaces (identical in both engines): every
+# rule then has both passing and failing documents. All ratio rules
+# are integer cross-multiplications — no float division anywhere.
+# ---------------------------------------------------------------------------
+
+# the published stop list has near-zero support in the synthetic
+# fixture vocabulary (gopher_pass would be constant-false and the
+# conjunction unchecked); the stats function's stopwords knob swaps
+# in fixture words with real document frequency so every rule AND
+# the conjunction discriminate — the published list stays the
+# module default
+_Q163_STOPS = ("the", "a", "key")
+
+
+def _q163_oracle() -> str:
+    stop_sum = " + ".join(
+        f"CAST(list_contains(tk, '{w}') AS BIGINT)" for w in _Q163_STOPS
+    )
+    return f"""
+    WITH prep AS (
+      SELECT doc_id,
+             replace(replace(text, ' line ', chr(10) || '- '),
+                     ' slow ', '...' || chr(10)) AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS tk,
+             string_split(text, chr(10)) AS ln,
+             len(text) - len(replace(text, '#', '')) AS hash_count,
+             (len(text) - len(replace(text, '...', ''))) // 3
+               AS ellipsis_count
+      FROM prep
+    ), cnt AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(COALESCE(list_aggregate(
+               list_transform(tk, t -> len(t)), 'sum'), 0) AS BIGINT)
+               AS n_chars_in_words,
+             CAST(hash_count AS BIGINT) AS hash_count,
+             CAST(ellipsis_count AS BIGINT) AS ellipsis_count,
+             CAST(len(list_filter(ln,
+               l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                    OR starts_with(l, '•'))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(ln, l -> ends_with(l, '...')))
+               AS BIGINT) AS ellipsis_lines,
+             CAST(len(list_filter(tk,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+               AS alpha_words,
+             CAST({stop_sum} AS BIGINT) AS stop_hits
+      FROM c
+    ), rules AS (
+      SELECT *,
+             n_words >= 50 AND n_words <= 100000 AS r_word_count,
+             3 * n_words <= n_chars_in_words
+               AND n_chars_in_words <= 10 * n_words AS r_mean_word_len,
+             10 * hash_count <= n_words AS r_hash_ratio,
+             10 * ellipsis_count <= n_words AS r_ellipsis_ratio,
+             10 * bullet_lines <= 9 * n_lines AS r_bullet_lines,
+             10 * ellipsis_lines <= 3 * n_lines AS r_ellipsis_lines,
+             5 * alpha_words >= 4 * n_words AS r_alpha_words,
+             stop_hits >= 2 AS r_stopwords
+      FROM cnt
+    )
+    SELECT *,
+           r_word_count AND r_mean_word_len AND r_hash_ratio
+             AND r_ellipsis_ratio AND r_bullet_lines
+             AND r_ellipsis_lines AND r_alpha_words AND r_stopwords
+             AS gopher_pass
+    FROM rules
+    ORDER BY doc_id
+    """
+
+
+@query("q163_gopher_quality", oracle=_q163_oracle())
+def q163_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.gopher import gopher_quality_stats
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" line "), F.lit("\n- ")),
+            F.lit(" slow "),
+            F.lit("...\n"),
+        ).alias("text"),
+    )
+    return gopher_quality_stats(
+        docs, "doc_id", "text", stopwords=_Q163_STOPS
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q164 — C4 line-level cleaning (round-11; operators/c4.py, Raffel et
+# al. 2020 §2.2): terminal-punctuation + min-words line retention,
+# javascript line drop, lorem-ipsum / curly-brace page drop, min
+# retained-line page gate. Four deterministic literal replaces
+# (identical in both engines) inject sentences, newlines and all
+# three blockers into the single-line fixture prose so every rule
+# has passing and failing documents; cleaned text compares bit-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q164_c4_line_clean",
+    oracle="""
+    WITH prep AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(text,
+               ' fast ', '.' || chr(10)),
+               ' big ', '?' || chr(10)),
+               ' spark ', ' javascript '),
+               ' merge ', ' { ') AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> (ends_with(l, '.') OR ends_with(l, '!')
+                     OR ends_with(l, '?') OR ends_with(l, '"'))
+                    AND len(string_split(l, ' ')) >= 5
+                    AND NOT contains(lower(l), 'javascript'))
+               AS kept,
+             NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(lower(text), '{') AS page_ok
+      FROM prep
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           page_ok,
+           page_ok AND len(kept) >= 3 AS c4_keep
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def q164_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.c4 import c4_clean
+
+    text = F.col("text")
+    for old, new in (
+        (" fast ", ".\n"),
+        (" big ", "?\n"),
+        (" spark ", " javascript "),
+        (" merge ", " { "),
+    ):
+        text = F.replace(text, F.lit(old), F.lit(new))
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", text.alias("text")
+    )
+    return c4_clean(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

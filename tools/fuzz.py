@@ -1912,6 +1912,176 @@ def fam_decontam_spans(rng: random.Random):
     return f"n={n} window={window} mod={mod}", spark_fn, sql, False
 
 
+def fam_gopher(rng: random.Random):
+    """Gopher document-quality rules (round-11; operators/gopher.py —
+    Rae et al. 2021 table A1's non-repetition half). Draws move the
+    word-count bounds, the mean-word-length bounds, the stop-hit
+    floor and the stop list; newline/bullet/ellipsis injection makes
+    every rule discriminate on the single-line fixture. Counters,
+    per-rule verdicts and the conjunction compare bit-exact (integer
+    cross-multiplied ratios — no float division)."""
+    min_words, max_words = rng.choice(((30, 100000), (50, 100000), (50, 60)))
+    min_len, max_len = rng.choice(((3, 10), (2, 8), (4, 10)))
+    min_hits = rng.choice((1, 2))
+    stops = rng.choice((("the", "a", "key"), ("the", "data", "row", "a")))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.gopher import gopher_quality_stats
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents.select(
+            "doc_id",
+            F.replace(
+                F.replace(F.col("text"), F.lit(" line "), F.lit("\n- ")),
+                F.lit(" slow "),
+                F.lit("...\n"),
+            ).alias("text"),
+        )
+        return gopher_quality_stats(
+            docs, "doc_id", "text",
+            min_words=min_words, max_words=max_words,
+            min_mean_word_len=min_len, max_mean_word_len=max_len,
+            min_stop_hits=min_hits, stopwords=stops,
+        ).orderBy("doc_id")
+
+    stop_sum = " + ".join(
+        f"CAST(list_contains(tk, '{w}') AS BIGINT)" for w in stops
+    )
+    sql = f"""
+    WITH prep AS (
+      SELECT doc_id,
+             replace(replace(text, ' line ', chr(10) || '- '),
+                     ' slow ', '...' || chr(10)) AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS tk,
+             string_split(text, chr(10)) AS ln,
+             len(text) - len(replace(text, '#', '')) AS hash_count,
+             (len(text) - len(replace(text, '...', ''))) // 3
+               AS ellipsis_count
+      FROM prep
+    ), cnt AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(COALESCE(list_aggregate(
+               list_transform(tk, t -> len(t)), 'sum'), 0) AS BIGINT)
+               AS n_chars_in_words,
+             CAST(hash_count AS BIGINT) AS hash_count,
+             CAST(ellipsis_count AS BIGINT) AS ellipsis_count,
+             CAST(len(list_filter(ln,
+               l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                    OR starts_with(l, '•'))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(ln, l -> ends_with(l, '...')))
+               AS BIGINT) AS ellipsis_lines,
+             CAST(len(list_filter(tk,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+               AS alpha_words,
+             CAST({stop_sum} AS BIGINT) AS stop_hits
+      FROM c
+    ), rules AS (
+      SELECT *,
+             n_words >= {min_words} AND n_words <= {max_words}
+               AS r_word_count,
+             {min_len} * n_words <= n_chars_in_words
+               AND n_chars_in_words <= {max_len} * n_words
+               AS r_mean_word_len,
+             10 * hash_count <= n_words AS r_hash_ratio,
+             10 * ellipsis_count <= n_words AS r_ellipsis_ratio,
+             10 * bullet_lines <= 9 * n_lines AS r_bullet_lines,
+             10 * ellipsis_lines <= 3 * n_lines AS r_ellipsis_lines,
+             5 * alpha_words >= 4 * n_words AS r_alpha_words,
+             stop_hits >= {min_hits} AS r_stopwords
+      FROM cnt
+    )
+    SELECT *,
+           r_word_count AND r_mean_word_len AND r_hash_ratio
+             AND r_ellipsis_ratio AND r_bullet_lines
+             AND r_ellipsis_lines AND r_alpha_words AND r_stopwords
+             AS gopher_pass
+    FROM rules
+    ORDER BY doc_id
+    """
+    return (
+        f"words=({min_words},{max_words}) len=({min_len},{max_len}) "
+        f"hits={min_hits} stops={len(stops)}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
+def fam_c4(rng: random.Random):
+    """C4 line-level cleaning (round-11; operators/c4.py — Raffel et
+    al. 2020 §2.2). Draws move the per-line word floor and the
+    retained-line page floor; punctuation/javascript/brace injection
+    makes every rule discriminate. Cleaned text, line counts and
+    page verdicts compare bit-exact."""
+    min_wpl = rng.choice((3, 5, 8))
+    min_lines = rng.choice((1, 2, 3))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.c4 import c4_clean
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        text = F.col("text")
+        for old, new in (
+            (" fast ", ".\n"),
+            (" big ", "?\n"),
+            (" spark ", " javascript "),
+            (" merge ", " { "),
+        ):
+            text = F.replace(text, F.lit(old), F.lit(new))
+        docs = load_tables(spark, sf_dir).documents.select(
+            "doc_id", text.alias("text")
+        )
+        return c4_clean(
+            docs, "doc_id", "text",
+            min_words_per_line=min_wpl, min_lines=min_lines,
+        ).orderBy("doc_id")
+
+    sql = f"""
+    WITH prep AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(text,
+               ' fast ', '.' || chr(10)),
+               ' big ', '?' || chr(10)),
+               ' spark ', ' javascript '),
+               ' merge ', ' {{ ') AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> (ends_with(l, '.') OR ends_with(l, '!')
+                     OR ends_with(l, '?') OR ends_with(l, '"'))
+                    AND len(string_split(l, ' ')) >= {min_wpl}
+                    AND NOT contains(lower(l), 'javascript'))
+               AS kept,
+             NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(lower(text), '{{') AS page_ok
+      FROM prep
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           page_ok,
+           page_ok AND len(kept) >= {min_lines} AS c4_keep
+    FROM c
+    ORDER BY doc_id
+    """
+    return (
+        f"min_wpl={min_wpl} min_lines={min_lines}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_dsir(rng: random.Random):
     """DSIR importance resampling (round-11; ml/dsir.py — Xie et al.
     2023 hashed-n-gram importance weights + deterministic log-space
@@ -2071,6 +2241,8 @@ FAMILIES = {
     "fim": fam_fim,
     "decontam_spans": fam_decontam_spans,
     "dsir": fam_dsir,
+    "gopher": fam_gopher,
+    "c4": fam_c4,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -2080,7 +2252,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
-         "substr_report")
+         "substr_report", "gopher", "c4")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
