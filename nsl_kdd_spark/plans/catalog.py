@@ -7478,12 +7478,34 @@ def q164_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (double-green r3 + r9, untouched; the scalar vote/threshold
 # family stays held by q11/q13/q21). The full rotated window
 # re-verified via tools/compare.py at sf0.01 before end of round.
+# Round-11 rotation (VERDICT r10 #6): the round's code changes are
+# the 32-bit sampler buckets + DECIMAL alloc + weight_col (q158/q159
+# stay IN — their oracles CHANGED this round, so their r10 greens
+# don't certify the new arithmetic; NEW q161 token-weighted mixture
+# rotates in), the rr_u Column-quoting fix (q154 stays IN, touched;
+# q123 ranking-metrics — the other touched eval query, whose newest
+# driver green is r8 — rotates back IN), the substr gram-cache
+# eviction rework (behavior-neutral; q153 strip + q156 cross-doc
+# stay as family anchors), and three NEW operators: q162 DSIR
+# selection, q163 Gopher rules, q164 C4 cleaning. Six slots free:
+# the r9 verdict-task anchors q73/q144/q151/q147/q148 are now
+# double-green (r9-class + r10 rows), untouched, with their
+# families held by in-window kin (q160's decontam spans + gram
+# hashing for the bloom/decontam pair, q153/q156 for registry-grade
+# dedup semantics, q57's funnel for exact dedup) — the r10 verdict
+# named exactly these as rotate-out candidates; q152 spans is
+# double-green (r9 + r10) with its family held by q153/q156. The
+# sixth incoming slot goes to q103 PageRank (flagship iterative
+# graph, newest driver green r4 — the stalest in-window-worthy row
+# left). The full rotated window re-verified via tools/compare.py
+# at sf0.01 before end of round.
 DRIVER_WINDOW = [
-    # r9 registry/bloom anchors + touched-this-round substr re-anchors
-    "q73_registry_dedup", "q144_vector_registry_dedup",
-    "q151_winnow_registry_dedup",
-    "q147_decontaminate_bloom", "q148_bloom_semi_join",
-    "q152_exact_substring_spans", "q153_exact_substring_strip",
+    # touched-this-round substr family anchors
+    "q153_exact_substring_strip",
+    # round-11 NEW queries + touched re-anchors (see block above)
+    "q161_token_weighted_mixture", "q162_dsir_select",
+    "q163_gopher_quality", "q164_c4_line_clean",
+    "q123_ranking_metrics", "q103_pagerank",
     # round-10 NEW queries (replacing double-green q27/q32/q37/q07/q15)
     "q156_exact_substring_cross_doc", "q157_quality_classifier",
     "q158_temperature_mixture", "q159_fim_transform",

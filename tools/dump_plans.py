@@ -45,7 +45,11 @@ PICKS = {
     "q155_duplicated_run_report": "duplicated-run report (r9): one gram aggregation (count + distinct-docs + min-position in a single groupBy), TakeOrdered top-k, k-row broadcast join back for text slicing",
     "q157_quality_classifier": "linear text classifier (r10): gram generation + md5 bucketing in the scan projection, BROADCAST weight-table join on the exploded gram stream (no exchange below it), one map-side-combined (doc,label) aggregate, broadcast-tiny bias cross join, bounded per-doc argmax window; no EvalPython",
     "q158_temperature_mixture": "temperature mixture (r10): k-row count aggregate + k-row weight/alloc computation, broadcast alloc join onto the corpus scan, explode for epochs — no window, no big-table shuffle",
-    "q159_fim_transform": "FIM transform (r10): md5 decision cut + salted split points + segment slices + sentinel re-serialization, ALL inside the scan-stage projection — zero exchanges before the orderBy",
+    "q159_fim_transform": "FIM transform (r10): md5 decision cut + salted 32-bit split points + segment slices + sentinel re-serialization, ALL inside the scan-stage projection — zero exchanges before the orderBy",
+    "q161_token_weighted_mixture": "token-weighted mixture (r11): k-row SUM(token-count) mass aggregate, DECIMAL(38,0) take/cut arithmetic on the k-row side, broadcast alloc join onto the corpus scan, explode for epochs — no window, no big-table shuffle",
+    "q162_dsir_select": "DSIR selection (r11): two map-side-combined bucket histograms (<= n_buckets rows out), bucket-sized full-outer weight join, broadcast weight/bias join onto the exploded gram stream, ONE (doc,label) aggregate, id join-back + scan-stage ln(u) acceptance; no EvalPython",
+    "q163_gopher_quality": "Gopher rules (r11): every counter and verdict is a scan-stage expression (splits, HOF filters/aggregate, literal-replace deltas) — zero exchanges before the orderBy",
+    "q164_c4_line_clean": "C4 cleaning (r11): line retention + page gates as one scan-stage projection; the filter form is a single pushable predicate — zero exchanges before the orderBy",
 }
 
 
