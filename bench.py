@@ -107,6 +107,31 @@ def _load_side(path: str) -> tuple[str, dict] | None:
     return None
 
 
+#: per-root cache of loaded (line, record) side payloads — the
+#: loader is called once per committed BENCH_r*.json and would
+#: otherwise re-glob + re-parse up to 60 archives each time
+#: (round-11 review); _archive_record invalidates its root
+_SIDE_CACHE: dict[str, list[tuple[str, dict]]] = {}
+
+
+def _side_candidates(root: str) -> list[tuple[str, dict]]:
+    import glob
+
+    if root not in _SIDE_CACHE:
+        loaded = []
+        paths = [os.path.join(root, _SIDECAR)] + sorted(
+            glob.glob(
+                os.path.join(root, _RECORDS_DIR, "BENCH_full_*.json")
+            )
+        )
+        for p in paths:
+            side = _load_side(p)
+            if side is not None:
+                loaded.append(side)
+        _SIDE_CACHE[root] = loaded
+    return _SIDE_CACHE[root]
+
+
 def _sidecar_match(path: str, tail: str) -> dict | None:
     """The full record of the SAME run as the driver record at
     ``path``, from the single-slot sidecar or (round-11) any
@@ -115,16 +140,10 @@ def _sidecar_match(path: str, tail: str) -> dict | None:
     the match; the per-round archives then cover every earlier run
     (the round-10 finding: the driver's post-round run overwrote the
     sidecar and the builder's full r9 record with it)."""
-    import glob
-
     root = os.path.dirname(os.path.abspath(path))
-    candidates = [os.path.join(root, _SIDECAR)] + sorted(
-        glob.glob(os.path.join(root, _RECORDS_DIR, "BENCH_full_*.json"))
-    )
-    for cand_path in candidates:
-        side = _load_side(cand_path)
-        if side is not None and _line_matches_tail(side[0], tail):
-            return side[1]
+    for line, record in _side_candidates(root):
+        if _line_matches_tail(line, tail):
+            return record
     return None
 
 
@@ -1293,6 +1312,8 @@ def _archive_record(line: str, record: dict) -> None:
             os.remove(stale)
     except OSError:
         pass  # read-only checkout: sidecar + tail recovery still work
+    # the candidate set for this root changed — drop its cache entry
+    _SIDE_CACHE.pop(os.path.dirname(rec_dir), None)
 
 
 if __name__ == "__main__":

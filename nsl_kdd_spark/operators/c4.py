@@ -61,6 +61,34 @@ def _line_ok(
     return ends & enough_words & no_block
 
 
+def _verdict_exprs(
+    text_col: str,
+    min_words_per_line: int,
+    min_lines: int,
+    page_block_phrases: tuple[str, ...],
+    line_block_word: str,
+) -> tuple[Column, Column]:
+    """``(kept_lines_array, page_ok)`` over the ORIGINAL text — the
+    ONE construction both the stats view and the gate apply (the
+    round-11 review: two inline copies had already drifted on
+    argument validation)."""
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line must be >= 1, got {min_words_per_line}"
+        )
+    if min_lines < 0:
+        raise ValueError(f"min_lines must be >= 0, got {min_lines}")
+    text = F.col(text_col)
+    kept = F.filter(
+        F.split(text, "\n"),
+        lambda line: _line_ok(line, min_words_per_line, line_block_word),
+    )
+    page_ok = F.lit(True)
+    for phrase in page_block_phrases:
+        page_ok = page_ok & ~F.lower(text).contains(phrase.lower())
+    return kept, page_ok
+
+
 def c4_clean(
     df: DataFrame,
     id_col: str,
@@ -80,20 +108,10 @@ def c4_clean(
     ``c4_keep = page_ok AND n_lines_kept >= min_lines``, the
     page-survival verdict :func:`c4_clean_filter` applies.
     """
-    if min_words_per_line < 1:
-        raise ValueError(
-            f"min_words_per_line must be >= 1, got {min_words_per_line}"
-        )
-    if min_lines < 0:
-        raise ValueError(f"min_lines must be >= 0, got {min_lines}")
-    text = F.col(text_col)
-    kept = F.filter(
-        F.split(text, "\n"),
-        lambda line: _line_ok(line, min_words_per_line, line_block_word),
+    kept, page_ok = _verdict_exprs(
+        text_col, min_words_per_line, min_lines, page_block_phrases,
+        line_block_word,
     )
-    page_ok = F.lit(True)
-    for phrase in page_block_phrases:
-        page_ok = page_ok & ~F.lower(text).contains(phrase.lower())
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("text_clean"),
@@ -117,18 +135,20 @@ def c4_clean_filter(
     projection + one filter — no join, no shuffle; ``id_col`` is
     unused and kept for gate-API symmetry."""
     del id_col  # verdicts are a pure function of the text
-    text = F.col(text_col)
-    kept = F.filter(
-        F.split(text, "\n"),
-        lambda line: _line_ok(line, min_words_per_line, line_block_word),
+    kept, page_ok = _verdict_exprs(
+        text_col, min_words_per_line, min_lines, page_block_phrases,
+        line_block_word,
     )
-    page_ok = F.lit(True)
-    for phrase in page_block_phrases:
-        page_ok = page_ok & ~F.lower(text).contains(phrase.lower())
-    # filter BEFORE the projection: both predicates must evaluate
-    # against the ORIGINAL text (a '{' that only occurred in dropped
-    # lines still kills the page, per the paper) — a withColumn-first
-    # order would silently re-resolve them against the cleaned text
-    return df.filter(page_ok & (F.size(kept) >= min_lines)).withColumn(
-        text_col, F.array_join(kept, "\n")
+    # materialize the kept array ONCE as a column: Catalyst does not
+    # CSE the split + per-line HOF across Filter and Project, so the
+    # inline form would evaluate it twice per surviving row
+    # (round-11 review). Both predicates still read the ORIGINAL
+    # text — a '{' that only occurred in dropped lines kills the
+    # page, per the paper — because the temp column, not text_col,
+    # carries the cleaned lines until the final projection.
+    return (
+        df.withColumn("__c4_kept", kept)
+        .filter(page_ok & (F.size("__c4_kept") >= min_lines))
+        .withColumn(text_col, F.array_join("__c4_kept", "\n"))
+        .drop("__c4_kept")
     )

@@ -185,8 +185,11 @@ def temperature_mixture(
       product can NEVER overflow the decimal, which retires the
       round-10 BIGINT raise_error guard entirely (token-scale
       targets * 1e6-scaled weights overflowed BIGINT at exactly the
-      corpus sizes weight_col exists for). DuckDB replays it as
-      HUGEINT.
+      corpus sizes weight_col exists for). The cross-group sums
+      Σw / Σn run in DECIMAL(38,0) as well (k per-group BIGINTs can
+      wrap a BIGINT sum even when each fits — round-11 review).
+      DuckDB replays both as HUGEINT (its integer SUM already is
+      one).
     - epochs ``e_g = take_g div n_g``; the remainder ``take_g mod
       n_g`` comes from the md5 layout every sampler here shares.
 
@@ -229,12 +232,19 @@ def temperature_mixture(
             F.col(weight_col) if isinstance(weight_col, str)
             else weight_col
         ).cast("long")
-        # negative masses would corrupt the allocation silently —
-        # surface them at the (cheap, k-row) aggregate instead
+        # negative masses would corrupt the allocation silently, and
+        # NULL weights would silently count as 0 (min/sum skip
+        # nulls — round-11 review) — surface both at the (cheap,
+        # k-row) aggregate instead
         mass = F.when(
             F.min(wrow) < 0,
             F.raise_error(
                 F.lit("temperature_mixture: weight_col is negative")
+            ).cast("long"),
+        ).when(
+            F.max(wrow.isNull().cast("int")) == 1,
+            F.raise_error(
+                F.lit("temperature_mixture: weight_col is NULL")
             ).cast("long"),
         ).otherwise(F.sum(wrow))
     counts = df.groupBy(group_col).agg(mass.alias("__n"))
@@ -265,12 +275,18 @@ def temperature_mixture(
             ).cast("long"),
         ).otherwise(F.floor(wd))
     wt = counts.withColumn("__w", w.cast("long"))
+    # the SUMS run in DECIMAL(38,0) too (round-11 review): per-group
+    # weights each fit BIGINT under the guard above, but Σw across
+    # groups can wrap it (alpha=0.75, a handful of ~3.5e16-mass
+    # groups) — with ANSI off that wrap is SILENT, every take goes
+    # negative and the mixture returns zero rows; the decimal sum
+    # (like DuckDB's HUGEINT SUM in the oracle) cannot
     tot = wt.agg(
-        F.sum("__w").alias("__sw"),
-        F.sum("__n").alias("__sn"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).alias("__sw"),
+        F.sum(F.col("__n").cast("decimal(38,0)")).alias("__sn"),
     )
     tgt = (
-        F.lit(int(target_total)).cast("long")
+        F.lit(int(target_total)).cast("decimal(38,0)")
         if target_total is not None
         else F.col("__sn")
     )
@@ -282,7 +298,10 @@ def temperature_mixture(
         .withColumn("__tgt", tgt)
         .withColumn(
             "__take",
-            F.expr("(CAST(__tgt AS DECIMAL(38,0)) * __w) div __sw"),
+            F.expr(
+                "CAST((CAST(__tgt AS DECIMAL(38,0)) * __w) div __sw"
+                " AS BIGINT)"
+            ),
         )
         .filter(F.col("__n") > 0)  # mass-0 group: nothing to copy
         .select(

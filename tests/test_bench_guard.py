@@ -268,7 +268,6 @@ def test_records_archive_survives_sidecar_overwrite(tmp_path):
 
 def test_archive_record_writes_and_prunes(tmp_path, monkeypatch):
     import json
-    import os
     import time as _time
 
     monkeypatch.setattr(
@@ -277,10 +276,7 @@ def test_archive_record_writes_and_prunes(tmp_path, monkeypatch):
     for i in range(63):
         line = json.dumps({"queries": {"q": i}})
         bench._archive_record(line, {"queries": {"q": i}})
-        # distinct mtimes so prune order is deterministic
-        for p in (tmp_path / "records").iterdir():
-            pass
-        _time.sleep(0.002)
+        _time.sleep(0.002)  # distinct mtimes: prune order deterministic
     files = list((tmp_path / "records").glob("BENCH_full_*.json"))
     assert len(files) == 60  # pruned oldest-first past the cap
     # every surviving archive parses to its own payload

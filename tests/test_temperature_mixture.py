@@ -249,6 +249,63 @@ def test_weight_col_exact_mode_greedy_prefix_packing(spark):
         assert per.get(g, 0) == ep * masses[g] + packed, g
 
 
+def test_cross_group_weight_sum_does_not_wrap(spark):
+    """Round-11 review: Σw across groups can wrap BIGINT even when
+    every per-group weight fits it (alpha=0.75, four ~3.5e16-mass
+    groups => each w ~ 2.6e18, Σw ~ 1e19 > 2^63). The decimal sum
+    must allocate exactly instead of silently returning zero rows."""
+    per_doc = 35_000_000_000_000_000 // 2  # 2 docs/group = 3.5e16 mass
+    rows = []
+    doc = 0
+    for grp in ("g0", "g1", "g2", "g3"):
+        for _ in range(2):
+            rows.append((doc, grp, per_doc))
+            doc += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tok long"
+    )
+    out = temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.75, weight_col="n_tok"
+    ).collect()
+    # equal masses => every group allocates ~one epoch; with the r11
+    # BIGINT sum wrap this returned [] (all takes negative)
+    assert len(out) > 0
+    masses = {g: 2 * per_doc for g in ("g0", "g1", "g2", "g3")}
+    w = {
+        g: math.floor(
+            math.sqrt(m) * math.sqrt(math.sqrt(m)) * 1000000.0
+        )
+        for g, m in masses.items()
+    }
+    sw = sum(w.values())
+    assert sw > 2**63 - 1  # the scenario genuinely exceeds BIGINT
+    tgt = sum(masses.values())
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    for doc_id, grp, _ in rows:
+        take = (tgt * w[grp]) // sw
+        ep, rem = take // masses[grp], take % masses[grp]
+        thr = (2**32 * rem) // masses[grp]
+        expected = ep + (1 if _bucket32(doc_id) < thr else 0)
+        assert sorted(got.get(doc_id, [])) == list(
+            range(1, expected + 1)
+        ), doc_id
+
+
+def test_weight_col_null_raises(spark):
+    docs = _weighted_docs(spark).withColumn(
+        "n_tok",
+        F.when(F.col("doc_id") == 3, F.lit(None)).otherwise(
+            F.col("n_tok")
+        ),
+    )
+    with pytest.raises(Exception, match="NULL"):
+        temperature_mixture(
+            docs, "lang", "doc_id", alpha=0.5, weight_col="n_tok"
+        ).collect()
+
+
 def test_weight_col_negative_raises(spark):
     docs = _weighted_docs(spark).withColumn(
         "n_tok",
