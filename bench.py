@@ -616,7 +616,7 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
         contaminated_ids,
         contaminated_ids_bloom,
     )
-    from nsl_kdd_spark.ml.dsir import dsir_select, dsir_weights
+    from nsl_kdd_spark.ml.dsir import dsir_fit_select
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
     from nsl_kdd_spark.operators.corpus import temperature_mixture
     from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
@@ -702,15 +702,14 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 docs, "doc_id", "text", qc_weights, qc_biases,
                 word_ngrams=2, n_buckets=65536,
             ),
-            # fit + select in one timed cell: the raw-side histogram
-            # scan dominates and scales with the corpus (the target
-            # slice is the small %41 cut, the published DSIR shape)
-            f"dsir{label}_select": lambda: dsir_select(
-                corpus, "doc_id", "text",
-                *dsir_weights(
-                    bench, corpus, "text",
-                    word_ngrams=2, n_buckets=65536,
-                ),
+            # fit + select in one timed cell via the FUSED path (one
+            # persisted raw-gram pass serves both the histogram and
+            # the margin join — measured ~1.6-1.8x over the
+            # compositional two-pass form at this fixture); the
+            # target slice is the small %41 cut, the published DSIR
+            # shape
+            f"dsir{label}_select": lambda: dsir_fit_select(
+                bench, corpus, "doc_id", "text",
                 tau_u=0, word_ngrams=2, n_buckets=65536,
             ),
             # scaled_documents carries no lang column; a skewed

@@ -59,6 +59,8 @@ BASELINE.md north-star alongside the quality tiers it composes with.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +73,25 @@ from nsl_kdd_spark.operators.relational import md5_bucket16, md5_bucket32
 
 #: micro-nat scale shared by every ln() quantization in this module
 _SCALE = 1_000_000
+
+#: single outstanding persisted raw-gram table for dsir_fit_select —
+#: the substr_dedup gram-cache pattern (bounded to ONE entry,
+#: lock-guarded, stopped-session-aware eviction)
+_RB_CACHE: list = []
+_RB_CACHE_LOCK = threading.Lock()
+
+
+def _evict_rb_cache(replacement: DataFrame) -> None:
+    with _RB_CACHE_LOCK:
+        while _RB_CACHE:
+            prev = _RB_CACHE.pop()
+            try:
+                stopped = prev.sparkSession.sparkContext._jsc is None
+            except Exception:
+                stopped = True
+            if not stopped:
+                prev.unpersist()
+        _RB_CACHE.append(replacement)
 
 
 def ngram_bucket_counts(
@@ -149,6 +170,15 @@ def dsir_weights(
     rcnt = ngram_bucket_counts(
         raw, text_col, word_ngrams=word_ngrams, n_buckets=n_buckets
     )
+    return _weights_from_counts(tcnt, rcnt, n_buckets, label)
+
+
+def _weights_from_counts(
+    tcnt: DataFrame, rcnt: DataFrame, n_buckets: int, label: str
+) -> tuple[DataFrame, DataFrame]:
+    """(weights, biases) from two (bucket, cnt) histograms — shared
+    by :func:`dsir_weights` and the fused :func:`dsir_fit_select`
+    so the fixed-point layout can never drift between paths."""
     joined = tcnt.withColumnRenamed("cnt", "__tc").join(
         rcnt.withColumnRenamed("cnt", "__rc"), on="bucket", how="full"
     )
@@ -233,6 +263,84 @@ def dsir_select(
     )
     out = (
         df.join(imp, on=id_col)
+        .filter(lu_u < F.col("log_w_u") - F.lit(int(tau_u)))
+    )
+    return out if keep_score else out.drop("log_w_u")
+
+
+def dsir_fit_select(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau_u: int = 0,
+    salt: str = "",
+    word_ngrams: int = 2,
+    n_buckets: int = 65536,
+    keep_score: bool = True,
+) -> DataFrame:
+    """END-TO-END fit + select in ONE raw-corpus gram pass — result
+    rows identical to ``dsir_select(raw, ..., *dsir_weights(target,
+    raw, ...))`` (pinned by pytest), but the compositional form
+    explodes the raw corpus's grams TWICE (once for the raw
+    histogram, once for the margin scoring). Here the per-doc
+    (id, bucket) gram table is built once and persisted for its two
+    consumers — the histogram aggregate derives from it by dropping
+    the id, and the margin join reads it directly (the q67
+    TF-IDF / substr_dedup persisted-two-consumer pattern, with the
+    same bounded single-entry module cache). At 100 TB the gram
+    explode IS the dominant cost, so this is ~one corpus scan
+    cheaper than the compositional path; use the compositional form
+    when the model should be fit once and applied to many corpora.
+    """
+    from pyspark import StorageLevel
+
+    rb = (
+        raw.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
+        .select(F.col(id_col), F.explode("__gr").alias("__g"))
+        .select(
+            F.col(id_col),
+            (md5_bucket16(F.col("__g")) % F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _evict_rb_cache(rb)
+    tcnt = ngram_bucket_counts(
+        target, text_col, word_ngrams=word_ngrams, n_buckets=n_buckets
+    )
+    rcnt = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    weights, biases = _weights_from_counts(tcnt, rcnt, n_buckets, "dsir")
+    sums = (
+        rb.join(F.broadcast(weights.select("bucket", "w_u")), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_u").alias("__sw"))
+    )
+    # gram count arithmetically from the token count (the
+    # linear_text identity) — no third gram build
+    L = F.size(tokens(text_col))
+    n_grams = L
+    for j in range(2, word_ngrams + 1):
+        n_grams = n_grams + F.greatest(L - (j - 1), F.lit(0))
+    imp = (
+        raw.select(F.col(id_col), n_grams.alias("__n"))
+        .crossJoin(F.broadcast(biases.select("bias_u")))
+        .join(sums, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            (
+                F.col("__n").cast("long") * F.col("bias_u")
+                + F.coalesce("__sw", F.lit(0))
+            ).alias("log_w_u"),
+        )
+    )
+    lu_u = _ln_u(
+        (md5_bucket32(id_col, salt) + F.lit(1)).cast("double")
+        / F.lit(4294967296.0)
+    )
+    out = (
+        raw.join(imp, on=id_col)
         .filter(lu_u < F.col("log_w_u") - F.lit(int(tau_u)))
     )
     return out if keep_score else out.drop("log_w_u")

@@ -7138,17 +7138,17 @@ def _q162_oracle() -> str:
 
 @query("q162_dsir_select", oracle=_q162_oracle())
 def q162_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nsl_kdd_spark.ml.dsir import dsir_select, dsir_weights
+    # the FUSED fit+select path (one persisted raw-gram pass);
+    # row-identical to dsir_weights -> dsir_select — pinned by
+    # tests/test_dsir.py::test_fit_select_equals_compositional_path
+    from nsl_kdd_spark.ml.dsir import dsir_fit_select
 
     docs = load_tables(spark, sf_dir).documents
     target = docs.filter(F.col("doc_id") % 7 == 0)
     raw = docs.filter(F.col("doc_id") % 7 != 0)
-    weights, biases = dsir_weights(
-        target, raw, "text", word_ngrams=2, n_buckets=_Q162_BUCKETS
-    )
     return (
-        dsir_select(
-            raw, "doc_id", "text", weights, biases,
+        dsir_fit_select(
+            target, raw, "doc_id", "text",
             tau_u=_Q162_TAU_U, n_buckets=_Q162_BUCKETS,
         )
         .select("doc_id", "log_w_u")

@@ -232,6 +232,51 @@ def test_invalid_args_raise(spark):
         ngram_bucket_counts(tgt, "text", n_buckets=70000)
 
 
+def test_fit_select_equals_compositional_path(spark):
+    """dsir_fit_select (one persisted raw-gram pass) must return the
+    IDENTICAL rows as dsir_weights -> dsir_select, across parameter
+    draws — same weights layout via the shared helper, same
+    acceptance arithmetic."""
+    from nsl_kdd_spark.ml.dsir import dsir_fit_select
+
+    tgt, raw = _frames(spark)
+    for ngrams, buckets, tau, salt in (
+        (2, 256, -5_000_000, "s"),
+        (1, 64, 0, ""),
+    ):
+        w_df, b_df = dsir_weights(
+            tgt, raw, "text", word_ngrams=ngrams, n_buckets=buckets
+        )
+        via_comp = sorted(
+            (r.doc_id, r.log_w_u)
+            for r in dsir_select(
+                raw, "doc_id", "text", w_df, b_df, tau_u=tau,
+                salt=salt, word_ngrams=ngrams, n_buckets=buckets,
+            ).collect()
+        )
+        via_fused = sorted(
+            (r.doc_id, r.log_w_u)
+            for r in dsir_fit_select(
+                tgt, raw, "doc_id", "text", tau_u=tau, salt=salt,
+                word_ngrams=ngrams, n_buckets=buckets,
+            ).collect()
+        )
+        assert via_fused == via_comp, (ngrams, buckets, tau, salt)
+
+
+def test_fit_select_plan_has_single_gram_lineage(spark):
+    from tests.test_plan_quality import plan_of
+    from nsl_kdd_spark.ml.dsir import dsir_fit_select
+
+    tgt, raw = _frames(spark)
+    df = dsir_fit_select(tgt, raw, "doc_id", "text", n_buckets=256)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    # the persisted raw-gram table serves both consumers: the plan
+    # must read it from cache, not rebuild the gram explode twice
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_importance_plan_shape(spark):
     """100 TB shape: the weight join is broadcast, the margin is ONE
     map-side-combined aggregate, no window on the corpus side, no
