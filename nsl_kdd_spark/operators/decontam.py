@@ -109,6 +109,66 @@ def contaminated_ids(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination accounting for EVERY corpus doc —
+    the observability view behind GPT-3 appendix C's published
+    dirty/clean tables (each benchmark is reported with how much of
+    the training set collides with it BEFORE anyone picks a removal
+    remedy): ``(id_col, n_grams, hit_grams, hit_ppm, contaminated)``
+    where ``n_grams`` is the doc's distinct ``n``-gram count,
+    ``hit_grams`` how many of them occur anywhere in the benchmark,
+    ``hit_ppm = hit_grams * 1e6 div n_grams`` (0 for gram-less
+    docs), and ``contaminated = hit_grams >= min_hits`` — the same
+    verdict :func:`contaminated_ids` filters on, surfaced for every
+    doc instead of only the flagged ones. Feed it to a grouped
+    aggregate for the per-benchmark dirty-fraction table.
+
+    Scale shape: the corpus gram index is built ONCE and serves both
+    the per-doc totals and the hit counts (two map-side-combined
+    aggregates over the same scan lineage); the benchmark gram set
+    is DISTINCT + broadcast exactly as in :func:`contaminated_ids`,
+    so the corpus never shuffles for the probe. Integer-ppm ratio —
+    no float division (the q100 convention).
+    """
+    cg = _gram_index(corpus, id_col, text_col, n, id_col)
+    bg = _gram_index(
+        benchmark, bench_id_col, bench_text_col, n, bench_id_col
+    ).select("__gh").distinct()
+    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        cg.join(F.broadcast(bg), on="__gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) > 0 THEN"
+                " (coalesce(hit_grams, 0) * 1000000) div n_grams"
+                " ELSE 0 END"
+            ).alias("hit_ppm"),
+            (F.coalesce("hit_grams", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-gated decontamination (round-8): the broadcast story above
 # holds while the benchmark gram index fits a broadcast at 8 bytes

@@ -296,6 +296,72 @@ def rank_bins(
     return out.drop("__ord", "__one", "__num", "__total")
 
 
+def grouped_rank_bins(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_bins: int = 3,
+    out_col: str = "bin",
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """Per-GROUP equal-count score bins WITHOUT per-group rank
+    windows — the CCNet corpus-partitioning shape (Wenzek et al.
+    2020 split each language into perplexity head/middle/tail; a
+    language is a corpus-sized group at 100 TB, so
+    ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score)`` is the
+    exact single-task straggler SCALE.md forbids).
+
+    Distributed shape: ONE global range-sorted cumsum rank over the
+    composite ``(group, score, id)`` key (``with_global_cumsum`` —
+    range partition + per-partition window + driver prefix sum over
+    numPartitions totals), then per-group rank = global position
+    minus the group's offset, where offsets are a cumulative sum
+    over the k-row per-group counts (a BOUNDED k-row window — k is
+    the number of groups, not rows) broadcast back. Bin assignment
+    is the rank_bins integer arithmetic ``((rank-1) * n_bins) div
+    n_g`` — partitioning-invariant (the id tie-break totally orders
+    rows) and bit-identical in any engine, so DuckDB replays bins
+    with a plain per-group ROW_NUMBER. Adds ``rank_col`` (1-based
+    within group) and ``out_col`` (0 = lowest scores).
+    """
+    from pyspark.sql import Window
+
+    from nsl_kdd_spark.operators.packing import with_global_cumsum
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    d = df.withColumn(
+        "__ord",
+        F.struct(F.col(group_col), F.col(score_col), F.col(id_col)),
+    ).withColumn("__one", F.lit(1))
+    ranked = with_global_cumsum(d, "__ord", "__one", out_col="__gpos")
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # group offsets under the SAME group ordering the composite sort
+    # used; k-row frame, so the global-ordered window is bounded
+    wk = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cnt.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wk), F.lit(0))
+    )
+    out = (
+        ranked.join(F.broadcast(off), on=group_col)
+        .withColumn(rank_col, F.col("__gpos") - F.col("__off"))
+        .withColumn(
+            "__num",
+            (F.col(rank_col) - 1) * F.lit(n_bins).cast("long"),
+        )
+        .withColumn(
+            out_col,
+            F.least(
+                F.expr("__num div __n").cast("int"), F.lit(n_bins - 1)
+            ),
+        )
+    )
+    return out.drop("__ord", "__one", "__gpos", "__n", "__off", "__num")
+
+
 def shuffle_deterministic(
     df: DataFrame,
     key_col: str,

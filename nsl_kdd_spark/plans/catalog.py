@@ -7312,6 +7312,148 @@ def q164_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q165 — contamination report (round-11; decontam.contamination_report):
+# GPT-3 Appendix C's dirty/clean accounting surfaced per corpus doc —
+# distinct-gram totals, benchmark-colliding gram counts, integer-ppm
+# overlap and the min_hits verdict for EVERY doc (q76/q147 filter only
+# the flagged ones). Same %41 split / n=3 / min_hits=2 as the decontam
+# family; engine joins on xxhash64, oracle on gram text (the shared
+# convention).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q165_contamination_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+    ), cg AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[t.i:t.i+2], ' ') AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+           unnest(generate_series(1, len(tk) - 2)) AS t(i)
+      WHERE len(tk) >= 3
+    ), bg AS (
+      SELECT DISTINCT array_to_string(btk[t.i:t.i+2], ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS btk FROM documents
+            WHERE doc_id % 41 = 0) b,
+           unnest(generate_series(1, len(btk) - 2)) AS t(i)
+      WHERE len(btk) >= 3
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS hit_grams
+      FROM cg JOIN bg USING (g) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+           CAST(CASE WHEN COALESCE(t.n_grams, 0) > 0 THEN
+                  (COALESCE(h.hit_grams, 0) * 1000000) // t.n_grams
+                ELSE 0 END AS BIGINT) AS hit_ppm,
+           COALESCE(h.hit_grams, 0) >= 2 AS contaminated
+    FROM corpus c
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+)
+def q165_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.decontam import contamination_report
+
+    docs = load_tables(spark, sf_dir).documents
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        docs.filter(F.col("doc_id") % 41 == 0),
+        "doc_id", "text", "doc_id", "text", n=3, min_hits=2,
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q166 — CCNet perplexity partitioning (round-11;
+# relational.grouped_rank_bins over ml/text_features.unigram_logprob):
+# Wenzek et al. 2020 split each LANGUAGE into head/middle/tail by LM
+# perplexity. Per-doc score = integer milli-scaled NLL-per-token (the
+# q95 micro-nat LM, division-free ordering); the per-language terciles
+# come from grouped_rank_bins — ONE global range-sorted cumsum rank
+# minus broadcast k-row group offsets, NO per-language rank window (a
+# language is a corpus-sized group). DuckDB replays with a plain
+# per-group ROW_NUMBER and the same ((rank-1)*3) div n_g arithmetic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q166_ccnet_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ), freq AS (
+      SELECT token, COUNT(*) AS f FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq
+    ), lp AS (
+      SELECT token,
+             CAST(round(ln(CAST(f AS DOUBLE) / CAST(total AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS iln
+      FROM freq, tot
+    ), nll AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(-SUM(iln) AS BIGINT) AS nll_mnats
+      FROM tok JOIN lp USING (token) GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang,
+             (1000 * nll.nll_mnats) // nll.n_tokens AS score_u
+      FROM documents d JOIN nll USING (doc_id)
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_u, doc_id) AS group_rank,
+             COUNT(*) OVER (PARTITION BY lang) AS ng
+      FROM scored
+    )
+    SELECT doc_id, lang, score_u,
+           CAST(group_rank AS BIGINT) AS group_rank,
+           CASE ((group_rank - 1) * 3) // ng
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ccnet_bucket
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def q166_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import unigram_logprob
+    from nsl_kdd_spark.operators.relational import grouped_rank_bins
+
+    docs = load_tables(spark, sf_dir).documents
+    nll = unigram_logprob(docs, "doc_id", "text")
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(nll.select("doc_id", "nll_mnats", "n_tokens"), "doc_id")
+        # milli-scaled NLL per token as an exact integer `div` —
+        # float division would rank-tie differently across engines
+        .withColumn(
+            "score_u", F.expr("(1000 * nll_mnats) div n_tokens")
+        )
+        .drop("nll_mnats", "n_tokens")
+    )
+    binned = grouped_rank_bins(
+        scored, "lang", "score_u", "doc_id", n_bins=3, out_col="__b"
+    )
+    label = (
+        F.when(F.col("__b") == 0, "head")
+        .when(F.col("__b") == 1, "middle")
+        .otherwise("tail")
+    )
+    return (
+        binned.select(
+            "doc_id", "lang", "score_u", "group_rank",
+            label.alias("ccnet_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -7497,23 +7639,28 @@ def q164_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double-green (r9 + r10) with its family held by q153/q156. The
 # sixth incoming slot goes to q103 PageRank (flagship iterative
 # graph, newest driver green r4 — the stalest in-window-worthy row
-# left). The full rotated window re-verified via tools/compare.py
-# at sf0.01 before end of round.
+# left). Late-round additions: NEW q165 contamination-report and
+# q166 CCNet perplexity buckets rotate in for q24_text_stats
+# (double-green r3 + r10; its counter surface is now also exercised
+# by q163's Gopher counters, and the text family stays held by
+# q134/q139-class in-window anchors) and q51_string_funcs
+# (double-green r4 + r10; the string surface stays held by q53
+# pattern-extract). The full rotated window re-verified via
+# tools/compare.py at sf0.01 before end of round.
 DRIVER_WINDOW = [
     # touched-this-round substr family anchors
     "q153_exact_substring_strip",
     # round-11 NEW queries + touched re-anchors (see block above)
     "q161_token_weighted_mixture", "q162_dsir_select",
     "q163_gopher_quality", "q164_c4_line_clean",
+    "q165_contamination_report", "q166_ccnet_buckets",
     "q123_ranking_metrics", "q103_pagerank",
     # round-10 NEW queries (replacing double-green q27/q32/q37/q07/q15)
     "q156_exact_substring_cross_doc", "q157_quality_classifier",
     "q158_temperature_mixture", "q159_fim_transform",
     "q160_decontaminate_spans",
-    # newest green row is r3
-    "q24_text_stats",
     # newest green row is r4
-    "q51_string_funcs", "q53_pattern_extract", "q55_histogram",
+    "q53_pattern_extract", "q55_histogram",
     "q56_rank_analytics", "q60_profile", "q64_unpivot_profile",
     "q75_event_funnel", "q79_ewma", "q83_hash_sample",
     "q84_chunk_pieces", "q85_bin_texts", "q86_weighted_sample",

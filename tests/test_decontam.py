@@ -109,3 +109,95 @@ class TestDecontaminateSpans:
         assert "BroadcastHashJoin" in tree  # bench gram probe
         assert "LeftSemi" in tree
         assert "EvalPython" not in plan
+
+
+class TestContaminationReport:
+    """Per-doc contamination accounting (round-11;
+    decontam.contamination_report — the GPT-3 Appendix C dirty/clean
+    table surfaced per document). Oracle parity held by q165; these
+    pin the totals/hits/ppm arithmetic and consistency with the
+    contaminated_ids verdict."""
+
+    def _fixture(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "aa bb cc dd ee"),          # 3 distinct 3-grams, 1 hit
+                (2, "clean text with no hits"),
+                (3, "aa bb cc aa bb cc dd"),    # repeated grams dedupe
+                (4, "xx"),                      # gram-less (< n tokens)
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "zz aa bb cc zz")],
+            "bid long, btext string",
+        )
+        return corpus, bench
+
+    def test_counts_and_ppm(self, spark):
+        from nsl_kdd_spark.operators.decontam import contamination_report
+
+        corpus, bench = self._fixture(spark)
+        got = {
+            r.doc_id: (r.n_grams, r.hit_grams, r.hit_ppm, r.contaminated)
+            for r in contamination_report(
+                corpus, bench, "doc_id", "text", "bid", "btext",
+                n=3, min_hits=1,
+            ).collect()
+        }
+        # doc 1: grams {aa bb cc, bb cc dd, cc dd ee}; hit = aa bb cc
+        assert got[1] == (3, 1, 333333, True)
+        assert got[2] == (3, 0, 0, False)
+        # doc 3: distinct grams {aa bb cc, bb cc aa, cc aa bb,
+        # aa bb cc(dup), bb cc dd} -> 4 distinct, 1 hit
+        assert got[3] == (4, 1, 250000, True)
+        # gram-less doc surfaces with zeros, never vanishes
+        assert got[4] == (0, 0, 0, False)
+
+    def test_consistent_with_contaminated_ids(self, spark):
+        from nsl_kdd_spark.operators.decontam import (
+            contaminated_ids,
+            contamination_report,
+        )
+
+        corpus, bench = self._fixture(spark)
+        flagged = {
+            r.doc_id
+            for r in contaminated_ids(
+                corpus, bench, "doc_id", "text", "bid", "btext",
+                n=3, min_hits=1,
+            ).collect()
+        }
+        via_report = {
+            r.doc_id
+            for r in contamination_report(
+                corpus, bench, "doc_id", "text", "bid", "btext",
+                n=3, min_hits=1,
+            ).filter("contaminated").collect()
+        }
+        assert via_report == flagged
+
+    def test_min_hits_threshold(self, spark):
+        from nsl_kdd_spark.operators.decontam import contamination_report
+
+        corpus, bench = self._fixture(spark)
+        got = {
+            r.doc_id: r.contaminated
+            for r in contamination_report(
+                corpus, bench, "doc_id", "text", "bid", "btext",
+                n=3, min_hits=2,
+            ).collect()
+        }
+        assert got == {1: False, 2: False, 3: False, 4: False}
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        from tests.test_plan_quality import plan_of
+        from nsl_kdd_spark.operators.decontam import contamination_report
+
+        corpus, bench = self._fixture(spark)
+        df = contamination_report(
+            corpus, bench, "doc_id", "text", "bid", "btext", n=3
+        )
+        plan = plan_of(df)
+        assert "EvalPython" not in plan
+        assert "BroadcastHashJoin" in plan.split("\n\n")[0]

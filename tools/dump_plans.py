@@ -50,6 +50,8 @@ PICKS = {
     "q162_dsir_select": "DSIR selection (r11): two map-side-combined bucket histograms (<= n_buckets rows out), bucket-sized full-outer weight join, broadcast weight/bias join onto the exploded gram stream, ONE (doc,label) aggregate, id join-back + scan-stage ln(u) acceptance; no EvalPython",
     "q163_gopher_quality": "Gopher rules (r11): every counter and verdict is a scan-stage expression (splits, HOF filters/aggregate, literal-replace deltas) — zero exchanges before the orderBy",
     "q164_c4_line_clean": "C4 cleaning (r11): line retention + page gates as one scan-stage projection; the filter form is a single pushable predicate — zero exchanges before the orderBy",
+    "q165_contamination_report": "contamination report (r11): ONE corpus gram index feeds both map-side-combined aggregates (totals + hits), benchmark grams DISTINCT + broadcast — the corpus never shuffles for the probe",
+    "q166_ccnet_buckets": "CCNet buckets (r11): unigram-LM scores -> ONE global range-sorted cumsum rank (window partitioned by __pid, never by lang) + broadcast k-row group offsets — per-language terciles with no language-keyed window",
 }
 
 

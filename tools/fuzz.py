@@ -2082,6 +2082,125 @@ def fam_c4(rng: random.Random):
     )
 
 
+def fam_contamination(rng: random.Random):
+    """Per-doc contamination report (round-11;
+    decontam.contamination_report — GPT-3 App C dirty/clean
+    accounting). Draws move the gram order, the verdict threshold
+    and the corpus/benchmark split; totals, hit counts, integer-ppm
+    ratios and verdicts compare bit-exact (engine joins on xxhash64,
+    oracle on gram text — the decontam convention)."""
+    n = rng.choice((2, 3, 4))
+    min_hits = rng.choice((1, 2, 3))
+    mod = rng.choice((29, 41, 53))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.decontam import contamination_report
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return contamination_report(
+            docs.filter(F.col("doc_id") % mod != 0),
+            docs.filter(F.col("doc_id") % mod == 0),
+            "doc_id", "text", "doc_id", "text", n=n, min_hits=min_hits,
+        ).orderBy("doc_id")
+
+    sql = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {mod} <> 0
+    ), cg AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[t.i:t.i+{n - 1}], ' ') AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+           unnest(generate_series(1, len(tk) - {n - 1})) AS t(i)
+      WHERE len(tk) >= {n}
+    ), bg AS (
+      SELECT DISTINCT array_to_string(btk[t.i:t.i+{n - 1}], ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS btk FROM documents
+            WHERE doc_id % {mod} = 0) b,
+           unnest(generate_series(1, len(btk) - {n - 1})) AS t(i)
+      WHERE len(btk) >= {n}
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS hit_grams
+      FROM cg JOIN bg USING (g) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+           CAST(CASE WHEN COALESCE(t.n_grams, 0) > 0 THEN
+                  (COALESCE(h.hit_grams, 0) * 1000000) // t.n_grams
+                ELSE 0 END AS BIGINT) AS hit_ppm,
+           COALESCE(h.hit_grams, 0) >= {min_hits} AS contaminated
+    FROM corpus c
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY c.doc_id
+    """
+    return f"n={n} min_hits={min_hits} mod={mod}", spark_fn, sql, False
+
+
+def fam_grouped_bins(rng: random.Random):
+    """Per-group equal-count rank bins (round-11;
+    relational.grouped_rank_bins — the CCNet head/middle/tail
+    partitioner without per-group windows). Draws move the group
+    column, the bin count and the score definition; per-group ranks
+    and bins compare bit-exact against a plain per-group ROW_NUMBER
+    replay."""
+    grp = rng.choice(("lang", "source"))
+    n_bins = rng.choice((2, 3, 4, 5))
+    score = rng.choice(("tokens", "length"))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.functions.text import token_count
+        from nsl_kdd_spark.operators.relational import grouped_rank_bins
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        sc = (
+            token_count("text").cast("long") if score == "tokens"
+            else F.length("text").cast("long")
+        )
+        scored = docs.select(
+            "doc_id", F.col(grp).alias("grp"), sc.alias("score")
+        )
+        return (
+            grouped_rank_bins(
+                scored, "grp", "score", "doc_id", n_bins=n_bins
+            )
+            .select("doc_id", "grp", "score", "group_rank", "bin")
+            .orderBy("doc_id")
+        )
+
+    sexpr = (
+        "len(string_split(text, ' '))" if score == "tokens"
+        else "len(text)"
+    )
+    sql = f"""
+    WITH scored AS (
+      SELECT doc_id, {grp} AS grp, CAST({sexpr} AS BIGINT) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY score, doc_id) AS group_rank,
+             COUNT(*) OVER (PARTITION BY grp) AS ng
+      FROM scored
+    )
+    SELECT doc_id, grp, score,
+           CAST(group_rank AS BIGINT) AS group_rank,
+           CAST(LEAST(((group_rank - 1) * {n_bins}) // ng,
+                      {n_bins - 1}) AS INTEGER) AS bin
+    FROM ranked
+    ORDER BY doc_id
+    """
+    return f"grp={grp} n_bins={n_bins} score={score}", spark_fn, sql, False
+
+
 def fam_dsir(rng: random.Random):
     """DSIR importance resampling (round-11; ml/dsir.py — Xie et al.
     2023 hashed-n-gram importance weights + deterministic log-space
@@ -2243,6 +2362,8 @@ FAMILIES = {
     "dsir": fam_dsir,
     "gopher": fam_gopher,
     "c4": fam_c4,
+    "contamination": fam_contamination,
+    "grouped_bins": fam_grouped_bins,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -2252,7 +2373,8 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "sample_exact_n", "grouping_sets", "scd2_pointtime",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
-         "substr_report", "gopher", "c4")
+         "substr_report", "gopher", "c4", "contamination",
+         "grouped_bins")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
