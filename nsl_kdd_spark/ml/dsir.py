@@ -94,6 +94,38 @@ def _evict_rb_cache(replacement: DataFrame) -> None:
         _RB_CACHE.append(replacement)
 
 
+def _gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    word_ngrams: int,
+    n_buckets: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The ONE gram->bucket projection every DSIR consumer reads
+    (round-11 review: three inline copies risked silently drifting
+    the feature space): tokens -> word 1..n-grams -> 16-bit md5
+    bucket mod ``n_buckets`` (the linear_text layout), optionally
+    carrying the doc id. Pure scan-stage expressions + posexplode."""
+    if word_ngrams < 1:
+        raise ValueError(f"word_ngrams must be >= 1, got {word_ngrams}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(
+            f"n_buckets must be in [1, 65536], got {n_buckets}"
+        )
+    ids = [F.col(id_col)] if id_col is not None else []
+    return (
+        df.select(*ids, tokens(text_col).alias("__tk"))
+        .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
+        .select(*ids, F.explode("__gr").alias("__g"))
+        .select(
+            *ids,
+            (md5_bucket16(F.col("__g")) % F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+
+
 def ngram_bucket_counts(
     df: DataFrame,
     text_col: str,
@@ -109,21 +141,8 @@ def ngram_bucket_counts(
     (materialized array + posexplode); the histogram is ONE
     map-side-combined groupBy with at most ``n_buckets`` output rows
     — the partial aggregate absorbs any hot bucket."""
-    if word_ngrams < 1:
-        raise ValueError(f"word_ngrams must be >= 1, got {word_ngrams}")
-    if not 1 <= n_buckets <= 65536:
-        raise ValueError(
-            f"n_buckets must be in [1, 65536], got {n_buckets}"
-        )
     return (
-        df.select(tokens(text_col).alias("__tk"))
-        .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
-        .select(F.explode("__gr").alias("__g"))
-        .select(
-            (md5_bucket16(F.col("__g")) % F.lit(n_buckets))
-            .cast("int")
-            .alias("bucket")
-        )
+        _gram_buckets(df, text_col, word_ngrams, n_buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -133,6 +152,18 @@ def _ln_u(x: Column) -> Column:
     """round(1e6 * ln(x)) as BIGINT — the module's single ln
     quantization (micro-nats, rounded BEFORE any aggregation)."""
     return F.round(F.log(x) * F.lit(float(_SCALE))).cast("long")
+
+
+def _lu_u(id_col: str, salt: str) -> Column:
+    """The acceptance draw ``round(1e6 * ln(u))`` with ``u =
+    (md5_bucket32(id, salt) + 1) / 2^32`` — an EXACT binary double
+    (power-of-two denominator, numerator <= 2^32), so both engines
+    ln() the identical input. ONE definition for both selection
+    paths (round-11 review)."""
+    return _ln_u(
+        (md5_bucket32(id_col, salt) + F.lit(1)).cast("double")
+        / F.lit(4294967296.0)
+    )
 
 
 def dsir_weights(
@@ -254,16 +285,9 @@ def dsir_select(
         df, id_col, text_col, weights, biases,
         word_ngrams=word_ngrams, n_buckets=n_buckets,
     )
-    # (b32 + 1) / 2^32 is an exact binary double: power-of-two
-    # denominator, numerator <= 2^32 — both engines ln() the
-    # identical input
-    lu_u = _ln_u(
-        (md5_bucket32(id_col, salt) + F.lit(1)).cast("double")
-        / F.lit(4294967296.0)
-    )
     out = (
         df.join(imp, on=id_col)
-        .filter(lu_u < F.col("log_w_u") - F.lit(int(tau_u)))
+        .filter(_lu_u(id_col, salt) < F.col("log_w_u") - F.lit(int(tau_u)))
     )
     return out if keep_score else out.drop("log_w_u")
 
@@ -292,19 +316,19 @@ def dsir_fit_select(
     explode IS the dominant cost, so this is ~one corpus scan
     cheaper than the compositional path; use the compositional form
     when the model should be fit once and applied to many corpora.
+
+    Cache caveat (the substr_dedup contract): the persisted gram
+    table is bounded to ONE outstanding entry module-wide, so a
+    SECOND still-lazy ``dsir_fit_select`` result evicts the first's
+    cache before it runs — the first stays CORRECT via lineage but
+    silently recomputes its gram pass (costing what the
+    compositional path costs). Materialize one result before
+    computing the next when holding several.
     """
     from pyspark import StorageLevel
 
-    rb = (
-        raw.select(F.col(id_col), tokens(text_col).alias("__tk"))
-        .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
-        .select(F.col(id_col), F.explode("__gr").alias("__g"))
-        .select(
-            F.col(id_col),
-            (md5_bucket16(F.col("__g")) % F.lit(n_buckets))
-            .cast("int")
-            .alias("bucket"),
-        )
+    rb = _gram_buckets(
+        raw, text_col, word_ngrams, n_buckets, id_col=id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _evict_rb_cache(rb)
     tcnt = ngram_bucket_counts(
@@ -317,14 +341,15 @@ def dsir_fit_select(
         .groupBy(id_col)
         .agg(F.sum("w_u").alias("__sw"))
     )
-    # gram count arithmetically from the token count (the
-    # linear_text identity) — no third gram build
-    L = F.size(tokens(text_col))
-    n_grams = L
-    for j in range(2, word_ngrams + 1):
-        n_grams = n_grams + F.greatest(L - (j - 1), F.lit(0))
+    # gram count arithmetically from the token count — the shared
+    # linear_text identity, no third gram build
+    from nsl_kdd_spark.ml.linear_text import ngram_count_expr
+
     imp = (
-        raw.select(F.col(id_col), n_grams.alias("__n"))
+        raw.select(
+            F.col(id_col),
+            ngram_count_expr(text_col, word_ngrams).alias("__n"),
+        )
         .crossJoin(F.broadcast(biases.select("bias_u")))
         .join(sums, on=id_col, how="left")
         .select(
@@ -335,12 +360,8 @@ def dsir_fit_select(
             ).alias("log_w_u"),
         )
     )
-    lu_u = _ln_u(
-        (md5_bucket32(id_col, salt) + F.lit(1)).cast("double")
-        / F.lit(4294967296.0)
-    )
     out = (
         raw.join(imp, on=id_col)
-        .filter(lu_u < F.col("log_w_u") - F.lit(int(tau_u)))
+        .filter(_lu_u(id_col, salt) < F.col("log_w_u") - F.lit(int(tau_u)))
     )
     return out if keep_score else out.drop("log_w_u")

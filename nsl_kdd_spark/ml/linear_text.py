@@ -87,6 +87,19 @@ def word_ngram_array(tk: Column, word_ngrams: int = 2) -> Column:
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
+def ngram_count_expr(text_col: str, word_ngrams: int) -> Column:
+    """Total 1..n-gram count as arithmetic over the token count —
+    ``Σ_j max(L - (j-1), 0)`` — instead of building the gram array a
+    second time just to size it. ONE definition (round-11 review):
+    linear_text_scores and dsir's fused margin both multiply this by
+    the bias, so a drift here would silently unbalance scores."""
+    L = F.size(tokens(text_col))
+    n_grams = L
+    for j in range(2, word_ngrams + 1):
+        n_grams = n_grams + F.greatest(L - (j - 1), F.lit(0))
+    return n_grams
+
+
 def linear_text_scores(
     df: DataFrame,
     id_col: str,
@@ -129,14 +142,10 @@ def linear_text_scores(
         .groupBy(id_col, "label")
         .agg(F.sum("w_u").alias("__sw"))
     )
-    # gram count computed arithmetically from the token count —
-    # sum over j of max(L - (j-1), 0) — instead of building the full
-    # n-gram array a second time just to take its size (round-10
-    # review); the q157 oracle's `nn` CTE uses the same identity
-    L = F.size(tokens(text_col))
-    n_grams = L
-    for j in range(2, word_ngrams + 1):
-        n_grams = n_grams + F.greatest(L - (j - 1), F.lit(0))
+    # gram count computed arithmetically from the token count
+    # (round-10 review; the q157 oracle's `nn` CTE uses the same
+    # identity) — shared with dsir's fused margin via ngram_count_expr
+    n_grams = ngram_count_expr(text_col, word_ngrams)
     base = (
         df.select(F.col(id_col), n_grams.alias("__n"))
         .crossJoin(F.broadcast(biases))  # k rows per doc: class frame

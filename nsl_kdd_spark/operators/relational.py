@@ -336,7 +336,12 @@ def grouped_rank_bins(
         F.struct(F.col(group_col), F.col(score_col), F.col(id_col)),
     ).withColumn("__one", F.lit(1))
     ranked = with_global_cumsum(d, "__ord", "__one", out_col="__gpos")
-    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # count over the RANKED frame, not the source: the cumsum pass
+    # already materialized (checkpointed) its repartitioned input, so
+    # this aggregate reads those blocks instead of re-scanning the
+    # corpus a second time (round-11 review); Catalyst prunes the
+    # unused rank/order columns from the read
+    cnt = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     # group offsets under the SAME group ordering the composite sort
     # used; k-row frame, so the global-ordered window is bounded
     wk = Window.orderBy(group_col).rowsBetween(
