@@ -448,6 +448,163 @@ def fim_transform(
     )
 
 
+def span_corruption_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.15,
+    span_len: int = 3,
+    salt: str = "",
+    sentinel_prefix: str = "<extra_id_",
+    sentinel_suffix: str = ">",
+    input_col: str = "text_input",
+    target_col: str = "text_target",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4; the UL2
+    R/X denoisers of Tay et al. 2022 are the same transform at other
+    (rate, span_len) points): ~``rate`` of each document's tokens are
+    masked in spans of mean length ``span_len``, each maximal masked
+    run replaced in the input by one sentinel ``<extra_id_k>`` (k in
+    document order from 0), and the target serialized as
+    ``<extra_id_0> span0 <extra_id_1> span1 … <extra_id_K>`` with the
+    trailing K = n_spans final sentinel — the published seq2seq
+    denoising objective every T5/UL2 pretrain pipeline feeds.
+
+    Deterministic span placement, the engine's doctrine instead of
+    RNG state (the FIM convention): tokens are grouped into
+    fixed-width units of ``span_len`` and unit u of document d is
+    masked iff ``md5_bucket16(d || '-' || u, salt) < rate * 65536``
+    — so the masked-token fraction is ``rate`` exactly in
+    expectation, spans average ``span_len`` (adjacent masked units
+    merge into one maximal run, mirroring the paper's span merging),
+    and re-runs / repartitionings / incremental re-ingests corrupt
+    each document identically. A SQL engine replays the whole thing
+    bit-exactly from the same md5 arithmetic.
+
+    Output = input columns + ``(input_col, target_col, n_spans,
+    corrupted_tokens)``. A document with no masked unit passes its
+    text through and targets the bare final sentinel
+    ``<extra_id_0>`` (the K = 0 case of the same serialization).
+
+    Scale shape: zero shuffles, zero joins, zero explodes — the unit
+    selection, maximal-run recovery (boundary scans over the
+    selected-position array, each O(tokens)) and both serializations
+    are scan-stage JVM higher-order expressions, so the transform
+    rides whatever partitioning the corpus already has, exactly like
+    ``fim_transform``. No per-step array append anywhere: every
+    array is built by one ``filter``/``transform``/``zip_with`` pass
+    (an ``aggregate``-with-append accumulator would be O(tokens²)
+    per document — rejected for the 100k-token files this targets).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    from nsl_kdd_spark.functions.text import tokens
+    from nsl_kdd_spark.operators.relational import md5_bucket16
+
+    # int() truncation: the sample_hash/fim_transform cut convention
+    cut = int(rate * 65536)
+    tk = tokens(text_col)
+    L = F.size(tk)
+
+    def unit_key(pos: Column) -> Column:
+        # unit = (pos-1) div span_len; key = "<id>-<unit>" (the
+        # md5_key salt prefixes the whole string)
+        u = ((pos - 1) / F.lit(span_len)).cast("int")
+        return F.concat(
+            F.col(id_col).cast("string"), F.lit("-"), u.cast("string")
+        )
+
+    selpos = F.filter(
+        F.sequence(F.lit(1), L),
+        lambda p: md5_bucket16(unit_key(p), salt) < F.lit(cut),
+    )
+    n_sel = F.size(selpos)
+    # run boundaries: a selected position starts a maximal run iff its
+    # predecessor in selpos isn't pos-1, ends one iff its successor
+    # isn't pos+1. Lambda index j is 0-based, element_at is 1-based,
+    # so element_at(selpos, j) / element_at(selpos, j+2) are the
+    # neighbours; greatest/least keep the index legal on the branch
+    # the leading disjunct already decides (codegen may evaluate both).
+    starts = F.filter(
+        selpos,
+        lambda p, j: (j == F.lit(0))
+        | (F.element_at(selpos, F.greatest(j, F.lit(1))) != p - 1),
+    )
+    ends = F.filter(
+        selpos,
+        lambda p, j: (j == n_sel - 1)
+        | (
+            F.element_at(selpos, F.least(j + F.lit(2), n_sel))
+            != p + 1
+        ),
+    )
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    n_spans = F.size(starts)
+
+    def sent(k: Column) -> Column:
+        return F.concat(
+            F.lit(sentinel_prefix), k.cast("string"), F.lit(sentinel_suffix)
+        )
+
+    def gap_start(j: Column) -> Column:
+        # first unmasked position after the previous span (1 for j=0);
+        # greatest() keeps element_at legal if codegen evaluates both
+        # branches of the when()
+        prev_e = F.element_at(
+            F.col("__spans"), F.greatest(j, F.lit(1))
+        )["e"]
+        return F.when(j == 0, F.lit(1)).otherwise(prev_e + 1)
+
+    inp_segs = F.transform(
+        F.col("__spans"),
+        lambda sp, j: F.concat(
+            F.slice(F.col("__tk"), gap_start(j), sp["s"] - gap_start(j)),
+            F.array(sent(j)),
+        ),
+    )
+    last_e = F.when(
+        F.col("__nsp") > 0,
+        F.element_at(
+            F.col("__spans"), F.greatest(F.col("__nsp"), F.lit(1))
+        )["e"],
+    ).otherwise(F.lit(0))
+    tail = F.slice(
+        F.col("__tk"), last_e + 1, F.size(F.col("__tk")) - last_e
+    )
+    tgt_segs = F.transform(
+        F.col("__spans"),
+        lambda sp, j: F.concat(
+            F.array(sent(j)), F.slice(F.col("__tk"), sp["s"], sp["e"] - sp["s"] + 1)
+        ),
+    )
+    return (
+        df.withColumn("__tk", tk)
+        .withColumn("__spans", spans)
+        .withColumn("__nsp", n_spans)
+        .withColumn("n_spans", F.col("__nsp"))
+        .withColumn("corrupted_tokens", n_sel)
+        .withColumn(
+            input_col,
+            F.array_join(F.concat(F.flatten(inp_segs), tail), " "),
+        )
+        .withColumn(
+            target_col,
+            F.array_join(
+                F.concat(
+                    F.flatten(tgt_segs),
+                    F.array(sent(F.col("__nsp"))),
+                ),
+                " ",
+            ),
+        )
+        .drop("__tk", "__spans", "__nsp")
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     components: DataFrame,

@@ -7454,6 +7454,95 @@ def q166_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q167 — T5/UL2 span corruption (round-11; corpus.span_corruption_
+# transform): Raffel et al. 2020 §3.1.4's denoising objective — mask
+# ~rate of tokens in mean-span_len spans, one <extra_id_k> sentinel
+# per maximal masked run in the input, target = sentinels + the
+# masked spans + the trailing final sentinel. The engine computes it
+# shuffle-free (selected positions, run boundaries and both
+# serializations are scan-stage higher-order array expressions);
+# DuckDB replays the identical md5 unit selection with unnest +
+# window islands + ordered string_agg — strings compare bit-exact.
+# ---------------------------------------------------------------------------
+
+_Q167_CUT = int(0.3 * 65536)
+
+@query(
+    "q167_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), sel AS (
+      SELECT doc_id, pos FROM tok
+      WHERE {_md5_bucket_sql("sc", "doc_id || '-' || CAST((pos - 1) // 3 AS VARCHAR)")} < {_Q167_CUT}
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM sel
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY doc_id, island
+    ), ks AS (
+      SELECT doc_id, s, e,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k
+      FROM spans
+    ), cov AS (
+      SELECT doc_id, u.p AS pos
+      FROM ks, unnest(generate_series(s, e)) AS u(p)
+    ), pieces AS (
+      SELECT t.doc_id, t.pos, t.w AS v
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+      UNION ALL
+      SELECT doc_id, s AS pos,
+             '<extra_id_' || CAST(k AS VARCHAR) || '>' AS v
+      FROM ks
+    ), inp AS (
+      SELECT doc_id, string_agg(v, ' ' ORDER BY pos) AS text_input
+      FROM pieces GROUP BY doc_id
+    ), tgt AS (
+      SELECT ks.doc_id,
+             string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+                        array_to_string(tk[s:e], ' '), ' ' ORDER BY k)
+               AS body,
+             COUNT(*) AS nsp, SUM(e - s + 1) AS ct
+      FROM ks JOIN toks USING (doc_id) GROUP BY ks.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.nsp, 0) AS INTEGER) AS n_spans,
+           CAST(COALESCE(t.ct, 0) AS INTEGER) AS corrupted_tokens,
+           COALESCE(i.text_input, d.text) AS text_input,
+           COALESCE(t.body || ' ', '')
+             || '<extra_id_' || CAST(COALESCE(t.nsp, 0) AS VARCHAR) || '>'
+             AS text_target
+    FROM documents d
+    LEFT JOIN inp i USING (doc_id)
+    LEFT JOIN tgt t USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q167_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import span_corruption_transform
+
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        span_corruption_transform(
+            docs, "doc_id", "text", rate=0.3, span_len=3, salt="sc"
+        )
+        .select(
+            "doc_id", "n_spans", "corrupted_tokens",
+            "text_input", "text_target",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

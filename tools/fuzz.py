@@ -1828,6 +1828,108 @@ def fam_fim(rng: random.Random):
     return f"rate={rate} salt={salt!r} mode={mode}", spark_fn, sql, False
 
 
+def fam_span_corruption(rng: random.Random):
+    """T5/UL2 span corruption (round-11;
+    operators/corpus.span_corruption_transform — Raffel et al. 2020
+    §3.1.4). Draws move the token-corruption rate across the full
+    range (0 = pass-through, 1 = whole-document mask), the mean span
+    length and the salt (independent unit-selection streams); the
+    oracle replays the 16-bit md5 unit cut, the window-island maximal
+    runs and both sentinel serializations — strings compare
+    bit-exact."""
+    rate = rng.choice((0.0, 0.15, 0.3, 0.6, 1.0))
+    span_len = rng.choice((1, 2, 3, 5))
+    salt = rng.choice(("", "s1"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.corpus import (
+            span_corruption_transform,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return (
+            span_corruption_transform(
+                docs, "doc_id", "text",
+                rate=rate, span_len=span_len, salt=salt,
+            )
+            .select(
+                "doc_id", "n_spans", "corrupted_tokens",
+                "text_input", "text_target",
+            )
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+
+    cut = int(rate * 65536)
+    ukey = (
+        f"doc_id || '-' || CAST((pos - 1) // {span_len} AS VARCHAR)"
+    )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), sel AS (
+      SELECT doc_id, pos FROM tok
+      WHERE {_md5_bucket_sql(salt, ukey)} < {cut}
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM sel
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY doc_id, island
+    ), ks AS (
+      SELECT doc_id, s, e,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k
+      FROM spans
+    ), cov AS (
+      SELECT doc_id, u.p AS pos
+      FROM ks, unnest(generate_series(s, e)) AS u(p)
+    ), pieces AS (
+      SELECT t.doc_id, t.pos, t.w AS v
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+      UNION ALL
+      SELECT doc_id, s AS pos,
+             '<extra_id_' || CAST(k AS VARCHAR) || '>' AS v
+      FROM ks
+    ), inp AS (
+      SELECT doc_id, string_agg(v, ' ' ORDER BY pos) AS text_input
+      FROM pieces GROUP BY doc_id
+    ), tgt AS (
+      SELECT ks.doc_id,
+             string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+                        array_to_string(tk[s:e], ' '), ' ' ORDER BY k)
+               AS body,
+             COUNT(*) AS nsp, SUM(e - s + 1) AS ct
+      FROM ks JOIN toks USING (doc_id) GROUP BY ks.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.nsp, 0) AS INTEGER) AS n_spans,
+           CAST(COALESCE(t.ct, 0) AS INTEGER) AS corrupted_tokens,
+           COALESCE(i.text_input, d.text) AS text_input,
+           COALESCE(t.body || ' ', '')
+             || '<extra_id_' || CAST(COALESCE(t.nsp, 0) AS VARCHAR) || '>'
+             AS text_target
+    FROM documents d
+    LEFT JOIN inp i USING (doc_id)
+    LEFT JOIN tgt t USING (doc_id)
+    ORDER BY doc_id
+    """
+    return (
+        f"rate={rate} span_len={span_len} salt={salt!r}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_decontam_spans(rng: random.Random):
     """Window-level decontamination (round-10;
     decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
@@ -2358,6 +2460,7 @@ FAMILIES = {
     "linear_text": fam_linear_text,
     "temperature_mixture": fam_temperature_mixture,
     "fim": fam_fim,
+    "span_corruption": fam_span_corruption,
     "decontam_spans": fam_decontam_spans,
     "dsir": fam_dsir,
     "gopher": fam_gopher,
