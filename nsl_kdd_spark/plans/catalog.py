@@ -7543,6 +7543,101 @@ def q167_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q168 — SFT chat-template assembly with loss-mask spans (round-11;
+# operators/sft.py): the instruction-tuning data-prep step — events
+# become conversation turns (user_id = conversation, ts order), each
+# turn renders through the ChatML-style template and gets its
+# 1-based character span inside the joined conversation string plus
+# the completion-only loss span bracketing exactly the assistant
+# content (TRL DataCollatorForCompletionOnlyLM's contract). The
+# conv_digest column hashes the assembled conversation string, so
+# the oracle also proves assemble_chat_text's ordered join matches
+# DuckDB's ordered string_agg bit-exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q168_sft_chat_spans",
+    oracle="""
+    WITH turns AS (
+      SELECT user_id AS conv_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'system'
+                  ELSE 'assistant' END AS role,
+             event_type || ' ' || props AS content
+      FROM events
+    ), ordered AS (
+      SELECT conv_id, role, content,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, event_id) AS turn_idx
+      FROM turns
+    ), seg AS (
+      SELECT *,
+             '<|im_start|>' || role || chr(10) || content || '<|im_end|>'
+               AS segment
+      FROM ordered
+    ), off AS (
+      SELECT *,
+             COALESCE(SUM(CAST(length(segment) + 1 AS BIGINT))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+      FROM seg
+    ), txt AS (
+      SELECT conv_id,
+             md5(string_agg(segment, chr(10) ORDER BY turn_idx))
+               AS conv_digest
+      FROM seg GROUP BY conv_id
+    )
+    SELECT o.conv_id, CAST(o.turn_idx AS INTEGER) AS turn_idx, o.role,
+           CAST(o.prior + 1 AS BIGINT) AS seg_start,
+           CAST(o.prior + length(o.segment) AS BIGINT) AS seg_end,
+           o.role = 'assistant' AS is_loss,
+           CAST(CASE WHEN o.role = 'assistant'
+                THEN o.prior + length('<|im_start|>' || o.role) + 2
+                END AS BIGINT) AS loss_start,
+           CAST(CASE WHEN o.role = 'assistant'
+                THEN o.prior + length('<|im_start|>' || o.role) + 1
+                     + length(o.content) END AS BIGINT) AS loss_end,
+           t.conv_digest
+    FROM off o JOIN txt t USING (conv_id)
+    ORDER BY o.conv_id, o.turn_idx
+    """,
+)
+def q168_sft_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import (
+        assemble_chat_text,
+        render_chat_spans,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("content"),
+    )
+    spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+    text = assemble_chat_text(spans, "conv_id")
+    return (
+        spans.join(
+            text.select(
+                "conv_id", F.md5("conv_text").alias("conv_digest")
+            ),
+            "conv_id",
+        )
+        .select(
+            "conv_id", "turn_idx", "role", "seg_start", "seg_end",
+            "is_loss", "loss_start", "loss_end", "conv_digest",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

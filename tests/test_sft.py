@@ -1,0 +1,136 @@
+"""SFT chat-template assembly (round-11; operators/sft.py). Oracle
+parity is held by q168 + the sft_spans fuzz family; these tests pin
+the span invariants (substring extraction, adjacency, loss masking),
+template parameterization, and the single-window plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators.sft import (
+    assemble_chat_text,
+    render_chat_spans,
+)
+
+
+def _turns(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, "user", "hello there"),
+            (1, 2, "assistant", "hi! how can I help?"),
+            (1, 3, "user", "what is 2+2"),
+            (1, 4, "assistant", "4"),
+            (2, 1, "system", "be brief"),
+            (2, 2, "user", "ok"),
+            (2, 3, "assistant", "understood"),
+            (3, 1, "assistant", "single turn"),
+        ],
+        "conv_id long, t long, role string, content string",
+    )
+
+
+def _joined(spark, **kw):
+    spans = render_chat_spans(_turns(spark), "conv_id", ["t"], **kw)
+    text = assemble_chat_text(
+        spans, "conv_id", joiner=kw.get("joiner", "\n")
+    )
+    return spans.join(text, "conv_id")
+
+
+def test_substring_extraction_invariants(spark):
+    """The defining contract: seg/loss spans index the assembled
+    conversation string exactly."""
+    rows = _joined(spark).withColumn(
+        "seg_ok",
+        F.expr(
+            "substring(conv_text, seg_start,"
+            " seg_end - seg_start + 1) = segment"
+        ),
+    ).withColumn(
+        "loss_ok",
+        F.expr(
+            "CASE WHEN is_loss THEN substring(conv_text, loss_start,"
+            " loss_end - loss_start + 1) = content END"
+        ),
+    ).collect()
+    assert rows and all(r["seg_ok"] for r in rows)
+    assert all(r["loss_ok"] for r in rows if r["is_loss"])
+    assert all(
+        r["loss_start"] is None and r["loss_end"] is None
+        for r in rows
+        if not r["is_loss"]
+    )
+
+
+def test_spans_tile_the_conversation(spark):
+    """Consecutive segments are separated by exactly the joiner; the
+    last span ends at the string's end."""
+    rows = sorted(
+        _joined(spark).collect(),
+        key=lambda r: (r["conv_id"], r["turn_idx"]),
+    )
+    by_conv: dict[int, list] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, rs in by_conv.items():
+        assert rs[0]["seg_start"] == 1
+        for a, b in zip(rs, rs[1:]):
+            assert b["seg_start"] == a["seg_end"] + 2  # len("\n") == 1
+        assert rs[-1]["seg_end"] == len(rs[0]["conv_text"])
+        assert [r["turn_idx"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_loss_roles_parameter(spark):
+    rows = render_chat_spans(
+        _turns(spark), "conv_id", ["t"], loss_roles=("user", "system")
+    ).collect()
+    for r in rows:
+        assert r["is_loss"] == (r["role"] in ("user", "system"))
+
+
+def test_custom_template(spark):
+    spans = render_chat_spans(
+        _turns(spark),
+        "conv_id",
+        ["t"],
+        turn_prefix="### ",
+        role_sep=": ",
+        turn_suffix="",
+        joiner="\n\n",
+    )
+    text = assemble_chat_text(spans, "conv_id", joiner="\n\n")
+    rows = (
+        spans.join(text, "conv_id")
+        .withColumn(
+            "seg_ok",
+            F.expr(
+                "substring(conv_text, seg_start,"
+                " seg_end - seg_start + 1) = segment"
+            ),
+        )
+        .collect()
+    )
+    assert rows and all(r["seg_ok"] for r in rows)
+    one = {r["conv_id"]: r for r in rows}[3]
+    assert one["conv_text"] == "### assistant: single turn"
+
+
+def test_invalid_args_raise(spark):
+    with pytest.raises(ValueError):
+        render_chat_spans(_turns(spark), "conv_id", [])
+    with pytest.raises(ValueError):
+        render_chat_spans(_turns(spark), "conv_id", ["t"], loss_roles=())
+
+
+def test_plan_one_window_no_python(spark):
+    """Scale shape: one conversation-keyed window (bounded groups),
+    scan-stage string arithmetic around it — no join, no Python."""
+    from tests.test_plan_quality import plan_of
+
+    df = render_chat_spans(_turns(spark), "conv_id", ["t"])
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") >= 1
+    assert "Join" not in tree
+    assert "EvalPython" not in plan

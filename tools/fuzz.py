@@ -1930,6 +1930,111 @@ def fam_span_corruption(rng: random.Random):
     )
 
 
+def fam_sft_spans(rng: random.Random):
+    """SFT chat-template assembly (round-11; operators/sft.py —
+    completion-only loss spans). Draws move the template pieces
+    (suffix/joiner), which roles are trainable, and the turn-role
+    mapping; the oracle replays the rendering, the prefix-sum span
+    arithmetic and the ordered string_agg digest — spans and digests
+    compare bit-exact."""
+    suffix = rng.choice(("<|im_end|>", "[END]", ""))
+    joiner = rng.choice(("\n", " "))
+    loss_roles = rng.choice((("assistant",), ("assistant", "system")))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import (
+            assemble_chat_text,
+            render_chat_spans,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events
+        turns = ev.select(
+            F.col("user_id").alias("conv_id"),
+            "event_id",
+            "ts",
+            F.when(F.col("event_type").isin("click", "view"), "user")
+            .when(F.col("event_type") == "error", "system")
+            .otherwise("assistant")
+            .alias("role"),
+            F.concat_ws(" ", "event_type", "props").alias("content"),
+        )
+        spans = render_chat_spans(
+            turns, "conv_id", ["ts", "event_id"],
+            loss_roles=loss_roles, turn_suffix=suffix, joiner=joiner,
+        )
+        text = assemble_chat_text(spans, "conv_id", joiner=joiner)
+        return (
+            spans.join(
+                text.select(
+                    "conv_id", F.md5("conv_text").alias("conv_digest")
+                ),
+                "conv_id",
+            )
+            .select(
+                "conv_id", "turn_idx", "seg_start", "seg_end",
+                "is_loss", "loss_start", "loss_end", "conv_digest",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    jsql = "chr(10)" if joiner == "\n" else f"'{joiner}'"
+    roles_in = ", ".join(f"'{r}'" for r in loss_roles)
+    sql = f"""
+    WITH turns AS (
+      SELECT user_id AS conv_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'system'
+                  ELSE 'assistant' END AS role,
+             event_type || ' ' || props AS content
+      FROM events
+    ), ordered AS (
+      SELECT conv_id, role, content,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, event_id) AS turn_idx
+      FROM turns
+    ), seg AS (
+      SELECT *,
+             '<|im_start|>' || role || chr(10) || content || '{suffix}'
+               AS segment
+      FROM ordered
+    ), off AS (
+      SELECT *,
+             COALESCE(SUM(CAST(length(segment) + {len(joiner)} AS BIGINT))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+      FROM seg
+    ), txt AS (
+      SELECT conv_id,
+             md5(string_agg(segment, {jsql} ORDER BY turn_idx))
+               AS conv_digest
+      FROM seg GROUP BY conv_id
+    )
+    SELECT o.conv_id, CAST(o.turn_idx AS INTEGER) AS turn_idx,
+           CAST(o.prior + 1 AS BIGINT) AS seg_start,
+           CAST(o.prior + length(o.segment) AS BIGINT) AS seg_end,
+           o.role IN ({roles_in}) AS is_loss,
+           CAST(CASE WHEN o.role IN ({roles_in})
+                THEN o.prior + length('<|im_start|>' || o.role) + 2
+                END AS BIGINT) AS loss_start,
+           CAST(CASE WHEN o.role IN ({roles_in})
+                THEN o.prior + length('<|im_start|>' || o.role) + 1
+                     + length(o.content) END AS BIGINT) AS loss_end,
+           t.conv_digest
+    FROM off o JOIN txt t USING (conv_id)
+    ORDER BY o.conv_id, o.turn_idx
+    """
+    return (
+        f"suffix={suffix!r} joiner={joiner!r} loss_roles={loss_roles}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_decontam_spans(rng: random.Random):
     """Window-level decontamination (round-10;
     decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
@@ -2461,6 +2566,7 @@ FAMILIES = {
     "temperature_mixture": fam_temperature_mixture,
     "fim": fam_fim,
     "span_corruption": fam_span_corruption,
+    "sft_spans": fam_sft_spans,
     "decontam_spans": fam_decontam_spans,
     "dsir": fam_dsir,
     "gopher": fam_gopher,
@@ -2477,7 +2583,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins")
+         "grouped_bins", "sft_spans")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
