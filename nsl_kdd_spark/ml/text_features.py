@@ -308,6 +308,65 @@ def ngram_topk(
     )
 
 
+def ngram_diversity_report(
+    df: DataFrame, text_col: str, ns: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """Corpus n-gram diversity report — the distinct-n measure of Li
+    et al. 2016 ("A Diversity-Promoting Objective Function for Neural
+    Conversation Models": distinct-1/distinct-2 = distinct n-grams
+    over total n-grams) plus the hapax share (n-grams occurring
+    exactly once — the classic lexical-richness statistic), per gram
+    order. The corpus-level observability twin of the per-document
+    Gopher repetition rules (``operators/repetition.py``): a
+    synthetic-data or dedup pipeline watches these numbers to detect
+    mode collapse / template flooding BEFORE training.
+
+    Output: one row per n in ``ns`` — ``(n, total_grams,
+    distinct_grams, singleton_grams, distinct_ppm, singleton_ppm)``
+    with the ppm ratios integer-exact (``1e6 * x div total``, the
+    q100 convention — no float division to diverge between engines).
+
+    Scale shape (100 TB): per gram order, explode -> ONE map-side
+    combined groupBy(gram) count -> a single-row aggregate; the
+    shuffle volume is the distinct-gram count, never the token
+    count, and the report is len(ns) rows. The same frequency-floor
+    / sketch escape hatches as ``ngram_topk`` apply when the n >= 5
+    key space gets too wide.
+    """
+    if not ns:
+        raise ValueError("ns must name at least one gram order")
+    from nsl_kdd_spark.functions.text import word_ngrams
+
+    parts = []
+    for n in ns:
+        counts = (
+            df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        parts.append(
+            counts.agg(
+                F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias(
+                    "total_grams"
+                ),
+                F.count(F.lit(1)).alias("distinct_grams"),
+                F.count_if(F.col("c") == 1).alias("singleton_grams"),
+            ).select(F.lit(n).cast("int").alias("n"), "*")
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    ppm = lambda c: F.when(  # noqa: E731
+        F.col("total_grams") > 0,
+        F.expr(f"(1000000 * {c}) div total_grams"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        rep.withColumn("distinct_ppm", ppm("distinct_grams"))
+        .withColumn("singleton_ppm", ppm("singleton_grams"))
+        .orderBy("n")
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000
 ) -> DataFrame:

@@ -1,0 +1,81 @@
+"""Privacy-preserving release operators.
+
+The relational half of the engine's privacy tier: ``functions/pii.py``
+scrubs identifiers INSIDE text; this module enforces k-anonymity
+(Sweeney 2002, "k-Anonymity: A Model for Protecting Privacy") on the
+RELATIONAL side — a released table is k-anonymous iff every
+quasi-identifier combination (the columns an adversary can link on)
+is shared by at least k rows. The published mechanism is
+generalization (coarsen values) + suppression (drop rows whose
+group stays under k); both are here, as one grouped count and one
+scan-stage binning expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def generalize_bin(col: Column | str, width: float) -> Column:
+    """The classic numeric generalization step: replace a value by
+    the lower edge of its ``width``-sized bin (``floor(v / width) *
+    width`` as a long) so quasi-identifier groups coarsen
+    deterministically. IEEE double division + floor evaluate
+    identically across engines, so oracles replay it bit-exactly."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / F.lit(width)) * F.lit(int(width))).cast("long")
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    mode: str = "suppress",
+    size_col: str = "qid_group_size",
+    flag_col: str = "k_anonymous",
+) -> DataFrame:
+    """Enforce (or audit) k-anonymity over ``quasi_cols``.
+
+    ``mode="suppress"`` (the published remedy) returns only the rows
+    whose quasi-identifier group has >= k members; ``mode="flag"``
+    returns every row annotated with ``(size_col, flag_col)`` — the
+    audit view a release pipeline inspects to pick k or to decide
+    which generalization (:func:`generalize_bin`) to apply before
+    suppressing.
+
+    NULL quasi-identifier values group together (two unknown ZIPs
+    are the SAME linkage class — the conservative reading), so the
+    join back is null-safe.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy over the
+    quasi-identifier columns (output = distinct-combination count,
+    typically orders of magnitude under the row count) + one
+    null-safe equi-join back. No window — a quasi-identifier group
+    can be corpus-sized (every row sharing one coarse bin), exactly
+    the single-task shape the engine bans; the aggregate absorbs it
+    map-side instead.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if mode not in ("suppress", "flag"):
+        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
+    sizes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias(size_col))
+        .withColumnsRenamed({c: f"__q_{c}" for c in quasi_cols})
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(sizes[f"__q_{c}"])
+        cond = eq if cond is None else cond & eq
+    out = df.join(sizes, cond).drop(
+        *[f"__q_{c}" for c in quasi_cols]
+    )
+    if mode == "suppress":
+        return out.filter(F.col(size_col) >= k).drop(size_col)
+    return out.withColumn(flag_col, F.col(size_col) >= k)

@@ -7638,6 +7638,117 @@ def q168_sft_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q169 — corpus n-gram diversity report (round-11;
+# ml/text_features.ngram_diversity_report): Li et al. 2016's
+# distinct-n (distinct n-grams / total n-grams) + the hapax share,
+# per gram order — the corpus-level mode-collapse / template-flood
+# monitor a synthetic-data pipeline reads before training. Ratios
+# are integer ppm (the q100 convention). One map-side-combined gram
+# count + a single-row aggregate per order; 3 rows out.
+# ---------------------------------------------------------------------------
+
+
+def _diversity_tier_sql(n: int) -> str:
+    return f"""
+      SELECT {n} AS n,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_grams,
+             COUNT(*) AS distinct_grams,
+             COUNT(*) FILTER (WHERE c = 1) AS singleton_grams
+      FROM (
+        SELECT gram, COUNT(*) AS c FROM (
+          SELECT array_to_string(w[t.i:t.i+{n - 1}], ' ') AS gram
+          FROM (SELECT string_split(text, ' ') AS w FROM documents) ws,
+               unnest(generate_series(1, len(w) - {n - 1})) AS t(i)
+          WHERE len(w) >= {n}
+        ) g GROUP BY gram
+      ) cnt
+    """
+
+
+@query(
+    "q169_ngram_diversity",
+    oracle=f"""
+    WITH tiers AS (
+      {_diversity_tier_sql(1)}
+      UNION ALL
+      {_diversity_tier_sql(2)}
+      UNION ALL
+      {_diversity_tier_sql(3)}
+    )
+    SELECT CAST(n AS INTEGER) AS n, total_grams, distinct_grams,
+           singleton_grams,
+           CASE WHEN total_grams > 0
+                THEN (1000000 * distinct_grams) // total_grams
+                ELSE 0 END AS distinct_ppm,
+           CASE WHEN total_grams > 0
+                THEN (1000000 * singleton_grams) // total_grams
+                ELSE 0 END AS singleton_ppm
+    FROM tiers
+    ORDER BY n
+    """,
+)
+def q169_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import ngram_diversity_report
+
+    docs = load_tables(spark, sf_dir).documents
+    return ngram_diversity_report(docs, "text", ns=(1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# q170 — k-anonymity audit (round-11; operators/privacy.k_anonymize):
+# Sweeney 2002 — generalize the account balance into 1000-wide bins
+# (generalize_bin), then audit every quasi-identifier combination
+# (nation, segment, balance bin) for the k >= 5 linkage floor. Flag
+# mode = the release pipeline's observability view; suppress mode
+# (the published remedy) is the same plan + a filter, pinned by
+# pytest. One map-side-combined groupBy over the combinations + one
+# join back — no window (a coarse bin can be corpus-sized).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q170_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_bin
+      FROM customer
+    ), s AS (
+      SELECT c_nationkey, c_mktsegment, bal_bin,
+             COUNT(*) AS qid_group_size
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_bin
+    )
+    SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin,
+           s.qid_group_size,
+           s.qid_group_size >= 5 AS k_anonymous
+    FROM q JOIN s USING (c_nationkey, c_mktsegment, bal_bin)
+    ORDER BY q.c_custkey
+    """,
+)
+def q170_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.privacy import (
+        generalize_bin,
+        k_anonymize,
+    )
+
+    cust = load_tables(spark, sf_dir).customer
+    qid = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        generalize_bin("c_acctbal", 1000).alias("bal_bin"),
+    )
+    return (
+        k_anonymize(
+            qid, ["c_nationkey", "c_mktsegment", "bal_bin"],
+            k=5, mode="flag",
+        )
+        .select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "bal_bin",
+            "qid_group_size", "k_anonymous",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

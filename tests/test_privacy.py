@@ -1,0 +1,101 @@
+"""k-anonymity (round-11; operators/privacy.py — Sweeney 2002).
+Oracle parity is held by q170 + the k_anonymity fuzz family; these
+tests pin the suppression semantics, NULL linkage-class grouping,
+the generalization arithmetic, and the no-window plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsl_kdd_spark.operators.privacy import generalize_bin, k_anonymize
+
+
+def _people(spark):
+    # (id, zip, age_bin) — zip 100 has 3 rows, zip 200 has 2, zip
+    # NULL has 2 (must group together), zip 300 has 1
+    return spark.createDataFrame(
+        [
+            (1, 100, 30),
+            (2, 100, 30),
+            (3, 100, 30),
+            (4, 200, 40),
+            (5, 200, 40),
+            (6, None, 50),
+            (7, None, 50),
+            (8, 300, 60),
+        ],
+        "id long, zip int, age int",
+    )
+
+
+def test_suppress_drops_under_k_groups(spark):
+    out = k_anonymize(_people(spark), ["zip", "age"], k=3)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    out2 = k_anonymize(_people(spark), ["zip", "age"], k=2)
+    assert sorted(r["id"] for r in out2.collect()) == [1, 2, 3, 4, 5, 6, 7]
+    # suppress mode drops the helper column
+    assert "qid_group_size" not in out.columns
+
+
+def test_nulls_are_one_linkage_class(spark):
+    """Two unknown quasi-identifiers are the SAME linkage class: the
+    NULL-zip rows survive k=2 because the join back is null-safe."""
+    out = k_anonymize(_people(spark), ["zip"], k=2, mode="flag")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[6]["qid_group_size"] == 2 and rows[6]["k_anonymous"]
+    assert rows[7]["qid_group_size"] == 2 and rows[7]["k_anonymous"]
+    assert not rows[8]["k_anonymous"]
+    # every input row comes back exactly once in flag mode
+    assert len(rows) == 8
+
+
+def test_flag_counts_match_groupby(spark):
+    df = _people(spark)
+    out = k_anonymize(df, ["zip", "age"], k=3, mode="flag").collect()
+    exp = {
+        (r["zip"], r["age"]): r["cnt"]
+        for r in df.groupBy("zip", "age").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in out:
+        assert r["qid_group_size"] == exp[(r["zip"], r["age"])]
+        assert r["k_anonymous"] == (r["qid_group_size"] >= 3)
+
+
+def test_generalize_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 1234.5), (2, -994.28), (3, 0.0), (4, 999.99)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", generalize_bin("v", 1000).alias("b")).collect()
+    }
+    assert got == {1: 1000, 2: -1000, 3: 0, 4: 0}
+
+
+def test_invalid_args_raise(spark):
+    df = _people(spark)
+    with pytest.raises(ValueError):
+        k_anonymize(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["zip"], k=0)
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["zip"], k=2, mode="mask")
+    with pytest.raises(ValueError):
+        generalize_bin("v", 0)
+
+
+def test_plan_aggregate_join_no_window(spark):
+    """Scale shape: map-side-combined aggregate + one join back — no
+    window (a coarse quasi-identifier bin can be corpus-sized), no
+    Python."""
+    from tests.test_plan_quality import plan_of
+
+    df = k_anonymize(_people(spark), ["zip", "age"], k=3, mode="flag")
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "HashAggregate" in tree or "Aggregate" in tree
+    assert "Join" in tree
+    assert "EvalPython" not in plan

@@ -407,3 +407,46 @@ def test_url_host_normalizes_case_port_www(spark):
     assert got[4] is None and got[5] is None
     assert got[6] == "sub.ex.com"       # userinfo stripped
     assert got[7] == "fqdn.ex.com"      # trailing FQDN dot stripped
+
+
+def test_ngram_diversity_report_known_values(spark):
+    from nsl_kdd_spark.ml.text_features import ngram_diversity_report
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "id long, text string",
+    )
+    rows = {r["n"]: r for r in ngram_diversity_report(
+        df, "text", ns=(1, 2)).collect()}
+    # unigrams: a a a b b b c x -> total 8, distinct 4, singletons c,x
+    r1 = rows[1]
+    assert (r1["total_grams"], r1["distinct_grams"],
+            r1["singleton_grams"]) == (8, 4, 2)
+    assert r1["distinct_ppm"] == (1_000_000 * 4) // 8
+    assert r1["singleton_ppm"] == (1_000_000 * 2) // 8
+    # bigrams: "a b","b a","a b" + "a b","b c"; doc 3 too short
+    r2 = rows[2]
+    assert (r2["total_grams"], r2["distinct_grams"],
+            r2["singleton_grams"]) == (5, 3, 2)
+
+
+def test_ngram_diversity_report_empty_tier_is_zero(spark):
+    from nsl_kdd_spark.ml.text_features import ngram_diversity_report
+
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    rows = {r["n"]: r for r in ngram_diversity_report(
+        df, "text", ns=(5,)).collect()}
+    r5 = rows[5]
+    assert (r5["total_grams"], r5["distinct_grams"],
+            r5["singleton_grams"]) == (0, 0, 0)
+    assert r5["distinct_ppm"] == 0 and r5["singleton_ppm"] == 0
+
+
+def test_ngram_diversity_report_rejects_empty_ns(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.ml.text_features import ngram_diversity_report
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with _pytest.raises(ValueError):
+        ngram_diversity_report(df, "text", ns=())

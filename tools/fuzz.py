@@ -2035,6 +2035,116 @@ def fam_sft_spans(rng: random.Random):
     )
 
 
+def fam_diversity(rng: random.Random):
+    """Corpus n-gram diversity report (round-11;
+    ml/text_features.ngram_diversity_report — Li et al. 2016
+    distinct-n + hapax share). Draws move the gram-order set; the
+    oracle replays the per-order gram counts and the integer-ppm
+    ratios exactly."""
+    ns = rng.choice(((1,), (2,), (1, 2), (1, 2, 3), (2, 4)))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.ml.text_features import (
+            ngram_diversity_report,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return ngram_diversity_report(docs, "text", ns=ns)
+
+    from nsl_kdd_spark.plans.catalog import _diversity_tier_sql
+
+    tiers = "\n      UNION ALL\n".join(
+        _diversity_tier_sql(n) for n in ns
+    )
+    sql = f"""
+    WITH tiers AS (
+      {tiers}
+    )
+    SELECT CAST(n AS INTEGER) AS n, total_grams, distinct_grams,
+           singleton_grams,
+           CASE WHEN total_grams > 0
+                THEN (1000000 * distinct_grams) // total_grams
+                ELSE 0 END AS distinct_ppm,
+           CASE WHEN total_grams > 0
+                THEN (1000000 * singleton_grams) // total_grams
+                ELSE 0 END AS singleton_ppm
+    FROM tiers
+    ORDER BY n
+    """
+    return f"ns={ns}", spark_fn, sql, False
+
+
+def fam_k_anonymity(rng: random.Random):
+    """k-anonymity (round-11; operators/privacy.k_anonymize —
+    Sweeney 2002). Draws move the linkage floor k, the
+    generalization bin width and the quasi-identifier set, and
+    toggle audit (flag) vs the published suppression remedy; the
+    oracle replays the grouped count, the join back and the k cut
+    exactly."""
+    k = rng.choice((2, 3, 5, 10))
+    width = rng.choice((500, 1000, 2500))
+    quasi = rng.choice(
+        (
+            ("c_nationkey", "c_mktsegment", "bal_bin"),
+            ("c_mktsegment", "bal_bin"),
+            ("c_nationkey", "bal_bin"),
+        )
+    )
+    mode = rng.choice(("flag", "suppress"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.privacy import (
+            generalize_bin,
+            k_anonymize,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        cust = load_tables(spark, sf_dir).customer
+        qid = cust.select(
+            "c_custkey", "c_nationkey", "c_mktsegment",
+            generalize_bin("c_acctbal", width).alias("bal_bin"),
+        )
+        out = k_anonymize(qid, list(quasi), k=k, mode=mode)
+        cols = ["c_custkey", "c_nationkey", "c_mktsegment", "bal_bin"]
+        if mode == "flag":
+            cols += ["qid_group_size", "k_anonymous"]
+        return out.select(*cols).orderBy("c_custkey")
+
+    qcols = ", ".join(quasi)
+    if mode == "flag":
+        sel = (
+            "q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin,"
+            " s.qid_group_size,"
+            f" s.qid_group_size >= {k} AS k_anonymous"
+        )
+        gate = ""
+    else:
+        sel = "q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin"
+        gate = f"WHERE s.qid_group_size >= {k}"
+    sql = f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {width}) * {width} AS BIGINT)
+               AS bal_bin
+      FROM customer
+    ), s AS (
+      SELECT {qcols}, COUNT(*) AS qid_group_size
+      FROM q GROUP BY {qcols}
+    )
+    SELECT {sel}
+    FROM q JOIN s USING ({qcols})
+    {gate}
+    ORDER BY q.c_custkey
+    """
+    return (
+        f"k={k} width={width} quasi={quasi} mode={mode}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_decontam_spans(rng: random.Random):
     """Window-level decontamination (round-10;
     decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
@@ -2567,6 +2677,8 @@ FAMILIES = {
     "fim": fam_fim,
     "span_corruption": fam_span_corruption,
     "sft_spans": fam_sft_spans,
+    "diversity": fam_diversity,
+    "k_anonymity": fam_k_anonymity,
     "decontam_spans": fam_decontam_spans,
     "dsir": fam_dsir,
     "gopher": fam_gopher,
@@ -2583,7 +2695,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
