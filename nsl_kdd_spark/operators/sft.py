@@ -116,6 +116,110 @@ def render_chat_spans(
     )
 
 
+def preference_pairs(
+    responses: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    id_col: str,
+    strategy: str = "best_worst",
+    min_margin: int = 1,
+) -> DataFrame:
+    """Assemble (chosen, rejected) preference pairs from a scored
+    response table — the DPO / reward-model data-prep step (Rafailov
+    et al. 2023 "Direct Preference Optimization"; the InstructGPT
+    comparison-collection shape): per prompt, responses with higher
+    preference scores become ``chosen`` against lower-scored
+    ``rejected`` ones.
+
+    ``strategy="best_worst"`` (default) emits ONE pair per prompt —
+    the top-scored vs the bottom-scored response (the max-margin pair
+    most pipelines train on); ``strategy="all_pairs"`` emits every
+    ordered pair whose score gap is >= ``min_margin`` (the full
+    comparison matrix the reward-model literature uses). Prompts
+    whose best-worst gap is under ``min_margin`` (e.g. a single
+    response, or all-tied scores) emit nothing — a tie teaches the
+    model nothing and the published setups drop them.
+
+    Ties on score break by LOWEST ``id_col`` on both sides, so the
+    pair set is a pure function of the table (engine-replayable).
+    Scores should be integers (the engine's fixed-point doctrine) —
+    float scores make "equal" engine-dependent.
+
+    Output: ``(prompt_col, chosen_id, chosen, chosen_score,
+    rejected_id, rejected, rejected_score, margin)``.
+
+    Scale shape: ``best_worst`` is ONE map-side-combined aggregate —
+    two ``max_by/min_by`` over a (score, id) ordering struct, no
+    window, no join, group state O(1) however many responses a
+    prompt has. ``all_pairs`` is a self-equi-join on the prompt key
+    (bounded groups: responses-per-prompt is collection-bounded, so
+    the pair fan-out is quadratic only in that small constant).
+    """
+    if strategy not in ("best_worst", "all_pairs"):
+        raise ValueError(
+            f"strategy must be best_worst|all_pairs, got {strategy!r}"
+        )
+    if strategy == "all_pairs":
+        a = responses.select(
+            F.col(prompt_col),
+            F.col(id_col).alias("chosen_id"),
+            F.col(response_col).alias("chosen"),
+            F.col(score_col).alias("chosen_score"),
+        )
+        b = responses.select(
+            F.col(prompt_col),
+            F.col(id_col).alias("rejected_id"),
+            F.col(response_col).alias("rejected"),
+            F.col(score_col).alias("rejected_score"),
+        )
+        return (
+            a.join(b, prompt_col)
+            .filter(
+                F.col("chosen_score") - F.col("rejected_score")
+                >= F.lit(min_margin)
+            )
+            .withColumn(
+                "margin", F.col("chosen_score") - F.col("rejected_score")
+            )
+        )
+    # best_worst: max_by/min_by over a (score, tie-break) struct.
+    # Tie-break is LOWEST id on both sides: the chosen ordering
+    # negates the id (bigger struct = higher score, then smaller id),
+    # the rejected ordering keeps it (smaller struct = lower score,
+    # then smaller id).
+    chosen_ord = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("i")
+    )
+    rejected_ord = F.struct(
+        F.col(score_col).alias("s"), F.col(id_col).alias("i")
+    )
+    row = F.struct(
+        F.col(id_col).alias("id"),
+        F.col(response_col).alias("resp"),
+        F.col(score_col).alias("score"),
+    )
+    agg = responses.groupBy(prompt_col).agg(
+        F.max_by(row, chosen_ord).alias("__c"),
+        F.min_by(row, rejected_ord).alias("__r"),
+    )
+    return (
+        agg.select(
+            prompt_col,
+            F.col("__c.id").alias("chosen_id"),
+            F.col("__c.resp").alias("chosen"),
+            F.col("__c.score").alias("chosen_score"),
+            F.col("__r.id").alias("rejected_id"),
+            F.col("__r.resp").alias("rejected"),
+            F.col("__r.score").alias("rejected_score"),
+        )
+        .withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") >= F.lit(min_margin))
+    )
+
+
 def assemble_chat_text(
     spans: DataFrame,
     conv_col: str,

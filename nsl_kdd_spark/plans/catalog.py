@@ -7749,6 +7749,59 @@ def q170_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q171 — DPO preference-pair assembly (round-11;
+# operators/sft.preference_pairs): Rafailov et al. 2023's data-prep
+# step — per prompt, the top-scored response becomes `chosen`
+# against the bottom-scored `rejected`, ties broken by lowest id,
+# sub-margin prompts dropped. Scores are integer fixed-point
+# (floor(value*100) — DuckDB CAST rounds where Spark truncates, so
+# the floor is explicit on both sides). ONE max_by/min_by aggregate:
+# no window, no join, O(1) state per prompt however many responses.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q171_preference_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT user_id AS prompt_id, event_id,
+             event_type || ' ' || props AS resp,
+             CAST(FLOOR(value * 100) AS BIGINT) AS score
+      FROM events
+    ), c AS (
+      SELECT prompt_id, event_id, resp, score,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, event_id) AS rc,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score ASC, event_id) AS rr
+      FROM r
+    )
+    SELECT a.prompt_id,
+           a.event_id AS chosen_id, a.resp AS chosen,
+           a.score AS chosen_score,
+           b.event_id AS rejected_id, b.resp AS rejected,
+           b.score AS rejected_score,
+           a.score - b.score AS margin
+    FROM c a JOIN c b ON a.prompt_id = b.prompt_id
+    WHERE a.rc = 1 AND b.rr = 1 AND a.score - b.score >= 1
+    ORDER BY a.prompt_id
+    """,
+)
+def q171_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    ev = load_tables(spark, sf_dir).events
+    scored = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        "event_id",
+        F.concat_ws(" ", "event_type", "props").alias("resp"),
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+    )
+    return preference_pairs(
+        scored, "prompt_id", "resp", "score", "event_id"
+    ).orderBy("prompt_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -134,3 +134,95 @@ def test_plan_one_window_no_python(spark):
     assert tree.count("Window") >= 1
     assert "Join" not in tree
     assert "EvalPython" not in plan
+
+
+def _scored(spark):
+    return spark.createDataFrame(
+        [
+            # prompt 1: clear winner/loser, tie in the middle
+            (1, 10, "r10", 5),
+            (1, 11, "r11", 3),
+            (1, 12, "r12", 3),
+            (1, 13, "r13", 1),
+            # prompt 2: all tied -> no pair
+            (2, 20, "r20", 4),
+            (2, 21, "r21", 4),
+            # prompt 3: single response -> no pair
+            (3, 30, "r30", 9),
+            # prompt 4: tie at the TOP and at the BOTTOM -> lowest ids
+            (4, 41, "r41", 7),
+            (4, 40, "r40", 7),
+            (4, 43, "r43", 2),
+            (4, 42, "r42", 2),
+        ],
+        "prompt long, rid long, resp string, score long",
+    )
+
+
+def test_preference_pairs_best_worst(spark):
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    rows = {
+        r["prompt"]: r
+        for r in preference_pairs(
+            _scored(spark), "prompt", "resp", "score", "rid"
+        ).collect()
+    }
+    assert set(rows) == {1, 4}  # ties and singletons emit nothing
+    assert (rows[1]["chosen_id"], rows[1]["rejected_id"]) == (10, 13)
+    assert rows[1]["margin"] == 4
+    # ties break by LOWEST id on both sides
+    assert (rows[4]["chosen_id"], rows[4]["rejected_id"]) == (40, 42)
+    assert rows[4]["margin"] == 5
+
+
+def test_preference_pairs_min_margin(spark):
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    rows = preference_pairs(
+        _scored(spark), "prompt", "resp", "score", "rid", min_margin=5
+    ).collect()
+    assert sorted(r["prompt"] for r in rows) == [4]
+
+
+def test_preference_pairs_all_pairs(spark):
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    rows = preference_pairs(
+        _scored(spark), "prompt", "resp", "score", "rid",
+        strategy="all_pairs", min_margin=2,
+    ).collect()
+    got = sorted((r["chosen_id"], r["rejected_id"]) for r in rows)
+    # prompt 1: 5-3 (x2), 5-1, 3-1 (x2); prompt 4: 7-2 (x4)
+    assert got == [
+        (10, 11), (10, 12), (10, 13), (11, 13), (12, 13),
+        (40, 42), (40, 43), (41, 42), (41, 43),
+    ]
+    assert all(r["margin"] >= 2 for r in rows)
+
+
+def test_preference_pairs_invalid_strategy(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    with _pytest.raises(ValueError):
+        preference_pairs(
+            _scored(spark), "prompt", "resp", "score", "rid",
+            strategy="tournament",
+        )
+
+
+def test_preference_pairs_plan_single_aggregate(spark):
+    """best_worst is ONE aggregate — no window, no join, no Python."""
+    from tests.test_plan_quality import plan_of
+
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    df = preference_pairs(
+        _scored(spark), "prompt", "resp", "score", "rid"
+    )
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Join" not in tree
+    assert "EvalPython" not in plan

@@ -2145,6 +2145,86 @@ def fam_k_anonymity(rng: random.Random):
     )
 
 
+def fam_preference_pairs(rng: random.Random):
+    """DPO preference-pair assembly (round-11;
+    operators/sft.preference_pairs — Rafailov et al. 2023). Draws
+    move the margin floor, the pairing strategy (max-margin
+    best-worst vs the full comparison matrix) and the prompt-group
+    modulus; the oracle replays the integer scoring, the lowest-id
+    tie-breaks and the margin cut exactly."""
+    min_margin = rng.choice((1, 50, 500))
+    strategy = rng.choice(("best_worst", "all_pairs"))
+    mod = rng.choice((0, 3))  # 0 = all prompts, else a subset
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import preference_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events
+        if mod:
+            ev = ev.filter(F.col("user_id") % mod == 0)
+        scored = ev.select(
+            F.col("user_id").alias("prompt_id"),
+            "event_id",
+            F.concat_ws(" ", "event_type", "props").alias("resp"),
+            F.floor(F.col("value") * 100).cast("long").alias("score"),
+        )
+        return preference_pairs(
+            scored, "prompt_id", "resp", "score", "event_id",
+            strategy=strategy, min_margin=min_margin,
+        ).orderBy("prompt_id", "chosen_id", "rejected_id")
+
+    gate = f"WHERE user_id % {mod} = 0" if mod else ""
+    if strategy == "best_worst":
+        body = f"""
+    , c AS (
+      SELECT prompt_id, event_id, resp, score,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, event_id) AS rc,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score ASC, event_id) AS rr
+      FROM r
+    )
+    SELECT a.prompt_id,
+           a.event_id AS chosen_id, a.resp AS chosen,
+           a.score AS chosen_score,
+           b.event_id AS rejected_id, b.resp AS rejected,
+           b.score AS rejected_score,
+           a.score - b.score AS margin
+    FROM c a JOIN c b ON a.prompt_id = b.prompt_id
+    WHERE a.rc = 1 AND b.rr = 1 AND a.score - b.score >= {min_margin}
+    ORDER BY a.prompt_id, chosen_id, rejected_id
+    """
+    else:
+        body = f"""
+    SELECT a.prompt_id,
+           a.event_id AS chosen_id, a.resp AS chosen,
+           a.score AS chosen_score,
+           b.event_id AS rejected_id, b.resp AS rejected,
+           b.score AS rejected_score,
+           a.score - b.score AS margin
+    FROM r a JOIN r b ON a.prompt_id = b.prompt_id
+    WHERE a.score - b.score >= {min_margin}
+    ORDER BY a.prompt_id, chosen_id, rejected_id
+    """
+    sql = f"""
+    WITH r AS (
+      SELECT user_id AS prompt_id, event_id,
+             event_type || ' ' || props AS resp,
+             CAST(FLOOR(value * 100) AS BIGINT) AS score
+      FROM events {gate}
+    ){body}
+    """
+    return (
+        f"min_margin={min_margin} strategy={strategy} mod={mod}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_decontam_spans(rng: random.Random):
     """Window-level decontamination (round-10;
     decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
@@ -2679,6 +2759,7 @@ FAMILIES = {
     "sft_spans": fam_sft_spans,
     "diversity": fam_diversity,
     "k_anonymity": fam_k_anonymity,
+    "preference_pairs": fam_preference_pairs,
     "decontam_spans": fam_decontam_spans,
     "dsir": fam_dsir,
     "gopher": fam_gopher,
@@ -2695,7 +2776,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans", "diversity", "k_anonymity")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
