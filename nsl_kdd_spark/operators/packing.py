@@ -320,3 +320,138 @@ def sliding_chunks(
             ).alias("chunk"),
         )
     )
+
+
+def spfhp_strategies(
+    hist: dict[int, int], budget: int
+) -> list[tuple[tuple[int, ...], int]]:
+    """Shortest-pack-first histogram-packing (SPFHP) — Krell et al.
+    2021, "Efficient Sequence Packing without Cross-contamination",
+    Algorithm 1: the driver-side solve of :func:`pack_best_fit`.
+    Operates on the LENGTH HISTOGRAM (counts per size), never on
+    rows: walking sizes longest-first, each count is placed in bulk
+    into the open pack group with the SMALLEST remaining space that
+    still fits (splitting the group when only part of its packs are
+    needed), else a new group opens. Deterministic: ties on
+    remaining space break by group creation order.
+
+    Sizes >= budget form single-document packs (remaining space 0) —
+    the pack_next_fit oversize rule.
+
+    Returns ``[(lengths_tuple, n_packs), ...]`` in creation order;
+    ``sum(n * len(t))`` counts every histogram entry exactly once.
+    Complexity is quadratic in the number of DISTINCT sizes (bounded
+    by ``budget``), independent of the corpus row count.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    # [remaining, n_packs, lengths_tuple], creation-ordered
+    groups: list[list] = []
+    for size in sorted(hist, reverse=True):
+        if size <= 0:
+            raise ValueError(f"sizes must be positive, got {size}")
+        c = int(hist[size])
+        if c <= 0:
+            continue
+        if size >= budget:
+            groups.append([0, c, (size,)])
+            continue
+        while c > 0:
+            best = None
+            for gi, g in enumerate(groups):
+                if size <= g[0] and (best is None or g[0] < groups[best][0]):
+                    best = gi
+            if best is None:
+                groups.append([budget - size, c, (size,)])
+                c = 0
+                continue
+            g = groups[best]
+            m = min(c, g[1])
+            if m == g[1]:
+                g[0] -= size
+                g[2] = g[2] + (size,)
+            else:
+                g[1] -= m
+                groups.append([g[0] - size, m, g[2] + (size,)])
+            c -= m
+    return [(tuple(t), n) for _, n, t in groups]
+
+
+def pack_best_fit(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Whole-document histogram packing (Krell et al. 2021 SPFHP):
+    the published upgrade over :func:`pack_next_fit` — near-optimal
+    bin fills (the paper reports < 1% padding where next-fit wastes
+    the tail of every bin) with NO sequential row walk.
+
+    Distributed shape (100 TB): the only data-dependent state is the
+    size histogram — ONE map-side-combined aggregate whose output is
+    bounded by ``budget`` distinct sizes plus the oversized tail,
+    collected and solved driver-side on COUNTS (quadratic in distinct
+    sizes, independent of row count; the with_global_cumsum
+    driver-prefix-sum precedent). Assignment back is arithmetic, not
+    iteration: each document takes its dense per-size rank (the
+    grouped_rank_bins distributed rank — a size class can be
+    corpus-sized, so no per-size window) and one broadcast equi-join
+    on size maps rank ranges to pack ids:
+    ``pack = base + (rank - rank_start) div per_pack``. Bins never
+    straddle executors, every re-run assigns identically, and the
+    result is a pure function of (table, budget).
+
+    Output: input columns + ``(pack_id, pack_fill)`` where packs are
+    numbered 0..n_packs-1 in strategy-creation order and
+    ``pack_fill`` is the pack's total size (<= budget except
+    single-document oversize packs).
+    """
+    from collections import Counter
+
+    from nsl_kdd_spark.operators.relational import grouped_rank_bins
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    hist = {
+        int(r["__s"]): int(r["__c"])
+        for r in df.groupBy(F.col(size_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    strategies = spfhp_strategies(hist, budget)
+    rows = []
+    next_rank: dict[int, int] = {}
+    base = 0
+    for lengths, n in strategies:
+        fill = sum(lengths)
+        for size, m in sorted(Counter(lengths).items()):
+            start = next_rank.get(size, 1)
+            rows.append((size, start, m, base, n, fill))
+            next_rank[size] = start + n * m
+        base += n
+    spark = df.sparkSession
+    ranges = spark.createDataFrame(
+        rows,
+        "__s long, __start long, __per long, __base long,"
+        " __n long, pack_fill long",
+    )
+    ranked = grouped_rank_bins(
+        df, size_col, id_col, id_col, n_bins=1, rank_col="__rk"
+    ).drop("bin")
+    return (
+        ranked.join(
+            F.broadcast(ranges),
+            (F.col(size_col).cast("long") == F.col("__s"))
+            & (F.col("__rk") >= F.col("__start"))
+            & (
+                F.col("__rk")
+                < F.col("__start") + F.col("__n") * F.col("__per")
+            ),
+        )
+        .withColumn(
+            "pack_id",
+            F.expr("__base + ((__rk - __start) div __per)"),
+        )
+        .drop("__s", "__start", "__per", "__base", "__n", "__rk")
+    )

@@ -7802,6 +7802,32 @@ def q171_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q172 — SPFHP histogram packing (round-11;
+# packing.pack_best_fit — Krell et al. 2021 shortest-pack-first
+# histogram-packing, the published near-optimal upgrade over q85's
+# next-fit). ROWS-ONLY BY DESIGN (the BPE/GK class): the solve is an
+# iterative greedy over the size histogram that no closed-form SQL
+# replays; pytest pins it against a pure-Python reference plus the
+# fill/coverage/determinism invariants, and the paper's efficiency
+# claim (fewer packs than next-fit) is asserted on a skewed fixture.
+# ---------------------------------------------------------------------------
+
+@query("q172_pack_best_fit")
+def q172_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.packing import pack_best_fit
+
+    docs = load_tables(spark, sf_dir).documents
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return (
+        pack_best_fit(sized, "n_tokens", "doc_id", budget=300)
+        .select("doc_id", "n_tokens", "pack_id", "pack_fill")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
