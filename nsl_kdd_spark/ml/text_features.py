@@ -367,6 +367,60 @@ def ngram_diversity_report(
     )
 
 
+def tokenizer_fertility_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer fertility per group (Rust et al. 2021, "How Good is
+    Your Tokenizer?" — fertility = subword tokens per word, THE
+    multilingual tokenizer-equity metric: a language whose fertility
+    runs high pays more compute per word and fits less context). Per
+    ``group_col`` (typically language): document/word/token/char
+    totals plus integer-ppm ``fertility_ppm`` (tokens per word) and
+    ``chars_per_token_ppm`` (compression) — the q100 fixed-point
+    convention, no float division.
+
+    Token counts default to the BPE-ish regex tier
+    (``regex_token_count``: letter runs + digit runs — the
+    oracle-replayable proxy); pass ``token_count_col`` (e.g. the
+    length of a ``bpe_encode`` output) to measure a REAL trained
+    tokenizer — same report, rows-only correctness tier (the q132
+    class).
+
+    Scale shape: per-doc counts are scan-stage expressions; ONE
+    map-side-combined groupBy emits a group-count-sized report. No
+    window, no join, no Python.
+    """
+    from nsl_kdd_spark.functions.text import (
+        regex_token_count,
+        token_count,
+    )
+
+    toks = (
+        F.col(token_count_col)
+        if token_count_col
+        else regex_token_count(text_col)
+    )
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_words"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+    )
+    div_ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"(1000000 * {num}) div {den}")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        agg.withColumn("fertility_ppm", div_ppm("n_tokens", "n_words"))
+        .withColumn(
+            "chars_per_token_ppm", div_ppm("n_chars", "n_tokens")
+        )
+        .orderBy(group_col)
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str, scale: int = 1_000_000
 ) -> DataFrame:

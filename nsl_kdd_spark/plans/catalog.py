@@ -7828,6 +7828,53 @@ def q172_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q173 — tokenizer fertility report (round-11;
+# ml/text_features.tokenizer_fertility_report): Rust et al. 2021's
+# fertility (subword tokens per word) + chars-per-token compression,
+# per language, on the oracle-replayable regex token tier (letter
+# runs + digit runs — the RE2 ∩ Java-regex subset both engines
+# match identically); swap in a bpe_encode length column for the
+# real-tokenizer tier (rows-only, the q132 class). Integer-ppm
+# ratios; one map-side-combined aggregate, k rows out.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q173_tokenizer_fertility",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS w,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS t,
+             length(text) AS c
+      FROM documents
+    ), agg AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars
+      FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_tokens, n_chars,
+           CASE WHEN n_words > 0
+                THEN (1000000 * n_tokens) // n_words
+                ELSE 0 END AS fertility_ppm,
+           CASE WHEN n_tokens > 0
+                THEN (1000000 * n_chars) // n_tokens
+                ELSE 0 END AS chars_per_token_ppm
+    FROM agg
+    ORDER BY lang
+    """,
+)
+def q173_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.ml.text_features import (
+        tokenizer_fertility_report,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    return tokenizer_fertility_report(docs, "lang", "text")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -450,3 +450,37 @@ def test_ngram_diversity_report_rejects_empty_ns(spark):
     df = spark.createDataFrame([(1, "a")], "id long, text string")
     with _pytest.raises(ValueError):
         ngram_diversity_report(df, "text", ns=())
+
+
+def test_tokenizer_fertility_known_values(spark):
+    from nsl_kdd_spark.ml.text_features import tokenizer_fertility_report
+
+    df = spark.createDataFrame(
+        [(1, "ab12cd xy", "en"),   # words 2; regex tokens ab,12,cd,xy = 4
+         (2, "hello", "en"),       # words 1; tokens 1
+         (3, "a-b c", "fr")],      # words 2; tokens a,b,c = 3
+        "id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in tokenizer_fertility_report(
+        df, "lang", "text").collect()}
+    en, fr = rows["en"], rows["fr"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens"], en["n_chars"]) \
+        == (2, 3, 5, 14)
+    assert en["fertility_ppm"] == (1_000_000 * 5) // 3
+    assert en["chars_per_token_ppm"] == (1_000_000 * 14) // 5
+    assert (fr["n_words"], fr["n_tokens"]) == (2, 3)
+
+
+def test_tokenizer_fertility_custom_token_col(spark):
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.ml.text_features import tokenizer_fertility_report
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en", 7), (2, "c", "en", 3)],
+        "id long, text string, lang string, bpe_len long",
+    )
+    r = tokenizer_fertility_report(
+        df, "lang", "text", token_count_col="bpe_len").collect()[0]
+    assert r["n_tokens"] == 10 and r["n_words"] == 3
+    assert r["fertility_ppm"] == (1_000_000 * 10) // 3

@@ -2225,6 +2225,56 @@ def fam_preference_pairs(rng: random.Random):
     )
 
 
+def fam_fertility(rng: random.Random):
+    """Tokenizer fertility report (round-11;
+    ml/text_features.tokenizer_fertility_report — Rust et al. 2021).
+    Draws move the grouping column and a doc-subset modulus; the
+    oracle replays the regex token tier and the integer-ppm ratios
+    exactly."""
+    group = rng.choice(("lang", "source"))
+    mod = rng.choice((0, 2, 5))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.ml.text_features import (
+            tokenizer_fertility_report,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        if mod:
+            docs = docs.filter(F.col("doc_id") % mod == 0)
+        return tokenizer_fertility_report(docs, group, "text")
+
+    gate = f"WHERE doc_id % {mod} = 0" if mod else ""
+    sql = f"""
+    WITH per AS (
+      SELECT {group},
+             len(string_split(text, ' ')) AS w,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS t,
+             length(text) AS c
+      FROM documents {gate}
+    ), agg AS (
+      SELECT {group}, COUNT(*) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars
+      FROM per GROUP BY {group}
+    )
+    SELECT {group}, n_docs, n_words, n_tokens, n_chars,
+           CASE WHEN n_words > 0
+                THEN (1000000 * n_tokens) // n_words
+                ELSE 0 END AS fertility_ppm,
+           CASE WHEN n_tokens > 0
+                THEN (1000000 * n_chars) // n_tokens
+                ELSE 0 END AS chars_per_token_ppm
+    FROM agg
+    ORDER BY {group}
+    """
+    return f"group={group} mod={mod}", spark_fn, sql, False
+
+
 def fam_decontam_spans(rng: random.Random):
     """Window-level decontamination (round-10;
     decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
@@ -2760,6 +2810,7 @@ FAMILIES = {
     "diversity": fam_diversity,
     "k_anonymity": fam_k_anonymity,
     "preference_pairs": fam_preference_pairs,
+    "fertility": fam_fertility,
     "decontam_spans": fam_decontam_spans,
     "dsir": fam_dsir,
     "gopher": fam_gopher,
@@ -2776,7 +2827,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
