@@ -607,7 +607,17 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
       fit + select — two corpus histograms (the raw histogram is the
       corpus-sized part), broadcast weight join + one margin
       aggregate, id join-back + scan-stage acceptance; every stage
-      is linear in docs, so wall should scale with the corpus.
+      is linear in docs, so wall should scale with the corpus,
+    - span corruption (round-11, corpus.span_corruption_transform):
+      zero-shuffle scan-stage higher-order expressions — wall should
+      track the doc scan exactly like FIM/mixture,
+    - SPFHP packing (round-11, packing.pack_best_fit): histogram
+      aggregate + driver solve on counts + distributed per-size
+      rank + broadcast range join; the rank's range-repartition
+      cumsum dominates and scales with docs,
+    - SFT chat rendering (round-11, sft.render_chat_spans): one
+      bounded per-conversation window; the conv count stays fixed
+      while turns-per-conv grows 4x, stressing the group-size axis.
     """
     from pyspark.sql import functions as F
 
@@ -618,7 +628,12 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     )
     from nsl_kdd_spark.ml.dsir import dsir_fit_select
     from nsl_kdd_spark.ml.linear_text import classify_text, demo_weights
-    from nsl_kdd_spark.operators.corpus import temperature_mixture
+    from nsl_kdd_spark.operators.corpus import (
+        span_corruption_transform,
+        temperature_mixture,
+    )
+    from nsl_kdd_spark.operators.packing import pack_best_fit
+    from nsl_kdd_spark.operators.sft import render_chat_spans
     from nsl_kdd_spark.operators.substr_dedup import duplicated_spans
     from nsl_kdd_spark.operators.winnow import (
         winnow_fingerprints,
@@ -722,6 +737,33 @@ def corpus_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                     .otherwise((F.col("doc_id") % 10).cast("string")),
                 ),
                 "grp", "doc_id", alpha=0.5,
+            ),
+            f"spancorr{label}_transform": lambda: (
+                span_corruption_transform(
+                    docs, "doc_id", "text",
+                    rate=0.15, span_len=3, salt="b",
+                )
+            ),
+            # end-to-end: histogram agg + driver solve + rank + join
+            f"packbf{label}_assign": lambda: pack_best_fit(
+                docs.select(
+                    "doc_id",
+                    F.size(F.split("text", " ")).alias("n"),
+                ),
+                "n", "doc_id", budget=300,
+            ),
+            # conv count fixed at 2,500: 4x docs = 4x turns PER conv
+            f"sft{label}_render": lambda: render_chat_spans(
+                docs.select(
+                    (F.col("doc_id") % 2500).alias("conv_id"),
+                    F.col("doc_id").alias("seq"),
+                    F.when(F.col("doc_id") % 3 == 0, "user")
+                    .when(F.col("doc_id") % 3 == 1, "assistant")
+                    .otherwise("system")
+                    .alias("role"),
+                    F.col("text").alias("content"),
+                ),
+                "conv_id", ["seq"],
             ),
         }
         for name, fn in ops.items():

@@ -506,7 +506,6 @@ def span_corruption_transform(
     # int() truncation: the sample_hash/fim_transform cut convention
     cut = int(rate * 65536)
     tk = tokens(text_col)
-    L = F.size(tk)
 
     def unit_key(pos: Column) -> Column:
         # unit = (pos-1) div span_len; key = "<id>-<unit>" (the
@@ -516,10 +515,18 @@ def span_corruption_transform(
             F.col(id_col).cast("string"), F.lit("-"), u.cast("string")
         )
 
-    selpos = F.filter(
-        F.sequence(F.lit(1), L),
+    # Each intermediate lands in its OWN column: the md5-per-token
+    # selection is the expensive expression and every consumer below
+    # references it, so leaving it inline would make Catalyst
+    # re-evaluate the whole hash chain once per consumer (~6x the
+    # md5 work — measured 3-4x wall on the bench tier). Project
+    # collapsing keeps multiply-referenced non-cheap aliases
+    # un-inlined, so each column evaluates once per row.
+    selpos_col = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("__tk"))),
         lambda p: md5_bucket16(unit_key(p), salt) < F.lit(cut),
     )
+    selpos = F.col("__sel")
     n_sel = F.size(selpos)
     # run boundaries: a selected position starts a maximal run iff its
     # predecessor in selpos isn't pos-1, ends one iff its successor
@@ -541,9 +548,11 @@ def span_corruption_transform(
         ),
     )
     spans = F.zip_with(
-        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        F.col("__starts"), ends, lambda s, e: F.struct(
+            s.alias("s"), e.alias("e")
+        )
     )
-    n_spans = F.size(starts)
+    n_spans = F.size(F.col("__starts"))
 
     def sent(k: Column) -> Column:
         return F.concat(
@@ -583,6 +592,8 @@ def span_corruption_transform(
     )
     return (
         df.withColumn("__tk", tk)
+        .withColumn("__sel", selpos_col)
+        .withColumn("__starts", starts)
         .withColumn("__spans", spans)
         .withColumn("__nsp", n_spans)
         .withColumn("n_spans", F.col("__nsp"))
@@ -601,7 +612,7 @@ def span_corruption_transform(
                 " ",
             ),
         )
-        .drop("__tk", "__spans", "__nsp")
+        .drop("__tk", "__sel", "__starts", "__spans", "__nsp")
     )
 
 
