@@ -8068,6 +8068,21 @@ def q173_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (double-green r4 + r10; the string surface stays held by q53
 # pattern-extract). The full rotated window re-verified via
 # tools/compare.py at sf0.01 before end of round.
+# Round-11 second-wave rotation: six NEW oracle-paired queries rotate
+# in — q167 span corruption, q168 SFT chat spans, q169 n-gram
+# diversity, q170 k-anonymity, q171 preference pairs, q173 tokenizer
+# fertility (q172 SPFHP packing is rows-only by design and stays
+# out: a rows-only driver row can only render red no_oracle; its
+# pytest reference-replay is the stronger gate). Six multi-green
+# long-stable anchors free the slots, each with its family still
+# held in-window: q55 histogram (binning held by q166's rank bins),
+# q64 unpivot-profile (held by q60 profile), q83 hash-sample
+# (sampling held by q86 weighted + q137 exact-N), q84 chunk-pieces
+# (packing held by q85 bin-texts), q109 event-transitions (event
+# analytics held by q75 funnel + q102 point-in-time), q125
+# calibration (eval metrics held by q123 + q154). The full rotated
+# window re-verified via tools/compare.py at sf0.01 before round
+# close.
 DRIVER_WINDOW = [
     # touched-this-round substr family anchors
     "q153_exact_substring_strip",
@@ -8080,17 +8095,21 @@ DRIVER_WINDOW = [
     "q156_exact_substring_cross_doc", "q157_quality_classifier",
     "q158_temperature_mixture", "q159_fim_transform",
     "q160_decontaminate_spans",
+    # round-11 second wave (see rotation block above)
+    "q167_span_corruption", "q168_sft_chat_spans",
+    "q169_ngram_diversity", "q170_k_anonymity",
+    "q171_preference_pairs", "q173_tokenizer_fertility",
     # newest green row is r4
-    "q53_pattern_extract", "q55_histogram",
-    "q56_rank_analytics", "q60_profile", "q64_unpivot_profile",
-    "q75_event_funnel", "q79_ewma", "q83_hash_sample",
-    "q84_chunk_pieces", "q85_bin_texts", "q86_weighted_sample",
+    "q53_pattern_extract",
+    "q56_rank_analytics", "q60_profile",
+    "q75_event_funnel", "q79_ewma",
+    "q85_bin_texts", "q86_weighted_sample",
     "q89_latest_per_key", "q90_group_split", "q92_ngram_topk",
     "q99_shuffle_order", "q100_token_budget", "q102_point_in_time",
-    "q107_mad_outliers", "q109_event_transitions",
+    "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",
     "q117_skew_topkeys", "q119_table_digest", "q120_upsample",
-    "q124_skipping_stats", "q125_calibration", "q126_select_canonical",
+    "q124_skipping_stats", "q126_select_canonical",
     "q128_time_weighted_avg", "q131_rfm_segments",
     # newest green row is r6
     "q133_sliding_chunks", "q134_script_profile", "q137_sample_exact_n",

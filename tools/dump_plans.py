@@ -52,6 +52,11 @@ PICKS = {
     "q164_c4_line_clean": "C4 cleaning (r11): line retention + page gates as one scan-stage projection; the filter form is a single pushable predicate — zero exchanges before the orderBy",
     "q165_contamination_report": "contamination report (r11): ONE corpus gram index feeds both map-side-combined aggregates (totals + hits), benchmark grams DISTINCT + broadcast — the corpus never shuffles for the probe",
     "q166_ccnet_buckets": "CCNet buckets (r11): unigram-LM scores -> ONE global range-sorted cumsum rank (window partitioned by __pid, never by lang) + broadcast k-row group offsets — per-language terciles with no language-keyed window",
+    "q167_span_corruption": "span corruption (r11): md5 unit selection, run-boundary scans and both sentinel serializations are scan-stage higher-order array expressions, each intermediate single-evaluated in its own projected column — zero exchanges before the orderBy",
+    "q168_sft_chat_spans": "SFT chat spans (r11): ONE conversation-keyed window carries the turn index and the prefix-sum offset (bounded groups), digest join is conv-keyed — no Python, no cartesian",
+    "q170_k_anonymity": "k-anonymity (r11): map-side-combined quasi-identifier count + one join back; no window (a coarse bin can be corpus-sized)",
+    "q171_preference_pairs": "preference pairs (r11): ONE max_by/min_by aggregate over (score, id) ordering structs — no window, no join, O(1) state per prompt",
+    "q172_pack_best_fit": "SPFHP packing (r11): size-histogram aggregate (driver solve on counts), distributed per-size rank (range-partition cumsum, never a size-keyed window), broadcast range-table join for arithmetic assignment",
 }
 
 
