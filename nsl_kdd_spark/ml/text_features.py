@@ -335,6 +335,8 @@ def ngram_diversity_report(
     """
     if not ns:
         raise ValueError("ns must name at least one gram order")
+    if any(n < 1 for n in ns):
+        raise ValueError(f"gram orders must be >= 1, got {ns}")
     from nsl_kdd_spark.functions.text import word_ngrams
 
     parts = []

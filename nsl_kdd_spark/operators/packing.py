@@ -332,7 +332,16 @@ def spfhp_strategies(
     rows: walking sizes longest-first, each count is placed in bulk
     into the open pack group with the SMALLEST remaining space that
     still fits (splitting the group when only part of its packs are
-    needed), else a new group opens. Deterministic: ties on
+    needed), else a new group opens. The bulk placement emulates the
+    paper's one-sequence-at-a-time greedy EXACTLY: a chosen pack
+    keeps absorbing copies of the size until its remaining space
+    drops below it (it stays the smallest fitting pack while it
+    fits), so every placement stacks ``t = remaining div size``
+    copies per pack, and a fresh pack opened for a size takes
+    ``budget div size`` copies before the next one opens — uniform
+    same-size corpora pack densely instead of one-per-pack (review
+    r11: the earlier dump-all-as-singletons branch was NOT SPFHP and
+    lost to next-fit on uniform lengths). Deterministic: ties on
     remaining space break by group creation order.
 
     Sizes >= budget form single-document packs (remaining space 0) —
@@ -362,18 +371,47 @@ def spfhp_strategies(
                 if size <= g[0] and (best is None or g[0] < groups[best][0]):
                     best = gi
             if best is None:
-                groups.append([budget - size, c, (size,)])
+                # fresh packs each take budget div size copies (the
+                # per-sequence greedy keeps stacking the pack it just
+                # opened while the size still fits)
+                k = budget // size
+                n_full = c // k
+                if n_full:
+                    groups.append(
+                        [budget - k * size, n_full, (size,) * k]
+                    )
+                rem = c % k
+                if rem:
+                    groups.append(
+                        [budget - rem * size, 1, (size,) * rem]
+                    )
                 c = 0
                 continue
             g = groups[best]
-            m = min(c, g[1])
-            if m == g[1]:
-                g[0] -= size
-                g[2] = g[2] + (size,)
+            # each pack of this group absorbs t copies before its
+            # remaining space drops below the size
+            t = g[0] // size
+            use = min(c, g[1] * t)
+            n_full = use // t
+            rem = use % t
+            if n_full == g[1] and rem == 0:
+                g[0] -= t * size
+                g[2] = g[2] + (size,) * t
             else:
-                g[1] -= m
-                groups.append([g[0] - size, m, g[2] + (size,)])
-            c -= m
+                g[1] -= n_full + (1 if rem else 0)
+                if n_full:
+                    groups.append(
+                        [g[0] - t * size, n_full, g[2] + (size,) * t]
+                    )
+                if rem:
+                    groups.append(
+                        [g[0] - rem * size, 1, g[2] + (size,) * rem]
+                    )
+                if g[1] == 0:
+                    # del by index: two groups can compare equal, and
+                    # list.remove would take the first equal one
+                    del groups[best]
+            c -= use
     return [(tuple(t), n) for _, n, t in groups]
 
 

@@ -20,13 +20,19 @@ from pyspark.sql import functions as F
 def generalize_bin(col: Column | str, width: float) -> Column:
     """The classic numeric generalization step: replace a value by
     the lower edge of its ``width``-sized bin (``floor(v / width) *
-    width`` as a long) so quasi-identifier groups coarsen
-    deterministically. IEEE double division + floor evaluate
-    identically across engines, so oracles replay it bit-exactly."""
+    width``) so quasi-identifier groups coarsen deterministically.
+    IEEE double division + floor evaluate identically across
+    engines, so oracles replay it bit-exactly. Integral widths give
+    long bin edges; fractional widths give doubles (review r11: the
+    earlier int(width) multiplier silently zeroed every bin for
+    width < 1 and mis-edged fractional widths)."""
     if width <= 0:
         raise ValueError(f"width must be positive, got {width}")
     c = F.col(col) if isinstance(col, str) else col
-    return (F.floor(c / F.lit(width)) * F.lit(int(width))).cast("long")
+    b = F.floor(c / F.lit(float(width)))
+    if float(width).is_integer():
+        return (b * F.lit(int(width))).cast("long")
+    return (b.cast("double") * F.lit(float(width))).cast("double")
 
 
 def k_anonymize(

@@ -160,6 +160,18 @@ def preference_pairs(
         raise ValueError(
             f"strategy must be best_worst|all_pairs, got {strategy!r}"
         )
+    # the best_worst tie-break negates the id inside an ordering
+    # struct; on a non-numeric id Spark would cast to double -> NULL
+    # and pick an arbitrary row per execution (review r11) — refuse
+    # loudly instead
+    id_type = responses.schema[id_col].dataType.typeName()
+    if id_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    ):
+        raise ValueError(
+            f"id_col must be numeric for the deterministic tie-break,"
+            f" got {id_type}"
+        )
     if strategy == "all_pairs":
         a = responses.select(
             F.col(prompt_col),

@@ -7563,7 +7563,7 @@ def q167_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type IN ('click', 'view') THEN 'user'
                   WHEN event_type = 'error' THEN 'system'
                   ELSE 'assistant' END AS role,
-             event_type || ' ' || props AS content
+             event_type || ' ' || COALESCE(props, '') AS content
       FROM events
     ), ordered AS (
       SELECT conv_id, role, content,
@@ -7618,7 +7618,9 @@ def q168_sft_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "system")
         .otherwise("assistant")
         .alias("role"),
-        F.concat_ws(" ", "event_type", "props").alias("content"),
+        F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("content"),
     )
     spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
     text = assemble_chat_text(spans, "conv_id")
@@ -7764,7 +7766,7 @@ def q170_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT user_id AS prompt_id, event_id,
-             event_type || ' ' || props AS resp,
+             event_type || ' ' || COALESCE(props, '') AS resp,
              CAST(FLOOR(value * 100) AS BIGINT) AS score
       FROM events
     ), c AS (
@@ -7793,7 +7795,9 @@ def q171_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ev.select(
         F.col("user_id").alias("prompt_id"),
         "event_id",
-        F.concat_ws(" ", "event_type", "props").alias("resp"),
+        F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("resp"),
         F.floor(F.col("value") * 100).cast("long").alias("score"),
     )
     return preference_pairs(

@@ -155,3 +155,67 @@ def test_invalid_args_raise(spark):
         spfhp_strategies({0: 1}, 10)
     with pytest.raises(ValueError):
         spfhp_strategies({3: 1}, 0)
+
+
+def _greedy_reference_packs(sizes: list[int], budget: int):
+    """INDEPENDENT reference (review r11: the _py_assignment replay
+    shares spfhp_strategies, so it pins only the join plumbing):
+    simulate the paper's one-sequence-at-a-time greedy — each doc
+    into the open pack with the smallest remaining space that fits,
+    new pack otherwise."""
+    packs: list[list] = []  # [remaining, [sizes]]
+    for s in sorted(sizes, reverse=True):
+        if s >= budget:
+            packs.append([0, [s]])
+            continue
+        best = None
+        for i, p in enumerate(packs):
+            if s <= p[0] and (best is None or p[0] < packs[best][0]):
+                best = i
+        if best is None:
+            packs.append([budget - s, [s]])
+        else:
+            packs[best][0] -= s
+            packs[best][1].append(s)
+    return packs
+
+
+def test_solver_matches_independent_greedy():
+    """Pack COUNT equals the per-sequence greedy on random draws
+    (composition may differ on remaining-space ties — both are valid
+    SPFHP orders; equal count => equal padding waste), and every
+    histogram entry is placed exactly once."""
+    rnd = random.Random(17)
+    for _ in range(60):
+        budget = rnd.choice([7, 10, 24, 100])
+        sizes = [
+            rnd.randrange(1, budget + rnd.choice([0, 5]))
+            for _ in range(rnd.randrange(1, 60))
+        ]
+        strats = spfhp_strategies(dict(Counter(sizes)), budget)
+        placed = Counter()
+        for t, k in strats:
+            if max(t) < budget:
+                assert sum(t) <= budget
+            else:
+                assert len(t) == 1
+            for s in t:
+                placed[s] += k
+        assert placed == Counter(sizes)
+        assert sum(k for _, k in strats) == len(
+            _greedy_reference_packs(sizes, budget)
+        )
+
+
+def test_uniform_sizes_stack_densely(spark):
+    """Review r11 regression: a uniform-length corpus must share
+    packs (the earlier no-fit branch emitted one doc per pack)."""
+    assert spfhp_strategies({3: 5}, 10) == [((3, 3, 3), 1), ((3, 3), 1)]
+    df = spark.createDataFrame(
+        [(i, 3) for i in range(5)], "doc_id long, n long"
+    )
+    rows = pack_best_fit(df, "n", "doc_id", budget=10).collect()
+    packs: dict[int, int] = {}
+    for r in rows:
+        packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + 1
+    assert sorted(packs.values()) == [2, 3]

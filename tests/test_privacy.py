@@ -99,3 +99,20 @@ def test_plan_aggregate_join_no_window(spark):
     assert "HashAggregate" in tree or "Aggregate" in tree
     assert "Join" in tree
     assert "EvalPython" not in plan
+
+
+def test_generalize_bin_fractional_width(spark):
+    from nsl_kdd_spark.operators.privacy import generalize_bin
+
+    df = spark.createDataFrame(
+        [(1, 1.2), (2, 2.5), (3, 0.4), (4, -0.3)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", generalize_bin("v", 0.5).alias("b")
+        ).collect()
+    }
+    # review r11: int(width) zeroed every bin for width < 1
+    assert got == {1: 1.0, 2: 2.5, 3: 0.0, 4: -0.5}

@@ -226,3 +226,18 @@ def test_preference_pairs_plan_single_aggregate(spark):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree and "Join" not in tree
     assert "EvalPython" not in plan
+
+
+def test_preference_pairs_rejects_non_numeric_id(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    df = spark.createDataFrame(
+        [(1, "r-001", "a", 5), (1, "r-002", "b", 3)],
+        "prompt long, rid string, resp string, score long",
+    )
+    # review r11: -string_id casts to double -> NULL -> arbitrary
+    # tie winner; refuse loudly instead
+    with _pytest.raises(ValueError):
+        preference_pairs(df, "prompt", "resp", "score", "rid")

@@ -484,3 +484,13 @@ def test_tokenizer_fertility_custom_token_col(spark):
         df, "lang", "text", token_count_col="bpe_len").collect()[0]
     assert r["n_tokens"] == 10 and r["n_words"] == 3
     assert r["fertility_ppm"] == (1_000_000 * 10) // 3
+
+
+def test_ngram_diversity_report_rejects_bad_order(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.ml.text_features import ngram_diversity_report
+
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with _pytest.raises(ValueError):
+        ngram_diversity_report(df, "text", ns=(0, 2))

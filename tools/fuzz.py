@@ -1959,7 +1959,9 @@ def fam_sft_spans(rng: random.Random):
             .when(F.col("event_type") == "error", "system")
             .otherwise("assistant")
             .alias("role"),
-            F.concat_ws(" ", "event_type", "props").alias("content"),
+            F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("content"),
         )
         spans = render_chat_spans(
             turns, "conv_id", ["ts", "event_id"],
@@ -1988,7 +1990,7 @@ def fam_sft_spans(rng: random.Random):
              CASE WHEN event_type IN ('click', 'view') THEN 'user'
                   WHEN event_type = 'error' THEN 'system'
                   ELSE 'assistant' END AS role,
-             event_type || ' ' || props AS content
+             event_type || ' ' || COALESCE(props, '') AS content
       FROM events
     ), ordered AS (
       SELECT conv_id, role, content,
@@ -2168,7 +2170,9 @@ def fam_preference_pairs(rng: random.Random):
         scored = ev.select(
             F.col("user_id").alias("prompt_id"),
             "event_id",
-            F.concat_ws(" ", "event_type", "props").alias("resp"),
+            F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("resp"),
             F.floor(F.col("value") * 100).cast("long").alias("score"),
         )
         return preference_pairs(
@@ -2212,7 +2216,7 @@ def fam_preference_pairs(rng: random.Random):
     sql = f"""
     WITH r AS (
       SELECT user_id AS prompt_id, event_id,
-             event_type || ' ' || props AS resp,
+             event_type || ' ' || COALESCE(props, '') AS resp,
              CAST(FLOOR(value * 100) AS BIGINT) AS score
       FROM events {gate}
     ){body}
