@@ -11,6 +11,8 @@ file:
     -> Bloom semi-join reduction (generic runtime-filter primitive)
     -> hard-negative mining for contrastive embedding training
     -> temperature-balanced language mix + FIM serialization (r10)
+    -> T5/UL2 span-corruption twin + n-gram diversity monitor (r11)
+    -> SPFHP histogram packing into fixed token budgets (r11)
 
     python examples/curation_pipeline.py [sf_dir]
 """
@@ -31,7 +33,12 @@ from nsl_kdd_spark.operators.decontam import (  # noqa: E402
 from nsl_kdd_spark.operators.corpus import (  # noqa: E402
     fim_transform,
     select_canonical,
+    span_corruption_transform,
     temperature_mixture,
+)
+from nsl_kdd_spark.operators.packing import pack_best_fit  # noqa: E402
+from nsl_kdd_spark.ml.text_features import (  # noqa: E402
+    ngram_diversity_report,
 )
 from nsl_kdd_spark.operators.graph import connected_components  # noqa: E402
 from nsl_kdd_spark.operators.similarity import (  # noqa: E402
@@ -207,6 +214,40 @@ def main() -> None:
     fim.filter("fim_applied").select("doc_id", "epoch", "text_fim").show(
         3, truncate=62
     )
+
+    # the masked-denoising twin of FIM: the same mixed corpus
+    # serialized for a T5/UL2-style objective (rate/span_len are the
+    # R-denoiser point); same per-epoch key + independent salt rules
+    corrupted = span_corruption_transform(
+        mixed.withColumn(
+            "sc_key", F.concat_ws(":", "doc_id", "epoch")
+        ),
+        "sc_key", "text", rate=0.15, span_len=3, salt="sc",
+    ).drop("sc_key")
+    n_masked = corrupted.filter("n_spans > 0").count()
+    print(f"span corruption masked spans in {n_masked} rows")
+
+    # corpus health monitor before packing: distinct-n + hapax ppm
+    # (mode-collapse / template-flood watch, Li et al. 2016)
+    ngram_diversity_report(mixed, "text", ns=(1, 2)).show()
+
+    # SPFHP packing (Krell et al. 2021): whole-doc bins under a
+    # fixed token budget — the histogram solve runs on counts, the
+    # assignment is pure arithmetic, so the stage is deterministic
+    # under any partitioning
+    packed = pack_best_fit(
+        mixed.withColumn(
+            "n_tokens", F.size(F.split("text", " "))
+        ).withColumn(
+            # epoch copies are distinct documents to the packer; any
+            # unique long works as the rank tie-break key (epochs are
+            # small, so the composite stays collision-free)
+            "pack_key", F.col("doc_id") * 10000 + F.col("epoch")
+        ),
+        "n_tokens", "pack_key", budget=512,
+    )
+    n_packs = packed.select("pack_id").distinct().count()
+    print(f"SPFHP packed {packed.count()} rows into {n_packs} bins")
 
     # release the long-lived caches before teardown (round-10
     # advisory) — harmless at end-of-script, but the example models
