@@ -35,6 +35,69 @@ def generalize_bin(col: Column | str, width: float) -> Column:
     return (b.cast("double") * F.lit(float(width))).cast("double")
 
 
+def l_diversify(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+    mode: str = "suppress",
+    distinct_col: str = "qid_distinct_sensitive",
+    flag_col: str = "l_diverse",
+) -> DataFrame:
+    """Enforce (or audit) distinct l-diversity (Machanavajjhala et
+    al. 2007, "l-Diversity: Privacy Beyond k-Anonymity"): k-anonymity
+    stops identity linkage but not ATTRIBUTE disclosure — if every
+    row in a quasi-identifier group shares one sensitive value, the
+    adversary learns it without re-identifying anyone. A group is
+    l-diverse iff its ``sensitive_col`` carries at least ``l``
+    distinct values; ``mode="suppress"`` keeps only diverse groups,
+    ``mode="flag"`` annotates every row with ``(distinct_col,
+    flag_col)`` for the release audit.
+
+    NULL sensitive values count as one value (an unknown diagnosis
+    is still a disclosure class); NULL quasi-identifiers group
+    together, as in :func:`k_anonymize`.
+
+    Scale shape: ONE map-side-combined groupBy computing
+    count_distinct over the quasi-identifier columns + one null-safe
+    join back — the :func:`k_anonymize` plan with a countDistinct
+    (internally a two-phase partial aggregate) in place of the
+    count. No window.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if mode not in ("suppress", "flag"):
+        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
+    sizes = (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.size(
+                F.collect_set(
+                    # collect_set drops NULLs; fold them into one
+                    # sentinel class first
+                    F.coalesce(
+                        F.col(sensitive_col).cast("string"),
+                        F.lit("\x00null"),
+                    )
+                )
+            ).cast("long").alias(distinct_col)
+        )
+        .withColumnsRenamed({c: f"__q_{c}" for c in quasi_cols})
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(sizes[f"__q_{c}"])
+        cond = eq if cond is None else cond & eq
+    out = df.join(sizes, cond).drop(
+        *[f"__q_{c}" for c in quasi_cols]
+    )
+    if mode == "suppress":
+        return out.filter(F.col(distinct_col) >= l).drop(distinct_col)
+    return out.withColumn(flag_col, F.col(distinct_col) >= l)
+
+
 def k_anonymize(
     df: DataFrame,
     quasi_cols: list[str],

@@ -7879,6 +7879,60 @@ def q173_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q174 — l-diversity audit (round-11; operators/privacy.l_diversify):
+# Machanavajjhala et al. 2007 — k-anonymity's attribute-disclosure
+# companion: every (nation, balance-bin) group must carry >= 3
+# distinct market segments or the segment leaks without
+# re-identification. Same aggregate+join-back plan as q170 with a
+# countDistinct in place of the count; flag mode = the audit view.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q174_l_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2500) * 2500 AS BIGINT) AS bal_bin
+      FROM customer
+    ), s AS (
+      SELECT c_nationkey, bal_bin,
+             CAST(COUNT(DISTINCT COALESCE(c_mktsegment,
+                                          chr(0) || 'null'))
+                  AS BIGINT) AS qid_distinct_sensitive
+      FROM q GROUP BY c_nationkey, bal_bin
+    )
+    SELECT q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment,
+           s.qid_distinct_sensitive,
+           s.qid_distinct_sensitive >= 3 AS l_diverse
+    FROM q JOIN s USING (c_nationkey, bal_bin)
+    ORDER BY q.c_custkey
+    """,
+)
+def q174_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.privacy import (
+        generalize_bin,
+        l_diversify,
+    )
+
+    cust = load_tables(spark, sf_dir).customer
+    qid = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        generalize_bin("c_acctbal", 2500).alias("bal_bin"),
+    )
+    return (
+        l_diversify(
+            qid, ["c_nationkey", "bal_bin"], "c_mktsegment",
+            l=3, mode="flag",
+        )
+        .select(
+            "c_custkey", "c_nationkey", "bal_bin", "c_mktsegment",
+            "qid_distinct_sensitive", "l_diverse",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

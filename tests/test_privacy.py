@@ -116,3 +116,61 @@ def test_generalize_bin_fractional_width(spark):
     }
     # review r11: int(width) zeroed every bin for width < 1
     assert got == {1: 1.0, 2: 2.5, 3: 0.0, 4: -0.5}
+
+
+def _patients(spark):
+    # qid zip; sensitive condition. zip 100: 3 distinct conditions;
+    # zip 200: 1 condition across 3 rows (homogeneity attack!);
+    # zip 300: 2 values where one is NULL (counts as a class)
+    return spark.createDataFrame(
+        [
+            (1, 100, "flu"),
+            (2, 100, "cold"),
+            (3, 100, "burn"),
+            (4, 200, "flu"),
+            (5, 200, "flu"),
+            (6, 200, "flu"),
+            (7, 300, "cold"),
+            (8, 300, None),
+        ],
+        "id long, zip int, cond string",
+    )
+
+
+def test_l_diversify_suppresses_homogeneous_groups(spark):
+    from nsl_kdd_spark.operators.privacy import l_diversify
+
+    out = l_diversify(_patients(spark), ["zip"], "cond", l=2)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 7, 8]
+    out3 = l_diversify(_patients(spark), ["zip"], "cond", l=3)
+    assert sorted(r["id"] for r in out3.collect()) == [1, 2, 3]
+
+
+def test_l_diversify_flag_counts(spark):
+    from nsl_kdd_spark.operators.privacy import l_diversify
+
+    rows = {
+        r["id"]: r
+        for r in l_diversify(
+            _patients(spark), ["zip"], "cond", l=2, mode="flag"
+        ).collect()
+    }
+    assert len(rows) == 8
+    assert rows[1]["qid_distinct_sensitive"] == 3 and rows[1]["l_diverse"]
+    assert rows[4]["qid_distinct_sensitive"] == 1 and not rows[4]["l_diverse"]
+    # NULL sensitive value is its own disclosure class
+    assert rows[7]["qid_distinct_sensitive"] == 2 and rows[7]["l_diverse"]
+
+
+def test_l_diversify_invalid_args(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.privacy import l_diversify
+
+    df = _patients(spark)
+    with _pytest.raises(ValueError):
+        l_diversify(df, [], "cond", l=2)
+    with _pytest.raises(ValueError):
+        l_diversify(df, ["zip"], "cond", l=0)
+    with _pytest.raises(ValueError):
+        l_diversify(df, ["zip"], "cond", l=2, mode="mask")

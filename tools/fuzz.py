@@ -2147,6 +2147,68 @@ def fam_k_anonymity(rng: random.Random):
     )
 
 
+def fam_l_diversity(rng: random.Random):
+    """l-diversity (round-11; operators/privacy.l_diversify —
+    Machanavajjhala et al. 2007). Draws move the diversity floor l,
+    the generalization width and audit-vs-suppress mode; the oracle
+    replays the grouped distinct-sensitive count and the cut
+    exactly."""
+    l = rng.choice((2, 3, 4))
+    width = rng.choice((1000, 2500, 5000))
+    mode = rng.choice(("flag", "suppress"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.privacy import (
+            generalize_bin,
+            l_diversify,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        cust = load_tables(spark, sf_dir).customer
+        qid = cust.select(
+            "c_custkey", "c_nationkey", "c_mktsegment",
+            generalize_bin("c_acctbal", width).alias("bal_bin"),
+        )
+        out = l_diversify(
+            qid, ["c_nationkey", "bal_bin"], "c_mktsegment",
+            l=l, mode=mode,
+        )
+        cols = ["c_custkey", "c_nationkey", "bal_bin", "c_mktsegment"]
+        if mode == "flag":
+            cols += ["qid_distinct_sensitive", "l_diverse"]
+        return out.select(*cols).orderBy("c_custkey")
+
+    if mode == "flag":
+        sel = (
+            "q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment,"
+            " s.qid_distinct_sensitive,"
+            f" s.qid_distinct_sensitive >= {l} AS l_diverse"
+        )
+        gate = ""
+    else:
+        sel = "q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment"
+        gate = f"WHERE s.qid_distinct_sensitive >= {l}"
+    sql = f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {width}) * {width} AS BIGINT)
+               AS bal_bin
+      FROM customer
+    ), s AS (
+      SELECT c_nationkey, bal_bin,
+             CAST(COUNT(DISTINCT COALESCE(c_mktsegment,
+                                          chr(0) || 'null'))
+                  AS BIGINT) AS qid_distinct_sensitive
+      FROM q GROUP BY c_nationkey, bal_bin
+    )
+    SELECT {sel}
+    FROM q JOIN s USING (c_nationkey, bal_bin)
+    {gate}
+    ORDER BY q.c_custkey
+    """
+    return f"l={l} width={width} mode={mode}", spark_fn, sql, False
+
+
 def fam_preference_pairs(rng: random.Random):
     """DPO preference-pair assembly (round-11;
     operators/sft.preference_pairs — Rafailov et al. 2023). Draws
@@ -2813,6 +2875,7 @@ FAMILIES = {
     "sft_spans": fam_sft_spans,
     "diversity": fam_diversity,
     "k_anonymity": fam_k_anonymity,
+    "l_diversity": fam_l_diversity,
     "preference_pairs": fam_preference_pairs,
     "fertility": fam_fertility,
     "decontam_spans": fam_decontam_spans,
@@ -2831,7 +2894,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility", "l_diversity")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
