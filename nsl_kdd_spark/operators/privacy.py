@@ -98,6 +98,128 @@ def l_diversify(
     return out.withColumn(flag_col, F.col(distinct_col) >= l)
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int,
+    mode: str = "flag",
+    emd_col: str = "qid_emd_ppm",
+    flag_col: str = "t_close",
+) -> DataFrame:
+    """Distinct t-closeness (Li, Li & Venkatasubramanian 2007,
+    "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity"):
+    l-diversity still leaks when a group's sensitive DISTRIBUTION
+    skews far from the table's (the skewness attack) — a group is
+    t-close iff the earth-mover's distance between its sensitive
+    distribution and the global one is <= t. For categorical
+    attributes under the paper's equal ground distance, EMD is the
+    total-variation distance ``1/2 * sum_i |p_i - q_i|``, which this
+    operator evaluates in EXACT integer arithmetic: with group size
+    n, table size N, group counts c_i and global counts C_i,
+
+        2 * n * N * EMD = n*N + sum_{i in group}(|c_i*N - C_i*n|
+                                                 - C_i*n)
+
+    (values absent from the group fold into the constant n*N term,
+    so only the group's PRESENT values are ever joined — no dense
+    group x value matrix). The report column is the integer-ppm EMD
+    ``(1e6 * that) div (2*n*N)`` compared against ``t_ppm`` — the
+    engine's fixed-point doctrine, bit-identical in any engine.
+    Counts are longs; c_i*N needs BIGINT headroom (fine to ~3e9
+    rows; past that, cast the products to DECIMAL(38,0) — the q158
+    precedent).
+
+    ``mode="flag"`` annotates every row with ``(emd_col, flag_col)``;
+    ``mode="suppress"`` keeps only t-close groups.
+
+    Scale shape: everything computes on the DISTINCT (group,
+    sensitive-value) table — one map-side-combined groupBy of the
+    corpus, then group-level and global aggregates over that small
+    table (global distribution broadcast) and one join back. No
+    window, no dense cross join.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if not 0 <= t_ppm <= 1_000_000:
+        raise ValueError(f"t_ppm must be in [0, 1e6], got {t_ppm}")
+    if mode not in ("suppress", "flag"):
+        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
+    sv = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("\x00null")
+    )
+    cells = df.groupBy(
+        *quasi_cols, sv.alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    # the global sensitive distribution is domain-bounded (a handful
+    # of disclosure classes), so it materializes driver-side — the
+    # pack_best_fit histogram precedent — and re-enters as a LITERAL
+    # MAP (the D-tier map-literal technique): the per-value global
+    # count becomes element_at(map, __sv), no second join at all.
+    # Naming note: Spark resolves column names CASE-INSENSITIVELY by
+    # default, so the global count is `__gcnt`, never `__C` — a `__C`
+    # column silently replaces/collides with the cell count `__c`.
+    glob_rows = (
+        cells.groupBy("__sv").agg(F.sum("__c").alias("__gcnt")).collect()
+    )
+    n_total = int(sum(r["__gcnt"] for r in glob_rows))
+    c_map = F.create_map(
+        *[
+            x
+            for r in glob_rows
+            for x in (F.lit(r["__sv"]), F.lit(int(r["__gcnt"])))
+        ]
+    )
+    # the |c*N - C*n| term needs the group's n; attach it per cell
+    sizes = (
+        cells.groupBy(*quasi_cols)
+        .agg(F.sum("__c").alias("__n"))
+        .withColumnsRenamed({c: f"__s_{c}" for c in quasi_cols})
+    )
+    scond = None
+    for c in quasi_cols:
+        eq = cells[c].eqNullSafe(sizes[f"__s_{c}"])
+        scond = eq if scond is None else scond & eq
+    big_n = F.lit(n_total).cast("long")
+    terms = (
+        cells.join(sizes, scond)
+        .withColumn(
+            "__gcnt", F.element_at(c_map, F.col("__sv")).cast("long")
+        )
+        .withColumn(
+            "__term",
+            F.abs(F.col("__c") * big_n - F.col("__gcnt") * F.col("__n"))
+            - F.col("__gcnt") * F.col("__n"),
+        )
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("__n").alias("__n"),
+            F.sum("__term").alias("__tsum"),
+        )
+        .withColumn(
+            emd_col,
+            F.expr(
+                f"(1000000 * (__n * {n_total} + __tsum))"
+                f" div (2 * __n * {n_total})"
+            ),
+        )
+        .withColumnsRenamed({c: f"__q_{c}" for c in quasi_cols})
+        .select(
+            *[f"__q_{c}" for c in quasi_cols], emd_col
+        )
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(terms[f"__q_{c}"])
+        cond = eq if cond is None else cond & eq
+    out = df.join(terms, cond).drop(
+        *[f"__q_{c}" for c in quasi_cols]
+    )
+    if mode == "suppress":
+        return out.filter(F.col(emd_col) <= t_ppm).drop(emd_col)
+    return out.withColumn(flag_col, F.col(emd_col) <= t_ppm)
+
+
 def k_anonymize(
     df: DataFrame,
     quasi_cols: list[str],

@@ -7933,6 +7933,85 @@ def q174_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q175 — t-closeness audit (round-11;
+# operators/privacy.t_closeness_audit): Li, Li & Venkatasubramanian
+# 2007 — the skewness-attack guard completing the privacy trio: a
+# (nation, balance-bin) group is t-close iff the EMD between its
+# segment distribution and the table's is <= t. Categorical /
+# equal-ground-distance EMD = total variation, evaluated in exact
+# integer arithmetic (2nN-scaled, absent values folded into the
+# constant term) and reported as integer ppm. DuckDB replays the
+# identical cell/global/size aggregates and the same algebra.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q175_t_closeness",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2500) * 2500 AS BIGINT) AS bal_bin
+      FROM customer
+    ), cells AS (
+      SELECT c_nationkey, bal_bin,
+             COALESCE(c_mktsegment, chr(0) || 'null') AS sv,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY c_nationkey, bal_bin, sv
+    ), gdist AS (
+      SELECT sv, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY sv
+    ), tot AS (
+      SELECT CAST(SUM(gc) AS BIGINT) AS n_tot FROM gdist
+    ), sizes AS (
+      SELECT c_nationkey, bal_bin, CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY c_nationkey, bal_bin
+    ), terms AS (
+      SELECT ce.c_nationkey, ce.bal_bin,
+             CAST(MAX(s.n) AS BIGINT) AS n,
+             CAST(MAX(t.n_tot) AS BIGINT) AS n_tot,
+             CAST(SUM(ABS(ce.c * t.n_tot - g.gc * s.n)
+                      - g.gc * s.n) AS BIGINT) AS tsum
+      FROM cells ce
+      JOIN sizes s USING (c_nationkey, bal_bin)
+      JOIN gdist g USING (sv)
+      CROSS JOIN tot t
+      GROUP BY ce.c_nationkey, ce.bal_bin
+    ), emd AS (
+      SELECT c_nationkey, bal_bin,
+             CAST((1000000 * (n * n_tot + tsum))
+                  // (2 * n * n_tot) AS BIGINT) AS qid_emd_ppm
+      FROM terms
+    )
+    SELECT q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment,
+           e.qid_emd_ppm,
+           e.qid_emd_ppm <= 300000 AS t_close
+    FROM q JOIN emd e USING (c_nationkey, bal_bin)
+    ORDER BY q.c_custkey
+    """,
+)
+def q175_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.privacy import (
+        generalize_bin,
+        t_closeness_audit,
+    )
+
+    cust = load_tables(spark, sf_dir).customer
+    qid = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        generalize_bin("c_acctbal", 2500).alias("bal_bin"),
+    )
+    return (
+        t_closeness_audit(
+            qid, ["c_nationkey", "bal_bin"], "c_mktsegment",
+            t_ppm=300000, mode="flag",
+        )
+        .select(
+            "c_custkey", "c_nationkey", "bal_bin", "c_mktsegment",
+            "qid_emd_ppm", "t_close",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

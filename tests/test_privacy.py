@@ -174,3 +174,91 @@ def test_l_diversify_invalid_args(spark):
         l_diversify(df, ["zip"], "cond", l=0)
     with _pytest.raises(ValueError):
         l_diversify(df, ["zip"], "cond", l=2, mode="mask")
+
+
+def test_t_closeness_matches_python_reference(spark):
+    from collections import Counter
+
+    from nsl_kdd_spark.operators.privacy import t_closeness_audit
+
+    rows = [
+        (1, 100, "flu"), (2, 100, "flu"), (3, 100, "cold"),
+        (4, 200, "flu"), (5, 200, "cold"), (6, 200, "burn"),
+        (7, 300, "burn"), (8, 300, "burn"),
+        (9, 400, None), (10, 400, "flu"),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip int, cond string")
+    out = {
+        r["id"]: r
+        for r in t_closeness_audit(
+            df, ["zip"], "cond", t_ppm=300000
+        ).collect()
+    }
+    assert len(out) == 10
+    n_total = len(rows)
+    glob = Counter(
+        ("\x00null" if r[2] is None else r[2]) for r in rows
+    )
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r[1], []).append(
+            "\x00null" if r[2] is None else r[2]
+        )
+    for zipc, vals in groups.items():
+        n = len(vals)
+        c = Counter(vals)
+        tv2 = sum(
+            abs(c.get(v, 0) * n_total - glob[v] * n) for v in glob
+        )
+        ppm = (1_000_000 * tv2) // (2 * n * n_total)
+        for i in (r[0] for r in rows if r[1] == zipc):
+            assert out[i]["qid_emd_ppm"] == ppm
+            assert out[i]["t_close"] == (ppm <= 300000)
+
+
+def test_t_closeness_suppress_and_edges(spark):
+    from nsl_kdd_spark.operators.privacy import t_closeness_audit
+
+    rows = [
+        (1, 100, "a"), (2, 100, "b"),   # mirrors the global mix
+        (3, 200, "a"), (4, 200, "a"),   # skewed group
+    ]
+    df = spark.createDataFrame(rows, "id long, zip int, cond string")
+    # global: a=3/4, b=1/4. group 100: a=1/2,b=1/2 -> TV=1/4=250000;
+    # group 200: a=1,b=0 -> TV=1/4=250000. Both suppressed at t=0.2.
+    flagged = {
+        r["id"]: r["qid_emd_ppm"]
+        for r in t_closeness_audit(
+            df, ["zip"], "cond", t_ppm=200000
+        ).collect()
+    }
+    assert flagged[1] == 250000 and flagged[3] == 250000
+    kept = t_closeness_audit(
+        df, ["zip"], "cond", t_ppm=250000, mode="suppress"
+    ).count()
+    assert kept == 4  # boundary is inclusive
+    # whole-table-as-one-group is 0-distance from itself
+    one = t_closeness_audit(df, ["zip"], "cond", t_ppm=0, mode="flag")
+    grp = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "id long, zip int, cond string"
+    )
+    all_rows = t_closeness_audit(
+        grp, ["zip"], "cond", t_ppm=0
+    ).collect()
+    assert all(r["qid_emd_ppm"] == 0 and r["t_close"] for r in all_rows)
+
+
+def test_t_closeness_invalid_args(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.privacy import t_closeness_audit
+
+    df = spark.createDataFrame([(1, 1, "a")], "id long, zip int, cond string")
+    with _pytest.raises(ValueError):
+        t_closeness_audit(df, [], "cond", t_ppm=1)
+    with _pytest.raises(ValueError):
+        t_closeness_audit(df, ["zip"], "cond", t_ppm=-1)
+    with _pytest.raises(ValueError):
+        t_closeness_audit(df, ["zip"], "cond", t_ppm=2_000_000)
+    with _pytest.raises(ValueError):
+        t_closeness_audit(df, ["zip"], "cond", t_ppm=1, mode="x")

@@ -2209,6 +2209,90 @@ def fam_l_diversity(rng: random.Random):
     return f"l={l} width={width} mode={mode}", spark_fn, sql, False
 
 
+def fam_t_closeness(rng: random.Random):
+    """t-closeness (round-11; operators/privacy.t_closeness_audit —
+    Li, Li & Venkatasubramanian 2007). Draws move the closeness
+    floor, the generalization width and audit-vs-suppress mode; the
+    oracle replays the 2nN-scaled total-variation algebra and the
+    integer-ppm cut exactly."""
+    t_ppm = rng.choice((100000, 300000, 600000))
+    width = rng.choice((1000, 2500, 5000))
+    mode = rng.choice(("flag", "suppress"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.privacy import (
+            generalize_bin,
+            t_closeness_audit,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        cust = load_tables(spark, sf_dir).customer
+        qid = cust.select(
+            "c_custkey", "c_nationkey", "c_mktsegment",
+            generalize_bin("c_acctbal", width).alias("bal_bin"),
+        )
+        out = t_closeness_audit(
+            qid, ["c_nationkey", "bal_bin"], "c_mktsegment",
+            t_ppm=t_ppm, mode=mode,
+        )
+        cols = ["c_custkey", "c_nationkey", "bal_bin", "c_mktsegment"]
+        if mode == "flag":
+            cols += ["qid_emd_ppm", "t_close"]
+        return out.select(*cols).orderBy("c_custkey")
+
+    if mode == "flag":
+        sel = (
+            "q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment,"
+            " e.qid_emd_ppm,"
+            f" e.qid_emd_ppm <= {t_ppm} AS t_close"
+        )
+        gate = ""
+    else:
+        sel = "q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment"
+        gate = f"WHERE e.qid_emd_ppm <= {t_ppm}"
+    sql = f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {width}) * {width} AS BIGINT)
+               AS bal_bin
+      FROM customer
+    ), cells AS (
+      SELECT c_nationkey, bal_bin,
+             COALESCE(c_mktsegment, chr(0) || 'null') AS sv,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY c_nationkey, bal_bin, sv
+    ), gdist AS (
+      SELECT sv, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY sv
+    ), tot AS (
+      SELECT CAST(SUM(gc) AS BIGINT) AS n_tot FROM gdist
+    ), sizes AS (
+      SELECT c_nationkey, bal_bin, CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY c_nationkey, bal_bin
+    ), terms AS (
+      SELECT ce.c_nationkey, ce.bal_bin,
+             CAST(MAX(s.n) AS BIGINT) AS n,
+             CAST(MAX(t.n_tot) AS BIGINT) AS n_tot,
+             CAST(SUM(ABS(ce.c * t.n_tot - g.gc * s.n)
+                      - g.gc * s.n) AS BIGINT) AS tsum
+      FROM cells ce
+      JOIN sizes s USING (c_nationkey, bal_bin)
+      JOIN gdist g USING (sv)
+      CROSS JOIN tot t
+      GROUP BY ce.c_nationkey, ce.bal_bin
+    ), emd AS (
+      SELECT c_nationkey, bal_bin,
+             CAST((1000000 * (n * n_tot + tsum))
+                  // (2 * n * n_tot) AS BIGINT) AS qid_emd_ppm
+      FROM terms
+    )
+    SELECT {sel}
+    FROM q JOIN emd e USING (c_nationkey, bal_bin)
+    {gate}
+    ORDER BY q.c_custkey
+    """
+    return f"t_ppm={t_ppm} width={width} mode={mode}", spark_fn, sql, False
+
+
 def fam_preference_pairs(rng: random.Random):
     """DPO preference-pair assembly (round-11;
     operators/sft.preference_pairs — Rafailov et al. 2023). Draws
@@ -2876,6 +2960,7 @@ FAMILIES = {
     "diversity": fam_diversity,
     "k_anonymity": fam_k_anonymity,
     "l_diversity": fam_l_diversity,
+    "t_closeness": fam_t_closeness,
     "preference_pairs": fam_preference_pairs,
     "fertility": fam_fertility,
     "decontam_spans": fam_decontam_spans,
@@ -2894,7 +2979,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility", "l_diversity")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility", "l_diversity", "t_closeness")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
