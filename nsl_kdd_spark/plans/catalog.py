@@ -8217,9 +8217,14 @@ def q175_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sampling held by q86 weighted + q137 exact-N), q84 chunk-pieces
 # (packing held by q85 bin-texts), q109 event-transitions (event
 # analytics held by q75 funnel + q102 point-in-time), q125
-# calibration (eval metrics held by q123 + q154). The full rotated
-# window re-verified via tools/compare.py at sf0.01 before round
-# close.
+# calibration (eval metrics held by q123 + q154). Third wave: q174
+# l-diversity and q175 t-closeness rotate in (the privacy trio's new
+# members) for q79 ewma (time-series family held by q102
+# point-in-time + q128 time-weighted avg) and q120 upsample
+# (deterministic-sampling family held by q86/q137; its epoch
+# semantics live on in the in-window q158/q161 mixtures). The full
+# rotated window re-verified via tools/compare.py at sf0.01 before
+# round close.
 DRIVER_WINDOW = [
     # touched-this-round substr family anchors
     "q153_exact_substring_strip",
@@ -8236,16 +8241,17 @@ DRIVER_WINDOW = [
     "q167_span_corruption", "q168_sft_chat_spans",
     "q169_ngram_diversity", "q170_k_anonymity",
     "q171_preference_pairs", "q173_tokenizer_fertility",
+    "q174_l_diversity", "q175_t_closeness",
     # newest green row is r4
     "q53_pattern_extract",
     "q56_rank_analytics", "q60_profile",
-    "q75_event_funnel", "q79_ewma",
+    "q75_event_funnel",
     "q85_bin_texts", "q86_weighted_sample",
     "q89_latest_per_key", "q90_group_split", "q92_ngram_topk",
     "q99_shuffle_order", "q100_token_budget", "q102_point_in_time",
     "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",
-    "q117_skew_topkeys", "q119_table_digest", "q120_upsample",
+    "q117_skew_topkeys", "q119_table_digest",
     "q124_skipping_stats", "q126_select_canonical",
     "q128_time_weighted_avg", "q131_rfm_segments",
     # newest green row is r6
