@@ -448,83 +448,31 @@ def fim_transform(
     )
 
 
-def span_corruption_transform(
+
+def _serialize_masked_runs(
     df: DataFrame,
-    id_col: str,
-    text_col: str,
-    rate: float = 0.15,
-    span_len: int = 3,
-    salt: str = "",
-    sentinel_prefix: str = "<extra_id_",
-    sentinel_suffix: str = ">",
-    input_col: str = "text_input",
-    target_col: str = "text_target",
+    tk: Column,
+    select_pred,
+    sentinel_prefix: str,
+    sentinel_suffix: str,
+    input_col: str,
+    target_col: str,
 ) -> DataFrame:
-    """T5-style span corruption (Raffel et al. 2020 §3.1.4; the UL2
-    R/X denoisers of Tay et al. 2022 are the same transform at other
-    (rate, span_len) points): ~``rate`` of each document's tokens are
-    masked in spans of mean length ``span_len``, each maximal masked
-    run replaced in the input by one sentinel ``<extra_id_k>`` (k in
-    document order from 0), and the target serialized as
-    ``<extra_id_0> span0 <extra_id_1> span1 … <extra_id_K>`` with the
-    trailing K = n_spans final sentinel — the published seq2seq
-    denoising objective every T5/UL2 pretrain pipeline feeds.
-
-    Deterministic span placement, the engine's doctrine instead of
-    RNG state (the FIM convention): tokens are grouped into
-    fixed-width units of ``span_len`` and unit u of document d is
-    masked iff ``md5_bucket16(d || '-' || u, salt) < rate * 65536``
-    — so the masked-token fraction is ``rate`` exactly in
-    expectation, spans average ``span_len`` (adjacent masked units
-    merge into one maximal run, mirroring the paper's span merging),
-    and re-runs / repartitionings / incremental re-ingests corrupt
-    each document identically. A SQL engine replays the whole thing
-    bit-exactly from the same md5 arithmetic.
-
-    Output = input columns + ``(input_col, target_col, n_spans,
-    corrupted_tokens)``. A document with no masked unit passes its
-    text through and targets the bare final sentinel
-    ``<extra_id_0>`` (the K = 0 case of the same serialization).
-
-    Scale shape: zero shuffles, zero joins, zero explodes — the unit
-    selection, maximal-run recovery (boundary scans over the
-    selected-position array, each O(tokens)) and both serializations
-    are scan-stage JVM higher-order expressions, so the transform
-    rides whatever partitioning the corpus already has, exactly like
-    ``fim_transform``. No per-step array append anywhere: every
-    array is built by one ``filter``/``transform``/``zip_with`` pass
-    (an ``aggregate``-with-append accumulator would be O(tokens²)
-    per document — rejected for the 100k-token files this targets).
+    """Shared masked-run serializer behind
+    :func:`span_corruption_transform` and
+    :func:`mixture_of_denoisers`: given a per-position mask predicate
+    ``select_pred(pos) -> Column``, recover the maximal masked runs
+    and emit the T5 sentinel input/target serialization. Each
+    intermediate lands in its OWN column: the per-token selection is
+    the expensive expression and every consumer below references it,
+    so leaving it inline would make Catalyst re-evaluate the hash
+    chain once per consumer (~6x the md5 work — measured 16x wall on
+    the bench tier). Project collapsing keeps multiply-referenced
+    non-cheap aliases un-inlined, so each column evaluates once per
+    row. Zero shuffles/joins/explodes.
     """
-    if not 0.0 <= rate <= 1.0:
-        raise ValueError(f"rate must be in [0, 1], got {rate}")
-    if span_len < 1:
-        raise ValueError(f"span_len must be >= 1, got {span_len}")
-    from nsl_kdd_spark.functions.text import tokens
-    from nsl_kdd_spark.operators.relational import md5_bucket16
-
-    # int() truncation: the sample_hash/fim_transform cut convention
-    cut = int(rate * 65536)
-    tk = tokens(text_col)
-
-    def unit_key(pos: Column) -> Column:
-        # unit = (pos-1) div span_len; key = "<id>-<unit>" (the
-        # md5_key salt prefixes the whole string)
-        u = ((pos - 1) / F.lit(span_len)).cast("int")
-        return F.concat(
-            F.col(id_col).cast("string"), F.lit("-"), u.cast("string")
-        )
-
-    # Each intermediate lands in its OWN column: the md5-per-token
-    # selection is the expensive expression and every consumer below
-    # references it, so leaving it inline would make Catalyst
-    # re-evaluate the whole hash chain once per consumer (~6x the
-    # md5 work — measured 3-4x wall on the bench tier). Project
-    # collapsing keeps multiply-referenced non-cheap aliases
-    # un-inlined, so each column evaluates once per row.
     selpos_col = F.filter(
-        F.sequence(F.lit(1), F.size(F.col("__tk"))),
-        lambda p: md5_bucket16(unit_key(p), salt) < F.lit(cut),
+        F.sequence(F.lit(1), F.size(F.col("__tk"))), select_pred
     )
     selpos = F.col("__sel")
     n_sel = F.size(selpos)
@@ -616,6 +564,84 @@ def span_corruption_transform(
     )
 
 
+def span_corruption_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.15,
+    span_len: int = 3,
+    salt: str = "",
+    sentinel_prefix: str = "<extra_id_",
+    sentinel_suffix: str = ">",
+    input_col: str = "text_input",
+    target_col: str = "text_target",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4; the UL2
+    R/X denoisers of Tay et al. 2022 are the same transform at other
+    (rate, span_len) points): ~``rate`` of each document's tokens are
+    masked in spans of mean length ``span_len``, each maximal masked
+    run replaced in the input by one sentinel ``<extra_id_k>`` (k in
+    document order from 0), and the target serialized as
+    ``<extra_id_0> span0 <extra_id_1> span1 … <extra_id_K>`` with the
+    trailing K = n_spans final sentinel — the published seq2seq
+    denoising objective every T5/UL2 pretrain pipeline feeds.
+
+    Deterministic span placement, the engine's doctrine instead of
+    RNG state (the FIM convention): tokens are grouped into
+    fixed-width units of ``span_len`` and unit u of document d is
+    masked iff ``md5_bucket16(d || '-' || u, salt) < rate * 65536``
+    — so the masked-token fraction is ``rate`` exactly in
+    expectation, spans average ``span_len`` (adjacent masked units
+    merge into one maximal run, mirroring the paper's span merging),
+    and re-runs / repartitionings / incremental re-ingests corrupt
+    each document identically. A SQL engine replays the whole thing
+    bit-exactly from the same md5 arithmetic.
+
+    Output = input columns + ``(input_col, target_col, n_spans,
+    corrupted_tokens)``. A document with no masked unit passes its
+    text through and targets the bare final sentinel
+    ``<extra_id_0>`` (the K = 0 case of the same serialization).
+
+    Scale shape: zero shuffles, zero joins, zero explodes — the unit
+    selection, maximal-run recovery (boundary scans over the
+    selected-position array, each O(tokens)) and both serializations
+    are scan-stage JVM higher-order expressions, so the transform
+    rides whatever partitioning the corpus already has, exactly like
+    ``fim_transform``. No per-step array append anywhere: every
+    array is built by one ``filter``/``transform``/``zip_with`` pass
+    (an ``aggregate``-with-append accumulator would be O(tokens²)
+    per document — rejected for the 100k-token files this targets).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    from nsl_kdd_spark.functions.text import tokens
+    from nsl_kdd_spark.operators.relational import md5_bucket16
+
+    # int() truncation: the sample_hash/fim_transform cut convention
+    cut = int(rate * 65536)
+    tk = tokens(text_col)
+
+    def unit_key(pos: Column) -> Column:
+        # unit = (pos-1) div span_len; key = "<id>-<unit>" (the
+        # md5_key salt prefixes the whole string)
+        u = ((pos - 1) / F.lit(span_len)).cast("int")
+        return F.concat(
+            F.col(id_col).cast("string"), F.lit("-"), u.cast("string")
+        )
+
+    return _serialize_masked_runs(
+        df,
+        tk,
+        lambda p: md5_bucket16(unit_key(p), salt) < F.lit(cut),
+        sentinel_prefix,
+        sentinel_suffix,
+        input_col,
+        target_col,
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     components: DataFrame,
@@ -660,3 +686,114 @@ def select_canonical(
         "comp", F.lit(None).cast(comp.schema["comp"].dataType)
     )
     return winners.unionByName(singletons)
+
+
+def mixture_of_denoisers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "",
+    r_denoiser: tuple[float, int] = (0.15, 3),
+    x_denoiser: tuple[float, int] = (0.5, 8),
+    weights: tuple[float, float, float] = (0.5, 0.25, 0.25),
+    sentinel_prefix: str = "<extra_id_",
+    sentinel_suffix: str = ">",
+    input_col: str = "text_input",
+    target_col: str = "text_target",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022, "UL2: Unifying
+    Language Learning Paradigms"): every document routes to ONE of
+    the three published objectives — R (regular span corruption,
+    T5's point), X (extreme denoising: higher rate and/or longer
+    spans), or S (sequential / prefix-LM denoising: the document
+    splits at one point and the whole suffix is the target) — so a
+    single preprocessing pass emits the mixed training objective.
+
+    Deterministic throughout (the engine's doctrine): the route is a
+    16-bit md5 bucket over ``(salt+"route", id)`` cut at the
+    cumulative ``weights``; R/X mask units exactly like
+    :func:`span_corruption_transform` (independent unit streams via
+    the shared ``salt+"u"`` key — span_len differs, so unit keys
+    differ); S's split point is a 32-bit bucket mod (L+1) (the FIM
+    long-doc convention). All three routes share ONE maximal-run
+    serializer, so the output schema is uniform: ``(denoiser,
+    n_spans, corrupted_tokens, input_col, target_col)`` with the S
+    route appearing as the single suffix span (an S doc whose split
+    lands at L masks nothing and serializes as the K=0 case — the
+    same convention as an R doc with no masked unit).
+
+    Scale shape: ONE scan-stage pass — the routed predicate chooses
+    per position inside the same selection filter, so no branch
+    computes a transform the row doesn't take; zero shuffles, zero
+    joins, like the single-objective transforms.
+    """
+    if len(weights) != 3 or any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError(f"weights must be 3 non-negatives, got {weights}")
+    for name, (rate, span_len) in (("r", r_denoiser), ("x", x_denoiser)):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"{name} rate must be in [0,1], got {rate}")
+        if span_len < 1:
+            raise ValueError(
+                f"{name} span_len must be >= 1, got {span_len}"
+            )
+    from nsl_kdd_spark.functions.text import tokens
+    from nsl_kdd_spark.operators.relational import (
+        md5_bucket16,
+        md5_bucket32,
+    )
+
+    total = float(sum(weights))
+    cut_r = int(weights[0] / total * 65536)
+    cut_rx = int((weights[0] + weights[1]) / total * 65536)
+    cut_rate_r = int(r_denoiser[0] * 65536)
+    cut_rate_x = int(x_denoiser[0] * 65536)
+    tk = tokens(text_col)
+    route_b = md5_bucket16(id_col, salt + "route")
+    route = (
+        F.when(route_b < F.lit(cut_r), "R")
+        .when(route_b < F.lit(cut_rx), "X")
+        .otherwise("S")
+    )
+    # S split point: 32-bit mod (L+1), reachable past 65,536 tokens
+    s_cut = (
+        md5_bucket32(id_col, salt + "s")
+        % (F.size(F.col("__tk")) + F.lit(1)).cast("long")
+    ).cast("int")
+
+    def unit_key(pos: Column, span_len: int) -> Column:
+        u = ((pos - 1) / F.lit(span_len)).cast("int")
+        return F.concat(
+            F.col(id_col).cast("string"), F.lit("-"), u.cast("string")
+        )
+
+    def pred(p: Column) -> Column:
+        r = F.col("__route")
+        return (
+            F.when(r == "S", p > F.col("__scut"))
+            .when(
+                r == "R",
+                md5_bucket16(unit_key(p, r_denoiser[1]), salt + "u")
+                < F.lit(cut_rate_r),
+            )
+            .otherwise(
+                md5_bucket16(unit_key(p, x_denoiser[1]), salt + "u")
+                < F.lit(cut_rate_x)
+            )
+        )
+
+    out = _serialize_masked_runs(
+        df.withColumn("__route", route)
+        .withColumn("__tk", tk)
+        .withColumn("__scut", s_cut)
+        .drop("__tk"),
+        tk,
+        pred,
+        sentinel_prefix,
+        sentinel_suffix,
+        input_col,
+        target_col,
+    )
+    return (
+        out.withColumn("denoiser", F.col("__route"))
+        .drop("__route", "__scut")
+    )

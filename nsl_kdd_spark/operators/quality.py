@@ -380,3 +380,62 @@ def psi_drift_categorical(
         )
     )
     return _psi_terms(counts, "category", n_slots, scale)
+
+
+def datacard_report(
+    df: DataFrame,
+    dims: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset data card — the corpus-composition statement
+    "Datasheets for Datasets" (Gebru et al. 2018) and Google's Data
+    Cards standardize, computed as ONE rollup aggregate: per
+    ``dims`` combination (e.g. source x language), per prefix, and
+    overall — document / token / character totals, token-length
+    bounds, and integer-ppm density ratios (tokens per doc, chars
+    per token — the q100 fixed-point convention, no float division).
+    The release artifact a curation pipeline publishes next to every
+    shipped corpus snapshot.
+
+    Output: one row per rollup tier with ``gid`` =
+    ``grouping_id(dims)`` (0 = finest tier, ascending toward the
+    grand total; NULL dim values mark rolled-up levels, the q19/q66
+    convention).
+
+    Scale shape (100 TB): per-doc counts are scan-stage
+    expressions; the rollup is ONE map-side-combined aggregate whose
+    output is the dim-combination count — no window, no join, no
+    second corpus pass for any tier.
+    """
+    if not dims:
+        raise ValueError("dims must name at least one column")
+    from nsl_kdd_spark.functions.text import token_count
+
+    base = df.withColumn(
+        "__t", token_count(text_col).cast("long")
+    ).withColumn("__c", F.length(text_col).cast("long"))
+    agg = base.rollup(*dims).agg(
+        F.grouping_id(*dims).cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        F.sum("__c").alias("n_chars"),
+        F.min("__t").alias("min_tokens"),
+        F.max("__t").alias("max_tokens"),
+    )
+    return (
+        agg.withColumn(
+            "tokens_per_doc_ppm",
+            F.expr("(1000000 * n_tokens) div n_docs"),
+        )
+        .withColumn(
+            "chars_per_token_ppm",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(1000000 * n_chars) div n_tokens"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .orderBy(
+            "gid",
+            *[F.col(c).asc_nulls_first() for c in dims],
+        )
+    )

@@ -8012,6 +8012,155 @@ def q175_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q176 — dataset data card (round-11; quality.datacard_report):
+# Gebru et al. 2018 "Datasheets for Datasets" / Google Data Cards —
+# the corpus-composition statement published next to every shipped
+# snapshot: per source x lang, per source, and overall tiers from
+# ONE rollup aggregate; counts exact, density ratios integer ppm.
+# DuckDB replays with ROLLUP + GROUPING().
+# ---------------------------------------------------------------------------
+
+@query(
+    "q176_datacard",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents
+    ), agg AS (
+      SELECT source, lang,
+             CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+             COUNT(*) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             MIN(t) AS min_tokens,
+             MAX(t) AS max_tokens
+      FROM per
+      GROUP BY ROLLUP (source, lang)
+    )
+    SELECT source, lang, gid, n_docs, n_tokens, n_chars,
+           min_tokens, max_tokens,
+           (1000000 * n_tokens) // n_docs AS tokens_per_doc_ppm,
+           CASE WHEN n_tokens > 0
+                THEN (1000000 * n_chars) // n_tokens
+                ELSE 0 END AS chars_per_token_ppm
+    FROM agg
+    ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
+    """,
+)
+def q176_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.quality import datacard_report
+
+    docs = load_tables(spark, sf_dir).documents
+    return datacard_report(docs, ["source", "lang"], "text")
+
+
+# ---------------------------------------------------------------------------
+# q177 — UL2 mixture of denoisers (round-11;
+# corpus.mixture_of_denoisers): Tay et al. 2022 — every doc routes
+# by a 16-bit md5 bucket into R (T5 span corruption 0.15/3), X
+# (extreme 0.5/8) or S (prefix-LM suffix denoising, 32-bit split),
+# all three serialized by the ONE shared maximal-run machinery so
+# the output schema is uniform. DuckDB replays the route cut, the
+# routed per-position selection, the window islands and the ordered
+# string_agg serialization — strings compare bit-exact.
+# ---------------------------------------------------------------------------
+
+_Q177_ROUTE = _md5_bucket_sql("m1route", "doc_id")
+_Q177_SEL_R = _md5_bucket_sql(
+    "m1u", "doc_id || '-' || CAST((pos - 1) // 3 AS VARCHAR)"
+)
+_Q177_SEL_X = _md5_bucket_sql(
+    "m1u", "doc_id || '-' || CAST((pos - 1) // 8 AS VARCHAR)"
+)
+
+@query(
+    "q177_mixture_of_denoisers",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+    ), routed AS (
+      SELECT doc_id, text, tk,
+             CASE WHEN {_Q177_ROUTE} < 32768 THEN 'R'
+                  WHEN {_Q177_ROUTE} < 49152 THEN 'X'
+                  ELSE 'S' END AS denoiser,
+             ({_md5_bucket32_sql("m1s", "doc_id")}) % (len(tk) + 1)
+               AS s_cut
+      FROM toks
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), sel AS (
+      SELECT t.doc_id, t.pos
+      FROM tok t JOIN routed r USING (doc_id)
+      WHERE (r.denoiser = 'S' AND t.pos > r.s_cut)
+         OR (r.denoiser = 'R' AND {_Q177_SEL_R.replace("doc_id", "t.doc_id").replace("CAST((pos", "CAST((t.pos")} < {int(0.15 * 65536)})
+         OR (r.denoiser = 'X' AND {_Q177_SEL_X.replace("doc_id", "t.doc_id").replace("CAST((pos", "CAST((t.pos")} < {int(0.5 * 65536)})
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM sel
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY doc_id, island
+    ), ks AS (
+      SELECT doc_id, s, e,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k
+      FROM spans
+    ), cov AS (
+      SELECT doc_id, u.p AS pos
+      FROM ks, unnest(generate_series(s, e)) AS u(p)
+    ), pieces AS (
+      SELECT t.doc_id, t.pos, t.w AS v
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+      UNION ALL
+      SELECT doc_id, s AS pos,
+             '<extra_id_' || CAST(k AS VARCHAR) || '>' AS v
+      FROM ks
+    ), inp AS (
+      SELECT doc_id, string_agg(v, ' ' ORDER BY pos) AS text_input
+      FROM pieces GROUP BY doc_id
+    ), tgt AS (
+      SELECT ks.doc_id,
+             string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+                        array_to_string(tk[s:e], ' '), ' ' ORDER BY k)
+               AS body,
+             COUNT(*) AS nsp, SUM(e - s + 1) AS ct
+      FROM ks JOIN toks USING (doc_id) GROUP BY ks.doc_id
+    )
+    SELECT d.doc_id, r.denoiser,
+           CAST(COALESCE(t.nsp, 0) AS INTEGER) AS n_spans,
+           CAST(COALESCE(t.ct, 0) AS INTEGER) AS corrupted_tokens,
+           COALESCE(i.text_input, d.text) AS text_input,
+           COALESCE(t.body || ' ', '')
+             || '<extra_id_' || CAST(COALESCE(t.nsp, 0) AS VARCHAR) || '>'
+             AS text_target
+    FROM documents d
+    JOIN routed r USING (doc_id)
+    LEFT JOIN inp i USING (doc_id)
+    LEFT JOIN tgt t USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q177_mixture_of_denoisers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import mixture_of_denoisers
+
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        mixture_of_denoisers(docs, "doc_id", "text", salt="m1")
+        .select(
+            "doc_id", "denoiser", "n_spans", "corrupted_tokens",
+            "text_input", "text_target",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

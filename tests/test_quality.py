@@ -208,3 +208,41 @@ def test_containment_pairs_catch_subset_dups_jaccard_misses(spark):
         max_shingle_freq=1).collect()}
     # every shared shingle has df=2 -> all dropped -> no pairs at all
     assert capped == {}
+
+
+def test_datacard_report_known_values(spark):
+    from nsl_kdd_spark.operators.quality import datacard_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "s0", "en", "a b c"),
+            (2, "s0", "en", "d e"),
+            (3, "s0", "fr", "f"),
+            (4, "s1", "en", "g h i j"),
+        ],
+        "id long, source string, lang string, text string",
+    )
+    rows = datacard_report(df, ["source", "lang"], "text").collect()
+    by_key = {(r["source"], r["lang"], r["gid"]): r for r in rows}
+    # finest tier
+    r = by_key[("s0", "en", 0)]
+    assert (r["n_docs"], r["n_tokens"], r["min_tokens"], r["max_tokens"]) \
+        == (2, 5, 2, 3)
+    assert r["tokens_per_doc_ppm"] == (1_000_000 * 5) // 2
+    # source rollup
+    r = by_key[("s0", None, 1)]
+    assert (r["n_docs"], r["n_tokens"]) == (3, 6)
+    # grand total
+    r = by_key[(None, None, 3)]
+    assert (r["n_docs"], r["n_tokens"]) == (4, 10)
+    assert len(rows) == 3 + 2 + 1  # (s,l) tiers + s tiers + total
+
+
+def test_datacard_report_rejects_empty_dims(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.quality import datacard_report
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with _pytest.raises(ValueError):
+        datacard_report(df, [], "text")

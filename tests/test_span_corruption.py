@@ -220,3 +220,125 @@ def test_plan_is_pure_scan_projection(spark):
     assert "Join" not in tree and "Window" not in tree
     assert "Generate" not in tree  # no explode
     assert "EvalPython" not in plan
+
+
+def _b32(key: str, salt: str = "") -> int:
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
+
+
+def _py_mod(doc_id, text, salt, weights=(0.5, 0.25, 0.25),
+            r=(0.15, 3), x=(0.5, 8)):
+    tk = text.split(" ")
+    L = len(tk)
+    total = sum(weights)
+    cut_r = int(weights[0] / total * 65536)
+    cut_rx = int((weights[0] + weights[1]) / total * 65536)
+    rb = _bucket(str(doc_id), salt + "route")
+    route = "R" if rb < cut_r else ("X" if rb < cut_rx else "S")
+    if route == "S":
+        c = _b32(str(doc_id), salt + "s") % (L + 1)
+        sel = [p for p in range(1, L + 1) if p > c]
+    else:
+        rate, slen = r if route == "R" else x
+        cut = int(rate * 65536)
+        sel = [
+            p for p in range(1, L + 1)
+            if _bucket(f"{doc_id}-{(p - 1) // slen}", salt + "u") < cut
+        ]
+    spans: list[list[int]] = []
+    for p in sel:
+        if spans and spans[-1][1] == p - 1:
+            spans[-1][1] = p
+        else:
+            spans.append([p, p])
+    inp, tgt, prev = [], [], 0
+    for k, (s_, e_) in enumerate(spans):
+        inp += tk[prev:s_ - 1] + [f"<extra_id_{k}>"]
+        tgt += [f"<extra_id_{k}>"] + tk[s_ - 1:e_]
+        prev = e_
+    inp += tk[prev:]
+    tgt += [f"<extra_id_{len(spans)}>"]
+    return route, " ".join(inp), " ".join(tgt), len(spans), len(sel)
+
+
+def test_mixture_of_denoisers_matches_python_reference(spark):
+    from nsl_kdd_spark.operators.corpus import mixture_of_denoisers
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(20 + i % 13)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in mixture_of_denoisers(
+            df, "doc_id", "text", salt="t1"
+        ).collect()
+    }
+    seen = set()
+    for doc_id, text in rows:
+        route, inp, tgt, nsp, ct = _py_mod(doc_id, text, "t1")
+        g = out[doc_id]
+        seen.add(route)
+        assert (
+            g["denoiser"], g["text_input"], g["text_target"],
+            g["n_spans"], g["corrupted_tokens"],
+        ) == (route, inp, tgt, nsp, ct), doc_id
+    assert seen == {"R", "X", "S"}  # all three objectives exercised
+
+
+def test_mixture_weights_route_everything(spark):
+    from nsl_kdd_spark.operators.corpus import mixture_of_denoisers
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)],
+        "doc_id long, text string",
+    )
+    all_r = mixture_of_denoisers(
+        df, "doc_id", "text", weights=(1.0, 0.0, 0.0)
+    ).collect()
+    assert all(r["denoiser"] == "R" for r in all_r)
+    all_s = mixture_of_denoisers(
+        df, "doc_id", "text", weights=(0.0, 0.0, 1.0)
+    ).collect()
+    assert all(r["denoiser"] == "S" for r in all_s)
+    # S = prefix-LM: input ends with the sentinel (suffix masked),
+    # and the target carries the suffix (or the K=0 bare sentinel
+    # when the split lands at L)
+    for r in all_s:
+        if r["n_spans"] == 1:
+            assert r["text_input"].endswith("<extra_id_0>")
+            assert r["text_target"].endswith("<extra_id_1>")
+        else:
+            assert r["n_spans"] == 0
+            assert r["text_target"] == "<extra_id_0>"
+
+
+def test_mixture_invalid_args(spark):
+    from nsl_kdd_spark.operators.corpus import mixture_of_denoisers
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        mixture_of_denoisers(df, "doc_id", "text", weights=(1.0, 0.0))
+    with pytest.raises(ValueError):
+        mixture_of_denoisers(df, "doc_id", "text", weights=(0, 0, 0))
+    with pytest.raises(ValueError):
+        mixture_of_denoisers(df, "doc_id", "text", r_denoiser=(1.5, 3))
+    with pytest.raises(ValueError):
+        mixture_of_denoisers(df, "doc_id", "text", x_denoiser=(0.5, 0))
+
+
+def test_mixture_plan_is_pure_scan_projection(spark):
+    from tests.test_plan_quality import plan_of
+
+    from nsl_kdd_spark.operators.corpus import mixture_of_denoisers
+
+    df = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    plan = plan_of(mixture_of_denoisers(df, "doc_id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree and "Window" not in tree
+    assert "Generate" not in tree
+    assert "EvalPython" not in plan

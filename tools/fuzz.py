@@ -2425,6 +2425,181 @@ def fam_fertility(rng: random.Random):
     return f"group={group} mod={mod}", spark_fn, sql, False
 
 
+def fam_datacard(rng: random.Random):
+    """Dataset data card (round-11; quality.datacard_report — Gebru
+    et al. 2018 datasheets). Draws move the rollup dimension order
+    and a subset modulus; the oracle replays ROLLUP + GROUPING and
+    the integer-ppm densities exactly."""
+    dims = rng.choice((("source", "lang"), ("lang", "source"), ("lang",)))
+    mod = rng.choice((0, 2))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.quality import datacard_report
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        if mod:
+            docs = docs.filter(F.col("doc_id") % mod == 0)
+        return datacard_report(docs, list(dims), "text")
+
+    gate = f"WHERE doc_id % {mod} = 0" if mod else ""
+    dcols = ", ".join(dims)
+    dsel = ", ".join(dims)
+    nulls_order = ", ".join(f"{d} NULLS FIRST" for d in dims)
+    sql = f"""
+    WITH per AS (
+      SELECT {dsel},
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents {gate}
+    ), agg AS (
+      SELECT {dsel},
+             CAST(GROUPING({dcols}) AS BIGINT) AS gid,
+             COUNT(*) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             MIN(t) AS min_tokens,
+             MAX(t) AS max_tokens
+      FROM per
+      GROUP BY ROLLUP ({dcols})
+    )
+    SELECT {dsel}, gid, n_docs, n_tokens, n_chars,
+           min_tokens, max_tokens,
+           (1000000 * n_tokens) // n_docs AS tokens_per_doc_ppm,
+           CASE WHEN n_tokens > 0
+                THEN (1000000 * n_chars) // n_tokens
+                ELSE 0 END AS chars_per_token_ppm
+    FROM agg
+    ORDER BY gid, {nulls_order}
+    """
+    return f"dims={dims} mod={mod}", spark_fn, sql, False
+
+
+def fam_denoiser_mix(rng: random.Random):
+    """UL2 mixture of denoisers (round-11;
+    corpus.mixture_of_denoisers — Tay et al. 2022). Draws move the
+    R/X/S route weights, the R and X (rate, span_len) points and the
+    salt; the oracle replays the route cut, the routed per-position
+    selection, the islands and both serializations — strings compare
+    bit-exact."""
+    weights = rng.choice(((0.5, 0.25, 0.25), (1.0, 0.0, 0.0),
+                          (0.0, 0.0, 1.0), (0.34, 0.33, 0.33)))
+    r_cfg = rng.choice(((0.15, 3), (0.3, 2)))
+    x_cfg = rng.choice(((0.5, 8), (0.6, 4)))
+    salt = rng.choice(("", "mz"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.corpus import mixture_of_denoisers
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return (
+            mixture_of_denoisers(
+                docs, "doc_id", "text", salt=salt,
+                r_denoiser=r_cfg, x_denoiser=x_cfg, weights=weights,
+            )
+            .select(
+                "doc_id", "denoiser", "n_spans", "corrupted_tokens",
+                "text_input", "text_target",
+            )
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import (
+        _md5_bucket32_sql,
+        _md5_bucket_sql,
+    )
+
+    total = sum(weights)
+    cut_r = int(weights[0] / total * 65536)
+    cut_rx = int((weights[0] + weights[1]) / total * 65536)
+    route = _md5_bucket_sql(salt + "route", "doc_id")
+    sel_r = _md5_bucket_sql(
+        salt + "u",
+        f"t.doc_id || '-' || CAST((t.pos - 1) // {r_cfg[1]} AS VARCHAR)",
+    )
+    sel_x = _md5_bucket_sql(
+        salt + "u",
+        f"t.doc_id || '-' || CAST((t.pos - 1) // {x_cfg[1]} AS VARCHAR)",
+    )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+    ), routed AS (
+      SELECT doc_id, text, tk,
+             CASE WHEN {route} < {cut_r} THEN 'R'
+                  WHEN {route} < {cut_rx} THEN 'X'
+                  ELSE 'S' END AS denoiser,
+             ({_md5_bucket32_sql(salt + "s", "doc_id")}) % (len(tk) + 1)
+               AS s_cut
+      FROM toks
+    ), tok AS (
+      SELECT doc_id, t.i AS pos, tk[t.i] AS w
+      FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+    ), sel AS (
+      SELECT t.doc_id, t.pos
+      FROM tok t JOIN routed r USING (doc_id)
+      WHERE (r.denoiser = 'S' AND t.pos > r.s_cut)
+         OR (r.denoiser = 'R' AND {sel_r} < {int(r_cfg[0] * 65536)})
+         OR (r.denoiser = 'X' AND {sel_x} < {int(x_cfg[0] * 65536)})
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM sel
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY doc_id, island
+    ), ks AS (
+      SELECT doc_id, s, e,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k
+      FROM spans
+    ), cov AS (
+      SELECT doc_id, u.p AS pos
+      FROM ks, unnest(generate_series(s, e)) AS u(p)
+    ), pieces AS (
+      SELECT t.doc_id, t.pos, t.w AS v
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+      UNION ALL
+      SELECT doc_id, s AS pos,
+             '<extra_id_' || CAST(k AS VARCHAR) || '>' AS v
+      FROM ks
+    ), inp AS (
+      SELECT doc_id, string_agg(v, ' ' ORDER BY pos) AS text_input
+      FROM pieces GROUP BY doc_id
+    ), tgt AS (
+      SELECT ks.doc_id,
+             string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+                        array_to_string(tk[s:e], ' '), ' ' ORDER BY k)
+               AS body,
+             COUNT(*) AS nsp, SUM(e - s + 1) AS ct
+      FROM ks JOIN toks USING (doc_id) GROUP BY ks.doc_id
+    )
+    SELECT d.doc_id, r.denoiser,
+           CAST(COALESCE(t.nsp, 0) AS INTEGER) AS n_spans,
+           CAST(COALESCE(t.ct, 0) AS INTEGER) AS corrupted_tokens,
+           COALESCE(i.text_input, d.text) AS text_input,
+           COALESCE(t.body || ' ', '')
+             || '<extra_id_' || CAST(COALESCE(t.nsp, 0) AS VARCHAR) || '>'
+             AS text_target
+    FROM documents d
+    JOIN routed r USING (doc_id)
+    LEFT JOIN inp i USING (doc_id)
+    LEFT JOIN tgt t USING (doc_id)
+    ORDER BY d.doc_id
+    """
+    return (
+        f"weights={weights} r={r_cfg} x={x_cfg} salt={salt!r}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_decontam_spans(rng: random.Random):
     """Window-level decontamination (round-10;
     decontam.decontaminate_spans — GPT-3 Appendix C's strip-the
@@ -2956,6 +3131,8 @@ FAMILIES = {
     "temperature_mixture": fam_temperature_mixture,
     "fim": fam_fim,
     "span_corruption": fam_span_corruption,
+    "denoiser_mix": fam_denoiser_mix,
+    "datacard": fam_datacard,
     "sft_spans": fam_sft_spans,
     "diversity": fam_diversity,
     "k_anonymity": fam_k_anonymity,
@@ -2979,7 +3156,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility", "l_diversity", "t_closeness")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility", "l_diversity", "t_closeness", "datacard")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
