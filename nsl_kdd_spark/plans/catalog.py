@@ -8371,9 +8371,13 @@ def q177_mixture_of_denoisers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # members) for q79 ewma (time-series family held by q102
 # point-in-time + q128 time-weighted avg) and q120 upsample
 # (deterministic-sampling family held by q86/q137; its epoch
-# semantics live on in the in-window q158/q161 mixtures). The full
-# rotated window re-verified via tools/compare.py at sf0.01 before
-# round close.
+# semantics live on in the in-window q158/q161 mixtures). Fourth
+# wave: q176 data card and q177 UL2 denoiser mixture rotate in for
+# q92 ngram-topk (the gram-count family is now held by q169's
+# diversity report, the same explode + map-side gram-agg shape) and
+# q60 profile (the profile family is held by q176's rollup datacard
+# plus q115's windowed expectations). The full rotated window
+# re-verified via tools/compare.py at sf0.01 before round close.
 DRIVER_WINDOW = [
     # touched-this-round substr family anchors
     "q153_exact_substring_strip",
@@ -8391,12 +8395,13 @@ DRIVER_WINDOW = [
     "q169_ngram_diversity", "q170_k_anonymity",
     "q171_preference_pairs", "q173_tokenizer_fertility",
     "q174_l_diversity", "q175_t_closeness",
+    "q176_datacard", "q177_mixture_of_denoisers",
     # newest green row is r4
     "q53_pattern_extract",
-    "q56_rank_analytics", "q60_profile",
+    "q56_rank_analytics",
     "q75_event_funnel",
     "q85_bin_texts", "q86_weighted_sample",
-    "q89_latest_per_key", "q90_group_split", "q92_ngram_topk",
+    "q89_latest_per_key", "q90_group_split",
     "q99_shuffle_order", "q100_token_budget", "q102_point_in_time",
     "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",

@@ -58,6 +58,7 @@ PICKS = {
     "q171_preference_pairs": "preference pairs (r11): ONE max_by/min_by aggregate over (score, id) ordering structs — no window, no join, O(1) state per prompt",
     "q172_pack_best_fit": "SPFHP packing (r11): size-histogram aggregate (driver solve on counts), distributed per-size rank (range-partition cumsum, never a size-keyed window), broadcast range-table join for arithmetic assignment",
     "q175_t_closeness": "t-closeness (r11): one corpus cell aggregate, global distribution as a literal map (no second join), integer TV-EMD arithmetic on the cell table, null-safe join back — no window",
+    "q177_mixture_of_denoisers": "UL2 denoiser mixture (r11): md5 route + routed per-position selection + shared masked-run serializer, ALL scan-stage — zero exchanges before the orderBy",
 }
 
 
