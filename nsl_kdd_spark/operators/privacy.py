@@ -35,6 +35,44 @@ def generalize_bin(col: Column | str, width: float) -> Column:
     return (b.cast("double") * F.lit(float(width))).cast("double")
 
 
+def _validate(quasi_cols: list[str], mode: str) -> None:
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if mode not in ("suppress", "flag"):
+        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
+
+
+def _attach_group_metric(
+    df: DataFrame, quasi_cols: list[str], metrics: DataFrame
+) -> DataFrame:
+    """Shared join-back scaffold for the privacy trio (review r11:
+    this rename + eqNullSafe-fold + join + drop block existed in
+    three near-identical copies): ``metrics`` carries the per-group
+    metric keyed by ``__q_<col>`` columns; the join is null-safe
+    because NULL quasi-identifiers are ONE linkage class."""
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(metrics[f"__q_{c}"])
+        cond = eq if cond is None else cond & eq
+    return df.join(metrics, cond).drop(
+        *[f"__q_{c}" for c in quasi_cols]
+    )
+
+
+def _gate(
+    out: DataFrame,
+    metric_col: str,
+    passes: Column,
+    mode: str,
+    flag_col: str,
+) -> DataFrame:
+    """Suppress (keep passing rows, drop the metric) or flag
+    (annotate every row) — the trio's shared mode branch."""
+    if mode == "suppress":
+        return out.filter(passes).drop(metric_col)
+    return out.withColumn(flag_col, passes)
+
+
 def l_diversify(
     df: DataFrame,
     quasi_cols: list[str],
@@ -64,38 +102,30 @@ def l_diversify(
     (internally a two-phase partial aggregate) in place of the
     count. No window.
     """
-    if not quasi_cols:
-        raise ValueError("quasi_cols must name at least one column")
+    _validate(quasi_cols, mode)
     if l < 1:
         raise ValueError(f"l must be >= 1, got {l}")
-    if mode not in ("suppress", "flag"):
-        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
     sizes = (
         df.groupBy(*quasi_cols)
         .agg(
-            F.size(
-                F.collect_set(
-                    # collect_set drops NULLs; fold them into one
-                    # sentinel class first
-                    F.coalesce(
-                        F.col(sensitive_col).cast("string"),
-                        F.lit("\x00null"),
-                    )
+            # countDistinct = the documented two-phase partial
+            # aggregate (review r11: collect_set materialized the
+            # full distinct set per group — unbounded state on
+            # high-cardinality sensitive columns); countDistinct
+            # ignores NULLs, so fold them into one sentinel class
+            F.countDistinct(
+                F.coalesce(
+                    F.col(sensitive_col).cast("string"),
+                    F.lit("\x00null"),
                 )
             ).cast("long").alias(distinct_col)
         )
         .withColumnsRenamed({c: f"__q_{c}" for c in quasi_cols})
     )
-    cond = None
-    for c in quasi_cols:
-        eq = df[c].eqNullSafe(sizes[f"__q_{c}"])
-        cond = eq if cond is None else cond & eq
-    out = df.join(sizes, cond).drop(
-        *[f"__q_{c}" for c in quasi_cols]
+    out = _attach_group_metric(df, quasi_cols, sizes)
+    return _gate(
+        out, distinct_col, F.col(distinct_col) >= l, mode, flag_col
     )
-    if mode == "suppress":
-        return out.filter(F.col(distinct_col) >= l).drop(distinct_col)
-    return out.withColumn(flag_col, F.col(distinct_col) >= l)
 
 
 def t_closeness_audit(
@@ -126,31 +156,35 @@ def t_closeness_audit(
     group x value matrix). The report column is the integer-ppm EMD
     ``(1e6 * that) div (2*n*N)`` compared against ``t_ppm`` — the
     engine's fixed-point doctrine, bit-identical in any engine.
-    Counts are longs; c_i*N needs BIGINT headroom (fine to ~3e9
-    rows; past that, cast the products to DECIMAL(38,0) — the q158
-    precedent).
+    Per-cell products stay in longs (c_i*N <= n*N fits BIGINT to
+    ~3e9 rows); the ppm step multiplies 2*n*N by 1e6 and therefore
+    runs in DECIMAL(38,0) (HUGEINT in the oracle) — the q158
+    precedent; at BIGINT it would wrap past n*N ~ 4.6e12 (review
+    r11).
 
     ``mode="flag"`` annotates every row with ``(emd_col, flag_col)``;
     ``mode="suppress"`` keeps only t-close groups.
 
     Scale shape: everything computes on the DISTINCT (group,
-    sensitive-value) table — one map-side-combined groupBy of the
-    corpus, then group-level and global aggregates over that small
-    table (global distribution broadcast) and one join back. No
-    window, no dense cross join.
+    sensitive-value) table — ONE map-side-combined groupBy of the
+    corpus, locally checkpointed (the with_global_cumsum precedent)
+    so the driver-side global-distribution collect and the lazy
+    terms path both read the materialized cells instead of
+    re-aggregating the corpus twice (review r11); then group-level
+    arithmetic over that small table and one join back. No window,
+    no dense cross join.
     """
-    if not quasi_cols:
-        raise ValueError("quasi_cols must name at least one column")
+    _validate(quasi_cols, mode)
     if not 0 <= t_ppm <= 1_000_000:
         raise ValueError(f"t_ppm must be in [0, 1e6], got {t_ppm}")
-    if mode not in ("suppress", "flag"):
-        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
     sv = F.coalesce(
         F.col(sensitive_col).cast("string"), F.lit("\x00null")
     )
-    cells = df.groupBy(
-        *quasi_cols, sv.alias("__sv")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    cells = (
+        df.groupBy(*quasi_cols, sv.alias("__sv"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
     # the global sensitive distribution is domain-bounded (a handful
     # of disclosure classes), so it materializes driver-side — the
     # pack_best_fit histogram precedent — and re-enters as a LITERAL
@@ -198,9 +232,15 @@ def t_closeness_audit(
         )
         .withColumn(
             emd_col,
+            # DECIMAL(38,0) for the 1e6-scaled step: BIGINT wraps
+            # once n*N passes ~4.6e12 (review r11); the quotient is
+            # <= 1e6, so the cast back to long is always safe
             F.expr(
-                f"(1000000 * (__n * {n_total} + __tsum))"
-                f" div (2 * __n * {n_total})"
+                f"CAST((CAST(1000000 AS DECIMAL(38,0))"
+                f" * (CAST(__n AS DECIMAL(38,0)) * {n_total}"
+                f" + __tsum))"
+                f" div (CAST(2 AS DECIMAL(38,0)) * __n * {n_total})"
+                f" AS BIGINT)"
             ),
         )
         .withColumnsRenamed({c: f"__q_{c}" for c in quasi_cols})
@@ -208,16 +248,10 @@ def t_closeness_audit(
             *[f"__q_{c}" for c in quasi_cols], emd_col
         )
     )
-    cond = None
-    for c in quasi_cols:
-        eq = df[c].eqNullSafe(terms[f"__q_{c}"])
-        cond = eq if cond is None else cond & eq
-    out = df.join(terms, cond).drop(
-        *[f"__q_{c}" for c in quasi_cols]
+    out = _attach_group_metric(df, quasi_cols, terms)
+    return _gate(
+        out, emd_col, F.col(emd_col) <= t_ppm, mode, flag_col
     )
-    if mode == "suppress":
-        return out.filter(F.col(emd_col) <= t_ppm).drop(emd_col)
-    return out.withColumn(flag_col, F.col(emd_col) <= t_ppm)
 
 
 def k_anonymize(
@@ -249,24 +283,13 @@ def k_anonymize(
     the single-task shape the engine bans; the aggregate absorbs it
     map-side instead.
     """
-    if not quasi_cols:
-        raise ValueError("quasi_cols must name at least one column")
+    _validate(quasi_cols, mode)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if mode not in ("suppress", "flag"):
-        raise ValueError(f"mode must be suppress|flag, got {mode!r}")
     sizes = (
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias(size_col))
         .withColumnsRenamed({c: f"__q_{c}" for c in quasi_cols})
     )
-    cond = None
-    for c in quasi_cols:
-        eq = df[c].eqNullSafe(sizes[f"__q_{c}"])
-        cond = eq if cond is None else cond & eq
-    out = df.join(sizes, cond).drop(
-        *[f"__q_{c}" for c in quasi_cols]
-    )
-    if mode == "suppress":
-        return out.filter(F.col(size_col) >= k).drop(size_col)
-    return out.withColumn(flag_col, F.col(size_col) >= k)
+    out = _attach_group_metric(df, quasi_cols, sizes)
+    return _gate(out, size_col, F.col(size_col) >= k, mode, flag_col)

@@ -425,13 +425,22 @@ def datacard_report(
     return (
         agg.withColumn(
             "tokens_per_doc_ppm",
-            F.expr("(1000000 * n_tokens) div n_docs"),
+            # DECIMAL(38,0): at the grand-total tier of a 100 TB
+            # corpus 1e6 * n_chars ~ 1e20 wraps BIGINT (review r11);
+            # the quotients are small, so the cast back is safe
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens)"
+                " div n_docs AS BIGINT)"
+            ),
         )
         .withColumn(
             "chars_per_token_ppm",
             F.when(
                 F.col("n_tokens") > 0,
-                F.expr("(1000000 * n_chars) div n_tokens"),
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_chars)"
+                    " div n_tokens AS BIGINT)"
+                ),
             ).otherwise(F.lit(0).cast("long")),
         )
         .orderBy(

@@ -7976,8 +7976,9 @@ def q174_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY ce.c_nationkey, ce.bal_bin
     ), emd AS (
       SELECT c_nationkey, bal_bin,
-             CAST((1000000 * (n * n_tot + tsum))
-                  // (2 * n * n_tot) AS BIGINT) AS qid_emd_ppm
+             CAST((CAST(1000000 AS HUGEINT) * (n * n_tot + tsum))
+                  // (CAST(2 AS HUGEINT) * n * n_tot) AS BIGINT)
+               AS qid_emd_ppm
       FROM terms
     )
     SELECT q.c_custkey, q.c_nationkey, q.bal_bin, q.c_mktsegment,
@@ -8041,10 +8042,11 @@ def q175_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, lang, gid, n_docs, n_tokens, n_chars,
            min_tokens, max_tokens,
-           (1000000 * n_tokens) // n_docs AS tokens_per_doc_ppm,
-           CASE WHEN n_tokens > 0
-                THEN (1000000 * n_chars) // n_tokens
-                ELSE 0 END AS chars_per_token_ppm
+           CAST((CAST(1000000 AS HUGEINT) * n_tokens) // n_docs
+                AS BIGINT) AS tokens_per_doc_ppm,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_chars) // n_tokens
+                ELSE 0 END AS BIGINT) AS chars_per_token_ppm
     FROM agg
     ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
     """,
@@ -8068,11 +8070,14 @@ def q176_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q177_ROUTE = _md5_bucket_sql("m1route", "doc_id")
+# qualified keys built directly (review r11: an earlier draft
+# post-edited unqualified fragments with str.replace — fragile
+# surgery the fuzz family never needed)
 _Q177_SEL_R = _md5_bucket_sql(
-    "m1u", "doc_id || '-' || CAST((pos - 1) // 3 AS VARCHAR)"
+    "m1u", "t.doc_id || '-' || CAST((t.pos - 1) // 3 AS VARCHAR)"
 )
 _Q177_SEL_X = _md5_bucket_sql(
-    "m1u", "doc_id || '-' || CAST((pos - 1) // 8 AS VARCHAR)"
+    "m1u", "t.doc_id || '-' || CAST((t.pos - 1) // 8 AS VARCHAR)"
 )
 
 @query(
@@ -8095,8 +8100,8 @@ _Q177_SEL_X = _md5_bucket_sql(
       SELECT t.doc_id, t.pos
       FROM tok t JOIN routed r USING (doc_id)
       WHERE (r.denoiser = 'S' AND t.pos > r.s_cut)
-         OR (r.denoiser = 'R' AND {_Q177_SEL_R.replace("doc_id", "t.doc_id").replace("CAST((pos", "CAST((t.pos")} < {int(0.15 * 65536)})
-         OR (r.denoiser = 'X' AND {_Q177_SEL_X.replace("doc_id", "t.doc_id").replace("CAST((pos", "CAST((t.pos")} < {int(0.5 * 65536)})
+         OR (r.denoiser = 'R' AND {_Q177_SEL_R} < {int(0.15 * 65536)})
+         OR (r.denoiser = 'X' AND {_Q177_SEL_X} < {int(0.5 * 65536)})
     ), isl AS (
       SELECT doc_id, pos,
              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)

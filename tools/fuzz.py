@@ -2281,8 +2281,9 @@ def fam_t_closeness(rng: random.Random):
       GROUP BY ce.c_nationkey, ce.bal_bin
     ), emd AS (
       SELECT c_nationkey, bal_bin,
-             CAST((1000000 * (n * n_tot + tsum))
-                  // (2 * n * n_tot) AS BIGINT) AS qid_emd_ppm
+             CAST((CAST(1000000 AS HUGEINT) * (n * n_tot + tsum))
+                  // (CAST(2 AS HUGEINT) * n * n_tot) AS BIGINT)
+               AS qid_emd_ppm
       FROM terms
     )
     SELECT {sel}
@@ -2467,10 +2468,11 @@ def fam_datacard(rng: random.Random):
     )
     SELECT {dsel}, gid, n_docs, n_tokens, n_chars,
            min_tokens, max_tokens,
-           (1000000 * n_tokens) // n_docs AS tokens_per_doc_ppm,
-           CASE WHEN n_tokens > 0
-                THEN (1000000 * n_chars) // n_tokens
-                ELSE 0 END AS chars_per_token_ppm
+           CAST((CAST(1000000 AS HUGEINT) * n_tokens) // n_docs
+                AS BIGINT) AS tokens_per_doc_ppm,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_chars) // n_tokens
+                ELSE 0 END AS BIGINT) AS chars_per_token_ppm
     FROM agg
     ORDER BY gid, {nulls_order}
     """
