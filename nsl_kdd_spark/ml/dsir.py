@@ -159,7 +159,18 @@ def _lu_u(id_col: str, salt: str) -> Column:
     (md5_bucket32(id, salt) + 1) / 2^32`` — an EXACT binary double
     (power-of-two denominator, numerator <= 2^32), so both engines
     ln() the identical input. ONE definition for both selection
-    paths (round-11 review)."""
+    paths (round-11 review).
+
+    Libm caveat (verdict r11): unlike every other ln() in this
+    module, the input here is NOT an integer-valued double, and
+    IEEE 754 does not require ln to be correctly rounded — a 1-ulp
+    JVM-vs-DuckDB divergence (~2e-9 after the 1e6 scale) near a
+    round() half-boundary could flip one row's acceptance between
+    engines. Probability ~1e-10 per row; the dsir fuzz family
+    asserts every drawn row's 1e6*ln(u) sits outside a 1e-6 guard
+    band of the nearest half-integer, so a silent cross-engine flip
+    would surface as a loud fuzz failure instead of a hash
+    mismatch."""
     return _ln_u(
         (md5_bucket32(id_col, salt) + F.lit(1)).cast("double")
         / F.lit(4294967296.0)

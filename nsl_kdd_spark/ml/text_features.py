@@ -358,9 +358,16 @@ def ngram_diversity_report(
     rep = parts[0]
     for p in parts[1:]:
         rep = rep.unionByName(p)
+    # DECIMAL(38,0) for the 1e6-scaled step: past ~9.2e12 grams (the
+    # 100 TB design point) 1e6 * count wraps BIGINT silently in Spark
+    # while DuckDB raises — the datacard_report precedent (review
+    # r11); the quotient is <= 1e6, so the cast back is always safe
     ppm = lambda c: F.when(  # noqa: E731
         F.col("total_grams") > 0,
-        F.expr(f"(1000000 * {c}) div total_grams"),
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * {c})"
+            f" div total_grams AS BIGINT)"
+        ),
     ).otherwise(F.lit(0).cast("long"))
     return (
         rep.withColumn("distinct_ppm", ppm("distinct_grams"))
@@ -411,8 +418,15 @@ def tokenizer_fertility_report(
         F.sum(toks.cast("long")).alias("n_tokens"),
         F.sum(F.length(text_col).cast("long")).alias("n_chars"),
     )
+    # DECIMAL(38,0): 1e6 * n_tokens wraps BIGINT past ~9.2e12 tokens
+    # — exactly the corpus size the docstring advertises (review r11;
+    # the datacard_report precedent); quotients are small
     div_ppm = lambda num, den: F.when(  # noqa: E731
-        F.col(den) > 0, F.expr(f"(1000000 * {num}) div {den}")
+        F.col(den) > 0,
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * {num})"
+            f" div {den} AS BIGINT)"
+        ),
     ).otherwise(F.lit(0).cast("long"))
     return (
         agg.withColumn("fertility_ppm", div_ppm("n_tokens", "n_words"))

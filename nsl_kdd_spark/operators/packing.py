@@ -332,17 +332,22 @@ def spfhp_strategies(
     rows: walking sizes longest-first, each count is placed in bulk
     into the open pack group with the SMALLEST remaining space that
     still fits (splitting the group when only part of its packs are
-    needed), else a new group opens. The bulk placement emulates the
-    paper's one-sequence-at-a-time greedy EXACTLY: a chosen pack
-    keeps absorbing copies of the size until its remaining space
-    drops below it (it stays the smallest fitting pack while it
-    fits), so every placement stacks ``t = remaining div size``
-    copies per pack, and a fresh pack opened for a size takes
-    ``budget div size`` copies before the next one opens — uniform
-    same-size corpora pack densely instead of one-per-pack (review
-    r11: the earlier dump-all-as-singletons branch was NOT SPFHP and
-    lost to next-fit on uniform lengths). Deterministic: ties on
-    remaining space break by group creation order.
+    needed), else a new group opens. The bulk placement follows the
+    paper's one-sequence-at-a-time greedy: a chosen pack keeps
+    absorbing copies of the size until its remaining space drops
+    below it (it stays the smallest fitting pack while it fits), so
+    every placement stacks ``t = remaining div size`` copies per
+    pack, and a fresh pack opened for a size takes ``budget div
+    size`` copies before the next one opens — uniform same-size
+    corpora pack densely instead of one-per-pack (review r11: the
+    earlier dump-all-as-singletons branch was NOT SPFHP and lost to
+    next-fit on uniform lengths). Guarantee (what the pytest
+    reference pins): deterministic output, and the SAME pack count
+    and total waste as the serial greedy; pack COMPOSITIONS may
+    differ from the serial walk when several open packs tie on
+    remaining space, because group splits lose pack-creation order
+    inside a group (advice r11). Ties on remaining space break by
+    group creation order.
 
     Sizes >= budget form single-document packs (remaining space 0) —
     the pack_next_fit oversize rule.

@@ -136,6 +136,7 @@ def t_closeness_audit(
     mode: str = "flag",
     emd_col: str = "qid_emd_ppm",
     flag_col: str = "t_close",
+    max_classes: int = 10_000,
 ) -> DataFrame:
     """Distinct t-closeness (Li, Li & Venkatasubramanian 2007,
     "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity"):
@@ -172,7 +173,12 @@ def t_closeness_audit(
     terms path both read the materialized cells instead of
     re-aggregating the corpus twice (review r11); then group-level
     arithmetic over that small table and one join back. No window,
-    no dense cross join.
+    no dense cross join. The global distribution materializes
+    driver-side as a literal map, so the sensitive class domain must
+    be bounded: past ``max_classes`` distinct values the operator
+    refuses loudly (coarsen with :func:`generalize_bin` first, or
+    use the ordered/numeric tier) instead of building an unbounded
+    literal (verdict r11).
     """
     _validate(quasi_cols, mode)
     if not 0 <= t_ppm <= 1_000_000:
@@ -193,9 +199,26 @@ def t_closeness_audit(
     # Naming note: Spark resolves column names CASE-INSENSITIVELY by
     # default, so the global count is `__gcnt`, never `__C` — a `__C`
     # column silently replaces/collides with the cell count `__c`.
+    # the collect is capped: nothing in the schema enforces "a
+    # handful of disclosure classes", and a high-cardinality
+    # sensitive column (e.g. a raw numeric) would silently build a
+    # million-entry literal map — driver OOM / plan blowup instead
+    # of a loud error (verdict r11). The LIMIT bounds the collect
+    # itself, not just the map.
     glob_rows = (
-        cells.groupBy("__sv").agg(F.sum("__c").alias("__gcnt")).collect()
+        cells.groupBy("__sv")
+        .agg(F.sum("__c").alias("__gcnt"))
+        .limit(max_classes + 1)
+        .collect()
     )
+    if len(glob_rows) > max_classes:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} has more than"
+            f" {max_classes} distinct values — the categorical"
+            f" equal-ground-distance EMD expects a bounded class"
+            f" domain; coarsen it first (e.g. generalize_bin) or"
+            f" raise max_classes"
+        )
     n_total = int(sum(r["__gcnt"] for r in glob_rows))
     c_map = F.create_map(
         *[

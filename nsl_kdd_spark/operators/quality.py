@@ -427,11 +427,19 @@ def datacard_report(
             "tokens_per_doc_ppm",
             # DECIMAL(38,0): at the grand-total tier of a 100 TB
             # corpus 1e6 * n_chars ~ 1e20 wraps BIGINT (review r11);
-            # the quotients are small, so the cast back is safe
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens)"
-                " div n_docs AS BIGINT)"
-            ),
+            # the quotients are small, so the cast back is safe.
+            # n_docs = 0 only on an EMPTY corpus (Spark's rollup
+            # still emits a grand-total row there; DuckDB doesn't) —
+            # guard the division like chars_per_token_ppm so the one
+            # row Spark emits carries 0s instead of a NULL/error
+            # split between engines (advice r11)
+            F.when(
+                F.col("n_docs") > 0,
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens)"
+                    " div n_docs AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
         )
         .withColumn(
             "chars_per_token_ppm",

@@ -144,7 +144,16 @@ def preference_pairs(
     Ties on score break by LOWEST ``id_col`` on both sides, so the
     pair set is a pure function of the table (engine-replayable).
     Scores should be integers (the engine's fixed-point doctrine) —
-    float scores make "equal" engine-dependent.
+    float scores make "equal" engine-dependent. NULL-scored
+    responses are EXCLUDED up front (an unscored response can be
+    neither chosen nor rejected): without the filter, min_by's
+    struct ordering would sort a NULL score field FIRST and silently
+    crown the unscored row ``rejected`` — diverging from the SQL
+    twin's NULLS LAST (advice r11). The filter is documented
+    contract; the DuckDB oracle carries the same predicate.
+    ``min_margin`` must be >= 1: at 0 ``all_pairs`` would emit
+    self-pairs and both orders of every tie — rows that teach a
+    DPO trainer nothing (verdict r11).
 
     Output: ``(prompt_col, chosen_id, chosen, chosen_score,
     rejected_id, rejected, rejected_score, margin)``.
@@ -160,6 +169,11 @@ def preference_pairs(
         raise ValueError(
             f"strategy must be best_worst|all_pairs, got {strategy!r}"
         )
+    if min_margin < 1:
+        raise ValueError(
+            f"min_margin must be >= 1 (0 admits self-pairs and tie"
+            f" pairs with nothing to prefer), got {min_margin}"
+        )
     # the best_worst tie-break negates the id inside an ordering
     # struct; on a non-numeric id Spark would cast to double -> NULL
     # and pick an arbitrary row per execution (review r11) — refuse
@@ -172,6 +186,9 @@ def preference_pairs(
             f"id_col must be numeric for the deterministic tie-break,"
             f" got {id_type}"
         )
+    # documented contract (see docstring): unscored responses are out
+    # of the preference relation entirely
+    responses = responses.filter(F.col(score_col).isNotNull())
     if strategy == "all_pairs":
         a = responses.select(
             F.col(prompt_col),

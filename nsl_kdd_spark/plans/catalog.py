@@ -7679,12 +7679,14 @@ def _diversity_tier_sql(n: int) -> str:
     )
     SELECT CAST(n AS INTEGER) AS n, total_grams, distinct_grams,
            singleton_grams,
-           CASE WHEN total_grams > 0
-                THEN (1000000 * distinct_grams) // total_grams
-                ELSE 0 END AS distinct_ppm,
-           CASE WHEN total_grams > 0
-                THEN (1000000 * singleton_grams) // total_grams
-                ELSE 0 END AS singleton_ppm
+           CAST(CASE WHEN total_grams > 0
+                THEN (CAST(1000000 AS HUGEINT) * distinct_grams)
+                     // total_grams
+                ELSE 0 END AS BIGINT) AS distinct_ppm,
+           CAST(CASE WHEN total_grams > 0
+                THEN (CAST(1000000 AS HUGEINT) * singleton_grams)
+                     // total_grams
+                ELSE 0 END AS BIGINT) AS singleton_ppm
     FROM tiers
     ORDER BY n
     """,
@@ -7765,10 +7767,12 @@ def q170_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q171_preference_pairs",
     oracle="""
     WITH r AS (
+      -- NULL scores excluded by operator contract (advice r11)
       SELECT user_id AS prompt_id, event_id,
              event_type || ' ' || COALESCE(props, '') AS resp,
              CAST(FLOOR(value * 100) AS BIGINT) AS score
       FROM events
+      WHERE value IS NOT NULL
     ), c AS (
       SELECT prompt_id, event_id, resp, score,
              ROW_NUMBER() OVER (PARTITION BY prompt_id
@@ -7859,12 +7863,12 @@ def q172_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per GROUP BY lang
     )
     SELECT lang, n_docs, n_words, n_tokens, n_chars,
-           CASE WHEN n_words > 0
-                THEN (1000000 * n_tokens) // n_words
-                ELSE 0 END AS fertility_ppm,
-           CASE WHEN n_tokens > 0
-                THEN (1000000 * n_chars) // n_tokens
-                ELSE 0 END AS chars_per_token_ppm
+           CAST(CASE WHEN n_words > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_tokens) // n_words
+                ELSE 0 END AS BIGINT) AS fertility_ppm,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_chars) // n_tokens
+                ELSE 0 END AS BIGINT) AS chars_per_token_ppm
     FROM agg
     ORDER BY lang
     """,
@@ -8042,8 +8046,9 @@ def q175_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, lang, gid, n_docs, n_tokens, n_chars,
            min_tokens, max_tokens,
-           CAST((CAST(1000000 AS HUGEINT) * n_tokens) // n_docs
-                AS BIGINT) AS tokens_per_doc_ppm,
+           CAST(CASE WHEN n_docs > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_tokens) // n_docs
+                ELSE 0 END AS BIGINT) AS tokens_per_doc_ppm,
            CAST(CASE WHEN n_tokens > 0
                 THEN (CAST(1000000 AS HUGEINT) * n_chars) // n_tokens
                 ELSE 0 END AS BIGINT) AS chars_per_token_ppm

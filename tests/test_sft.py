@@ -241,3 +241,46 @@ def test_preference_pairs_rejects_non_numeric_id(spark):
     # tie winner; refuse loudly instead
     with _pytest.raises(ValueError):
         preference_pairs(df, "prompt", "resp", "score", "rid")
+
+
+def test_preference_pairs_null_scores_excluded(spark):
+    """NULL-scored responses are out of the preference relation on
+    BOTH sides (advice r11: without the pre-filter, min_by's struct
+    ordering sorts the NULL score field first and silently crowns
+    the unscored row `rejected`, diverging from the SQL twin's
+    NULLS LAST)."""
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "r10", 5),
+            (1, 11, "r11", None),  # unscored: never chosen/rejected
+            (1, 12, "r12", 2),
+            (2, 20, "r20", None),  # only unscored -> prompt drops
+            (2, 21, "r21", None),
+        ],
+        "prompt long, rid long, resp string, score long",
+    )
+    rows = preference_pairs(df, "prompt", "resp", "score", "rid").collect()
+    assert len(rows) == 1
+    assert (rows[0]["chosen_id"], rows[0]["rejected_id"]) == (10, 12)
+    pairs = preference_pairs(
+        df, "prompt", "resp", "score", "rid", strategy="all_pairs"
+    ).collect()
+    assert sorted((r["chosen_id"], r["rejected_id"]) for r in pairs) == [
+        (10, 12)
+    ]
+
+
+def test_preference_pairs_rejects_sub_one_margin(spark):
+    """min_margin 0 admits self-pairs and both orders of every tie
+    (verdict r11) — refused loudly."""
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.sft import preference_pairs
+
+    with _pytest.raises(ValueError):
+        preference_pairs(
+            _scored(spark), "prompt", "resp", "score", "rid",
+            strategy="all_pairs", min_margin=0,
+        )

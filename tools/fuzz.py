@@ -2065,12 +2065,14 @@ def fam_diversity(rng: random.Random):
     )
     SELECT CAST(n AS INTEGER) AS n, total_grams, distinct_grams,
            singleton_grams,
-           CASE WHEN total_grams > 0
-                THEN (1000000 * distinct_grams) // total_grams
-                ELSE 0 END AS distinct_ppm,
-           CASE WHEN total_grams > 0
-                THEN (1000000 * singleton_grams) // total_grams
-                ELSE 0 END AS singleton_ppm
+           CAST(CASE WHEN total_grams > 0
+                THEN (CAST(1000000 AS HUGEINT) * distinct_grams)
+                     // total_grams
+                ELSE 0 END AS BIGINT) AS distinct_ppm,
+           CAST(CASE WHEN total_grams > 0
+                THEN (CAST(1000000 AS HUGEINT) * singleton_grams)
+                     // total_grams
+                ELSE 0 END AS BIGINT) AS singleton_ppm
     FROM tiers
     ORDER BY n
     """
@@ -2327,7 +2329,10 @@ def fam_preference_pairs(rng: random.Random):
             strategy=strategy, min_margin=min_margin,
         ).orderBy("prompt_id", "chosen_id", "rejected_id")
 
-    gate = f"WHERE user_id % {mod} = 0" if mod else ""
+    # NULL scores excluded by operator contract (advice r11)
+    gate = "WHERE value IS NOT NULL" + (
+        f" AND user_id % {mod} = 0" if mod else ""
+    )
     if strategy == "best_worst":
         body = f"""
     , c AS (
@@ -2414,12 +2419,12 @@ def fam_fertility(rng: random.Random):
       FROM per GROUP BY {group}
     )
     SELECT {group}, n_docs, n_words, n_tokens, n_chars,
-           CASE WHEN n_words > 0
-                THEN (1000000 * n_tokens) // n_words
-                ELSE 0 END AS fertility_ppm,
-           CASE WHEN n_tokens > 0
-                THEN (1000000 * n_chars) // n_tokens
-                ELSE 0 END AS chars_per_token_ppm
+           CAST(CASE WHEN n_words > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_tokens) // n_words
+                ELSE 0 END AS BIGINT) AS fertility_ppm,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_chars) // n_tokens
+                ELSE 0 END AS BIGINT) AS chars_per_token_ppm
     FROM agg
     ORDER BY {group}
     """
@@ -2468,8 +2473,9 @@ def fam_datacard(rng: random.Random):
     )
     SELECT {dsel}, gid, n_docs, n_tokens, n_chars,
            min_tokens, max_tokens,
-           CAST((CAST(1000000 AS HUGEINT) * n_tokens) // n_docs
-                AS BIGINT) AS tokens_per_doc_ppm,
+           CAST(CASE WHEN n_docs > 0
+                THEN (CAST(1000000 AS HUGEINT) * n_tokens) // n_docs
+                ELSE 0 END AS BIGINT) AS tokens_per_doc_ppm,
            CAST(CASE WHEN n_tokens > 0
                 THEN (CAST(1000000 AS HUGEINT) * n_chars) // n_tokens
                 ELSE 0 END AS BIGINT) AS chars_per_token_ppm
@@ -2982,7 +2988,15 @@ def fam_dsir(rng: random.Random):
     the acceptance temperature tau, the selection salt and the
     target/raw split modulus; the oracle replays the micro-nat
     -quantized Laplace log-ratios, the margin sum and the ln(u)
-    acceptance — selected rows + scores compare bit-exact."""
+    acceptance — selected rows + scores compare bit-exact. Also
+    asserts the _lu_u libm guard band (verdict r11): ln() is not
+    correctly rounded in IEEE, so the acceptance draw is the one
+    place where cross-engine exactness rests on libm agreement
+    rather than integer construction — every raw row's 1e6*ln(u)
+    must sit > 1e-6 away from the nearest round() half-boundary
+    (a 1-ulp JVM/DuckDB divergence is ~2e-9), making a silent
+    acceptance flip a loud failure here instead of a hash
+    mismatch."""
     ngrams = rng.choice((1, 2))
     buckets = rng.choice((512, 4096))
     tau = rng.choice((0, -30_000_000, -45_000_000))
@@ -2990,10 +3004,31 @@ def fam_dsir(rng: random.Random):
     mod = rng.choice((5, 7, 11))
 
     def spark_fn(spark, sf_dir):
+        import duckdb
+
         from pyspark.sql import functions as F
 
         from nsl_kdd_spark.ml.dsir import dsir_select, dsir_weights
+        from nsl_kdd_spark.plans.catalog import _md5_bucket32_sql
         from nsl_kdd_spark.sources.parquet import load_tables
+
+        # hold the connection: duckdb relations are lazy and the
+        # anonymous connection would be GC'd before fetchone()
+        gcon = duckdb.connect()
+        guard = gcon.sql(f"""
+            SELECT MIN(ABS(x - FLOOR(x) - 0.5)) AS d FROM (
+              SELECT ln(({_md5_bucket32_sql(salt, "doc_id")} + 1)
+                        / 4294967296.0) * 1000000.0 AS x
+              FROM '{sf_dir}/documents.parquet'
+              WHERE doc_id % {mod} <> 0
+            )
+        """).fetchone()[0]
+        gcon.close()
+        assert guard is None or guard > 1e-6, (
+            f"_lu_u half-boundary guard band violated: a drawn row's"
+            f" 1e6*ln(u) sits {guard} from a round() boundary —"
+            f" cross-engine acceptance may silently diverge"
+        )
 
         docs = load_tables(spark, sf_dir).documents
         target = docs.filter(F.col("doc_id") % mod == 0)
