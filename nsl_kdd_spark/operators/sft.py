@@ -284,3 +284,180 @@ def assemble_chat_text(
             ).alias(out_col),
         )
     )
+
+
+def pack_fixed_count(
+    convs: DataFrame, conv_col: str, k: int
+) -> DataFrame:
+    """Assign conversations to packs of exactly ``k`` conversations
+    each (the last pack may be short), walking conversations in
+    ``conv_col`` order — the fixed-examples-per-pack baseline
+    assembler (and the oracle-replayable twin of the budget packers:
+    DuckDB replays it with one ROW_NUMBER).
+
+    Distributed shape: the global rank comes from
+    ``with_global_cumsum`` (range partition + per-partition window +
+    driver prefix sum) — never a corpus-sized ROW_NUMBER window.
+    ``conv_col`` must be unique (it is the cumsum order key).
+
+    Output: ``(conv_col, pack_id)`` with packs numbered from 0 in
+    conversation order.
+    """
+    from nsl_kdd_spark.operators.packing import with_global_cumsum
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranked = with_global_cumsum(
+        convs.select(conv_col).withColumn("__one", F.lit(1)),
+        conv_col,
+        "__one",
+        out_col="__rank",
+    )
+    return ranked.select(
+        conv_col,
+        ((F.col("__rank") - 1) / F.lit(k)).cast("long").alias("pack_id"),
+    )
+
+
+def pack_conversations(
+    spans: DataFrame,
+    packs: DataFrame,
+    conv_col: str,
+    pack_col: str = "pack_id",
+    joiner: str = "\n",
+    pack_sep: str = "\n",
+) -> DataFrame:
+    """Rebase per-conversation loss spans to PACK-relative offsets —
+    the packed completion-only collator contract (Krell et al. 2021
+    §5, "Efficient Sequence Packing without Cross-contamination":
+    whole examples share a pack, attention never crosses example
+    boundaries; TRL's packed ``DataCollatorForCompletionOnlyLM`` is
+    the reference consumer): every trainable span the SFT trainer
+    masks must be re-addressed from conversation-relative to
+    pack-relative character offsets, with the ``pack_sep`` between
+    conversations accounted for.
+
+    Packer-agnostic by design: ``packs`` is any ``(conv_col,
+    pack_col)`` assignment — :func:`pack_fixed_count` for the
+    oracle-replayable tier, ``packing.pack_best_fit`` (Krell SPFHP)
+    for the near-optimal budget tier, ``packing.pack_next_fit`` for
+    streams. The rebase arithmetic is identical under all of them.
+    Conversations absent from ``packs`` are dropped (inner join) —
+    the packer decides membership.
+
+    Within a pack, conversations concatenate in ``conv_col`` order
+    (deterministic, data-independent); ``pack_text = conversations
+    joined by pack_sep``, each conversation being its
+    ``joiner``-joined segments (must match the ``joiner`` the spans
+    were rendered with). All span columns stay 1-based inclusive, so
+    ``substring(pack_text, pack_loss_start, pack_loss_end -
+    pack_loss_start + 1) == content`` holds bit-exactly for every
+    loss turn — the oracle-checkable packing invariant.
+
+    Output: the span columns plus ``(pack_col, conv_pos, n_convs,
+    pack_len, pack_seg_start, pack_seg_end, pack_loss_start,
+    pack_loss_end)`` (loss columns null on non-loss turns).
+
+    Scale shape: ONE conversation-level aggregate (conv length =
+    max seg_end), one equi-join to the assignment, ONE per-pack
+    window (a pack is a BOUNDED group — budget- or k-bounded by the
+    packer's contract, the render_chat_spans argument), and one
+    join back to the turn rows. No corpus-sized window, no Python,
+    no collect.
+    """
+    conv = spans.groupBy(conv_col).agg(
+        F.max("seg_end").cast("long").alias("__conv_len")
+    )
+    assigned = conv.join(
+        packs.select(conv_col, pack_col), conv_col
+    )
+    w = Window.partitionBy(pack_col).orderBy(conv_col)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sep_len = len(pack_sep)
+    pos = (
+        assigned.withColumn("conv_pos", F.row_number().over(w))
+        .withColumn(
+            "__conv_off",
+            F.coalesce(
+                F.sum(F.col("__conv_len") + F.lit(sep_len)).over(wprev),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("n_convs", F.count(F.lit(1)).over(wfull))
+        .withColumn(
+            "pack_len",
+            F.sum("__conv_len").over(wfull)
+            + (F.col("n_convs") - 1) * F.lit(sep_len),
+        )
+    )
+    off = F.col("__conv_off")
+    return (
+        spans.join(pos, conv_col)
+        .withColumn("pack_seg_start", F.col("seg_start") + off)
+        .withColumn("pack_seg_end", F.col("seg_end") + off)
+        .withColumn("pack_loss_start", F.col("loss_start") + off)
+        .withColumn("pack_loss_end", F.col("loss_end") + off)
+        .drop("__conv_len", "__conv_off")
+    )
+
+
+def assemble_pack_text(
+    packed: DataFrame,
+    conv_col: str,
+    pack_col: str = "pack_id",
+    joiner: str = "\n",
+    pack_sep: str = "\n",
+    out_col: str = "pack_text",
+) -> DataFrame:
+    """Materialize each pack's training string from
+    :func:`pack_conversations` output: conversations (their
+    ``joiner``-joined segments) concatenated by ``pack_sep`` in
+    ``conv_pos`` order — ``(pack_col, n_convs, pack_len, out_col)``,
+    with ``length(out_col) == pack_len`` by construction.
+
+    Two bounded grouped aggregates (conversation, then pack — both
+    bounded groups by the packing contract), the assemble_chat_text
+    shape; in-group ordering rides JVM-side array_sort on (idx,
+    text) structs.
+    """
+    conv = packed.groupBy(pack_col, conv_col).agg(
+        F.max("conv_pos").alias("__pos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("i"),
+                            F.col("segment").alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            joiner,
+        ).alias("__ct"),
+    )
+    return conv.groupBy(pack_col).agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        (
+            F.sum(F.length("__ct").cast("long"))
+            + (F.count(F.lit(1)) - 1) * F.lit(len(pack_sep))
+        ).alias("pack_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos").alias("i"),
+                            F.col("__ct").alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            pack_sep,
+        ).alias(out_col),
+    )

@@ -8171,6 +8171,244 @@ def q177_mixture_of_denoisers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q178 — packed-SFT loss-span rebasing (round-12;
+# operators/sft.pack_conversations + pack_fixed_count): the Krell
+# et al. 2021 §5 cross-contamination-free packing applied to
+# completion-only SFT — whole conversations share a fixed pack and
+# every loss span is REBASED to pack-relative character offsets,
+# separator accounted (TRL's packed completion-only collator
+# contract). The packer here is the oracle-replayable fixed-count
+# tier (DuckDB replays it with one ROW_NUMBER; the engine uses the
+# distributed cumsum rank); the Krell SPFHP budget tier runs the
+# SAME rebase arithmetic in q181 (rows-only, the q172 class). The
+# ok_seg/ok_loss columns re-extract every rebased span from the
+# assembled pack text in BOTH engines — substring(pack_text,
+# pack_loss_start, ...) == content is checked end-to-end, and
+# pack_digest pins the assembled pack strings bit-exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q178_sft_pack",
+    oracle="""
+    WITH turns AS (
+      SELECT user_id AS conv_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'system'
+                  ELSE 'assistant' END AS role,
+             event_type || ' ' || COALESCE(props, '') AS content
+      FROM events
+    ), ordered AS (
+      SELECT conv_id, role, content,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, event_id) AS turn_idx
+      FROM turns
+    ), seg AS (
+      SELECT *,
+             '<|im_start|>' || role || chr(10) || content || '<|im_end|>'
+               AS segment
+      FROM ordered
+    ), off AS (
+      SELECT *,
+             COALESCE(SUM(CAST(length(segment) + 1 AS BIGINT))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+      FROM seg
+    ), conv AS (
+      SELECT conv_id,
+             CAST(MAX(prior + length(segment)) AS BIGINT) AS conv_len,
+             string_agg(segment, chr(10) ORDER BY turn_idx) AS conv_text
+      FROM off GROUP BY conv_id
+    ), pk AS (
+      SELECT conv_id, conv_len, conv_text,
+             CAST((ROW_NUMBER() OVER (ORDER BY conv_id) - 1) // 5
+                  AS BIGINT) AS pack_id
+      FROM conv
+    ), pos AS (
+      SELECT conv_id, pack_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pack_id
+                                     ORDER BY conv_id) AS INTEGER)
+               AS conv_pos,
+             CAST(COALESCE(SUM(conv_len + 1)
+               OVER (PARTITION BY pack_id ORDER BY conv_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS conv_off,
+             CAST(COUNT(*) OVER (PARTITION BY pack_id) AS BIGINT)
+               AS n_convs,
+             CAST(SUM(conv_len) OVER (PARTITION BY pack_id)
+                  + COUNT(*) OVER (PARTITION BY pack_id) - 1
+                  AS BIGINT) AS pack_len
+      FROM pk
+    ), ptext AS (
+      SELECT pack_id,
+             string_agg(conv_text, chr(10) ORDER BY conv_id)
+               AS pack_text
+      FROM pk GROUP BY pack_id
+    )
+    SELECT o.conv_id, CAST(o.turn_idx AS INTEGER) AS turn_idx, o.role,
+           p.pack_id, p.conv_pos, p.n_convs, p.pack_len,
+           CAST(o.prior + 1 + p.conv_off AS BIGINT) AS pack_seg_start,
+           CAST(o.prior + length(o.segment) + p.conv_off AS BIGINT)
+             AS pack_seg_end,
+           CAST(CASE WHEN o.role = 'assistant'
+                THEN o.prior + length('<|im_start|>' || o.role) + 2
+                     + p.conv_off END AS BIGINT) AS pack_loss_start,
+           CAST(CASE WHEN o.role = 'assistant'
+                THEN o.prior + length('<|im_start|>' || o.role) + 1
+                     + length(o.content) + p.conv_off END AS BIGINT)
+             AS pack_loss_end,
+           substr(t.pack_text,
+                  CAST(o.prior + 1 + p.conv_off AS BIGINT),
+                  CAST(length(o.segment) AS BIGINT)) = o.segment
+             AS ok_seg,
+           CASE WHEN o.role = 'assistant'
+                THEN substr(t.pack_text,
+                       CAST(o.prior + length('<|im_start|>' || o.role)
+                            + 2 + p.conv_off AS BIGINT),
+                       CAST(length(o.content) AS BIGINT)) = o.content
+                ELSE TRUE END AS ok_loss,
+           md5(t.pack_text) AS pack_digest
+    FROM off o JOIN pos p USING (conv_id) JOIN ptext t USING (pack_id)
+    ORDER BY o.conv_id, o.turn_idx
+    """,
+)
+def q178_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import (
+        assemble_pack_text,
+        pack_conversations,
+        pack_fixed_count,
+        render_chat_spans,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("content"),
+    )
+    spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+    packs = pack_fixed_count(
+        spans.select("conv_id").distinct(), "conv_id", k=5
+    )
+    packed = pack_conversations(spans, packs, "conv_id")
+    ptext = assemble_pack_text(packed, "conv_id")
+    out = packed.join(
+        ptext.select("pack_id", "pack_text"), "pack_id"
+    )
+    sub = (
+        "substring(pack_text, CAST({s} AS INT),"
+        " CAST({e} - {s} + 1 AS INT))"
+    )
+    return (
+        out.withColumn(
+            "ok_seg",
+            F.expr(
+                sub.format(s="pack_seg_start", e="pack_seg_end")
+                + " = segment"
+            ),
+        )
+        .withColumn(
+            "ok_loss",
+            F.when(
+                F.col("is_loss"),
+                F.expr(
+                    sub.format(s="pack_loss_start", e="pack_loss_end")
+                    + " = content"
+                ),
+            ).otherwise(F.lit(True)),
+        )
+        .withColumn("pack_digest", F.md5("pack_text"))
+        .select(
+            "conv_id", "turn_idx", "role", "pack_id", "conv_pos",
+            "n_convs", "pack_len", "pack_seg_start", "pack_seg_end",
+            "pack_loss_start", "pack_loss_end", "ok_seg", "ok_loss",
+            "pack_digest",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — packed SFT on the Krell SPFHP budget tier (round-12;
+# pack_best_fit + pack_conversations). ROWS-ONLY BY DESIGN (the
+# q172 class): the SPFHP solve is an iterative histogram greedy no
+# closed-form SQL replays — but the REBASE arithmetic it feeds is
+# the same code path q178 oracle-proves, and the ok_seg/ok_loss
+# columns here re-extract every span from the assembled pack text
+# inside the engine itself (tests/test_sft_pack.py additionally
+# pins budget compliance, tiling and determinism against a pure-
+# Python reference).
+# ---------------------------------------------------------------------------
+
+@query("q181_sft_pack_spfhp")
+def q181_sft_pack_spfhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.packing import pack_best_fit
+    from nsl_kdd_spark.operators.sft import (
+        assemble_pack_text,
+        pack_conversations,
+        render_chat_spans,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("content"),
+    )
+    spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+    sizes = spans.groupBy("conv_id").agg(
+        F.max("seg_end").cast("long").alias("conv_chars")
+    )
+    packs = pack_best_fit(sizes, "conv_chars", "conv_id", budget=8000)
+    packed = pack_conversations(spans, packs, "conv_id")
+    ptext = assemble_pack_text(packed, "conv_id")
+    out = packed.join(ptext.select("pack_id", "pack_text"), "pack_id")
+    sub = (
+        "substring(pack_text, CAST({s} AS INT),"
+        " CAST({e} - {s} + 1 AS INT))"
+    )
+    return (
+        out.withColumn(
+            "ok_seg",
+            F.expr(
+                sub.format(s="pack_seg_start", e="pack_seg_end")
+                + " = segment"
+            ),
+        )
+        .withColumn(
+            "ok_loss",
+            F.when(
+                F.col("is_loss"),
+                F.expr(
+                    sub.format(s="pack_loss_start", e="pack_loss_end")
+                    + " = content"
+                ),
+            ).otherwise(F.lit(True)),
+        )
+        .select(
+            "conv_id", "turn_idx", "role", "pack_id", "conv_pos",
+            "n_convs", "pack_len", "pack_loss_start", "pack_loss_end",
+            "ok_seg", "ok_loss",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

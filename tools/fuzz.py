@@ -3132,6 +3132,181 @@ def fam_dsir(rng: random.Random):
     )
 
 
+def fam_sft_pack(rng: random.Random):
+    """Packed-SFT loss-span rebasing (round-12;
+    operators/sft.pack_conversations + pack_fixed_count — Krell et
+    al. 2021 §5 applied to completion-only SFT). Draws move the
+    conversations-per-pack k, the pack separator and the
+    conversation-subset modulus; the oracle replays the fixed-count
+    assignment, the separator-aware offset rebasing, the assembled
+    pack text (digest) and the substring re-extraction checks."""
+    k = rng.choice((2, 3, 7))
+    pack_sep = rng.choice(("\n", "<|eod|>"))
+    mod = rng.choice((2, 3))  # subset keeps a draw under ~5s
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import (
+            assemble_pack_text,
+            pack_conversations,
+            pack_fixed_count,
+            render_chat_spans,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events.filter(
+            F.col("user_id") % mod == 0
+        )
+        turns = ev.select(
+            F.col("user_id").alias("conv_id"),
+            "event_id",
+            "ts",
+            F.when(F.col("event_type").isin("click", "view"), "user")
+            .when(F.col("event_type") == "error", "system")
+            .otherwise("assistant")
+            .alias("role"),
+            F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("content"),
+        )
+        spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+        packs = pack_fixed_count(
+            spans.select("conv_id").distinct(), "conv_id", k=k
+        )
+        packed = pack_conversations(
+            spans, packs, "conv_id", pack_sep=pack_sep
+        )
+        ptext = assemble_pack_text(
+            packed, "conv_id", pack_sep=pack_sep
+        )
+        out = packed.join(ptext.select("pack_id", "pack_text"), "pack_id")
+        sub = (
+            "substring(pack_text, CAST({s} AS INT),"
+            " CAST({e} - {s} + 1 AS INT))"
+        )
+        return (
+            out.withColumn(
+                "ok_seg",
+                F.expr(
+                    sub.format(s="pack_seg_start", e="pack_seg_end")
+                    + " = segment"
+                ),
+            )
+            .withColumn(
+                "ok_loss",
+                F.when(
+                    F.col("is_loss"),
+                    F.expr(
+                        sub.format(
+                            s="pack_loss_start", e="pack_loss_end"
+                        )
+                        + " = content"
+                    ),
+                ).otherwise(F.lit(True)),
+            )
+            .withColumn("pack_digest", F.md5("pack_text"))
+            .select(
+                "conv_id", "turn_idx", "pack_id", "conv_pos",
+                "n_convs", "pack_len", "pack_seg_start",
+                "pack_seg_end", "pack_loss_start", "pack_loss_end",
+                "ok_seg", "ok_loss", "pack_digest",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    sep_sql = "chr(10)" if pack_sep == "\n" else f"'{pack_sep}'"
+    sep_len = len(pack_sep)
+    sql = f"""
+    WITH turns AS (
+      SELECT user_id AS conv_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'system'
+                  ELSE 'assistant' END AS role,
+             event_type || ' ' || COALESCE(props, '') AS content
+      FROM events WHERE user_id % {mod} = 0
+    ), ordered AS (
+      SELECT conv_id, role, content,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, event_id) AS turn_idx
+      FROM turns
+    ), seg AS (
+      SELECT *,
+             '<|im_start|>' || role || chr(10) || content || '<|im_end|>'
+               AS segment
+      FROM ordered
+    ), off AS (
+      SELECT *,
+             COALESCE(SUM(CAST(length(segment) + 1 AS BIGINT))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+      FROM seg
+    ), conv AS (
+      SELECT conv_id,
+             CAST(MAX(prior + length(segment)) AS BIGINT) AS conv_len,
+             string_agg(segment, chr(10) ORDER BY turn_idx) AS conv_text
+      FROM off GROUP BY conv_id
+    ), pk AS (
+      SELECT conv_id, conv_len, conv_text,
+             CAST((ROW_NUMBER() OVER (ORDER BY conv_id) - 1) // {k}
+                  AS BIGINT) AS pack_id
+      FROM conv
+    ), pos AS (
+      SELECT conv_id, pack_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pack_id
+                                     ORDER BY conv_id) AS INTEGER)
+               AS conv_pos,
+             CAST(COALESCE(SUM(conv_len + {sep_len})
+               OVER (PARTITION BY pack_id ORDER BY conv_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS conv_off,
+             CAST(COUNT(*) OVER (PARTITION BY pack_id) AS BIGINT)
+               AS n_convs,
+             CAST(SUM(conv_len) OVER (PARTITION BY pack_id)
+                  + (COUNT(*) OVER (PARTITION BY pack_id) - 1)
+                    * {sep_len} AS BIGINT) AS pack_len
+      FROM pk
+    ), ptext AS (
+      SELECT pack_id,
+             string_agg(conv_text, {sep_sql} ORDER BY conv_id)
+               AS pack_text
+      FROM pk GROUP BY pack_id
+    )
+    SELECT o.conv_id, CAST(o.turn_idx AS INTEGER) AS turn_idx,
+           p.pack_id, p.conv_pos, p.n_convs, p.pack_len,
+           CAST(o.prior + 1 + p.conv_off AS BIGINT) AS pack_seg_start,
+           CAST(o.prior + length(o.segment) + p.conv_off AS BIGINT)
+             AS pack_seg_end,
+           CAST(CASE WHEN o.role = 'assistant'
+                THEN o.prior + length('<|im_start|>' || o.role) + 2
+                     + p.conv_off END AS BIGINT) AS pack_loss_start,
+           CAST(CASE WHEN o.role = 'assistant'
+                THEN o.prior + length('<|im_start|>' || o.role) + 1
+                     + length(o.content) + p.conv_off END AS BIGINT)
+             AS pack_loss_end,
+           substr(t.pack_text,
+                  CAST(o.prior + 1 + p.conv_off AS BIGINT),
+                  CAST(length(o.segment) AS BIGINT)) = o.segment
+             AS ok_seg,
+           CASE WHEN o.role = 'assistant'
+                THEN substr(t.pack_text,
+                       CAST(o.prior + length('<|im_start|>' || o.role)
+                            + 2 + p.conv_off AS BIGINT),
+                       CAST(length(o.content) AS BIGINT)) = o.content
+                ELSE TRUE END AS ok_loss,
+           md5(t.pack_text) AS pack_digest
+    FROM off o JOIN pos p USING (conv_id) JOIN ptext t USING (pack_id)
+    ORDER BY o.conv_id, o.turn_idx
+    """
+    return (
+        f"k={k} pack_sep={pack_sep!r} mod={mod}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -3183,6 +3358,7 @@ FAMILIES = {
     "c4": fam_c4,
     "contamination": fam_contamination,
     "grouped_bins": fam_grouped_bins,
+    "sft_pack": fam_sft_pack,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
