@@ -316,3 +316,147 @@ def k_anonymize(
     )
     out = _attach_group_metric(df, quasi_cols, sizes)
     return _gate(out, size_col, F.col(size_col) >= k, mode, flag_col)
+
+
+def t_closeness_ordered_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int,
+    mode: str = "flag",
+    emd_col: str = "qid_emd_ppm",
+    flag_col: str = "t_close",
+    max_classes: int = 10_000,
+) -> DataFrame:
+    """Ordered t-closeness for NUMERIC sensitive attributes (Li, Li
+    & Venkatasubramanian 2007 §4.2): where :func:`t_closeness_audit`
+    treats classes as interchangeable (equal ground distance), a
+    numeric disclosure — salary, age — leaks MORE when a group's
+    values sit far from the table's along the ordered domain, so the
+    EMD uses the ordered distance: with the table's m distinct
+    values v_1 < ... < v_m,
+
+        EMD = (1 / (m-1)) * sum_{i=1..m-1} |sum_{j<=i} (p_j - q_j)|
+
+    (the cumulative-sum form; mass moves only between neighbors at
+    ground distance 1/(m-1)). Exact integer arithmetic throughout
+    the doctrine: with group size n, table size N, cumulative group
+    counts cum_c_i and cumulative global counts cum_C_i,
+
+        sum_{j<=i}(p_j - q_j) = (cum_c_i*N - cum_C_i*n) / (n*N)
+
+    so the report is ``(1e6 * sum_i |cum_c_i*N - cum_C_i*n|) div
+    ((m-1) * n * N)`` — per-term products fit BIGINT to ~3e9 rows
+    (the categorical bound); the SUM over m terms and the 1e6 step
+    run in DECIMAL(38,0) (HUGEINT in the oracle). A single-value
+    domain (m = 1) has EMD 0 by definition. Rows with a NULL
+    sensitive value are excluded entirely (an unordered unknown has
+    no position on the value axis — the categorical tier is the
+    place for a NULL disclosure class).
+
+    Scale shape (100 TB): the distinct (group, value) cell table is
+    ONE map-side-combined groupBy (localCheckpoint'ed, the
+    t_closeness_audit precedent). The ordered domain is BOUNDED
+    (``max_classes`` guard, the verdict-r11 cap): its index/cumsum
+    window is an m-row frame, and the per-group cumulative sums run
+    on the group x domain grid — m rows per group via one broadcast
+    cross join, so the per-group window partition is m-BOUNDED, not
+    corpus-sized (the metric itself is m terms per group; the grid
+    is its exact cost). One join back to the rows. No collect of
+    anything unbounded; n_total/m are single-row aggregates.
+    """
+    from pyspark.sql import Window
+
+    _validate(quasi_cols, mode)
+    if not 0 <= t_ppm <= 1_000_000:
+        raise ValueError(f"t_ppm must be in [0, 1e6], got {t_ppm}")
+    sv_type = df.schema[sensitive_col].dataType.typeName()
+    if sv_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+        "date", "timestamp",
+    ):
+        raise ValueError(
+            f"sensitive_col must be numeric/temporal for the ordered"
+            f" distance, got {sv_type} — use t_closeness_audit for"
+            f" categorical attributes"
+        )
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    cells = (
+        base.groupBy(*quasi_cols, F.col(sensitive_col).alias("__sv"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
+    domain = cells.groupBy("__sv").agg(F.sum("__c").alias("__gc"))
+    # bounded-domain guard (the verdict-r11 cap): the grid below is
+    # m rows per group, so m must be small; count on the aggregated
+    # table with a LIMIT so the check itself is bounded
+    m_total = domain.limit(max_classes + 1).count()
+    if m_total > max_classes:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} has more than"
+            f" {max_classes} distinct values — coarsen it first"
+            f" (e.g. generalize_bin) or raise max_classes"
+        )
+    n_total = (
+        0
+        if m_total == 0
+        else int(domain.agg(F.sum("__gc")).collect()[0][0])
+    )
+    wd = Window.orderBy("__sv")
+    dom = domain.withColumn("__i", F.row_number().over(wd)).withColumn(
+        "__cumgc",
+        F.sum("__gc").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sizes = (
+        cells.groupBy(*quasi_cols)
+        .agg(F.sum("__c").alias("__n"))
+        .withColumnsRenamed({c: f"__s_{c}" for c in quasi_cols})
+    )
+    grid = sizes.crossJoin(F.broadcast(dom))
+    ccond = None
+    for c in quasi_cols:
+        eq = cells[c].eqNullSafe(grid[f"__s_{c}"])
+        ccond = eq if ccond is None else ccond & eq
+    joined = grid.join(
+        cells.withColumnsRenamed({"__sv": "__cv", "__c": "__cc"}),
+        ccond & (F.col("__cv").eqNullSafe(F.col("__sv"))),
+        "left",
+    ).drop(*quasi_cols, "__cv")
+    wg = Window.partitionBy(
+        *[f"__s_{c}" for c in quasi_cols]
+    ).orderBy("__sv").rowsBetween(Window.unboundedPreceding, 0)
+    big_n = F.lit(n_total).cast("long")
+    terms = (
+        joined.withColumn(
+            "__cumc", F.sum(F.coalesce("__cc", F.lit(0))).over(wg)
+        )
+        .withColumn(
+            "__term",
+            F.when(
+                F.col("__i") < F.lit(m_total),
+                F.abs(
+                    F.col("__cumc") * big_n - F.col("__cumgc") * F.col("__n")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)"),
+        )
+        .groupBy(*[f"__s_{c}" for c in quasi_cols])
+        .agg(F.max("__n").alias("__n"), F.sum("__term").alias("__tsum"))
+        .withColumn(
+            emd_col,
+            F.lit(0).cast("long")
+            if m_total <= 1
+            else F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * __tsum)"
+                f" div (CAST({m_total - 1} AS DECIMAL(38,0))"
+                f" * __n * {n_total}) AS BIGINT)"
+            ),
+        )
+        .withColumnsRenamed(
+            {f"__s_{c}": f"__q_{c}" for c in quasi_cols}
+        )
+        .select(*[f"__q_{c}" for c in quasi_cols], emd_col)
+    )
+    out = _attach_group_metric(base, quasi_cols, terms)
+    return _gate(out, emd_col, F.col(emd_col) <= t_ppm, mode, flag_col)

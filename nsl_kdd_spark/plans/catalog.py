@@ -8336,6 +8336,102 @@ def q178_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q179 — ordered t-closeness for numeric sensitive attributes
+# (round-12; privacy.t_closeness_ordered_audit): Li, Li &
+# Venkatasubramanian 2007 §4.2 — the salary/age-release audit where
+# the categorical equal-ground-distance EMD (q175) under-reports:
+# the ordered EMD is the cumulative-sum form sum_i |cum_p - cum_q|
+# / (m-1), evaluated in exact integer arithmetic (cumulative count
+# cross-products; DECIMAL/HUGEINT for the summed terms and the ppm
+# step). DuckDB replays the bounded domain window, the group x
+# domain grid and the same algebra.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q179_t_closeness_ordered",
+    oracle="""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_bin
+      FROM customer
+    ), cells AS (
+      SELECT c_nationkey, c_mktsegment, bal_bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM q WHERE bal_bin IS NOT NULL
+      GROUP BY c_nationkey, c_mktsegment, bal_bin
+    ), dom AS (
+      SELECT bal_bin AS sv, CAST(SUM(c) AS BIGINT) AS gc
+      FROM cells GROUP BY bal_bin
+    ), dom2 AS (
+      SELECT sv, gc,
+             CAST(ROW_NUMBER() OVER (ORDER BY sv) AS BIGINT) AS i,
+             CAST(SUM(gc) OVER (ORDER BY sv) AS BIGINT) AS cumgc
+      FROM dom
+    ), tot AS (
+      SELECT CAST(SUM(gc) AS BIGINT) AS n_tot,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM dom
+    ), sizes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY c_nationkey, c_mktsegment
+    ), grid AS (
+      SELECT s.c_nationkey, s.c_mktsegment, s.n, d.sv, d.i, d.cumgc,
+             COALESCE(ce.c, 0) AS c
+      FROM sizes s CROSS JOIN dom2 d
+      LEFT JOIN cells ce ON ce.c_nationkey = s.c_nationkey
+                        AND ce.c_mktsegment = s.c_mktsegment
+                        AND ce.bal_bin = d.sv
+    ), cum AS (
+      SELECT *,
+             CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                               ORDER BY sv) AS BIGINT) AS cumc
+      FROM grid
+    ), terms AS (
+      SELECT c_nationkey, c_mktsegment, MAX(n) AS n,
+             SUM(CASE WHEN i < t.m
+                 THEN ABS(cumc * t.n_tot - cumgc * n)
+                 ELSE 0 END) AS tsum
+      FROM cum, tot t
+      GROUP BY c_nationkey, c_mktsegment
+    ), emd AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST((CAST(1000000 AS HUGEINT) * tsum)
+                  // ((t.m - 1) * CAST(n AS HUGEINT) * t.n_tot)
+                  AS BIGINT) AS qid_emd_ppm
+      FROM terms, tot t
+    )
+    SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin,
+           e.qid_emd_ppm,
+           e.qid_emd_ppm <= 250000 AS t_close
+    FROM q JOIN emd e USING (c_nationkey, c_mktsegment)
+    ORDER BY q.c_custkey
+    """,
+)
+def q179_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.privacy import (
+        generalize_bin,
+        t_closeness_ordered_audit,
+    )
+
+    cust = load_tables(spark, sf_dir).customer
+    qid = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        generalize_bin("c_acctbal", 2000).alias("bal_bin"),
+    )
+    return (
+        t_closeness_ordered_audit(
+            qid, ["c_nationkey", "c_mktsegment"], "bal_bin",
+            t_ppm=250000, mode="flag",
+        )
+        .select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "bal_bin",
+            "qid_emd_ppm", "t_close",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q181 — packed SFT on the Krell SPFHP budget tier (round-12;
 # pack_best_fit + pack_conversations). ROWS-ONLY BY DESIGN (the
 # q172 class): the SPFHP solve is an iterative histogram greedy no

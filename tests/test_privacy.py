@@ -285,3 +285,93 @@ def test_t_closeness_caps_sensitive_cardinality(spark):
         df, ["zip"], "cond", t_ppm=500_000, max_classes=200
     )
     assert out.count() == 100
+
+
+def _ordered(spark, rows, **kw):
+    from nsl_kdd_spark.operators.privacy import t_closeness_ordered_audit
+
+    df = spark.createDataFrame(rows, "g string, v int")
+    kw.setdefault("t_ppm", 500_000)
+    kw.setdefault("mode", "flag")
+    return t_closeness_ordered_audit(df, ["g"], "v", **kw)
+
+
+def test_t_ordered_matches_python_reference(spark):
+    """Hand-computed Li et al. §4.2 cumulative-sum EMD: domain
+    {1,2,3} with global counts {3,2,1} (N=6, m=3); per group,
+    ppm = (1e6 * sum_{i<m} |cumc_i*N - cumG_i*n|) // ((m-1)*n*N)."""
+    rows = [("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3), ("C", 1)]
+    got = {
+        r["g"]: r["qid_emd_ppm"]
+        for r in _ordered(spark, rows).select("g", "qid_emd_ppm")
+        .distinct().collect()
+    }
+    # A: n=3, terms |2*6-3*3|+|3*6-5*3| = 3+3 -> 6e6//36 = 166666
+    # B: n=2, terms |0-6|+|1*6-10|    = 6+4 -> 10e6//24 = 416666
+    # C: n=1, terms |6-3|+|6-5|       = 3+1 -> 4e6//12  = 333333
+    assert got == {"A": 166666, "B": 416666, "C": 333333}
+
+
+def test_t_ordered_sees_position_categorical_cannot(spark):
+    """The §4.2 motivation: P (all mass at the domain's EXTREME) and
+    Q (all mass at its MIDDLE) are equally far under the categorical
+    equal-ground-distance EMD, but the ordered EMD must move P's
+    mass across every intermediate value — so only the ordered tier
+    ranks P as the worse disclosure (hand-computed: 428571 vs
+    285714 ppm ordered; both 714285 categorical)."""
+    from nsl_kdd_spark.operators.privacy import t_closeness_audit
+
+    rows = [("P", 0), ("P", 0), ("Q", 2), ("Q", 2)] + [
+        ("R", v) for v in (0, 1, 2, 3, 4) for _ in (1, 2)
+    ]
+    ordered = {
+        r["g"]: r["qid_emd_ppm"]
+        for r in _ordered(spark, rows).select("g", "qid_emd_ppm")
+        .distinct().collect()
+    }
+    df = spark.createDataFrame(rows, "g string, v int")
+    cat = {
+        r["g"]: r["qid_emd_ppm"]
+        for r in t_closeness_audit(df, ["g"], "v", t_ppm=500_000)
+        .select("g", "qid_emd_ppm").distinct().collect()
+    }
+    assert cat["P"] == cat["Q"] == 714285
+    assert (ordered["P"], ordered["Q"]) == (428571, 285714)
+
+
+def test_t_ordered_null_sensitive_excluded_and_m1(spark):
+    # NULL sensitive rows leave both the distribution and the output
+    rows = [("A", 1), ("A", None), ("B", 2)]
+    out = _ordered(spark, rows).collect()
+    assert sorted((r["g"], r["v"]) for r in out) == [("A", 1), ("B", 2)]
+    # single-value domain: EMD 0 by definition, everything t-close
+    one = _ordered(spark, [("A", 7), ("B", 7)], t_ppm=0).collect()
+    assert all(r["qid_emd_ppm"] == 0 and r["t_close"] for r in one)
+
+
+def test_t_ordered_guards(spark):
+    from nsl_kdd_spark.operators.privacy import (
+        t_closeness_ordered_audit,
+    )
+
+    sdf = spark.createDataFrame(
+        [(1, "x", "a")], "id long, g string, v string"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        t_closeness_ordered_audit(sdf, ["g"], "v", t_ppm=1)
+    big = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("int").alias("v"),  # 100 distinct values
+    )
+    with pytest.raises(ValueError, match="generalize_bin"):
+        t_closeness_ordered_audit(
+            big, ["g"], "v", t_ppm=1, max_classes=50
+        )
+
+
+def test_t_ordered_suppress_counts(spark):
+    rows = [("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3), ("C", 1)]
+    kept = _ordered(spark, rows, t_ppm=200_000, mode="suppress").collect()
+    # only A (166666 ppm) survives the 200k cut
+    assert sorted(set(r["g"] for r in kept)) == ["A"]
+    assert len(kept) == 3

@@ -3132,6 +3132,116 @@ def fam_dsir(rng: random.Random):
     )
 
 
+def fam_t_ordered(rng: random.Random):
+    """Ordered t-closeness for numeric sensitive attributes
+    (round-12; privacy.t_closeness_ordered_audit — Li et al. 2007
+    §4.2 cumulative-sum EMD). Draws move the generalization width
+    (the domain size m), the threshold and the quasi-identifier set,
+    and toggle flag vs suppress; the oracle replays the bounded
+    domain window, the group x domain grid cumsums and the exact
+    integer ppm algebra."""
+    width = rng.choice((500, 1000, 2500, 4000))
+    t_ppm = rng.choice((100_000, 250_000, 400_000))
+    mode = rng.choice(("flag", "suppress"))
+    quasi = rng.choice(
+        (["c_nationkey", "c_mktsegment"], ["c_mktsegment"],
+         ["c_nationkey"])
+    )
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.privacy import (
+            generalize_bin,
+            t_closeness_ordered_audit,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        cust = load_tables(spark, sf_dir).customer
+        qid = cust.select(
+            "c_custkey", "c_nationkey", "c_mktsegment",
+            generalize_bin("c_acctbal", width).alias("bal_bin"),
+        )
+        out = t_closeness_ordered_audit(
+            qid, quasi, "bal_bin", t_ppm=t_ppm, mode=mode
+        )
+        cols = ["c_custkey", "c_nationkey", "c_mktsegment", "bal_bin"]
+        cols += (
+            ["qid_emd_ppm", "t_close"] if mode == "flag" else []
+        )
+        return out.select(*cols).orderBy("c_custkey")
+
+    qcols = ", ".join(quasi)
+    jcond = " AND ".join(f"ce.{c} = s.{c}" for c in quasi)
+    if mode == "flag":
+        sel_extra = ", e.qid_emd_ppm, e.qid_emd_ppm <= {t} AS t_close"
+        gate = ""
+    else:
+        sel_extra = ""
+        gate = "WHERE e.qid_emd_ppm <= {t}"
+    sql = f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {width}) * {width} AS BIGINT)
+               AS bal_bin
+      FROM customer
+    ), cells AS (
+      SELECT {qcols}, bal_bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q WHERE bal_bin IS NOT NULL
+      GROUP BY {qcols}, bal_bin
+    ), dom AS (
+      SELECT bal_bin AS sv, CAST(SUM(c) AS BIGINT) AS gc
+      FROM cells GROUP BY bal_bin
+    ), dom2 AS (
+      SELECT sv, gc,
+             CAST(ROW_NUMBER() OVER (ORDER BY sv) AS BIGINT) AS i,
+             CAST(SUM(gc) OVER (ORDER BY sv) AS BIGINT) AS cumgc
+      FROM dom
+    ), tot AS (
+      SELECT CAST(SUM(gc) AS BIGINT) AS n_tot,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM dom
+    ), sizes AS (
+      SELECT {qcols}, CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY {qcols}
+    ), grid AS (
+      SELECT {', '.join('s.' + c for c in quasi)}, s.n, d.sv, d.i,
+             d.cumgc, COALESCE(ce.c, 0) AS c
+      FROM sizes s CROSS JOIN dom2 d
+      LEFT JOIN cells ce ON {jcond} AND ce.bal_bin = d.sv
+    ), cum AS (
+      SELECT *,
+             CAST(SUM(c) OVER (PARTITION BY {qcols}
+                               ORDER BY sv) AS BIGINT) AS cumc
+      FROM grid
+    ), terms AS (
+      SELECT {qcols}, MAX(n) AS n,
+             SUM(CASE WHEN i < t.m
+                 THEN ABS(cumc * t.n_tot - cumgc * n)
+                 ELSE 0 END) AS tsum
+      FROM cum, tot t
+      GROUP BY {qcols}
+    ), emd AS (
+      SELECT {qcols},
+             CAST((CAST(1000000 AS HUGEINT) * tsum)
+                  // ((t.m - 1) * CAST(n AS HUGEINT) * t.n_tot)
+                  AS BIGINT) AS qid_emd_ppm
+      FROM terms, tot t
+    )
+    SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin
+           {sel_extra.format(t=t_ppm)}
+    FROM q JOIN emd e USING ({qcols})
+    {gate.format(t=t_ppm)}
+    ORDER BY q.c_custkey
+    """
+    return (
+        f"width={width} t_ppm={t_ppm} mode={mode} quasi={quasi}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_sft_pack(rng: random.Random):
     """Packed-SFT loss-span rebasing (round-12;
     operators/sft.pack_conversations + pack_fixed_count — Krell et
@@ -3359,6 +3469,7 @@ FAMILIES = {
     "contamination": fam_contamination,
     "grouped_bins": fam_grouped_bins,
     "sft_pack": fam_sft_pack,
+    "t_ordered": fam_t_ordered,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
