@@ -461,3 +461,63 @@ def assemble_pack_text(
             pack_sep,
         ).alias(out_col),
     )
+
+
+def best_of_n(
+    responses: DataFrame,
+    prompt_col: str,
+    response_col: str,
+    score_col: str,
+    id_col: str,
+    n: int = 1,
+    score_floor: int | None = None,
+) -> DataFrame:
+    """Best-of-n / rejection-sampling assembly (Bai et al. 2022
+    "Training a Helpful and Harmless Assistant" rejection sampling;
+    the ReST grow-improve selection step): per prompt, keep the
+    top-``n`` responses by score — optionally only those at or above
+    ``score_floor`` — as SFT rows. The sibling of
+    :func:`preference_pairs` on the RLHF data path: pairs feed the
+    reward/DPO stage, best-of-n feeds the next SFT iteration.
+
+    Determinism contract (the preference_pairs doctrine): scores
+    should be integers; ties break by LOWEST ``id_col``; NULL-scored
+    responses are excluded up front. ``score_floor`` is applied
+    BEFORE ranking (a scan-stage predicate that pushes down), so a
+    prompt whose every response scores under the floor emits
+    nothing — the rejection-sampling semantics.
+
+    Output: ``(prompt_col, rank, response_id, response, score)``
+    with rank 1 = best; at most ``n`` rows per prompt.
+
+    Scale shape: ONE grouped aggregate — collect the group's
+    surviving responses, array_sort on a ((-score), id) ordering
+    struct JVM-side, slice the top n, posexplode. Group state is
+    bounded by responses-per-prompt (collection-bounded, the
+    preference_pairs all_pairs argument); no window, no join. For
+    top-k over UNBOUNDED groups use ``windows.top_k_per_group``
+    (row_number + AQE skew handling) instead.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    filtered = responses.filter(F.col(score_col).isNotNull())
+    if score_floor is not None:
+        filtered = filtered.filter(F.col(score_col) >= score_floor)
+    row = F.struct(
+        (-F.col(score_col)).alias("s"),
+        F.col(id_col).alias("i"),
+        F.col(response_col).alias("r"),
+        F.col(score_col).alias("sc"),
+    )
+    agg = filtered.groupBy(prompt_col).agg(
+        F.slice(F.array_sort(F.collect_list(row)), 1, n).alias("__top")
+    )
+    return agg.select(
+        prompt_col, F.posexplode("__top").alias("__pos", "__r")
+    ).select(
+        prompt_col,
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col("__r.i").alias("response_id"),
+        F.col("__r.r").alias("response"),
+        F.col("__r.sc").alias("score"),
+    )

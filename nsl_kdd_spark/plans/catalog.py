@@ -8432,6 +8432,57 @@ def q179_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q180 — best-of-n rejection-sampling assembly (round-12;
+# operators/sft.best_of_n): Bai et al. 2022 rejection sampling /
+# ReST grow-improve — per prompt, the top-n responses at or above a
+# score floor become the next SFT iteration's rows; the sibling of
+# q171's preference pairs on the RLHF data path. NULL scores out,
+# ties by lowest id, floor applied before ranking (prompts with no
+# qualifying response emit nothing). ONE grouped aggregate
+# (collect + JVM array_sort + slice over bounded prompt groups);
+# DuckDB replays with ROW_NUMBER over (score DESC, id).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q180_best_of_n",
+    oracle="""
+    WITH r AS (
+      SELECT user_id AS prompt_id, event_id,
+             event_type || ' ' || COALESCE(props, '') AS resp,
+             CAST(FLOOR(value * 100) AS BIGINT) AS score
+      FROM events
+      WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT prompt_id, event_id, resp, score,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, event_id) AS rk
+      FROM r WHERE score >= 40
+    )
+    SELECT prompt_id, CAST(rk AS INTEGER) AS rank,
+           event_id AS response_id, resp AS response, score
+    FROM ranked WHERE rk <= 3
+    ORDER BY prompt_id, rank
+    """,
+)
+def q180_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import best_of_n
+
+    ev = load_tables(spark, sf_dir).events
+    scored = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        "event_id",
+        F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("resp"),
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+    )
+    return best_of_n(
+        scored, "prompt_id", "resp", "score", "event_id",
+        n=3, score_floor=40,
+    ).orderBy("prompt_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # q181 — packed SFT on the Krell SPFHP budget tier (round-12;
 # pack_best_fit + pack_conversations). ROWS-ONLY BY DESIGN (the
 # q172 class): the SPFHP solve is an iterative histogram greedy no

@@ -284,3 +284,66 @@ def test_preference_pairs_rejects_sub_one_margin(spark):
             _scored(spark), "prompt", "resp", "score", "rid",
             strategy="all_pairs", min_margin=0,
         )
+
+
+def test_best_of_n_ranks_ties_and_floor(spark):
+    """Per prompt: top-n by (score desc, lowest id), floor applied
+    before ranking, NULL scores excluded, empty prompts emit
+    nothing (the rejection-sampling semantics)."""
+    from nsl_kdd_spark.operators.sft import best_of_n
+
+    out = best_of_n(
+        _scored(spark), "prompt", "resp", "score", "rid", n=2
+    ).collect()
+    got = sorted(
+        (r["prompt"], r["rank"], r["response_id"]) for r in out
+    )
+    # p1: 5 (id10), then the 3-tie broken by lowest id (11)
+    # p2: 4-tie -> ids 20, 21 ; p3 single ; p4: 7-tie -> 40, 41
+    assert got == [
+        (1, 1, 10), (1, 2, 11),
+        (2, 1, 20), (2, 2, 21),
+        (3, 1, 30),
+        (4, 1, 40), (4, 2, 41),
+    ]
+    floored = best_of_n(
+        _scored(spark), "prompt", "resp", "score", "rid",
+        n=2, score_floor=4,
+    ).collect()
+    fg = sorted((r["prompt"], r["rank"], r["response_id"]) for r in floored)
+    # p1 keeps only the 5; p3 (9) and p2/p4 ties survive
+    assert fg == [
+        (1, 1, 10),
+        (2, 1, 20), (2, 2, 21),
+        (3, 1, 30),
+        (4, 1, 40), (4, 2, 41),
+    ]
+    nulls = spark.createDataFrame(
+        [(1, 10, "a", None), (1, 11, "b", 3)],
+        "prompt long, rid long, resp string, score long",
+    )
+    kept = best_of_n(nulls, "prompt", "resp", "score", "rid", n=5).collect()
+    assert [(r["response_id"], r["score"]) for r in kept] == [(11, 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        best_of_n(_scored(spark), "prompt", "resp", "score", "rid", n=0)
+
+
+def test_best_of_n_plan_single_aggregate(spark):
+    """ONE grouped aggregate + generate — no window, no join, no
+    Python anywhere in the plan."""
+    from tests.test_plan_quality import plan_of
+
+    from nsl_kdd_spark.operators.sft import best_of_n
+
+    plan = plan_of(
+        best_of_n(
+            _scored(spark), "prompt", "resp", "score", "rid",
+            n=3, score_floor=2,
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Join" not in tree
+    assert "EvalPython" not in plan

@@ -3132,6 +3132,67 @@ def fam_dsir(rng: random.Random):
     )
 
 
+def fam_best_of_n(rng: random.Random):
+    """Best-of-n rejection sampling (round-12; operators/sft.
+    best_of_n — Bai et al. 2022 / ReST selection). Draws move n,
+    the score floor and the prompt-subset modulus; the oracle
+    replays the NULL exclusion, the floor-before-rank semantics and
+    the lowest-id tie-break exactly."""
+    n = rng.choice((1, 2, 5))
+    floor = rng.choice((None, 0, 60, 95))
+    mod = rng.choice((0, 3))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import best_of_n
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events
+        if mod:
+            ev = ev.filter(F.col("user_id") % mod == 0)
+        scored = ev.select(
+            F.col("user_id").alias("prompt_id"),
+            "event_id",
+            F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("resp"),
+            F.floor(F.col("value") * 100).cast("long").alias("score"),
+        )
+        return best_of_n(
+            scored, "prompt_id", "resp", "score", "event_id",
+            n=n, score_floor=floor,
+        ).orderBy("prompt_id", "rank")
+
+    gate = "value IS NOT NULL" + (
+        f" AND user_id % {mod} = 0" if mod else ""
+    )
+    fgate = f"WHERE score >= {floor}" if floor is not None else ""
+    sql = f"""
+    WITH r AS (
+      SELECT user_id AS prompt_id, event_id,
+             event_type || ' ' || COALESCE(props, '') AS resp,
+             CAST(FLOOR(value * 100) AS BIGINT) AS score
+      FROM events WHERE {gate}
+    ), ranked AS (
+      SELECT prompt_id, event_id, resp, score,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, event_id) AS rk
+      FROM r {fgate}
+    )
+    SELECT prompt_id, CAST(rk AS INTEGER) AS rank,
+           event_id AS response_id, resp AS response, score
+    FROM ranked WHERE rk <= {n}
+    ORDER BY prompt_id, rank
+    """
+    return (
+        f"n={n} floor={floor} mod={mod}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_t_ordered(rng: random.Random):
     """Ordered t-closeness for numeric sensitive attributes
     (round-12; privacy.t_closeness_ordered_audit — Li et al. 2007
@@ -3470,6 +3531,7 @@ FAMILIES = {
     "grouped_bins": fam_grouped_bins,
     "sft_pack": fam_sft_pack,
     "t_ordered": fam_t_ordered,
+    "best_of_n": fam_best_of_n,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -3480,7 +3542,9 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "knn", "semantic_dedup", "winnow", "decontam_bloom",
          "hard_negatives", "winnow_registry", "substr_spans",
          "substr_report", "gopher", "c4", "contamination",
-         "grouped_bins", "sft_spans", "diversity", "k_anonymity", "preference_pairs", "fertility", "l_diversity", "t_closeness", "datacard")
+         "grouped_bins", "sft_spans", "diversity", "k_anonymity",
+         "preference_pairs", "fertility", "l_diversity", "t_closeness",
+         "datacard", "best_of_n")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
