@@ -329,7 +329,7 @@ def _ordered_for_emit(out: dict) -> dict:
         "metric", "unit", "sf",
         "dedup_scale", "graph_scale", "media_scale", "bpe_scale",
         "skew_scale", "vector_scale", "corpus_scale", "sf1",
-        "value", "queries", "guard",
+        "calib", "value", "queries", "guard",
     )
     ordered = {k: out[k] for k in order if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
@@ -1188,6 +1188,30 @@ def sf1_timings(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def calibration_timings(spark) -> dict[str, float]:
+    """Constant-work drift canary (round-12; the r11 verdict's #5):
+    a pure-CPU, DATA-INDEPENDENT cell — hash-reduce a fixed
+    spark.range — whose true cost never changes between rounds, so
+    record-over-record host drift (thermal/load settle, the r11
+    uniform 1.06-1.97x pattern) can be read off mechanically as
+    this cell's ratio instead of argued from untouched query cells.
+    Deliberately NOT guarded: its whole job is to keep the drift
+    visible in the record."""
+    from pyspark.sql import functions as F
+
+    def cell() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000_000, 1, 64)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    return {"calib_range_xxhash64": min(cell(), cell())}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -1285,6 +1309,7 @@ def main() -> None:
     corpus = guard_tier(
         "corpus_scale", corpus_scale_timings(spark, sf_dir), prior,
         lambda: corpus_scale_timings(spark, sf_dir), guard_log)
+    calib = calibration_timings(spark)
 
     out = {
         "metric": "headline query wall-clock, noop sink, cold data, min of 2 (warm JVM)",
@@ -1299,6 +1324,7 @@ def main() -> None:
         "skew_scale": skew,
         "vector_scale": vec,
         "corpus_scale": corpus,
+        "calib": calib,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if guard_log:

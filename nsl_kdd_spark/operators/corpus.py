@@ -213,6 +213,72 @@ def temperature_mixture(
     corpus-sized group at 100 TB — which is why it is not the
     default).
     """
+    from nsl_kdd_spark.operators.relational import md5_bucket32, md5_key
+
+    alloc = _mixture_allocation(
+        df, group_col, alpha, target_total, weight_col
+    ).select(
+        group_col,
+        "__n",
+        F.expr("__take div __n").alias("__ep"),
+        (F.col("__take") % F.col("__n")).alias("__rem"),
+        F.expr(
+            "(CAST(4294967296 AS DECIMAL(38,0)) * (__take % __n))"
+            " div __n"
+        ).alias("__cut"),
+    )
+    wrow = (
+        None
+        if weight_col is None
+        else (
+            F.col(weight_col) if isinstance(weight_col, str)
+            else weight_col
+        ).cast("long")
+    )
+    joined = df.join(F.broadcast(alloc), on=group_col)
+    if exact:
+        from pyspark.sql import Window
+
+        wo = Window.partitionBy(group_col).orderBy(
+            md5_key(id_col, salt), F.col(id_col)
+        )
+        if weight_col is None:
+            in_rem = F.row_number().over(wo) <= F.col("__rem")
+        else:
+            # greedy prefix packing: longest digest-ordered prefix
+            # whose cumulative token mass fits the remainder budget
+            cum = F.sum(wrow).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            in_rem = cum <= F.col("__rem")
+    else:
+        in_rem = md5_bucket32(id_col, salt) < F.col("__cut")
+    copies = (F.col("__ep") + in_rem.cast("long")).alias("__k")
+    return (
+        joined.withColumn("__k", copies)
+        .filter(F.col("__k") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(1), F.col("__k")))
+        )
+        .drop("__n", "__ep", "__rem", "__cut", "__k")
+    )
+
+
+def _mixture_allocation(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    target_total: int | None,
+    weight_col: str | Column | None,
+) -> DataFrame:
+    """The temperature-mixture allocation core, shared by
+    :func:`temperature_mixture` (which explodes it into epoch
+    copies) and :func:`epoch_budget_report` (which accounts its
+    repetition value): per group, mass ``__n`` and allocated units
+    ``__take = (target * floor(n^alpha * 1e6)) div Σw`` — the
+    sqrt-chain weights and DECIMAL(38,0) arithmetic documented on
+    temperature_mixture. Mass-0 groups are dropped. Output:
+    ``(group_col, __n, __take)``, k rows."""
     if alpha not in _TEMP_ALPHAS:
         raise ValueError(
             f"alpha must be one of {_TEMP_ALPHAS} (the oracle-exact "
@@ -222,11 +288,8 @@ def temperature_mixture(
         raise ValueError(
             f"target_total must be >= 1, got {target_total}"
         )
-    from nsl_kdd_spark.operators.relational import md5_bucket32, md5_key
-
     if weight_col is None:
         mass = F.count(F.lit(1))
-        wrow = None
     else:
         wrow = (
             F.col(weight_col) if isinstance(weight_col, str)
@@ -293,7 +356,7 @@ def temperature_mixture(
     # DECIMAL(38,0) alloc arithmetic: exact integral `div`, immune to
     # BIGINT overflow by construction (see docstring); everything
     # downstream (__take, __ep, __rem, __cut) is back in BIGINT
-    alloc = (
+    return (
         wt.crossJoin(F.broadcast(tot))  # k rows x 1 row
         .withColumn("__tgt", tgt)
         .withColumn(
@@ -304,43 +367,121 @@ def temperature_mixture(
             ),
         )
         .filter(F.col("__n") > 0)  # mass-0 group: nothing to copy
-        .select(
-            group_col,
-            "__n",
-            F.expr("__take div __n").alias("__ep"),
-            (F.col("__take") % F.col("__n")).alias("__rem"),
+        .select(group_col, "__n", "__take")
+    )
+
+
+def epoch_budget_report(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 1.0,
+    weight_col: str | Column | None = None,
+    max_epochs_ppm: int | None = None,
+    r_star_ppm: int = 15_390_000,
+) -> DataFrame:
+    """Data-constrained epoch budgeting (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): when the token
+    budget a mixture allocates to a group exceeds its UNIQUE data,
+    the group trains for multiple epochs — and repeated tokens decay
+    in value. The paper's fit: with U unique tokens and R repeat
+    epochs beyond the first, the effective unique data is
+
+        D' = U + U * R* * (1 - exp(-R / R*)),   R* = 15.39
+
+    (eq. 3's data half: the first ~4 epochs are nearly free, ~16+
+    epochs add nothing). This report composes on the
+    temperature-mixture allocation (same sqrt-chain weights, same
+    DECIMAL(38,0) take — ONE shared `_mixture_allocation` core) and
+    accounts, per group: the allocation, the epoch count it implies,
+    the effective tokens after repetition decay, and — when
+    ``max_epochs_ppm`` caps repetition (published practice caps near
+    the 4-epoch knee) — the excess tokens a capped run would free
+    for redistribution.
+
+    Output (k rows, one per group): ``(group_col, n_tokens,
+    take_tokens, epochs_ppm, repeats_ppm, decay_ppm,
+    effective_tokens[, over_cap, excess_tokens])`` where epochs_ppm
+    = 1e6 * take div n and effective_tokens applies the decay
+    formula.
+
+    Determinism: everything is integer arithmetic in DECIMAL(38,0)
+    except the single ``exp()`` — its input ``-repeats_ppm /
+    r_star_ppm`` is an exact-integer IEEE division (identical in any
+    engine) and its output is quantized immediately to integer ppm
+    (``round(1e6 * exp(x))``), the dsir ``_lu_u`` precedent: the one
+    libm-trust step, on k rows, documented rather than hidden.
+
+    Scale shape: one k-row allocation aggregate + scan-stage
+    arithmetic on those k rows. Nothing touches the corpus twice.
+    """
+    if r_star_ppm < 1:
+        raise ValueError(f"r_star_ppm must be >= 1, got {r_star_ppm}")
+    if max_epochs_ppm is not None and max_epochs_ppm < 1_000_000:
+        raise ValueError(
+            f"max_epochs_ppm caps whole epochs (>= 1e6),"
+            f" got {max_epochs_ppm}"
+        )
+    alloc = _mixture_allocation(df, group_col, alpha, budget, weight_col)
+    rep = (
+        alloc.withColumnRenamed("__n", "n_tokens")
+        .withColumnRenamed("__take", "take_tokens")
+        .withColumn(
+            "epochs_ppm",
             F.expr(
-                "(CAST(4294967296 AS DECIMAL(38,0)) * (__take % __n))"
-                " div __n"
-            ).alias("__cut"),
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * take_tokens)"
+                " div n_tokens AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "repeats_ppm",
+            F.greatest(
+                F.col("epochs_ppm") - F.lit(1_000_000),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            # the single libm step, quantized on an exact-division
+            # input (see docstring)
+            "decay_ppm",
+            F.round(
+                F.exp(
+                    -(F.col("repeats_ppm").cast("double"))
+                    / F.lit(float(r_star_ppm))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            # U + (U * R*_ppm * (1e6 - decay_ppm)) div 1e12, exact
+            # in DECIMAL(38,0): U<=9e18 * 1.5e7 * 1e6 ~ 1e32 < 1e38
+            "effective_tokens",
+            F.col("n_tokens")
+            + F.expr(
+                f"CAST((CAST(n_tokens AS DECIMAL(38,0))"
+                f" * {r_star_ppm} * (1000000 - decay_ppm))"
+                f" div 1000000000000 AS BIGINT)"
+            ),
         )
     )
-    joined = df.join(F.broadcast(alloc), on=group_col)
-    if exact:
-        from pyspark.sql import Window
-
-        wo = Window.partitionBy(group_col).orderBy(
-            md5_key(id_col, salt), F.col(id_col)
-        )
-        if weight_col is None:
-            in_rem = F.row_number().over(wo) <= F.col("__rem")
-        else:
-            # greedy prefix packing: longest digest-ordered prefix
-            # whose cumulative token mass fits the remainder budget
-            cum = F.sum(wrow).over(
-                wo.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            in_rem = cum <= F.col("__rem")
-    else:
-        in_rem = md5_bucket32(id_col, salt) < F.col("__cut")
-    copies = (F.col("__ep") + in_rem.cast("long")).alias("__k")
+    if max_epochs_ppm is None:
+        return rep.orderBy(group_col)
     return (
-        joined.withColumn("__k", copies)
-        .filter(F.col("__k") > 0)
-        .withColumn(
-            epoch_col, F.explode(F.sequence(F.lit(1), F.col("__k")))
+        rep.withColumn(
+            "over_cap", F.col("epochs_ppm") > F.lit(max_epochs_ppm)
         )
-        .drop("__n", "__ep", "__rem", "__cut", "__k")
+        .withColumn(
+            "excess_tokens",
+            F.when(
+                F.col("over_cap"),
+                F.expr(
+                    f"CAST((CAST(n_tokens AS DECIMAL(38,0))"
+                    f" * (epochs_ppm - {max_epochs_ppm}))"
+                    f" div 1000000 AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .orderBy(group_col)
     )
 
 

@@ -8556,6 +8556,85 @@ def q181_sft_pack_spfhp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q182 — data-constrained epoch budgeting (round-12;
+# corpus.epoch_budget_report — Muennighoff et al. 2023 "Scaling
+# Data-Constrained Language Models"): per group, the temperature
+# allocation (the SAME _mixture_allocation core q158/q161 explode),
+# the epoch count it implies, the effective tokens after the
+# paper's repetition decay D' = U + U*R*(1 - exp(-R/R*)), and the
+# excess a 4-epoch cap (the paper's near-free knee) would free.
+# Everything integer/DECIMAL except the single exp(), quantized to
+# ppm on an exact-division input (the dsir _lu_u precedent —
+# documented libm-trust step on k rows). The fixed 200k-token
+# budget exercises over-cap at sf0.01 and sub-1-epoch at sf0.1.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q182_epoch_budget",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), counts AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n
+      FROM docs GROUP BY lang
+    ), w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(SQRT(CAST(n AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS w
+      FROM counts
+    ), tot AS (
+      SELECT SUM(w) AS sw FROM w
+    ), alloc AS (
+      SELECT lang, n,
+             CAST((CAST(200000 AS HUGEINT) * w)
+                  // (SELECT sw FROM tot) AS BIGINT) AS take
+      FROM w WHERE n > 0
+    ), rep AS (
+      SELECT lang, n AS n_tokens, take AS take_tokens,
+             CAST((CAST(1000000 AS HUGEINT) * take) // n AS BIGINT)
+               AS epochs_ppm
+      FROM alloc
+    ), r2 AS (
+      SELECT *,
+             GREATEST(epochs_ppm - 1000000, 0) AS repeats_ppm
+      FROM rep
+    ), r3 AS (
+      SELECT *,
+             CAST(round(exp(-(CAST(repeats_ppm AS DOUBLE)
+                             / 15390000.0)) * 1000000.0) AS BIGINT)
+               AS decay_ppm
+      FROM r2
+    )
+    SELECT lang, n_tokens, take_tokens, epochs_ppm, repeats_ppm,
+           decay_ppm,
+           CAST(n_tokens + (CAST(n_tokens AS HUGEINT) * 15390000
+                            * (1000000 - decay_ppm))
+                           // 1000000000000 AS BIGINT)
+             AS effective_tokens,
+           epochs_ppm > 4000000 AS over_cap,
+           CAST(CASE WHEN epochs_ppm > 4000000
+                THEN (CAST(n_tokens AS HUGEINT)
+                      * (epochs_ppm - 4000000)) // 1000000
+                ELSE 0 END AS BIGINT) AS excess_tokens
+    FROM r3
+    ORDER BY lang
+    """,
+)
+def q182_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import token_count
+    from nsl_kdd_spark.operators.corpus import epoch_budget_report
+
+    docs = load_tables(spark, sf_dir).documents.withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    return epoch_budget_report(
+        docs, "lang", budget=200_000, alpha=0.25,
+        weight_col="n_tok", max_epochs_ppm=4_000_000,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

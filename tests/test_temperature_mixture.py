@@ -382,3 +382,74 @@ def test_rate_mode_plan_has_no_window(spark):
     assert "Window" not in tree
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in tree  # alloc attaches broadcast
+
+
+def test_epoch_budget_report_reference(spark):
+    """Muennighoff et al. 2023 accounting on a hand-checked fixture:
+    alpha=1 token-weighted allocation of a 60-unit budget over
+    masses {a: 10, b: 20} -> takes {20, 40}, epochs {2x, 2x},
+    repeats 1e6 ppm each; effective = U + U*15.39*(1 - exp(-R/R*))
+    quantized; the 1.5-epoch cap flags both and frees the excess."""
+    import math
+
+    from nsl_kdd_spark.operators.corpus import epoch_budget_report
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 6), ("b", 3, 20)],
+        "g string, i long, w long",
+    )
+    rows = {
+        r["g"]: r
+        for r in epoch_budget_report(
+            df, "g", budget=60, alpha=1.0, weight_col="w",
+            max_epochs_ppm=1_500_000,
+        ).collect()
+    }
+    for g, n in (("a", 10), ("b", 20)):
+        r = rows[g]
+        assert (r["n_tokens"], r["take_tokens"]) == (n, 2 * n)
+        assert r["epochs_ppm"] == 2_000_000
+        assert r["repeats_ppm"] == 1_000_000
+        decay = round(1e6 * math.exp(-1_000_000 / 15_390_000.0))
+        assert r["decay_ppm"] == decay
+        assert r["effective_tokens"] == n + (
+            n * 15_390_000 * (1_000_000 - decay)
+        ) // 10**12
+        assert r["over_cap"]
+        assert r["excess_tokens"] == (n * 500_000) // 10**6
+
+
+def test_epoch_budget_sub_one_epoch_and_budget_conservation(spark):
+    """Groups allocated under one epoch carry zero repeats, decay
+    1e6 and effective == unique; floor rounding keeps the summed
+    allocation at or under the budget."""
+    from nsl_kdd_spark.operators.corpus import epoch_budget_report
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 300), ("c", 3, 77)],
+        "g string, i long, w long",
+    )
+    rows = epoch_budget_report(
+        df, "g", budget=200, alpha=0.5, weight_col="w"
+    ).collect()
+    assert sum(r["take_tokens"] for r in rows) <= 200
+    for r in rows:
+        assert r["epochs_ppm"] < 1_000_000
+        assert r["repeats_ppm"] == 0
+        assert r["decay_ppm"] == 1_000_000
+        assert r["effective_tokens"] == r["n_tokens"]
+    assert "over_cap" not in rows[0].asDict()
+
+
+def test_epoch_budget_guards(spark):
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.corpus import epoch_budget_report
+
+    df = spark.createDataFrame([("a", 1)], "g string, i long")
+    with _pytest.raises(ValueError):
+        epoch_budget_report(df, "g", budget=10, alpha=0.3)
+    with _pytest.raises(ValueError):
+        epoch_budget_report(df, "g", budget=10, r_star_ppm=0)
+    with _pytest.raises(ValueError):
+        epoch_budget_report(df, "g", budget=10, max_epochs_ppm=500)

@@ -3132,6 +3132,105 @@ def fam_dsir(rng: random.Random):
     )
 
 
+def fam_epoch_budget(rng: random.Random):
+    """Data-constrained epoch budgeting (round-12;
+    corpus.epoch_budget_report — Muennighoff et al. 2023). Draws
+    move alpha (the shared sqrt-chain allocation), the token budget
+    (sub-1-epoch through heavy-repeat regimes), the epoch cap and
+    the doc-count vs token-weighted mass basis; the oracle replays
+    the allocation, the ppm epoch algebra, the quantized exp decay
+    and the cap accounting."""
+    alpha = rng.choice((0.25, 0.5, 1.0))
+    budget = rng.choice((50_000, 200_000, 1_000_000))
+    cap = rng.choice((None, 2_000_000, 4_000_000))
+    weighted = rng.choice((True, False))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.functions.text import token_count
+        from nsl_kdd_spark.operators.corpus import epoch_budget_report
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        if weighted:
+            docs = docs.withColumn(
+                "n_tok", token_count("text").cast("long")
+            )
+        return epoch_budget_report(
+            docs, "lang", budget=budget, alpha=alpha,
+            weight_col="n_tok" if weighted else None,
+            max_epochs_ppm=cap,
+        )
+
+    mass = (
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT)"
+        if weighted else "CAST(COUNT(*) AS BIGINT)"
+    )
+    if alpha == 1.0:
+        wexpr = "n"
+    elif alpha == 0.5:
+        wexpr = (
+            "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        )
+    else:
+        wexpr = (
+            "CAST(FLOOR(SQRT(SQRT(CAST(n AS DOUBLE))) * 1000000.0)"
+            " AS BIGINT)"
+        )
+    if cap is None:
+        cap_cols = ""
+    else:
+        cap_cols = f""",
+           epochs_ppm > {cap} AS over_cap,
+           CAST(CASE WHEN epochs_ppm > {cap}
+                THEN (CAST(n_tokens AS HUGEINT) * (epochs_ppm - {cap}))
+                     // 1000000
+                ELSE 0 END AS BIGINT) AS excess_tokens"""
+    sql = f"""
+    WITH counts AS (
+      SELECT lang, {mass} AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n, {wexpr} AS w FROM counts
+    ), tot AS (
+      SELECT SUM(w) AS sw FROM w
+    ), alloc AS (
+      SELECT lang, n,
+             CAST((CAST({budget} AS HUGEINT) * w)
+                  // (SELECT sw FROM tot) AS BIGINT) AS take
+      FROM w WHERE n > 0
+    ), rep AS (
+      SELECT lang, n AS n_tokens, take AS take_tokens,
+             CAST((CAST(1000000 AS HUGEINT) * take) // n AS BIGINT)
+               AS epochs_ppm
+      FROM alloc
+    ), r2 AS (
+      SELECT *, GREATEST(epochs_ppm - 1000000, 0) AS repeats_ppm
+      FROM rep
+    ), r3 AS (
+      SELECT *,
+             CAST(round(exp(-(CAST(repeats_ppm AS DOUBLE)
+                             / 15390000.0)) * 1000000.0) AS BIGINT)
+               AS decay_ppm
+      FROM r2
+    )
+    SELECT lang, n_tokens, take_tokens, epochs_ppm, repeats_ppm,
+           decay_ppm,
+           CAST(n_tokens + (CAST(n_tokens AS HUGEINT) * 15390000
+                            * (1000000 - decay_ppm))
+                           // 1000000000000 AS BIGINT)
+             AS effective_tokens{cap_cols}
+    FROM r3
+    ORDER BY lang
+    """
+    return (
+        f"alpha={alpha} budget={budget} cap={cap} weighted={weighted}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_best_of_n(rng: random.Random):
     """Best-of-n rejection sampling (round-12; operators/sft.
     best_of_n — Bai et al. 2022 / ReST selection). Draws move n,
@@ -3532,6 +3631,7 @@ FAMILIES = {
     "sft_pack": fam_sft_pack,
     "t_ordered": fam_t_ordered,
     "best_of_n": fam_best_of_n,
+    "epoch_budget": fam_epoch_budget,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -3544,7 +3644,7 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "substr_report", "gopher", "c4", "contamination",
          "grouped_bins", "sft_spans", "diversity", "k_anonymity",
          "preference_pairs", "fertility", "l_diversity", "t_closeness",
-         "datacard", "best_of_n")
+         "datacard", "best_of_n", "epoch_budget")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
