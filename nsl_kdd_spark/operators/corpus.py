@@ -310,7 +310,11 @@ def _mixture_allocation(
                 F.lit("temperature_mixture: weight_col is NULL")
             ).cast("long"),
         ).otherwise(F.sum(wrow))
-    counts = df.groupBy(group_col).agg(mass.alias("__n"))
+    # localCheckpoint the k-row mass table: both consumers below (the
+    # Σw/Σn totals and the per-group take) would otherwise re-plan it
+    # from the corpus — TWO full corpus scans for a k-row aggregate
+    # (round-12 plan read; the dsir fused-path precedent)
+    counts = df.groupBy(group_col).agg(mass.alias("__n")).localCheckpoint()
     nd = F.col("__n").cast("double")
     # alpha=1 needs no fixed-point scale at all (w = n is exact, and
     # floor(t*n*1e6 / (sum(n)*1e6)) == floor(t*n / sum(n)) — the

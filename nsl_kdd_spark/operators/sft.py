@@ -365,8 +365,17 @@ def pack_conversations(
     join back to the turn rows. No corpus-sized window, no Python,
     no collect.
     """
+    # conversation length from the PRE-WINDOW segment column (sum of
+    # segment lengths + joiners == max(seg_end), bit-identically):
+    # referencing seg_end here would drag the per-conversation span
+    # window into this branch too, and the corpus would pay the
+    # window twice (round-12 plan read — Catalyst prunes the unused
+    # window outputs from this aggregate's subtree)
     conv = spans.groupBy(conv_col).agg(
-        F.max("seg_end").cast("long").alias("__conv_len")
+        (
+            F.sum(F.length("segment").cast("long"))
+            + (F.count(F.lit(1)) - 1) * F.lit(len(joiner))
+        ).alias("__conv_len")
     )
     assigned = conv.join(
         packs.select(conv_col, pack_col), conv_col
@@ -422,6 +431,12 @@ def assemble_pack_text(
     bounded groups by the packing contract), the assemble_chat_text
     shape; in-group ordering rides JVM-side array_sort on (idx,
     text) structs.
+
+    Persist advisory: ``packed`` is consumed here AND as the
+    turn-row output — when a pipeline reads both, persist or
+    localCheckpoint it (or the upstream spans) so the span window
+    does not recompute per consumer (the curation-pipeline
+    precedent).
     """
     conv = packed.groupBy(pack_col, conv_col).agg(
         F.max("conv_pos").alias("__pos"),

@@ -8852,18 +8852,35 @@ def q182_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q60 profile (the profile family is held by q176's rollup datacard
 # plus q115's windowed expectations). The full rotated window
 # re-verified via tools/compare.py at sf0.01 before round close.
+# Round-12 rotation: four NEW oracle-paired queries rotate in —
+# q178 packed-SFT rebasing, q179 ordered t-closeness, q180
+# best-of-n, q182 epoch budgeting (q181 SPFHP-tier packing is
+# rows-only by design and stays out, the q172 rule). Four
+# double-green (r10 driver + r11 driver/sweep) rows free the slots,
+# each with its family held by in-window kin: q153 exact-substring
+# strip (held by q156 cross-doc), q157 quality classifier (the
+# linear_text margin machinery is exercised by q162 DSIR), q158
+# temperature mixture (the shared _mixture_allocation core — which
+# round 12 refactored — is re-proven in-window by q161 AND the
+# incoming q182), q160 windowed decontamination (gram-probe
+# machinery held by q165's contamination report; the family's fuzz
+# + pytest gates stay). Touched-this-round rows q169/q171/q173/
+# q175/q176 (ppm DECIMAL + NULL-score advice fixes) were already
+# in-window and stay for the driver re-green; q174/q175 stay until
+# double-green per the r11 verdict. The full rotated window
+# re-verified via tools/compare.py at sf0.01 before round close.
 DRIVER_WINDOW = [
-    # touched-this-round substr family anchors
-    "q153_exact_substring_strip",
+    # round-12 NEW queries (see rotation block above)
+    "q178_sft_pack", "q179_t_closeness_ordered",
+    "q180_best_of_n", "q182_epoch_budget",
     # round-11 NEW queries + touched re-anchors (see block above)
     "q161_token_weighted_mixture", "q162_dsir_select",
     "q163_gopher_quality", "q164_c4_line_clean",
     "q165_contamination_report", "q166_ccnet_buckets",
     "q123_ranking_metrics", "q103_pagerank",
     # round-10 NEW queries (replacing double-green q27/q32/q37/q07/q15)
-    "q156_exact_substring_cross_doc", "q157_quality_classifier",
-    "q158_temperature_mixture", "q159_fim_transform",
-    "q160_decontaminate_spans",
+    "q156_exact_substring_cross_doc",
+    "q159_fim_transform",
     # round-11 second wave (see rotation block above)
     "q167_span_corruption", "q168_sft_chat_spans",
     "q169_ngram_diversity", "q170_k_anonymity",

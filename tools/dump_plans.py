@@ -59,6 +59,10 @@ PICKS = {
     "q172_pack_best_fit": "SPFHP packing (r11): size-histogram aggregate (driver solve on counts), distributed per-size rank (range-partition cumsum, never a size-keyed window), broadcast range-table join for arithmetic assignment",
     "q175_t_closeness": "t-closeness (r11): one corpus cell aggregate, global distribution as a literal map (no second join), integer TV-EMD arithmetic on the cell table, null-safe join back — no window",
     "q177_mixture_of_denoisers": "UL2 denoiser mixture (r11): md5 route + routed per-position selection + shared masked-run serializer, ALL scan-stage — zero exchanges before the orderBy",
+    "q178_sft_pack": "packed SFT (r12): conversation lengths from a PLAIN aggregate over the pre-window segment column (the span window never runs in that branch), distributed cumsum rank for the fixed-count assignment (pid window, never global), ONE bounded per-pack window for offsets, turn join-back; pack text = two bounded grouped aggregates",
+    "q179_t_closeness_ordered": "ordered t-closeness (r12): one corpus cell aggregate, m-row domain index/cumsum window (bounded), broadcast group x domain grid whose per-group cumsum window partitions are m-bounded, null-safe join back — no corpus-sized window",
+    "q180_best_of_n": "best-of-n (r12): ONE grouped collect+array_sort+slice aggregate over bounded prompt groups, Generate for ranks — no window, no join",
+    "q182_epoch_budget": "epoch budgeting (r12): the k-row mass table localCheckpoints so totals AND takes read it (ONE corpus pass, not two), then scan-stage ppm/decay arithmetic on k rows",
 }
 
 
