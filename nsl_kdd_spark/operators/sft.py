@@ -536,3 +536,61 @@ def best_of_n(
         F.col("__r.r").alias("response"),
         F.col("__r.sc").alias("score"),
     )
+
+
+def char_spans_to_token_spans(
+    df: DataFrame,
+    text_col: str,
+    start_col: str,
+    end_col: str,
+    start_out: str = "tok_start",
+    end_out: str = "tok_end",
+) -> DataFrame:
+    """Convert 1-based inclusive CHARACTER spans into 1-based
+    inclusive TOKEN-index spans under whitespace tokenization
+    (single-space fields, the engine's token convention) — the last
+    step of the completion-only mask pipeline: a trainer's collator
+    masks TOKEN positions, while :func:`render_chat_spans` /
+    :func:`pack_conversations` emit character offsets.
+
+    The conversion is pure prefix arithmetic, no token array ever
+    materializes: with ``cnt(p)`` = number of spaces in the first
+    ``p`` characters, the token containing a non-space char at
+    position p is ``cnt(p) + 1``; a START that lands ON a separator
+    space resolves to the FOLLOWING token (``cnt(s) + 1`` covers
+    both cases, since the space itself is counted) and an END on a
+    space resolves to the PRECEDING token (``cnt(e)``). A span
+    consisting only of separators therefore yields
+    ``start_out > end_out`` — emitted as NULLs (nothing to mask).
+    NULL char spans pass through as NULL token spans.
+
+    Scale shape: two substring+replace+length expressions per row,
+    entirely scan-stage — no explode, no join, no window; cost is
+    O(span end) per row, independent of document count. Bit-exact
+    in any engine (pure string/length arithmetic), hence fully
+    oracle-replayable.
+    """
+    def spaces_in_prefix(p_col: str) -> Column:
+        pref = F.expr(
+            f"substring({text_col}, 1, CAST({p_col} AS INT))"
+        )
+        return (
+            F.length(pref)
+            - F.length(F.replace(pref, F.lit(" "), F.lit("")))
+        ).cast("long")
+
+    s_raw = spaces_in_prefix(start_col) + 1
+    e_char_is_space = F.expr(
+        f"substring({text_col}, CAST({end_col} AS INT), 1) = ' '"
+    )
+    e_raw = F.when(
+        e_char_is_space, spaces_in_prefix(end_col)
+    ).otherwise(spaces_in_prefix(end_col) + 1)
+    valid = (
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (s_raw <= e_raw)
+    )
+    return df.withColumn(
+        start_out, F.when(valid, s_raw)
+    ).withColumn(end_out, F.when(valid, e_raw))

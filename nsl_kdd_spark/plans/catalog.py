@@ -8187,9 +8187,10 @@ def q177_mixture_of_denoisers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pack_digest pins the assembled pack strings bit-exactly.
 # ---------------------------------------------------------------------------
 
-@query(
-    "q178_sft_pack",
-    oracle="""
+# shared CTE chain for the packed-SFT oracles (q178 + q183): render,
+# span offsets, fixed-count (k=5) assignment, per-pack offsets, pack
+# text assembly — identical text in both so the two can never drift
+_SFT_PACK_CTES = """
     WITH turns AS (
       SELECT user_id AS conv_id, event_id, ts,
              CASE WHEN event_type IN ('click', 'view') THEN 'user'
@@ -8245,6 +8246,12 @@ def q177_mixture_of_denoisers(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS pack_text
       FROM pk GROUP BY pack_id
     )
+"""
+
+
+@query(
+    "q178_sft_pack",
+    oracle=_SFT_PACK_CTES + """
     SELECT o.conv_id, CAST(o.turn_idx AS INTEGER) AS turn_idx, o.role,
            p.pack_id, p.conv_pos, p.n_convs, p.pack_len,
            CAST(o.prior + 1 + p.conv_off AS BIGINT) AS pack_seg_start,
@@ -8635,6 +8642,100 @@ def q182_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q183 — char-span -> token-span conversion (round-12;
+# sft.char_spans_to_token_spans): the LAST step of the
+# completion-only mask pipeline — a trainer's collator masks TOKEN
+# indices while render/pack emit character offsets. Whitespace
+# tokenization via pure prefix arithmetic (spaces-in-prefix counts:
+# no token array, no explode): start-on-separator resolves to the
+# following token, end-on-separator to the preceding one,
+# separator-only spans go NULL. Composes on the q178 packed spans;
+# the oracle replays the identical length/replace algebra over the
+# shared _SFT_PACK_CTES chain.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q183_token_spans",
+    oracle=_SFT_PACK_CTES + """
+    , spans AS (
+      SELECT o.conv_id, CAST(o.turn_idx AS INTEGER) AS turn_idx,
+             p.pack_id,
+             CAST(o.prior + length('<|im_start|>' || o.role) + 2
+                  + p.conv_off AS BIGINT) AS pack_loss_start,
+             CAST(o.prior + length('<|im_start|>' || o.role) + 1
+                  + length(o.content) + p.conv_off AS BIGINT)
+               AS pack_loss_end,
+             t.pack_text
+      FROM off o JOIN pos p USING (conv_id) JOIN ptext t USING (pack_id)
+      WHERE o.role = 'assistant'
+    ), cnt AS (
+      SELECT conv_id, turn_idx, pack_id, pack_loss_start, pack_loss_end,
+             CAST(length(substr(pack_text, 1, CAST(pack_loss_start AS INT)))
+                  - length(replace(substr(pack_text, 1,
+                                          CAST(pack_loss_start AS INT)),
+                                   ' ', '')) AS BIGINT) AS cs,
+             CAST(length(substr(pack_text, 1, CAST(pack_loss_end AS INT)))
+                  - length(replace(substr(pack_text, 1,
+                                          CAST(pack_loss_end AS INT)),
+                                   ' ', '')) AS BIGINT) AS ce,
+             substr(pack_text, CAST(pack_loss_end AS INT), 1) = ' '
+               AS e_sp
+      FROM spans
+    )
+    SELECT conv_id, turn_idx, pack_id, pack_loss_start, pack_loss_end,
+           CASE WHEN cs + 1 <= (CASE WHEN e_sp THEN ce ELSE ce + 1 END)
+                THEN cs + 1 END AS tok_start,
+           CASE WHEN cs + 1 <= (CASE WHEN e_sp THEN ce ELSE ce + 1 END)
+                THEN CASE WHEN e_sp THEN ce ELSE ce + 1 END
+                END AS tok_end
+    FROM cnt
+    ORDER BY conv_id, turn_idx
+    """,
+)
+def q183_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import (
+        assemble_pack_text,
+        char_spans_to_token_spans,
+        pack_conversations,
+        pack_fixed_count,
+        render_chat_spans,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(
+                " ", "event_type", F.coalesce("props", F.lit(""))
+            ).alias("content"),
+    )
+    spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+    packs = pack_fixed_count(
+        spans.select("conv_id").distinct(), "conv_id", k=5
+    )
+    packed = pack_conversations(spans, packs, "conv_id")
+    ptext = assemble_pack_text(packed, "conv_id")
+    joined = packed.filter(F.col("is_loss")).join(
+        ptext.select("pack_id", "pack_text"), "pack_id"
+    )
+    return (
+        char_spans_to_token_spans(
+            joined, "pack_text", "pack_loss_start", "pack_loss_end"
+        )
+        .select(
+            "conv_id", "turn_idx", "pack_id",
+            "pack_loss_start", "pack_loss_end", "tok_start", "tok_end",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -8867,12 +8968,17 @@ def q182_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + pytest gates stay). Touched-this-round rows q169/q171/q173/
 # q175/q176 (ppm DECIMAL + NULL-score advice fixes) were already
 # in-window and stay for the driver re-green; q174/q175 stay until
-# double-green per the r11 verdict. The full rotated window
-# re-verified via tools/compare.py at sf0.01 before round close.
+# double-green per the r11 verdict. Fifth incoming slot: q183
+# char->token span conversion (the mask pipeline's last step) for
+# q56 rank-analytics (multi-green since the early rounds; the
+# window/rank family stays held by q166's distributed rank bins,
+# q155's TakeOrdered top-k and q128's range frames). The full
+# rotated window re-verified via tools/compare.py at sf0.01 before
+# round close.
 DRIVER_WINDOW = [
     # round-12 NEW queries (see rotation block above)
     "q178_sft_pack", "q179_t_closeness_ordered",
-    "q180_best_of_n", "q182_epoch_budget",
+    "q180_best_of_n", "q182_epoch_budget", "q183_token_spans",
     # round-11 NEW queries + touched re-anchors (see block above)
     "q161_token_weighted_mixture", "q162_dsir_select",
     "q163_gopher_quality", "q164_c4_line_clean",
@@ -8889,7 +8995,6 @@ DRIVER_WINDOW = [
     "q176_datacard", "q177_mixture_of_denoisers",
     # newest green row is r4
     "q53_pattern_extract",
-    "q56_rank_analytics",
     "q75_event_funnel",
     "q85_bin_texts", "q86_weighted_sample",
     "q89_latest_per_key", "q90_group_split",

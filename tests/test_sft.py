@@ -347,3 +347,57 @@ def test_best_of_n_plan_single_aggregate(spark):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree and "Join" not in tree
     assert "EvalPython" not in plan
+
+
+def test_char_spans_to_token_spans(spark):
+    """Boundary semantics of the prefix-count conversion: interiors,
+    separators on either end, separator-only spans, NULL spans, and
+    a double-space empty field."""
+    from nsl_kdd_spark.operators.sft import char_spans_to_token_spans
+
+    #        123456789012345
+    text = "ab cde f  gh ij"  # fields: ab|cde|f||gh|ij (empty 4th)
+    rows = [
+        (1, text, 1, 2),    # "ab"        -> 1..1
+        (2, text, 4, 6),    # "cde"       -> 2..2
+        (3, text, 2, 5),    # "b cd"      -> 1..2
+        (4, text, 3, 3),    # lone space  -> NULL (nothing to mask)
+        (5, text, 3, 7),    # " cde "     -> 2..2 (both ends resolve in)
+        (6, text, None, None),
+        (7, text, 11, 15),  # "gh ij"     -> 5..6 (past the empty field)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, s long, e long")
+    got = {
+        r["id"]: (r["tok_start"], r["tok_end"])
+        for r in char_spans_to_token_spans(df, "t", "s", "e").collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (2, 2), 3: (1, 2), 4: (None, None),
+        5: (2, 2), 6: (None, None), 7: (5, 6),
+    }
+    # slice property: the token range rejoined always CONTAINS the
+    # non-space part of the char span
+    out = char_spans_to_token_spans(df, "t", "s", "e").collect()
+    for r in out:
+        if r["tok_start"] is None:
+            continue
+        toks = r["t"].split(" ")
+        joined = " ".join(toks[r["tok_start"] - 1 : r["tok_end"]])
+        assert r["t"][r["s"] - 1 : r["e"]].strip(" ") in joined
+
+
+def test_char_spans_plan_scan_stage(spark):
+    """Prefix arithmetic only — no explode, no join, no window, no
+    Python."""
+    from tests.test_plan_quality import plan_of
+
+    from nsl_kdd_spark.operators.sft import char_spans_to_token_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 1, 3)], "id long, t string, s long, e long"
+    )
+    plan = plan_of(char_spans_to_token_spans(df, "t", "s", "e"))
+    tree = plan.split("\n\n")[0]
+    for bad in ("Window", "Join", "Generate"):
+        assert bad not in tree
+    assert "EvalPython" not in plan

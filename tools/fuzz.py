@@ -3132,6 +3132,74 @@ def fam_dsir(rng: random.Random):
     )
 
 
+def fam_token_spans(rng: random.Random):
+    """Char-span -> token-span conversion (round-12;
+    sft.char_spans_to_token_spans — whitespace-token prefix
+    arithmetic). Draws move the span-position and span-length
+    moduli, sweeping starts/ends across token interiors, separators
+    and document edges; the oracle replays the spaces-in-prefix
+    counts and both separator-resolution rules exactly."""
+    p = rng.choice((37, 113, 311))
+    q = rng.choice((3, 29, 97))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import (
+            char_spans_to_token_spans,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        spanned = (
+            docs.withColumn("__l", F.length("text").cast("long"))
+            .filter(F.col("__l") > 0)
+            .withColumn(
+                "s", (F.col("doc_id") % p) % F.col("__l") + 1
+            )
+            .withColumn(
+                "e",
+                F.least(F.col("s") + F.col("doc_id") % q, F.col("__l")),
+            )
+        )
+        return (
+            char_spans_to_token_spans(spanned, "text", "s", "e")
+            .select("doc_id", "s", "e", "tok_start", "tok_end")
+            .orderBy("doc_id")
+        )
+
+    sql = f"""
+    WITH spanned AS (
+      SELECT doc_id, text,
+             (doc_id % {p}) % length(text) + 1 AS s
+      FROM documents WHERE length(text) > 0
+    ), se AS (
+      SELECT doc_id, text, s,
+             LEAST(s + doc_id % {q}, length(text)) AS e
+      FROM spanned
+    ), cnt AS (
+      SELECT doc_id, s, e,
+             CAST(length(substr(text, 1, CAST(s AS INT)))
+                  - length(replace(substr(text, 1, CAST(s AS INT)),
+                                   ' ', '')) AS BIGINT) AS cs,
+             CAST(length(substr(text, 1, CAST(e AS INT)))
+                  - length(replace(substr(text, 1, CAST(e AS INT)),
+                                   ' ', '')) AS BIGINT) AS ce,
+             substr(text, CAST(e AS INT), 1) = ' ' AS e_sp
+      FROM se
+    )
+    SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e,
+           CASE WHEN cs + 1 <= (CASE WHEN e_sp THEN ce ELSE ce + 1 END)
+                THEN cs + 1 END AS tok_start,
+           CASE WHEN cs + 1 <= (CASE WHEN e_sp THEN ce ELSE ce + 1 END)
+                THEN CASE WHEN e_sp THEN ce ELSE ce + 1 END
+                END AS tok_end
+    FROM cnt
+    ORDER BY doc_id
+    """
+    return f"p={p} q={q}", spark_fn, sql, False
+
+
 def fam_epoch_budget(rng: random.Random):
     """Data-constrained epoch budgeting (round-12;
     corpus.epoch_budget_report — Muennighoff et al. 2023). Draws
@@ -3632,6 +3700,7 @@ FAMILIES = {
     "t_ordered": fam_t_ordered,
     "best_of_n": fam_best_of_n,
     "epoch_budget": fam_epoch_budget,
+    "token_spans": fam_token_spans,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
