@@ -1151,3 +1151,72 @@ def banded_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every unordered
+    source pair, how many distinct exact-duplicate groups span BOTH
+    sources — the provenance-contamination audit a multi-source
+    corpus runs before attributing quality or deduplicating by
+    priority (a benchmark set leaking through a web crawl, a wiki
+    dump mirrored inside CommonCrawl, two crawls overlapping). The
+    diagonal (``source_a == source_b``) counts groups with >= 2
+    copies INSIDE one source — its internal duplication.
+
+    Output: ``(source_a, source_b, dup_groups, dup_docs)`` with
+    ``source_a <= source_b`` (binary string order); ``dup_groups``
+    = distinct content groups in that cell, ``dup_docs`` = copies
+    those groups contribute on the pair's sides (diagonal: copies
+    within the source; off-diagonal: copies in both sources
+    combined). Pairs with no leakage emit nothing.
+
+    Scale shape (100 TB): exact-hash groupBy((md5, source)) — one
+    map-side-combined aggregate whose key space is content-groups x
+    sources; the pair expansion self-joins THOSE cells on the hash,
+    fanning out at most sources^2 per group (sources are a bounded
+    dimension — the crosstab vocabulary argument), then one grouped
+    count per cell. Bodies never shuffle (32-hex keys only, the
+    dedup_exact argument). No window, no collect.
+    """
+    cells = (
+        df.groupBy(
+            exact_hash(F.col(text_col)).alias("__h"),
+            F.col(source_col).alias("__src"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()  # two consumers: diagonal + pair join
+    )
+    diag = (
+        cells.filter(F.col("__c") >= 2)
+        .groupBy(F.col("__src").alias("source_a"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_groups"),
+            F.sum("__c").alias("dup_docs"),
+        )
+        .withColumn("source_b", F.col("source_a"))
+    )
+    a = cells.select(
+        F.col("__h"), F.col("__src").alias("source_a"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__h").alias("__hb"), F.col("__src").alias("source_b"),
+        F.col("__c").alias("__cb"),
+    )
+    off = (
+        a.join(b, (a["__h"] == b["__hb"]) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("dup_groups"),
+            F.sum(F.col("__ca") + F.col("__cb")).alias("dup_docs"),
+        )
+    )
+    return diag.select(
+        "source_a", "source_b", "dup_groups", "dup_docs"
+    ).unionByName(
+        off.select("source_a", "source_b", "dup_groups", "dup_docs")
+    )

@@ -456,3 +456,75 @@ def datacard_report(
             *[F.col(c).asc_nulls_first() for c in dims],
         )
     )
+
+
+def threshold_sweep_report(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[int],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Filter-threshold sweep: for each candidate cutoff, how much
+    of the corpus a ``score >= t`` quality filter would keep — the
+    curve a curation pipeline reads to pick the threshold that fits
+    its token budget (the published workflow behind every
+    quality-classifier cutoff: sweep, then choose by retained
+    volume, not by eyeballing scores).
+
+    Output: one row per threshold (ascending) — ``(threshold,
+    kept_docs, kept_weight, kept_docs_ppm, kept_weight_ppm)`` with
+    ppm ratios against the FULL corpus (integer, DECIMAL(38,0) for
+    the 1e6 step — the datacard convention). ``weight_col`` (e.g. a
+    token count) defaults to 1 per doc. NULL scores never pass any
+    threshold (an unscored doc is kept by no filter) but DO count
+    in the totals — the ppm is "of the corpus", not "of the scored".
+
+    Scale shape: the whole sweep is ONE map-side-combined aggregate
+    (2k+2 conditional counters over one scan — the q113
+    expectations shape); the k-row unpivot happens on the 1-row
+    result. No second pass per threshold, no window, no join.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must name at least one cutoff")
+    ts = sorted(set(int(t) for t in thresholds))
+    w = F.lit(1).cast("long") if weight_col is None else F.col(
+        weight_col
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("__nd"),
+        F.coalesce(F.sum(w), F.lit(0).cast("long")).alias("__nw"),
+    ]
+    for i, t in enumerate(ts):
+        keep = F.col(score_col) >= F.lit(t)
+        aggs.append(F.count_if(keep).alias(f"__d{i}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(keep, w)), F.lit(0).cast("long")
+            ).alias(f"__w{i}")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({t} AS BIGINT), __d{i}, __w{i}"
+        for i, t in enumerate(ts)
+    )
+    rows = one.select(
+        "__nd",
+        "__nw",
+        F.expr(
+            f"stack({len(ts)}, {stack})"
+            f" AS (threshold, kept_docs, kept_weight)"
+        ),
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * {num})"
+            f" div {den} AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        rows.withColumn("kept_docs_ppm", ppm("kept_docs", "__nd"))
+        .withColumn("kept_weight_ppm", ppm("kept_weight", "__nw"))
+        .drop("__nd", "__nw")
+        .orderBy("threshold")
+    )

@@ -594,3 +594,96 @@ def char_spans_to_token_spans(
     return df.withColumn(
         start_out, F.when(valid, s_raw)
     ).withColumn(end_out, F.when(valid, e_raw))
+
+
+def flatten_message_tree(
+    df: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_depth: int = 32,
+) -> DataFrame:
+    """Flatten a BRANCHED message tree (regenerations, edits,
+    multiple replies — the ShareGPT/chat-export shape) into linear
+    conversations: every LEAF message defines one conversation, the
+    root-to-leaf path, ready for :func:`render_chat_spans`
+    (``conv_col=path_id, order_cols=["turn_idx"]``).
+
+    Output: the input columns plus ``(path_id, turn_idx)`` — one row
+    per (leaf, ancestor-or-self), ``path_id`` = the leaf's id,
+    ``turn_idx`` 1-based from the path's top. Messages on several
+    root-to-leaf paths are REPLICATED per path (the trainer's
+    convention: each sampled path is a full conversation). A parent
+    id that matches no row truncates the path there (the orphan
+    becomes that path's top — partial exports keep their tails);
+    roots are rows with a NULL parent.
+
+    ``max_depth`` bounds the walk: trees deeper than it — and any
+    cycle REACHABLE from a leaf, which can never drain — raise
+    loudly instead of looping or silently truncating. A CLOSED
+    cycle (no leaf anywhere — every member is someone's parent)
+    has no root-to-leaf path by definition and emits nothing; run
+    the walk after a structural expectation
+    (``quality.expect({"acyclic": ...})``) when dropped cycles must
+    be loud.
+
+    Scale shape: the classic bounded-iteration frontier walk (the
+    pagerank/k-core precedent — depth many SLIM equi-joins, never a
+    corpus-sized window): the (id, parent) projection
+    localCheckpoints once and every level joins the shrinking
+    frontier against it; per-level lineage is truncated; the final
+    turn index is one window over PATH partitions, which are
+    max_depth-bounded groups by construction. Leaf detection is one
+    left-anti join.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    slim = df.select(
+        F.col(id_col).alias("__mid"), F.col(parent_col).alias("__par")
+    ).localCheckpoint()
+    leaves = slim.join(
+        slim.filter(F.col("__par").isNotNull()).select(
+            F.col("__par").alias("__mid")
+        ),
+        "__mid",
+        "left_anti",
+    )
+    frontier = leaves.select(
+        F.col("__mid").alias("path_id"),
+        "__mid",
+        "__par",
+        F.lit(0).cast("int").alias("__up"),
+    ).localCheckpoint()
+    acc = [frontier.select("path_id", "__mid", "__up")]
+    up = slim.withColumnsRenamed({"__mid": "__pmid", "__par": "__ppar"})
+    for _ in range(max_depth - 1):
+        frontier = (
+            frontier.filter(F.col("__par").isNotNull())
+            .join(up, F.col("__par") == F.col("__pmid"))
+            .select(
+                "path_id",
+                F.col("__pmid").alias("__mid"),
+                F.col("__ppar").alias("__par"),
+                (F.col("__up") + 1).alias("__up"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        acc.append(frontier.select("path_id", "__mid", "__up"))
+    else:
+        if not frontier.filter(F.col("__par").isNotNull()).isEmpty():
+            raise ValueError(
+                f"message tree deeper than max_depth={max_depth}"
+                f" (or cyclic) — raise max_depth or break the cycle"
+            )
+    paths = acc[0]
+    for a in acc[1:]:
+        paths = paths.unionByName(a)
+    w = Window.partitionBy("path_id")
+    indexed = paths.withColumn(
+        "turn_idx",
+        (F.max("__up").over(w) - F.col("__up") + 1).cast("int"),
+    ).drop("__up")
+    return df.join(
+        indexed.withColumnsRenamed({"__mid": id_col}), id_col
+    )

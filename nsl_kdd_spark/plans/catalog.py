@@ -8736,6 +8736,191 @@ def q183_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q184 — cross-source duplicate-leakage matrix (round-12;
+# dedup.cross_source_dup_matrix): the provenance-contamination
+# audit a multi-source corpus runs before priority-dedup — per
+# unordered source pair, the distinct content groups spanning both
+# sides (diagonal = within-source duplication). The fixture keys on
+# the 30-char document head (the synthetic corpus has no full-text
+# exact dups; shared heads stand in for the mirrored-content case).
+# Cells = one map-side (hash, source) aggregate; the pair expansion
+# self-joins cells on the hash (sources are a bounded dim), bodies
+# never shuffle. DuckDB replays cells, diagonal and pair join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q184_cross_source_dups",
+    oracle="""
+    WITH cells AS (
+      SELECT md5(substr(text, 1, 30)) AS h, source AS src,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY h, src
+    ), diag AS (
+      SELECT src AS source_a, src AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS dup_groups,
+             CAST(SUM(c) AS BIGINT) AS dup_docs
+      FROM cells WHERE c >= 2 GROUP BY src
+    ), off AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS dup_groups,
+             CAST(SUM(a.c + b.c) AS BIGINT) AS dup_docs
+      FROM cells a JOIN cells b ON a.h = b.h AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT source_a, source_b, dup_groups, dup_docs FROM diag
+    UNION ALL
+    SELECT source_a, source_b, dup_groups, dup_docs FROM off
+    ORDER BY source_a, source_b
+    """,
+)
+def q184_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = load_tables(spark, sf_dir).documents.withColumn(
+        "head", F.substring("text", 1, 30)
+    )
+    return cross_source_dup_matrix(docs, "source", "head").orderBy(
+        "source_a", "source_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — filter-threshold sweep (round-12;
+# quality.threshold_sweep_report): the curve a curation pipeline
+# reads to pick a quality cutoff by retained token volume — per
+# candidate threshold, docs/tokens kept and integer-ppm shares of
+# the FULL corpus. The whole sweep is ONE map-side aggregate (2k+2
+# conditional counters, the q113 expectations shape); the k-row
+# unpivot runs on the 1-row result. DuckDB replays the conditional
+# sums and the ppm algebra per threshold.
+# ---------------------------------------------------------------------------
+
+
+def _sweep_tier_sql(t: int) -> str:
+    return f"""
+      SELECT CAST({t} AS BIGINT) AS threshold,
+             CAST(COUNT(*) FILTER (WHERE length(text) >= {t})
+                  AS BIGINT) AS kept_docs,
+             CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                  FILTER (WHERE length(text) >= {t}), 0)
+                  AS BIGINT) AS kept_weight,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nw
+      FROM documents
+    """
+
+
+@query(
+    "q185_threshold_sweep",
+    oracle=f"""
+    WITH tiers AS (
+      {_sweep_tier_sql(100)}
+      UNION ALL
+      {_sweep_tier_sql(300)}
+      UNION ALL
+      {_sweep_tier_sql(500)}
+      UNION ALL
+      {_sweep_tier_sql(800)}
+    )
+    SELECT threshold, kept_docs, kept_weight,
+           CAST(CASE WHEN nd > 0
+                THEN (CAST(1000000 AS HUGEINT) * kept_docs) // nd
+                ELSE 0 END AS BIGINT) AS kept_docs_ppm,
+           CAST(CASE WHEN nw > 0
+                THEN (CAST(1000000 AS HUGEINT) * kept_weight) // nw
+                ELSE 0 END AS BIGINT) AS kept_weight_ppm
+    FROM tiers
+    ORDER BY threshold
+    """,
+)
+def q185_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.functions.text import token_count
+    from nsl_kdd_spark.operators.quality import threshold_sweep_report
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        F.length("text").cast("long").alias("score"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    return threshold_sweep_report(
+        docs, "score", [100, 300, 500, 800], weight_col="n_tok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — message-tree flattening (round-12;
+# sft.flatten_message_tree): branched chat logs (regenerations,
+# edits, multiple replies — the ShareGPT export shape) become one
+# linear conversation per LEAF, the root-to-leaf path, feeding
+# render_chat_spans directly. The fixture builds a binary tree per
+# user (parent = the event at half the row's per-user rank); the
+# engine walks it with the bounded-iteration frontier joins (the
+# pagerank precedent), DuckDB replays with WITH RECURSIVE — the
+# chain, the shared-prefix replication and the 1-based turn index
+# compare bit-exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q186_flatten_tree",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ), t AS (
+      SELECT a.user_id, a.event_id AS mid, b.event_id AS pid
+      FROM r a LEFT JOIN r b
+        ON a.user_id = b.user_id AND b.rk = a.rk // 2
+    ), leaves AS (
+      SELECT mid FROM t
+      WHERE mid NOT IN (SELECT pid FROM t WHERE pid IS NOT NULL)
+    ), chain AS (
+      SELECT l.mid AS path_id, l.mid AS mid, 0 AS up FROM leaves l
+      UNION ALL
+      SELECT c.path_id, t.pid, c.up + 1
+      FROM chain c JOIN t ON t.mid = c.mid AND t.pid IS NOT NULL
+    ), lens AS (
+      SELECT path_id, MAX(up) AS mx FROM chain GROUP BY path_id
+    )
+    SELECT t.user_id, c.path_id,
+           CAST(l.mx - c.up + 1 AS INTEGER) AS turn_idx,
+           c.mid AS event_id
+    FROM chain c JOIN lens l USING (path_id) JOIN t ON t.mid = c.mid
+    ORDER BY c.path_id, turn_idx
+    """,
+)
+def q186_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nsl_kdd_spark.operators.sft import flatten_message_tree
+
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "event_id", "ts").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    b = ranked.select(
+        F.col("user_id").alias("__bu"),
+        F.col("event_id").alias("parent_id"),
+        F.col("rk").alias("__brk"),
+    )
+    tree = (
+        ranked.join(
+            b,
+            (F.col("user_id") == F.col("__bu"))
+            & (F.col("__brk") == F.floor(F.col("rk") / 2)),
+            "left",
+        )
+        .select("user_id", "event_id", "parent_id")
+    )
+    return (
+        flatten_message_tree(tree, "event_id", "parent_id", max_depth=16)
+        .select("user_id", "path_id", "turn_idx", "event_id")
+        .orderBy("path_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -8972,13 +9157,22 @@ def q183_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # char->token span conversion (the mask pipeline's last step) for
 # q56 rank-analytics (multi-green since the early rounds; the
 # window/rank family stays held by q166's distributed rank bins,
-# q155's TakeOrdered top-k and q128's range frames). The full
+# q155's TakeOrdered top-k and q128's range frames). Second-wave
+# additions: q184 cross-source dup matrix, q185 threshold sweep and
+# q186 tree flattening rotate in for three more multi-green anchors
+# whose families stay held — q100 token-budget accounting (held by
+# q176 datacard + q182 epoch budgeting + q185's kept-volume sweep),
+# q99 shuffle-order (training-layout family held by q86/q137
+# sampling + q178 packing) and q119 table digest (audit family held
+# by q115 windowed expectations + q124 skipping stats). The full
 # rotated window re-verified via tools/compare.py at sf0.01 before
 # round close.
 DRIVER_WINDOW = [
     # round-12 NEW queries (see rotation block above)
     "q178_sft_pack", "q179_t_closeness_ordered",
     "q180_best_of_n", "q182_epoch_budget", "q183_token_spans",
+    "q184_cross_source_dups", "q185_threshold_sweep",
+    "q186_flatten_tree",
     # round-11 NEW queries + touched re-anchors (see block above)
     "q161_token_weighted_mixture", "q162_dsir_select",
     "q163_gopher_quality", "q164_c4_line_clean",
@@ -8998,10 +9192,10 @@ DRIVER_WINDOW = [
     "q75_event_funnel",
     "q85_bin_texts", "q86_weighted_sample",
     "q89_latest_per_key", "q90_group_split",
-    "q99_shuffle_order", "q100_token_budget", "q102_point_in_time",
+    "q102_point_in_time",
     "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",
-    "q117_skew_topkeys", "q119_table_digest",
+    "q117_skew_topkeys",
     "q124_skipping_stats", "q126_select_canonical",
     "q128_time_weighted_avg", "q131_rfm_segments",
     # newest green row is r6

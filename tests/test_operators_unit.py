@@ -1367,3 +1367,31 @@ def test_retrieval_eval_plan_broadcasts_labels(spark):
     assert tree.count("BroadcastNestedLoop") <= 2  # knn query broadcast
     assert "CartesianProduct" not in tree
     assert "EvalPython" not in plan
+
+
+def test_cross_source_dup_matrix(spark):
+    """Diagonal counts within-source duplicate groups; off-diagonal
+    counts groups spanning both sources, with source_a < source_b;
+    leak-free pairs emit nothing; bodies never shuffle (cells are
+    hashes + counts)."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        ("web", "X"), ("web", "X"),           # within-web dup group
+        ("web", "Y"), ("wiki", "Y"),          # web<->wiki leak
+        ("web", "Z"), ("wiki", "Z"), ("books", "Z"),  # 3-way leak
+        ("books", "U"),                       # unique
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["dup_groups"], r["dup_docs"])
+        for r in cross_source_dup_matrix(df, "source", "text").collect()
+    }
+    assert got == {
+        ("web", "web"): (1, 2),
+        ("web", "wiki"): (2, 4),      # Y and Z groups, 2+2 docs
+        ("books", "web"): (1, 2),     # Z
+        ("books", "wiki"): (1, 2),    # Z
+    }

@@ -246,3 +246,43 @@ def test_datacard_report_rejects_empty_dims(spark):
     df = spark.createDataFrame([(1, "a")], "id long, text string")
     with _pytest.raises(ValueError):
         datacard_report(df, [], "text")
+
+
+def test_threshold_sweep_report(spark):
+    """One-pass sweep semantics: NULL scores never pass but count in
+    the totals; weight defaults to 1/doc; ppm against the FULL
+    corpus; thresholds sorted + deduped; empty set refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.quality import threshold_sweep_report
+
+    df = spark.createDataFrame(
+        [(10, 4), (20, 6), (30, 10), (None, 100)],
+        "score long, w long",
+    )
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep_report(
+            df, "score", [20, 5, 20, 31], weight_col="w"
+        ).collect()
+    }
+    assert sorted(rows) == [5, 20, 31]
+    assert (rows[5]["kept_docs"], rows[5]["kept_weight"]) == (3, 20)
+    assert (rows[20]["kept_docs"], rows[20]["kept_weight"]) == (2, 16)
+    assert (rows[31]["kept_docs"], rows[31]["kept_weight"]) == (0, 0)
+    # ppm against full totals (4 docs, 120 weight incl. the unscored)
+    assert rows[5]["kept_docs_ppm"] == (1_000_000 * 3) // 4
+    assert rows[5]["kept_weight_ppm"] == (1_000_000 * 20) // 120
+    # doc-count basis
+    one = threshold_sweep_report(df, "score", [15]).collect()[0]
+    assert (one["kept_docs"], one["kept_weight"]) == (2, 2)
+    with _pytest.raises(ValueError):
+        threshold_sweep_report(df, "score", [])
+    # plan: ONE aggregate, no window/join
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(threshold_sweep_report(df, "score", [5, 20]))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Join" not in tree
+    assert "EvalPython" not in plan

@@ -3132,6 +3132,190 @@ def fam_dsir(rng: random.Random):
     )
 
 
+def fam_cross_source_dups(rng: random.Random):
+    """Cross-source duplicate-leakage matrix (round-12;
+    dedup.cross_source_dup_matrix). Draws move the dedup-key prefix
+    length (how aggressively heads collide) and the doc subset; the
+    oracle replays the (hash, source) cells, the diagonal and the
+    pair join."""
+    L = rng.choice((15, 30, 60))
+    mod = rng.choice((0, 2))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.dedup import (
+            cross_source_dup_matrix,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        if mod:
+            docs = docs.filter(F.col("doc_id") % mod == 0)
+        docs = docs.withColumn("head", F.substring("text", 1, L))
+        return cross_source_dup_matrix(docs, "source", "head").orderBy(
+            "source_a", "source_b"
+        )
+
+    gate = f"WHERE doc_id % {mod} = 0" if mod else ""
+    sql = f"""
+    WITH cells AS (
+      SELECT md5(substr(text, 1, {L})) AS h, source AS src,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents {gate} GROUP BY h, src
+    ), diag AS (
+      SELECT src AS source_a, src AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS dup_groups,
+             CAST(SUM(c) AS BIGINT) AS dup_docs
+      FROM cells WHERE c >= 2 GROUP BY src
+    ), off AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS dup_groups,
+             CAST(SUM(a.c + b.c) AS BIGINT) AS dup_docs
+      FROM cells a JOIN cells b ON a.h = b.h AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT source_a, source_b, dup_groups, dup_docs FROM diag
+    UNION ALL
+    SELECT source_a, source_b, dup_groups, dup_docs FROM off
+    ORDER BY source_a, source_b
+    """
+    return f"L={L} mod={mod}", spark_fn, sql, False
+
+
+def fam_threshold_sweep(rng: random.Random):
+    """Filter-threshold sweep (round-12;
+    quality.threshold_sweep_report). Draws move the cutoff set
+    (incl. never/always-passing extremes) and the doc-count vs
+    token-weighted basis; the oracle replays the one-pass
+    conditional counters and ppm algebra per threshold."""
+    ts = rng.choice(
+        ((100, 300, 500, 800), (0, 650), (200, 400, 10_000))
+    )
+    weighted = rng.choice((True, False))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.functions.text import token_count
+        from nsl_kdd_spark.operators.quality import (
+            threshold_sweep_report,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents.select(
+            F.length("text").cast("long").alias("score"),
+            token_count("text").cast("long").alias("n_tok"),
+        )
+        return threshold_sweep_report(
+            docs, "score", list(ts),
+            weight_col="n_tok" if weighted else None,
+        )
+
+    wexpr = "len(string_split(text, ' '))" if weighted else "1"
+    tiers = "\n      UNION ALL\n".join(
+        f"""
+      SELECT CAST({t} AS BIGINT) AS threshold,
+             CAST(COUNT(*) FILTER (WHERE length(text) >= {t})
+                  AS BIGINT) AS kept_docs,
+             CAST(COALESCE(SUM({wexpr})
+                  FILTER (WHERE length(text) >= {t}), 0)
+                  AS BIGINT) AS kept_weight,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM({wexpr}) AS BIGINT) AS nw
+      FROM documents
+        """
+        for t in sorted(set(ts))
+    )
+    sql = f"""
+    WITH tiers AS (
+      {tiers}
+    )
+    SELECT threshold, kept_docs, kept_weight,
+           CAST(CASE WHEN nd > 0
+                THEN (CAST(1000000 AS HUGEINT) * kept_docs) // nd
+                ELSE 0 END AS BIGINT) AS kept_docs_ppm,
+           CAST(CASE WHEN nw > 0
+                THEN (CAST(1000000 AS HUGEINT) * kept_weight) // nw
+                ELSE 0 END AS BIGINT) AS kept_weight_ppm
+    FROM tiers
+    ORDER BY threshold
+    """
+    return f"ts={ts} weighted={weighted}", spark_fn, sql, False
+
+
+def fam_flatten_tree(rng: random.Random):
+    """Message-tree flattening (round-12; sft.flatten_message_tree).
+    Draws move the synthetic tree's arity (parent = rank // d) and
+    the user subset; the oracle replays the frontier walk with a
+    recursive CTE — chains, shared-prefix replication and turn
+    indices bit-exact."""
+    d = rng.choice((2, 3, 5))
+    mod = rng.choice((2, 3))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import flatten_message_tree
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events.filter(
+            F.col("user_id") % mod == 0
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = ev.select("user_id", "event_id", "ts").withColumn(
+            "rk", F.row_number().over(w)
+        )
+        b = ranked.select(
+            F.col("user_id").alias("__bu"),
+            F.col("event_id").alias("parent_id"),
+            F.col("rk").alias("__brk"),
+        )
+        tree = ranked.join(
+            b,
+            (F.col("user_id") == F.col("__bu"))
+            & (F.col("__brk") == F.floor(F.col("rk") / d)),
+            "left",
+        ).select("user_id", "event_id", "parent_id")
+        return (
+            flatten_message_tree(
+                tree, "event_id", "parent_id", max_depth=16
+            )
+            .select("user_id", "path_id", "turn_idx", "event_id")
+            .orderBy("path_id", "turn_idx")
+        )
+
+    sql = f"""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events WHERE user_id % {mod} = 0
+    ), t AS (
+      SELECT a.user_id, a.event_id AS mid, b.event_id AS pid
+      FROM r a LEFT JOIN r b
+        ON a.user_id = b.user_id AND b.rk = a.rk // {d}
+    ), leaves AS (
+      SELECT mid FROM t
+      WHERE mid NOT IN (SELECT pid FROM t WHERE pid IS NOT NULL)
+    ), chain AS (
+      SELECT l.mid AS path_id, l.mid AS mid, 0 AS up FROM leaves l
+      UNION ALL
+      SELECT c.path_id, t.pid, c.up + 1
+      FROM chain c JOIN t ON t.mid = c.mid AND t.pid IS NOT NULL
+    ), lens AS (
+      SELECT path_id, MAX(up) AS mx FROM chain GROUP BY path_id
+    )
+    SELECT t.user_id, c.path_id,
+           CAST(l.mx - c.up + 1 AS INTEGER) AS turn_idx,
+           c.mid AS event_id
+    FROM chain c JOIN lens l USING (path_id) JOIN t ON t.mid = c.mid
+    ORDER BY c.path_id, turn_idx
+    """
+    return f"d={d} mod={mod}", spark_fn, sql, False
+
+
 def fam_token_spans(rng: random.Random):
     """Char-span -> token-span conversion (round-12;
     sft.char_spans_to_token_spans — whitespace-token prefix
@@ -3701,6 +3885,9 @@ FAMILIES = {
     "best_of_n": fam_best_of_n,
     "epoch_budget": fam_epoch_budget,
     "token_spans": fam_token_spans,
+    "cross_source_dups": fam_cross_source_dups,
+    "threshold_sweep": fam_threshold_sweep,
+    "flatten_tree": fam_flatten_tree,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
@@ -3713,7 +3900,8 @@ CHEAP = ("percentiles", "winsorize", "topk", "histogram", "hash_split",
          "substr_report", "gopher", "c4", "contamination",
          "grouped_bins", "sft_spans", "diversity", "k_anonymity",
          "preference_pairs", "fertility", "l_diversity", "t_closeness",
-         "datacard", "best_of_n", "epoch_budget")
+         "datacard", "best_of_n", "epoch_budget", "threshold_sweep",
+         "cross_source_dups")
 
 
 def run_fuzz(spark, con, sf_dir: str, families, draws: int, seed: int,
