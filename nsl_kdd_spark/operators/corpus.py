@@ -391,10 +391,15 @@ def epoch_budget_report(
     in value. The paper's fit: with U unique tokens and R repeat
     epochs beyond the first, the effective unique data is
 
-        D' = U + U * R* * (1 - exp(-R / R*)),   R* = 15.39
+        D' = S + S * R* * (1 - exp(-R / R*)),   R* = 15.39
 
-    (eq. 3's data half: the first ~4 epochs are nearly free, ~16+
-    epochs add nothing). This report composes on the
+    with S = min(take, U) — the unique tokens actually CONSUMED:
+    the paper's data half of eq. 3 presumes the data-constrained
+    regime (all of U seen at least once); in the sub-1-epoch regime
+    a group's effective data is what it trains on, not its corpus
+    mass (review r12: reporting U there overstated by up to
+    U/take). The first ~4 repeat epochs are nearly free, ~16+ add
+    nothing. This report composes on the
     temperature-mixture allocation (same sqrt-chain weights, same
     DECIMAL(38,0) take — ONE shared `_mixture_allocation` core) and
     accounts, per group: the allocation, the epoch count it implies,
@@ -457,12 +462,14 @@ def epoch_budget_report(
             ).cast("long"),
         )
         .withColumn(
-            # U + (U * R*_ppm * (1e6 - decay_ppm)) div 1e12, exact
-            # in DECIMAL(38,0): U<=9e18 * 1.5e7 * 1e6 ~ 1e32 < 1e38
+            # S + (S * R*_ppm * (1e6 - decay_ppm)) div 1e12 with
+            # S = least(take, n) — exact in DECIMAL(38,0):
+            # S<=9e18 * 1.5e7 * 1e6 ~ 1e32 < 1e38
             "effective_tokens",
-            F.col("n_tokens")
+            F.least(F.col("take_tokens"), F.col("n_tokens"))
             + F.expr(
-                f"CAST((CAST(n_tokens AS DECIMAL(38,0))"
+                f"CAST((CAST(LEAST(take_tokens, n_tokens)"
+                f" AS DECIMAL(38,0))"
                 f" * {r_star_ppm} * (1000000 - decay_ppm))"
                 f" div 1000000000000 AS BIGINT)"
             ),

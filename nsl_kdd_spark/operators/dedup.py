@@ -1174,6 +1174,13 @@ def cross_source_dup_matrix(
     within the source; off-diagonal: copies in both sources
     combined). Pairs with no leakage emit nothing.
 
+    NULL sources fold into ONE unattributed class (rendered as the
+    ``\\x00null`` sentinel, the privacy-trio convention): without
+    the fold, the diagonal would count NULL-source groups while the
+    off-diagonal ``<`` comparison silently dropped every pair
+    involving them — under-reporting exactly the unattributed
+    documents the audit should flag (review r12).
+
     Scale shape (100 TB): exact-hash groupBy((md5, source)) — one
     map-side-combined aggregate whose key space is content-groups x
     sources; the pair expansion self-joins THOSE cells on the hash,
@@ -1185,7 +1192,9 @@ def cross_source_dup_matrix(
     cells = (
         df.groupBy(
             exact_hash(F.col(text_col)).alias("__h"),
-            F.col(source_col).alias("__src"),
+            F.coalesce(
+                F.col(source_col).cast("string"), F.lit("\x00null")
+            ).alias("__src"),
         )
         .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint()  # two consumers: diagonal + pair join

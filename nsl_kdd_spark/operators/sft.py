@@ -313,9 +313,12 @@ def pack_fixed_count(
         "__one",
         out_col="__rank",
     )
+    # exact integral div, never float `/` (review r12: Column `/`
+    # returns DOUBLE, whose correctly-rounded quotient can round a
+    # near-multiple UP past 2^52/k — the doctrine is `div`)
     return ranked.select(
         conv_col,
-        ((F.col("__rank") - 1) / F.lit(k)).cast("long").alias("pack_id"),
+        F.expr(f"(__rank - 1) div {int(k)}").alias("pack_id"),
     )
 
 
@@ -671,7 +674,15 @@ def flatten_message_tree(
             break
         acc.append(frontier.select("path_id", "__mid", "__up"))
     else:
-        if not frontier.filter(F.col("__par").isNotNull()).isEmpty():
+        # too deep only if the walk WOULD continue: a dangling
+        # parent at exactly max_depth is a legitimate orphan
+        # truncation, not an overdepth (review r12 — the naive
+        # isNotNull check falsely raised on it); join against the
+        # parent table to ask whether another level exists
+        more = frontier.filter(F.col("__par").isNotNull()).join(
+            up, F.col("__par") == F.col("__pmid")
+        )
+        if not more.isEmpty():
             raise ValueError(
                 f"message tree deeper than max_depth={max_depth}"
                 f" (or cyclic) — raise max_depth or break the cycle"

@@ -7542,6 +7542,52 @@ def q167_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_span_checks(out: DataFrame) -> DataFrame:
+    """Shared q178/q181 verification columns (review r12): re-extract
+    every rebased span from the assembled pack text — ok_seg for the
+    whole segment, ok_loss for the completion-only content."""
+    sub = (
+        "substring(pack_text, CAST({s} AS INT),"
+        " CAST({e} - {s} + 1 AS INT))"
+    )
+    return out.withColumn(
+        "ok_seg",
+        F.expr(
+            sub.format(s="pack_seg_start", e="pack_seg_end")
+            + " = segment"
+        ),
+    ).withColumn(
+        "ok_loss",
+        F.when(
+            F.col("is_loss"),
+            F.expr(
+                sub.format(s="pack_loss_start", e="pack_loss_end")
+                + " = content"
+            ),
+        ).otherwise(F.lit(True)),
+    )
+
+
+def _chat_turns(ev: DataFrame) -> DataFrame:
+    """Shared chat-turns fixture for the SFT queries (q168/q178/
+    q181/q183 — review r12: four verbatim copies of this projection
+    could silently drift from their oracles): events become
+    conversation turns — user_id = conversation, (ts, event_id)
+    order, role from the event type, content = type + props."""
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(
+            " ", "event_type", F.coalesce("props", F.lit(""))
+        ).alias("content"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q168 — SFT chat-template assembly with loss-mask spans (round-11;
 # operators/sft.py): the instruction-tuning data-prep step — events
@@ -7609,19 +7655,7 @@ def q168_sft_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_chat_spans,
     )
 
-    ev = load_tables(spark, sf_dir).events
-    turns = ev.select(
-        F.col("user_id").alias("conv_id"),
-        "event_id",
-        "ts",
-        F.when(F.col("event_type").isin("click", "view"), "user")
-        .when(F.col("event_type") == "error", "system")
-        .otherwise("assistant")
-        .alias("role"),
-        F.concat_ws(
-                " ", "event_type", F.coalesce("props", F.lit(""))
-            ).alias("content"),
-    )
+    turns = _chat_turns(load_tables(spark, sf_dir).events)
     spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
     text = assemble_chat_text(spans, "conv_id")
     return (
@@ -8287,19 +8321,7 @@ def q178_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_chat_spans,
     )
 
-    ev = load_tables(spark, sf_dir).events
-    turns = ev.select(
-        F.col("user_id").alias("conv_id"),
-        "event_id",
-        "ts",
-        F.when(F.col("event_type").isin("click", "view"), "user")
-        .when(F.col("event_type") == "error", "system")
-        .otherwise("assistant")
-        .alias("role"),
-        F.concat_ws(
-                " ", "event_type", F.coalesce("props", F.lit(""))
-            ).alias("content"),
-    )
+    turns = _chat_turns(load_tables(spark, sf_dir).events)
     spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
     packs = pack_fixed_count(
         spans.select("conv_id").distinct(), "conv_id", k=5
@@ -8309,28 +8331,8 @@ def q178_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = packed.join(
         ptext.select("pack_id", "pack_text"), "pack_id"
     )
-    sub = (
-        "substring(pack_text, CAST({s} AS INT),"
-        " CAST({e} - {s} + 1 AS INT))"
-    )
     return (
-        out.withColumn(
-            "ok_seg",
-            F.expr(
-                sub.format(s="pack_seg_start", e="pack_seg_end")
-                + " = segment"
-            ),
-        )
-        .withColumn(
-            "ok_loss",
-            F.when(
-                F.col("is_loss"),
-                F.expr(
-                    sub.format(s="pack_loss_start", e="pack_loss_end")
-                    + " = content"
-                ),
-            ).otherwise(F.lit(True)),
-        )
+        _with_span_checks(out)
         .withColumn("pack_digest", F.md5("pack_text"))
         .select(
             "conv_id", "turn_idx", "role", "pack_id", "conv_pos",
@@ -8510,19 +8512,7 @@ def q181_sft_pack_spfhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_chat_spans,
     )
 
-    ev = load_tables(spark, sf_dir).events
-    turns = ev.select(
-        F.col("user_id").alias("conv_id"),
-        "event_id",
-        "ts",
-        F.when(F.col("event_type").isin("click", "view"), "user")
-        .when(F.col("event_type") == "error", "system")
-        .otherwise("assistant")
-        .alias("role"),
-        F.concat_ws(
-                " ", "event_type", F.coalesce("props", F.lit(""))
-            ).alias("content"),
-    )
+    turns = _chat_turns(load_tables(spark, sf_dir).events)
     spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
     sizes = spans.groupBy("conv_id").agg(
         F.max("seg_end").cast("long").alias("conv_chars")
@@ -8531,28 +8521,8 @@ def q181_sft_pack_spfhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_conversations(spans, packs, "conv_id")
     ptext = assemble_pack_text(packed, "conv_id")
     out = packed.join(ptext.select("pack_id", "pack_text"), "pack_id")
-    sub = (
-        "substring(pack_text, CAST({s} AS INT),"
-        " CAST({e} - {s} + 1 AS INT))"
-    )
     return (
-        out.withColumn(
-            "ok_seg",
-            F.expr(
-                sub.format(s="pack_seg_start", e="pack_seg_end")
-                + " = segment"
-            ),
-        )
-        .withColumn(
-            "ok_loss",
-            F.when(
-                F.col("is_loss"),
-                F.expr(
-                    sub.format(s="pack_loss_start", e="pack_loss_end")
-                    + " = content"
-                ),
-            ).otherwise(F.lit(True)),
-        )
+        _with_span_checks(out)
         .select(
             "conv_id", "turn_idx", "role", "pack_id", "conv_pos",
             "n_convs", "pack_len", "pack_loss_start", "pack_loss_end",
@@ -8615,9 +8585,10 @@ def q181_sft_pack_spfhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, n_tokens, take_tokens, epochs_ppm, repeats_ppm,
            decay_ppm,
-           CAST(n_tokens + (CAST(n_tokens AS HUGEINT) * 15390000
-                            * (1000000 - decay_ppm))
-                           // 1000000000000 AS BIGINT)
+           CAST(LEAST(take_tokens, n_tokens)
+                + (CAST(LEAST(take_tokens, n_tokens) AS HUGEINT)
+                   * 15390000 * (1000000 - decay_ppm))
+                  // 1000000000000 AS BIGINT)
              AS effective_tokens,
            epochs_ppm > 4000000 AS over_cap,
            CAST(CASE WHEN epochs_ppm > 4000000
@@ -8701,19 +8672,7 @@ def q183_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_chat_spans,
     )
 
-    ev = load_tables(spark, sf_dir).events
-    turns = ev.select(
-        F.col("user_id").alias("conv_id"),
-        "event_id",
-        "ts",
-        F.when(F.col("event_type").isin("click", "view"), "user")
-        .when(F.col("event_type") == "error", "system")
-        .otherwise("assistant")
-        .alias("role"),
-        F.concat_ws(
-                " ", "event_type", F.coalesce("props", F.lit(""))
-            ).alias("content"),
-    )
+    turns = _chat_turns(load_tables(spark, sf_dir).events)
     spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
     packs = pack_fixed_count(
         spans.select("conv_id").distinct(), "conv_id", k=5
@@ -8752,7 +8711,8 @@ def q183_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q184_cross_source_dups",
     oracle="""
     WITH cells AS (
-      SELECT md5(substr(text, 1, 30)) AS h, source AS src,
+      SELECT md5(substr(text, 1, 30)) AS h,
+             COALESCE(CAST(source AS VARCHAR), chr(0) || 'null') AS src,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM documents GROUP BY h, src
     ), diag AS (

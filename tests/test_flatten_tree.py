@@ -98,3 +98,18 @@ def test_feeds_render_chat_spans(spark):
         (2, 1, False), (2, 2, True),
         (3, 1, False), (3, 2, True),
     ]
+
+
+def test_orphan_path_at_exact_max_depth_succeeds(spark):
+    """Review r12: an orphan-truncated path of exactly max_depth
+    nodes must DRAIN (the dangling parent is a truncation, not an
+    overdepth) — the naive any-non-null-parent check falsely raised
+    here."""
+    df = spark.createDataFrame(
+        [(10, 99, "top"), (11, 10, "leaf")],
+        "mid long, pid long, body string",
+    )
+    out = flatten_message_tree(df, "mid", "pid", max_depth=2).collect()
+    assert sorted((r["turn_idx"], r["mid"]) for r in out) == [
+        (1, 10), (2, 11)
+    ]

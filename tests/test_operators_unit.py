@@ -1395,3 +1395,22 @@ def test_cross_source_dup_matrix(spark):
         ("books", "web"): (1, 2),     # Z
         ("books", "wiki"): (1, 2),    # Z
     }
+
+
+def test_cross_source_dup_matrix_null_sources_fold(spark):
+    """NULL sources are ONE unattributed class (sentinel-rendered):
+    they appear on BOTH the diagonal and cross-source cells instead
+    of vanishing from the `<` pair comparison (review r12)."""
+    from nsl_kdd_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        (None, "X"), (None, "X"),   # within-unattributed dup group
+        (None, "Y"), ("web", "Y"),  # unattributed <-> web leak
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r["dup_groups"]
+        for r in cross_source_dup_matrix(df, "source", "text").collect()
+    }
+    s = "\x00null"
+    assert got == {(s, s): 1, (s, "web"): 1}

@@ -412,8 +412,9 @@ def test_epoch_budget_report_reference(spark):
         assert r["repeats_ppm"] == 1_000_000
         decay = round(1e6 * math.exp(-1_000_000 / 15_390_000.0))
         assert r["decay_ppm"] == decay
-        assert r["effective_tokens"] == n + (
-            n * 15_390_000 * (1_000_000 - decay)
+        seen = min(r["take_tokens"], n)
+        assert r["effective_tokens"] == seen + (
+            seen * 15_390_000 * (1_000_000 - decay)
         ) // 10**12
         assert r["over_cap"]
         assert r["excess_tokens"] == (n * 500_000) // 10**6
@@ -437,7 +438,9 @@ def test_epoch_budget_sub_one_epoch_and_budget_conservation(spark):
         assert r["epochs_ppm"] < 1_000_000
         assert r["repeats_ppm"] == 0
         assert r["decay_ppm"] == 1_000_000
-        assert r["effective_tokens"] == r["n_tokens"]
+        # sub-1-epoch: effective = tokens actually consumed (take),
+        # never the corpus mass (review r12)
+        assert r["effective_tokens"] == r["take_tokens"]
     assert "over_cap" not in rows[0].asDict()
 
 

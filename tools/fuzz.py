@@ -3160,7 +3160,8 @@ def fam_cross_source_dups(rng: random.Random):
     gate = f"WHERE doc_id % {mod} = 0" if mod else ""
     sql = f"""
     WITH cells AS (
-      SELECT md5(substr(text, 1, {L})) AS h, source AS src,
+      SELECT md5(substr(text, 1, {L})) AS h,
+             COALESCE(CAST(source AS VARCHAR), chr(0) || 'null') AS src,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM documents {gate} GROUP BY h, src
     ), diag AS (
@@ -3468,9 +3469,10 @@ def fam_epoch_budget(rng: random.Random):
     )
     SELECT lang, n_tokens, take_tokens, epochs_ppm, repeats_ppm,
            decay_ppm,
-           CAST(n_tokens + (CAST(n_tokens AS HUGEINT) * 15390000
-                            * (1000000 - decay_ppm))
-                           // 1000000000000 AS BIGINT)
+           CAST(LEAST(take_tokens, n_tokens)
+                + (CAST(LEAST(take_tokens, n_tokens) AS HUGEINT)
+                   * 15390000 * (1000000 - decay_ppm))
+                  // 1000000000000 AS BIGINT)
              AS effective_tokens{cap_cols}
     FROM r3
     ORDER BY lang
