@@ -1209,7 +1209,9 @@ def calibration_timings(spark) -> dict[str, float]:
         )
         return round(time.perf_counter() - t0, 3)
 
-    return {"calib_range_xxhash64": min(cell(), cell())}
+    # min of 3: at ~1 s the cell's min-of-2 still carried ~30%
+    # scheduler noise between back-to-back runs (round-12)
+    return {"calib_range_xxhash64": min(cell(), cell(), cell())}
 
 
 def main() -> None:
