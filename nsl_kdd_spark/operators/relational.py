@@ -472,3 +472,41 @@ def sample_exact_n(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group document cap — the RefinedWeb /
+    CommonCrawl-curation practice of capping documents PER DOMAIN so
+    a handful of mega-hosts (forums, mirrors, link farms) cannot
+    dominate the corpus: keep at most ``k`` rows per group, selected
+    by md5 digest order (``md5(salt || id)``, ties by id) so the
+    kept set is a pure function of (table, k, salt) — superset-
+    stable re-runs, engine-replayable, no RNG.
+
+    Scale shape (100 TB): a domain is a CORPUS-SIZED group (the
+    grouped_rank_bins motivation), so the rank comes from the
+    distributed global cumsum — range partition + per-partition
+    window + broadcast group offsets — never ``ROW_NUMBER() OVER
+    (PARTITION BY domain)``. One extra scan-stage digest column, the
+    rank machinery, one filter.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranked = grouped_rank_bins(
+        df.withColumn("__capk", md5_key(id_col, salt)),
+        group_col,
+        "__capk",
+        id_col,
+        n_bins=1,
+        out_col="__capbin",
+        rank_col="__caprank",
+    )
+    return ranked.filter(F.col("__caprank") <= k).drop(
+        "__capk", "__capbin", "__caprank"
+    )

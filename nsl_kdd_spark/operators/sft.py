@@ -698,3 +698,32 @@ def flatten_message_tree(
     return df.join(
         indexed.withColumnsRenamed({"__mid": id_col}), id_col
     )
+
+
+def pack_boundary_table(
+    packed: DataFrame,
+    conv_col: str,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Attention-boundary metadata for packed training (Krell et al.
+    2021 §5: cross-contamination-free packing needs the trainer to
+    BLOCK attention at example boundaries — the block-diagonal mask
+    / position-id reset every packed-collator implementation
+    consumes): one row per packed conversation with its pack-
+    relative character extent, ``(pack_col, conv_col, conv_pos,
+    bound_start, bound_end)``, 1-based inclusive — consecutive
+    bounds are separated by exactly the pack separator.
+
+    ONE grouped aggregate over :func:`pack_conversations` output
+    (min/max of the already-rebased segment spans per conversation);
+    flat rows rather than a nested array so any engine replays it
+    and the trainer groups per pack however it likes.
+    """
+    return (
+        packed.groupBy(pack_col, conv_col)
+        .agg(
+            F.max("conv_pos").alias("conv_pos"),
+            F.min("pack_seg_start").alias("bound_start"),
+            F.max("pack_seg_end").alias("bound_end"),
+        )
+    )

@@ -8881,6 +8881,83 @@ def q186_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q187 — deterministic per-group cap (round-12;
+# relational.cap_per_group): the RefinedWeb curation practice of
+# capping documents PER DOMAIN so mega-hosts cannot dominate — keep
+# at most k per group in md5-digest order (pure function of table,
+# k, salt). A domain is a CORPUS-SIZED group, so the rank is the
+# grouped_rank_bins distributed cumsum, never a group-keyed
+# ROW_NUMBER window; DuckDB replays with the per-group ROW_NUMBER
+# it can afford at fixture scale.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q187_cap_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('d1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM r WHERE rk <= 150
+    ORDER BY doc_id
+    """,
+)
+def q187_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.relational import cap_per_group
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "source", "lang"
+    )
+    return cap_per_group(
+        docs, "source", "doc_id", k=150, salt="d1"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q188 — pack attention boundaries (round-12;
+# sft.pack_boundary_table): Krell et al. 2021 §5's other half — the
+# trainer must BLOCK attention at example boundaries, so every
+# packed conversation ships its pack-relative character extent
+# (block-diagonal mask / position-id reset metadata). One grouped
+# aggregate over the q178 composition; the oracle additionally
+# proves the tiling invariant in SQL: bound_start of conv_pos 1 is
+# 1 and consecutive bounds differ by exactly the separator.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q188_pack_boundaries",
+    oracle=_SFT_PACK_CTES + """
+    SELECT p.pack_id, p.conv_id, p.conv_pos,
+           CAST(p.conv_off + 1 AS BIGINT) AS bound_start,
+           CAST(p.conv_off + c.conv_len AS BIGINT) AS bound_end
+    FROM pos p JOIN conv c USING (conv_id)
+    ORDER BY p.pack_id, p.conv_pos
+    """,
+)
+def q188_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import (
+        pack_boundary_table,
+        pack_conversations,
+        pack_fixed_count,
+        render_chat_spans,
+    )
+
+    turns = _chat_turns(load_tables(spark, sf_dir).events)
+    spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+    packs = pack_fixed_count(
+        spans.select("conv_id").distinct(), "conv_id", k=5
+    )
+    packed = pack_conversations(spans, packs, "conv_id")
+    return pack_boundary_table(packed, "conv_id").orderBy(
+        "pack_id", "conv_pos"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -9124,15 +9201,19 @@ def q186_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q176 datacard + q182 epoch budgeting + q185's kept-volume sweep),
 # q99 shuffle-order (training-layout family held by q86/q137
 # sampling + q178 packing) and q119 table digest (audit family held
-# by q115 windowed expectations + q124 skipping stats). The full
-# rotated window re-verified via tools/compare.py at sf0.01 before
-# round close.
+# by q115 windowed expectations + q124 skipping stats). Third wave:
+# q187 per-group cap and q188 pack boundaries rotate in for q86
+# weighted-sample (md5-digest deterministic selection now held by
+# q137 exact-N AND q187's digest-order cap) and q131 RFM segments
+# (behavioral analytics held by q75 funnel + q102 point-in-time +
+# q128 time-weighted frames). The full rotated window re-verified
+# via tools/compare.py at sf0.01 before round close.
 DRIVER_WINDOW = [
     # round-12 NEW queries (see rotation block above)
     "q178_sft_pack", "q179_t_closeness_ordered",
     "q180_best_of_n", "q182_epoch_budget", "q183_token_spans",
     "q184_cross_source_dups", "q185_threshold_sweep",
-    "q186_flatten_tree",
+    "q186_flatten_tree", "q187_cap_per_group", "q188_pack_boundaries",
     # round-11 NEW queries + touched re-anchors (see block above)
     "q161_token_weighted_mixture", "q162_dsir_select",
     "q163_gopher_quality", "q164_c4_line_clean",
@@ -9150,14 +9231,14 @@ DRIVER_WINDOW = [
     # newest green row is r4
     "q53_pattern_extract",
     "q75_event_funnel",
-    "q85_bin_texts", "q86_weighted_sample",
+    "q85_bin_texts",
     "q89_latest_per_key", "q90_group_split",
     "q102_point_in_time",
     "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",
     "q117_skew_topkeys",
     "q124_skipping_stats", "q126_select_canonical",
-    "q128_time_weighted_avg", "q131_rfm_segments",
+    "q128_time_weighted_avg",
     # newest green row is r6
     "q133_sliding_chunks", "q134_script_profile", "q137_sample_exact_n",
     # r7 anchor kept for family breadth + round-9 new queries (q21's

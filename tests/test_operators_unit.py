@@ -1414,3 +1414,35 @@ def test_cross_source_dup_matrix_null_sources_fold(spark):
     }
     s = "\x00null"
     assert got == {(s, s): 1, (s, "web"): 1}
+
+
+def test_cap_per_group(spark):
+    """RefinedWeb per-domain cap: at most k per group, md5-digest
+    order — deterministic, superset-stable in k, salt-sensitive."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.relational import cap_per_group
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("dom"),
+    )
+    kept2 = cap_per_group(df, "dom", "doc_id", k=2)
+    counts = {
+        r["dom"]: r["c"]
+        for r in kept2.groupBy("dom").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {"0": 2, "1": 2, "2": 2}
+    # deterministic + superset-stable: the k=2 set is inside the k=5 set
+    s2 = {r["doc_id"] for r in kept2.collect()}
+    s2b = {r["doc_id"] for r in cap_per_group(df, "dom", "doc_id", k=2).collect()}
+    s5 = {r["doc_id"] for r in cap_per_group(df, "dom", "doc_id", k=5).collect()}
+    assert s2 == s2b and s2 < s5
+    # a different salt draws a different (still capped) set
+    alt = {r["doc_id"] for r in cap_per_group(df, "dom", "doc_id", k=2, salt="x").collect()}
+    assert alt != s2 and len(alt) == 6
+    # k past the group size keeps everything
+    assert cap_per_group(df, "dom", "doc_id", k=500).count() == 300
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "dom", "doc_id", k=0)

@@ -209,3 +209,38 @@ def test_plan_bounded_windows_no_python(spark):
     )
     plan = plan_of(pack_conversations(spans, assignment, "conv_id"))
     assert "EvalPython" not in plan
+
+
+def test_pack_boundary_table_tiles(spark):
+    """Krell §5 mask metadata: per pack, conversation extents start
+    at 1, abut at exactly one separator, and the last ends at
+    pack_len; extents agree with the assembled text slices."""
+    from nsl_kdd_spark.operators.sft import pack_boundary_table
+
+    packed = _packed(spark, k=2)
+    bounds = sorted(
+        pack_boundary_table(packed, "conv_id").collect(),
+        key=lambda r: (r["pack_id"], r["conv_pos"]),
+    )
+    lens = {
+        r["pack_id"]: r["pack_len"]
+        for r in packed.select("pack_id", "pack_len").distinct().collect()
+    }
+    texts = {
+        r["pack_id"]: r["pack_text"]
+        for r in assemble_pack_text(packed, "conv_id").collect()
+    }
+    by_pack = {}
+    for r in bounds:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, rows in by_pack.items():
+        assert rows[0]["bound_start"] == 1
+        assert rows[-1]["bound_end"] == lens[pid]
+        for a, b in zip(rows, rows[1:]):
+            assert b["bound_start"] == a["bound_end"] + 2  # len-1 sep
+        # each extent slices a full conversation out of the pack text
+        t = texts[pid]
+        for r in rows:
+            piece = t[r["bound_start"] - 1 : r["bound_end"]]
+            assert piece.startswith("<|im_start|>")
+            assert piece.endswith("<|im_end|>")

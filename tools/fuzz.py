@@ -3317,6 +3317,143 @@ def fam_flatten_tree(rng: random.Random):
     return f"d={d} mod={mod}", spark_fn, sql, False
 
 
+def fam_cap_per_group(rng: random.Random):
+    """Deterministic per-group cap (round-12;
+    relational.cap_per_group — the RefinedWeb per-domain cap).
+    Draws move k, the salt and the group column; the oracle replays
+    the md5-digest order and the cut with a per-group ROW_NUMBER."""
+    k = rng.choice((5, 150, 1000))
+    salt = rng.choice(("", "c1"))
+    group = rng.choice(("source", "lang"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.relational import cap_per_group
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents.select(
+            "doc_id", "source", "lang"
+        )
+        return cap_per_group(
+            docs, group, "doc_id", k=k, salt=salt
+        ).orderBy("doc_id")
+
+    sql = f"""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY {group}
+               ORDER BY md5('{salt}' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM r WHERE rk <= {k}
+    ORDER BY doc_id
+    """
+    return f"k={k} salt={salt!r} group={group}", spark_fn, sql, False
+
+
+def fam_pack_boundaries(rng: random.Random):
+    """Pack attention boundaries (round-12;
+    sft.pack_boundary_table — Krell §5 block-diagonal mask
+    metadata). Draws move conversations-per-pack and the separator;
+    the oracle replays extents AND asserts the tiling invariant in
+    SQL (first bound at 1, consecutive bounds exactly one separator
+    apart)."""
+    k = rng.choice((2, 4, 9))
+    pack_sep = rng.choice(("\n", "<|eod|>"))
+    sep_len = len(pack_sep)
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import (
+            pack_boundary_table,
+            pack_conversations,
+            pack_fixed_count,
+            render_chat_spans,
+        )
+        from nsl_kdd_spark.plans.catalog import _chat_turns
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events.filter(
+            F.col("user_id") % 2 == 0
+        )
+        spans = render_chat_spans(
+            _chat_turns(ev), "conv_id", ["ts", "event_id"]
+        )
+        packs = pack_fixed_count(
+            spans.select("conv_id").distinct(), "conv_id", k=k
+        )
+        packed = pack_conversations(
+            spans, packs, "conv_id", pack_sep=pack_sep
+        )
+        b = pack_boundary_table(packed, "conv_id")
+        prev_end = F.lag("bound_end").over(
+            W.partitionBy("pack_id").orderBy("conv_pos")
+        )
+        return (
+            b.withColumn(
+                "tiled",
+                F.when(
+                    F.col("conv_pos") == 1, F.col("bound_start") == 1
+                ).otherwise(
+                    F.col("bound_start") == prev_end + 1 + sep_len
+                ),
+            )
+            .orderBy("pack_id", "conv_pos")
+        )
+
+    sql = f"""
+    WITH turns AS (
+      SELECT user_id AS conv_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'system'
+                  ELSE 'assistant' END AS role,
+             event_type || ' ' || COALESCE(props, '') AS content
+      FROM events WHERE user_id % 2 = 0
+    ), ordered AS (
+      SELECT conv_id, role, content,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY ts, event_id) AS turn_idx
+      FROM turns
+    ), seg AS (
+      SELECT *,
+             '<|im_start|>' || role || chr(10) || content || '<|im_end|>'
+               AS segment
+      FROM ordered
+    ), conv AS (
+      SELECT conv_id,
+             CAST(SUM(length(segment)) + COUNT(*) - 1 AS BIGINT)
+               AS conv_len
+      FROM seg GROUP BY conv_id
+    ), pk AS (
+      SELECT conv_id, conv_len,
+             CAST((ROW_NUMBER() OVER (ORDER BY conv_id) - 1) // {k}
+                  AS BIGINT) AS pack_id
+      FROM conv
+    ), pos AS (
+      SELECT conv_id, conv_len, pack_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pack_id
+                                     ORDER BY conv_id) AS INTEGER)
+               AS conv_pos,
+             CAST(COALESCE(SUM(conv_len + {sep_len})
+               OVER (PARTITION BY pack_id ORDER BY conv_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS conv_off
+      FROM pk
+    )
+    SELECT pack_id, conv_id, conv_pos,
+           CAST(conv_off + 1 AS BIGINT) AS bound_start,
+           CAST(conv_off + conv_len AS BIGINT) AS bound_end,
+           TRUE AS tiled
+    FROM pos
+    ORDER BY pack_id, conv_pos
+    """
+    return f"k={k} pack_sep={pack_sep!r}", spark_fn, sql, False
+
+
 def fam_token_spans(rng: random.Random):
     """Char-span -> token-span conversion (round-12;
     sft.char_spans_to_token_spans — whitespace-token prefix
@@ -3890,6 +4027,8 @@ FAMILIES = {
     "cross_source_dups": fam_cross_source_dups,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
+    "cap_per_group": fam_cap_per_group,
+    "pack_boundaries": fam_pack_boundaries,
 }
 
 #: cheap enough for the per-commit pytest gate (no doc-pair joins;
