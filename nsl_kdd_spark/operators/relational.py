@@ -350,8 +350,21 @@ def grouped_rank_bins(
     off = cnt.withColumn(
         "__off", F.coalesce(F.sum("__n").over(wk), F.lit(0))
     )
+    # NULL-safe join back: a NULL group key is a legal group (rows
+    # with missing domain/language metadata) — the offsets aggregate
+    # keeps it, and an equality join here would silently DROP every
+    # such row (round-12 verdict #1). eqNullSafe matches the NULL
+    # group to its own offset row, same as the privacy-module cells;
+    # both orderings (the composite cumsum struct and the k-row
+    # offsets window) sort NULL first in Spark, so the rank
+    # arithmetic stays consistent for the NULL group.
+    offj = off.withColumnRenamed(group_col, "__offgrp")
     out = (
-        ranked.join(F.broadcast(off), on=group_col)
+        ranked.join(
+            F.broadcast(offj),
+            ranked[group_col].eqNullSafe(F.col("__offgrp")),
+        )
+        .drop("__offgrp")
         .withColumn(rank_col, F.col("__gpos") - F.col("__off"))
         .withColumn(
             "__num",

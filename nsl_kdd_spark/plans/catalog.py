@@ -7383,7 +7383,7 @@ def q165_contamination_report(
 
 @query(
     "q166_ccnet_buckets",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, t.tok AS token
       FROM documents, unnest(string_split(text, ' ')) AS t(tok)
@@ -7401,7 +7401,9 @@ def q165_contamination_report(
              CAST(-SUM(iln) AS BIGINT) AS nll_mnats
       FROM tok JOIN lp USING (token) GROUP BY doc_id
     ), scored AS (
-      SELECT d.doc_id, d.lang,
+      SELECT d.doc_id,
+             CASE WHEN {_md5_bucket_sql("nullg", "d.doc_id")} < 6553
+                  THEN NULL ELSE d.lang END AS lang,
              (1000 * nll.nll_mnats) // nll.n_tokens AS score_u
       FROM documents d JOIN nll USING (doc_id)
     ), ranked AS (
@@ -7422,12 +7424,23 @@ def q165_contamination_report(
 )
 def q166_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.ml.text_features import unigram_logprob
-    from nsl_kdd_spark.operators.relational import grouped_rank_bins
+    from nsl_kdd_spark.operators.relational import (
+        grouped_rank_bins,
+        md5_bucket16,
+    )
 
     docs = load_tables(spark, sf_dir).documents
     nll = unigram_logprob(docs, "doc_id", "text")
+    # NULL-group fixture leg (round-12 verdict #1): ~10% of docs get
+    # a NULL language — CCNet binning must keep the NULL-language
+    # corpus slice as its own group, not silently delete it.
     scored = (
-        docs.select("doc_id", "lang")
+        docs.select(
+            "doc_id",
+            F.when(
+                md5_bucket16("doc_id", "nullg") < 6553, F.lit(None)
+            ).otherwise(F.col("lang")).alias("lang"),
+        )
         .join(nll.select("doc_id", "nll_mnats", "n_tokens"), "doc_id")
         # milli-scaled NLL per token as an exact integer `div` —
         # float division would rank-tie differently across engines
@@ -8893,24 +8906,42 @@ def q186_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q187_cap_per_group",
-    oracle="""
-    WITH r AS (
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN {_md5_bucket_sql("nullg", "doc_id")} < 6553
+                  THEN NULL ELSE source END AS source,
+             lang
+      FROM documents
+    ), r AS (
       SELECT doc_id, source, lang,
              ROW_NUMBER() OVER (
                PARTITION BY source
                ORDER BY md5('d1' || CAST(doc_id AS VARCHAR)), doc_id
              ) AS rk
-      FROM documents
+      FROM src
     )
     SELECT doc_id, source, lang FROM r WHERE rk <= 150
     ORDER BY doc_id
     """,
 )
 def q187_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nsl_kdd_spark.operators.relational import cap_per_group
+    from nsl_kdd_spark.operators.relational import (
+        cap_per_group,
+        md5_bucket16,
+    )
 
+    # NULL-group fixture leg (round-12 verdict #1): ~10% of docs get
+    # a NULL source — documents with missing domain metadata are a
+    # LEGAL group and must be capped like any other, not silently
+    # dropped; DuckDB's PARTITION BY keeps the NULL partition, so
+    # the oracle polices the eqNullSafe offsets join from now on.
     docs = load_tables(spark, sf_dir).documents.select(
-        "doc_id", "source", "lang"
+        "doc_id",
+        F.when(
+            md5_bucket16("doc_id", "nullg") < 6553, F.lit(None)
+        ).otherwise(F.col("source")).alias("source"),
+        "lang",
     )
     return cap_per_group(
         docs, "source", "doc_id", k=150, salt="d1"

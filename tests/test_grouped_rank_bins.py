@@ -103,6 +103,45 @@ def test_single_group_matches_global_rank_bins(spark):
     assert grouped == global_
 
 
+def test_null_group_rows_are_kept_and_ranked(spark):
+    """Round-12 verdict #1 repro: rows whose group key is NULL are a
+    LEGAL group (documents with missing language/domain metadata) and
+    must be ranked/binned like any other — the offsets join back used
+    to be an equality join and silently dropped them."""
+    rows = [(i, "a", i) for i in range(5)] + [
+        (i, None, i) for i in range(5, 9)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score long"
+    )
+    out = grouped_rank_bins(
+        df, "lang", "score", "doc_id", n_bins=2
+    ).collect()
+    assert len(out) == 9, "NULL-group rows were dropped"
+    null_rows = sorted(
+        (r.score, r.group_rank, r.bin) for r in out if r.lang is None
+    )
+    assert [r[1] for r in null_rows] == [1, 2, 3, 4]
+    assert [r[2] for r in null_rows] == [0, 0, 1, 1]
+    a_rows = sorted(
+        (r.score, r.group_rank) for r in out if r.lang == "a"
+    )
+    assert [r[1] for r in a_rows] == [1, 2, 3, 4, 5]
+
+
+def test_cap_per_group_caps_null_group(spark):
+    """The verdict's exact repro: 5 rows in domain 'a' + 4 with NULL
+    domain, cap k=2 -> 4 rows (2 per group), never 2."""
+    from nsl_kdd_spark.operators.relational import cap_per_group
+
+    rows = [(i, "a") for i in range(5)] + [(i, None) for i in range(5, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    kept = cap_per_group(df, "dom", "doc_id", k=2).collect()
+    assert len(kept) == 4, "NULL-domain rows vanished instead of capped"
+    assert sum(1 for r in kept if r.dom is None) == 2
+    assert sum(1 for r in kept if r.dom == "a") == 2
+
+
 def test_invalid_args_raise(spark):
     with pytest.raises(ValueError, match="n_bins"):
         grouped_rank_bins(_df(spark), "lang", "score", "doc_id", n_bins=0)

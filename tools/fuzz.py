@@ -2932,12 +2932,19 @@ def fam_grouped_bins(rng: random.Random):
     grp = rng.choice(("lang", "source"))
     n_bins = rng.choice((2, 3, 4, 5))
     score = rng.choice(("tokens", "length"))
+    # NULL-group leg (round-12 verdict #1): a slice of rows gets a
+    # NULL group key — the NULL group must rank/bin like any other,
+    # not drop out of the offsets join back.
+    null_cut = rng.choice((0, 6553, 19660))
 
     def spark_fn(spark, sf_dir):
         from pyspark.sql import functions as F
 
         from nsl_kdd_spark.functions.text import token_count
-        from nsl_kdd_spark.operators.relational import grouped_rank_bins
+        from nsl_kdd_spark.operators.relational import (
+            grouped_rank_bins,
+            md5_bucket16,
+        )
         from nsl_kdd_spark.sources.parquet import load_tables
 
         docs = load_tables(spark, sf_dir).documents
@@ -2945,8 +2952,15 @@ def fam_grouped_bins(rng: random.Random):
             token_count("text").cast("long") if score == "tokens"
             else F.length("text").cast("long")
         )
+        gcol = (
+            F.when(
+                md5_bucket16("doc_id", "nullg") < null_cut, F.lit(None)
+            ).otherwise(F.col(grp))
+            if null_cut
+            else F.col(grp)
+        )
         scored = docs.select(
-            "doc_id", F.col(grp).alias("grp"), sc.alias("score")
+            "doc_id", gcol.alias("grp"), sc.alias("score")
         )
         return (
             grouped_rank_bins(
@@ -2956,13 +2970,21 @@ def fam_grouped_bins(rng: random.Random):
             .orderBy("doc_id")
         )
 
+    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+
     sexpr = (
         "len(string_split(text, ' '))" if score == "tokens"
         else "len(text)"
     )
+    gexpr = (
+        f"CASE WHEN {_md5_bucket_sql('nullg', 'doc_id')} < {null_cut}"
+        f" THEN NULL ELSE {grp} END"
+        if null_cut
+        else grp
+    )
     sql = f"""
     WITH scored AS (
-      SELECT doc_id, {grp} AS grp, CAST({sexpr} AS BIGINT) AS score
+      SELECT doc_id, {gexpr} AS grp, CAST({sexpr} AS BIGINT) AS score
       FROM documents
     ), ranked AS (
       SELECT *,
@@ -2978,7 +3000,12 @@ def fam_grouped_bins(rng: random.Random):
     FROM ranked
     ORDER BY doc_id
     """
-    return f"grp={grp} n_bins={n_bins} score={score}", spark_fn, sql, False
+    return (
+        f"grp={grp} n_bins={n_bins} score={score} null_cut={null_cut}",
+        spark_fn,
+        sql,
+        False,
+    )
 
 
 def fam_dsir(rng: random.Random):
@@ -3320,37 +3347,71 @@ def fam_flatten_tree(rng: random.Random):
 def fam_cap_per_group(rng: random.Random):
     """Deterministic per-group cap (round-12;
     relational.cap_per_group — the RefinedWeb per-domain cap).
-    Draws move k, the salt and the group column; the oracle replays
+    Draws move k, the salt, the group column and the NULL-group
+    fraction (round-12 verdict #1: rows with a NULL group key must be
+    capped as their own group, never dropped); the oracle replays
     the md5-digest order and the cut with a per-group ROW_NUMBER."""
     k = rng.choice((5, 150, 1000))
     salt = rng.choice(("", "c1"))
     group = rng.choice(("source", "lang"))
+    null_cut = rng.choice((0, 6553, 19660))
 
     def spark_fn(spark, sf_dir):
-        from nsl_kdd_spark.operators.relational import cap_per_group
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.relational import (
+            cap_per_group,
+            md5_bucket16,
+        )
         from nsl_kdd_spark.sources.parquet import load_tables
 
         docs = load_tables(spark, sf_dir).documents.select(
             "doc_id", "source", "lang"
         )
+        if null_cut:
+            docs = docs.withColumn(
+                group,
+                F.when(
+                    md5_bucket16("doc_id", "nullg") < null_cut,
+                    F.lit(None),
+                ).otherwise(F.col(group)),
+            )
         return cap_per_group(
             docs, group, "doc_id", k=k, salt=salt
         ).orderBy("doc_id")
 
+    from nsl_kdd_spark.plans.catalog import _md5_bucket_sql
+
+    gexpr = (
+        f"CASE WHEN {_md5_bucket_sql('nullg', 'doc_id')} < {null_cut}"
+        f" THEN NULL ELSE {group} END"
+        if null_cut
+        else group
+    )
     sql = f"""
-    WITH r AS (
+    WITH src AS (
+      SELECT doc_id,
+             {"source" if group != "source" else gexpr} AS source,
+             {"lang" if group != "lang" else gexpr} AS lang
+      FROM documents
+    ), r AS (
       SELECT doc_id, source, lang,
              ROW_NUMBER() OVER (
                PARTITION BY {group}
                ORDER BY md5('{salt}' || CAST(doc_id AS VARCHAR)),
                         doc_id
              ) AS rk
-      FROM documents
+      FROM src
     )
     SELECT doc_id, source, lang FROM r WHERE rk <= {k}
     ORDER BY doc_id
     """
-    return f"k={k} salt={salt!r} group={group}", spark_fn, sql, False
+    return (
+        f"k={k} salt={salt!r} group={group} null_cut={null_cut}",
+        spark_fn,
+        sql,
+        False,
+    )
 
 
 def fam_pack_boundaries(rng: random.Random):
