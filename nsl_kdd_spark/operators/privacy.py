@@ -350,9 +350,13 @@ def t_closeness_ordered_audit(
     (the categorical bound); the SUM over m terms and the 1e6 step
     run in DECIMAL(38,0) (HUGEINT in the oracle). A single-value
     domain (m = 1) has EMD 0 by definition. Rows with a NULL
-    sensitive value are excluded entirely (an unordered unknown has
-    no position on the value axis — the categorical tier is the
-    place for a NULL disclosure class).
+    sensitive value are excluded from the EMD COMPUTATION (an
+    unordered unknown has no position on the value axis — the
+    categorical tier is the place for a NULL disclosure class) but
+    stay in the OUTPUT with their group's metric (advice r12: a
+    flag-mode audit must not silently lose rows); a group whose
+    every sensitive value is NULL has no distribution to audit and
+    drops out, matching the oracle's inner join.
 
     Scale shape (100 TB): the distinct (group, value) cell table is
     ONE map-side-combined groupBy (localCheckpoint'ed, the
@@ -458,5 +462,12 @@ def t_closeness_ordered_audit(
         )
         .select(*[f"__q_{c}" for c in quasi_cols], emd_col)
     )
-    out = _attach_group_metric(base, quasi_cols, terms)
+    # join the metric back to the FULL df, not the NULL-filtered
+    # base (advice r12): NULL sensitive values are excluded from the
+    # EMD *computation* only — a row with an unknown salary still
+    # belongs to its group and must appear in the audit output with
+    # the group's metric. A group whose every sensitive value is
+    # NULL has no distribution to audit and drops out (it never
+    # reaches the cell table), matching the oracle's inner join.
+    out = _attach_group_metric(df, quasi_cols, terms)
     return _gate(out, emd_col, F.col(emd_col) <= t_ppm, mode, flag_col)

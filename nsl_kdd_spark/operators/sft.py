@@ -518,6 +518,18 @@ def best_of_n(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # the ranking negates the score inside an ordering struct; on a
+    # non-numeric score Spark would cast to double -> NULL ordering
+    # fields that sort FIRST and silently crown arbitrary rows rank 1
+    # (the preference_pairs id_col failure mode) — refuse loudly
+    score_type = responses.schema[score_col].dataType.typeName()
+    if score_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    ):
+        raise ValueError(
+            f"score_col must be numeric for the rank ordering,"
+            f" got {score_type}"
+        )
     filtered = responses.filter(F.col(score_col).isNotNull())
     if score_floor is not None:
         filtered = filtered.filter(F.col(score_col) >= score_floor)
@@ -573,9 +585,12 @@ def char_spans_to_token_spans(
     in any engine (pure string/length arithmetic), hence fully
     oracle-replayable.
     """
+    # Column-API expressions, not interpolated SQL strings (advice
+    # r12): a column name needing backticks (space, dash, dot) must
+    # resolve the same way it does everywhere else in the module
     def spaces_in_prefix(p_col: str) -> Column:
-        pref = F.expr(
-            f"substring({text_col}, 1, CAST({p_col} AS INT))"
+        pref = F.substring(
+            F.col(text_col), F.lit(1), F.col(p_col).cast("int")
         )
         return (
             F.length(pref)
@@ -583,8 +598,11 @@ def char_spans_to_token_spans(
         ).cast("long")
 
     s_raw = spaces_in_prefix(start_col) + 1
-    e_char_is_space = F.expr(
-        f"substring({text_col}, CAST({end_col} AS INT), 1) = ' '"
+    e_char_is_space = (
+        F.substring(
+            F.col(text_col), F.col(end_col).cast("int"), F.lit(1)
+        )
+        == " "
     )
     e_raw = F.when(
         e_char_is_space, spaces_in_prefix(end_col)

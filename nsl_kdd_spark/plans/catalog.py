@@ -8417,9 +8417,11 @@ def q178_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c_nationkey, c_mktsegment
     ), emd AS (
       SELECT c_nationkey, c_mktsegment,
-             CAST((CAST(1000000 AS HUGEINT) * tsum)
-                  // ((t.m - 1) * CAST(n AS HUGEINT) * t.n_tot)
-                  AS BIGINT) AS qid_emd_ppm
+             CASE WHEN t.m > 1 THEN
+               CAST((CAST(1000000 AS HUGEINT) * tsum)
+                    // ((t.m - 1) * CAST(n AS HUGEINT) * t.n_tot)
+                    AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS qid_emd_ppm
       FROM terms, tot t
     )
     SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin,

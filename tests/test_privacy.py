@@ -340,10 +340,22 @@ def test_t_ordered_sees_position_categorical_cannot(spark):
 
 
 def test_t_ordered_null_sensitive_excluded_and_m1(spark):
-    # NULL sensitive rows leave both the distribution and the output
-    rows = [("A", 1), ("A", None), ("B", 2)]
+    # NULL sensitive rows leave the DISTRIBUTION but stay in the
+    # flag-mode OUTPUT with their group's metric (advice r12: an
+    # audit must not silently lose rows); a group whose every value
+    # is NULL has no distribution and drops out
+    rows = [("A", 1), ("A", None), ("B", 2), ("C", None)]
     out = _ordered(spark, rows).collect()
-    assert sorted((r["g"], r["v"]) for r in out) == [("A", 1), ("B", 2)]
+    got = sorted(
+        (r["g"], -1 if r["v"] is None else r["v"]) for r in out
+    )
+    assert got == [("A", -1), ("A", 1), ("B", 2)]
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["qid_emd_ppm"])
+    # the NULL-valued A row carries the SAME group metric as A's
+    # non-NULL row
+    assert len(by_g["A"]) == 1
     # single-value domain: EMD 0 by definition, everything t-close
     one = _ordered(spark, [("A", 7), ("B", 7)], t_ppm=0).collect()
     assert all(r["qid_emd_ppm"] == 0 and r["t_close"] for r in one)

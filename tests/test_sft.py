@@ -329,6 +329,15 @@ def test_best_of_n_ranks_ties_and_floor(spark):
 
     with _pytest.raises(ValueError):
         best_of_n(_scored(spark), "prompt", "resp", "score", "rid", n=0)
+    # non-numeric score: unary minus would cast to double -> NULL
+    # ordering fields that sort first and crown arbitrary rows
+    # (advice r12) — must refuse loudly
+    strs = spark.createDataFrame(
+        [(1, 10, "a", "90")],
+        "prompt long, rid long, resp string, score string",
+    )
+    with _pytest.raises(ValueError, match="numeric"):
+        best_of_n(strs, "prompt", "resp", "score", "rid", n=1)
 
 
 def test_best_of_n_plan_single_aggregate(spark):

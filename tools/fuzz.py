@@ -3835,9 +3835,11 @@ def fam_t_ordered(rng: random.Random):
       GROUP BY {qcols}
     ), emd AS (
       SELECT {qcols},
-             CAST((CAST(1000000 AS HUGEINT) * tsum)
-                  // ((t.m - 1) * CAST(n AS HUGEINT) * t.n_tot)
-                  AS BIGINT) AS qid_emd_ppm
+             CASE WHEN t.m > 1 THEN
+               CAST((CAST(1000000 AS HUGEINT) * tsum)
+                    // ((t.m - 1) * CAST(n AS HUGEINT) * t.n_tot)
+                    AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS qid_emd_ppm
       FROM terms, tot t
     )
     SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bin
