@@ -1209,9 +1209,31 @@ def calibration_timings(spark) -> dict[str, float]:
         )
         return round(time.perf_counter() - t0, 3)
 
+    def small_jobs_cell() -> float:
+        # 64 trivial SEQUENTIAL jobs: each is a 1-partition count
+        # whose work is ~zero, so the cell's time IS 64x the
+        # per-job submit->schedule->complete latency
+        t0 = time.perf_counter()
+        d = spark.range(0, 64, 1, 1)
+        for _ in range(64):
+            d.count()
+        return round(time.perf_counter() - t0, 3)
+
     # min of 3: at ~1 s the cell's min-of-2 still carried ~30%
     # scheduler noise between back-to-back runs (round-12)
-    return {"calib_range_xxhash64": min(cell(), cell(), cell())}
+    return {
+        "calib_range_xxhash64": min(cell(), cell(), cell()),
+        # round-13 (r12 verdict #2): the throughput canary above is
+        # BLIND to per-job scheduler-latency drift — the r12 driver
+        # record read 2x on many-small-jobs queries (bpe_encode's 32
+        # count cycles, pagerank's iterations) while the throughput
+        # canary read 0.985. This cell times 64 trivial sequential
+        # jobs, so records separate "CPU slow" (xxhash64 cell moves)
+        # from "scheduler slow" (this cell moves) mechanically.
+        "calib_small_jobs": min(
+            small_jobs_cell(), small_jobs_cell(), small_jobs_cell()
+        ),
+    }
 
 
 def main() -> None:
