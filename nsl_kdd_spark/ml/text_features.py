@@ -917,11 +917,6 @@ def bpe_encode(
         merges.select("rank", "left", "right").collect(),
         key=lambda r: r["rank"],
     )  # tiny by construction: the merge table IS the model
-    if method == "auto":
-        method = "expr" if len(rows) <= 24 else "arrow"
-    if method not in ("expr", "arrow"):
-        raise ValueError(f"method must be expr|arrow|auto, got {method!r}")
-
     wordpos = (
         docs.select(
             F.col(id_col),
@@ -935,6 +930,49 @@ def bpe_encode(
         "word",
         F.filter(F.split("word", "(?!^)"), lambda x: x != "").alias("syms"),
     )
+    vocab = apply_bpe_merges_to_vocab(
+        vocab, rows, method=method, checkpoint_every=checkpoint_every
+    )
+    joined = wordpos.join(F.broadcast(vocab), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s.syms,
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").alias("n_pieces"),
+        )
+    )
+
+
+def apply_bpe_merges_to_vocab(
+    vocab: DataFrame,
+    rows: list,
+    method: str = "auto",
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Apply a rank-sorted merge list to a ``(word, syms)`` vocabulary
+    table — the shared merge-fold core of :func:`bpe_encode`, exposed
+    so span-conversion (``sft.char_spans_to_bpe_token_spans``) applies
+    the IDENTICAL greedy-leftmost fold to its field vocabulary.
+    ``rows`` is the collected, rank-sorted merge table (each row with
+    left/right); ``vocab`` carries ``word`` plus ``syms``
+    (array<string>, the word's current symbol sequence). Returns the
+    vocab with ``syms`` fully merged. See :func:`bpe_encode` for the
+    expr/arrow method contract."""
+    if method == "auto":
+        method = "expr" if len(rows) <= 24 else "arrow"
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow|auto, got {method!r}")
 
     if method == "expr":
         since_ckpt = 0
@@ -1004,22 +1042,4 @@ def bpe_encode(
             apply_merges, schema="word string, syms array<string>"
         )
 
-    joined = wordpos.join(F.broadcast(vocab), "word")
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "syms"))
-                    ),
-                    lambda s: s.syms,
-                )
-            ).alias("bpe_tokens")
-        )
-        .select(
-            id_col,
-            "bpe_tokens",
-            F.size("bpe_tokens").alias("n_pieces"),
-        )
-    )
+    return vocab

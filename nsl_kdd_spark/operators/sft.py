@@ -617,6 +617,211 @@ def char_spans_to_token_spans(
     ).withColumn(end_out, F.when(valid, e_raw))
 
 
+def char_spans_to_bpe_token_spans(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str,
+    text_col: str,
+    start_col: str,
+    end_col: str,
+    start_out: str = "bpe_tok_start",
+    end_out: str = "bpe_tok_end",
+    method: str = "auto",
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Convert 1-based inclusive CHARACTER spans into 1-based
+    inclusive BPE-TOKEN-index spans — the missing last step of the
+    q168 -> q178 -> q183 mask chain when the trainer's collator masks
+    BPE positions instead of whitespace-token positions: text is
+    split into single-space fields (the q183 convention), every
+    field's character sequence is merged with the rank-ordered merge
+    table (:func:`ml.text_features.train_bpe` output, applied with
+    the IDENTICAL greedy-leftmost fold ``bpe_encode`` uses — shared
+    via ``apply_bpe_merges_to_vocab``), and token indices count the
+    document's concatenated piece sequence. Fields are merged AS IS
+    (no lowercasing / punctuation stripping — pieces must tile the
+    field's characters exactly for span conversion to be
+    well-defined); pre-normalize the text first when the trained
+    merge table expects it.
+
+    Span conventions (the :func:`char_spans_to_token_spans`
+    doctrine): a start on a separator space resolves to the FIRST
+    piece after it, an end on a space to the LAST piece before it;
+    spans covering no piece (separator-only, before the first or
+    past the last piece) and NULL char spans emit NULLs.
+
+    Scale shape (100 TB): the merge fold runs once per DISTINCT
+    field (the bpe_encode vocabulary rule — Zipf-small vs the
+    corpus); the per-document piece-length table is one
+    map-side-combined first() aggregate, one explode + broadcast
+    vocab join, one doc-keyed group-back (documents are bounded; the
+    same group the bpe_encode assembly uses); span conversion itself
+    is scan-stage array arithmetic on the joined row — prefix sums
+    over the field/piece-length arrays, no window, no per-span
+    shuffle. Multiple span rows per document share one piece table.
+    """
+    from nsl_kdd_spark.ml.text_features import (
+        apply_bpe_merges_to_vocab,
+    )
+
+    rows = sorted(
+        merges.select("rank", "left", "right").collect(),
+        key=lambda r: r["rank"],
+    )  # tiny by construction: the merge table IS the model
+    docs = df.groupBy(F.col(id_col).alias("__bid")).agg(
+        F.first(F.col(text_col)).alias("__btxt")
+    )
+    wordpos = docs.select(
+        "__bid",
+        F.posexplode(F.split("__btxt", " ", -1)).alias(
+            "__bpos", "__bword"
+        ),
+    )
+    vocab = wordpos.select(F.col("__bword").alias("word")).distinct()
+    vocab = vocab.select(
+        "word",
+        F.filter(
+            F.split("word", "(?!^)"), lambda x: x != ""
+        ).alias("syms"),
+    )
+    vocab = apply_bpe_merges_to_vocab(
+        vocab, rows, method=method, checkpoint_every=checkpoint_every
+    )
+    # word -> piece lengths; empty fields (consecutive spaces) carry
+    # zero pieces and keep the field/space alignment
+    vocab = vocab.select(
+        "word", F.transform("syms", F.length).alias("__bpl")
+    )
+    perdoc = (
+        wordpos.join(
+            F.broadcast(vocab), wordpos["__bword"] == vocab["word"]
+        )
+        .groupBy("__bid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__bpos").alias("p"),
+                        F.length("__bword").alias("wl"),
+                        F.col("__bpl").alias("pl"),
+                    )
+                )
+            ).alias("__bw")
+        )
+        .select(
+            "__bid",
+            F.transform("__bw", lambda s: s.wl).alias("__bwlens"),
+            F.transform("__bw", lambda s: s.pl).alias("__bplens"),
+        )
+    )
+    joined = df.join(
+        perdoc, df[id_col] == perdoc["__bid"], "left"
+    ).drop("__bid")
+
+    def spaces_in_prefix(p_col: str) -> Column:
+        pref = F.substring(
+            F.col(text_col), F.lit(1), F.col(p_col).cast("int")
+        )
+        return (
+            F.length(pref)
+            - F.length(F.replace(pref, F.lit(" "), F.lit("")))
+        ).cast("long")
+
+    def pieces_before(t: Column) -> Column:
+        # pieces in fields 1..t-1
+        return F.aggregate(
+            F.slice(F.col("__bplens"), F.lit(1), (t - 1).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, pl: acc + F.size(pl),
+        )
+
+    def field_start(t: Column) -> Column:
+        # 1-based char position of field t's first char: the t-1
+        # prior fields plus their separators, plus one
+        return (
+            F.aggregate(
+                F.slice(
+                    F.col("__bwlens"), F.lit(1), (t - 1).cast("int")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, wl: acc + wl,
+            )
+            + t
+        )
+
+    def piece_idx(t: Column, o: Column) -> Column:
+        # index of the piece of field t covering in-field offset o
+        # (1-based): count of pieces whose cumulative length < o,
+        # plus one; o < 1 (empty field, end convention) -> 0
+        cums = F.aggregate(
+            F.element_at("__bplens", t.cast("int")),
+            F.lit([]).cast("array<long>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(F.element_at(acc, -1), F.lit(0)) + x
+                ),
+            ),
+        )
+        idx = (
+            F.size(F.filter(cums, lambda c: c < o)).cast("long") + 1
+        )
+        return F.when(o >= 1, idx).otherwise(F.lit(0).cast("long"))
+
+    cs = spaces_in_prefix(start_col)
+    ce = spaces_in_prefix(end_col)
+    e_is_space = (
+        F.substring(
+            F.col(text_col), F.col(end_col).cast("int"), F.lit(1)
+        )
+        == " "
+    )
+    t_s = cs + 1
+    # start on a space: in-field offset clamps to the following
+    # field's first char (o = 0 -> 1); an EMPTY following field has
+    # zero pieces, so piece_idx lands one past it = the next field's
+    # first piece, which is the required resolution
+    o_s = F.greatest(
+        F.col(start_col).cast("long") - field_start(t_s) + 1, F.lit(1)
+    )
+    t_e = F.when(e_is_space, ce).otherwise(ce + 1)
+    o_e = F.when(
+        e_is_space,
+        F.element_at("__bwlens", t_e.cast("int")).cast("long"),
+    ).otherwise(F.col(end_col).cast("long") - field_start(t_e) + 1)
+    total = F.aggregate(
+        F.col("__bplens"),
+        F.lit(0).cast("long"),
+        lambda acc, pl: acc + F.size(pl),
+    )
+    bs = pieces_before(t_s) + piece_idx(t_s, o_s)
+    be = pieces_before(t_e) + piece_idx(t_e, o_e)
+    valid = (
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & F.col("__bplens").isNotNull()
+        & (F.col(start_col) >= 1)
+        & (F.col(end_col) <= F.length(text_col))
+    )
+    out = (
+        joined.withColumn("__bbs", F.when(valid, bs))
+        .withColumn("__bbe", F.when(valid, be))
+        .withColumn("__btot", F.when(valid, total))
+    )
+    ok = (
+        F.col("__bbs").isNotNull()
+        & F.col("__bbe").isNotNull()
+        & (F.col("__bbs") <= F.col("__bbe"))
+        & (F.col("__bbs") >= 1)
+        & (F.col("__bbe") <= F.col("__btot"))
+    )
+    return (
+        out.withColumn(start_out, F.when(ok, F.col("__bbs")))
+        .withColumn(end_out, F.when(ok, F.col("__bbe")))
+        .drop("__bwlens", "__bplens", "__bbs", "__bbe", "__btot")
+    )
+
+
 def flatten_message_tree(
     df: DataFrame,
     id_col: str,

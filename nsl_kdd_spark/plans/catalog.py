@@ -8990,6 +8990,174 @@ def q188_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merge_chain_sql(merges: list, src: str = "v0") -> tuple:
+    """DuckDB replay of the engine's greedy-leftmost BPE merge fold
+    (ml/text_features.apply_bpe_merges_to_vocab), one CTE chain per
+    rank over a ``(word, syms)`` vocab — deliberately an INDEPENDENT
+    formulation: instead of the engine's sequential last_merged fold,
+    each rank marks (left, right) adjacencies and resolves overlaps
+    by run parity. The two are equivalent because a merged symbol
+    ``left || right`` can never equal ``left`` (right is non-empty),
+    so within one rank a new symbol never re-merges as a LEFT, and
+    overlapping matches require left = right — consecutive match
+    runs where greedy-leftmost keeps alternate positions, i.e. the
+    odd ROW_NUMBERs of each match island."""
+    parts = []
+    prev = src
+    for k, (left, right) in enumerate(merges, start=1):
+        le = left.replace("'", "''")
+        re_ = right.replace("'", "''")
+        parts.append(f"""
+    , e{k} AS (
+      SELECT word, u.i AS pos, syms[u.i] AS sym
+      FROM {prev}, unnest(generate_series(1, len(syms))) AS u(i)
+    ), m{k} AS (
+      SELECT word, pos, sym,
+             COALESCE(sym = '{le}'
+               AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                   = '{re_}', FALSE) AS mt
+      FROM e{k}
+    ), g{k} AS (
+      SELECT word, pos, sym, mt,
+             CASE WHEN mt THEN pos - ROW_NUMBER() OVER (
+               PARTITION BY word, mt ORDER BY pos) END AS isl
+      FROM m{k}
+    ), x{k} AS (
+      SELECT word, pos, sym,
+             mt AND (ROW_NUMBER() OVER (
+               PARTITION BY word, isl ORDER BY pos) % 2 = 1) AS kept
+      FROM g{k}
+    ), v{k} AS (
+      SELECT word, list(piece ORDER BY pos) AS syms
+      FROM (
+        SELECT word, pos,
+               CASE WHEN kept THEN sym || '{re_}'
+                    WHEN COALESCE(lag(kept) OVER (
+                      PARTITION BY word ORDER BY pos), FALSE)
+                    THEN NULL ELSE sym END AS piece
+        FROM x{k}
+      ) WHERE piece IS NOT NULL
+      GROUP BY word
+    )""")
+        prev = f"v{k}"
+    return "".join(parts), prev
+
+
+# ---------------------------------------------------------------------------
+# q189 — char-span -> BPE-token-span conversion (round-13;
+# sft.char_spans_to_bpe_token_spans): the q183 mask-chain last step
+# when the trainer's collator masks BPE positions — single-space
+# fields, each field's chars merged with the rank-ordered table via
+# the bpe_encode fold (once per DISTINCT field), token indices over
+# the doc's concatenated piece sequence; start-on-separator resolves
+# to the first piece after, end-on-separator to the last piece
+# before, uncovered spans go NULL. The oracle replays the merges
+# with the independent island-parity formulation and the span rules
+# as a piece char-EXTENT table (min gk with cend >= s / max gk with
+# cstart <= e) — different algebra from the engine's prefix sums,
+# same answer, so a bug in either formulation fails the gate.
+# ---------------------------------------------------------------------------
+
+_Q189_MERGES = [("a", "t"), ("at", "a"), ("l", "l")]
+_Q189_CHAIN, _Q189_FINAL = _bpe_merge_chain_sql(_Q189_MERGES)
+
+@query(
+    "q189_bpe_token_spans",
+    oracle=f"""
+    WITH se AS (
+      SELECT doc_id, text,
+             (doc_id % 113) % length(text) + 1 AS s,
+             LEAST((doc_id % 113) % length(text) + 1 + doc_id % 29,
+                   length(text)) AS e
+      FROM documents WHERE length(text) > 0
+    ), fl AS (
+      SELECT doc_id, string_split(text, ' ') AS f FROM se
+    ), fields AS (
+      SELECT doc_id, u.i AS wpos, f[u.i] AS word
+      FROM fl, unnest(generate_series(1, len(f))) AS u(i)
+    ), wrd AS (
+      SELECT DISTINCT word FROM fields
+    ), chs AS (
+      SELECT word, u.i AS pos, substr(word, u.i, 1) AS sym
+      FROM wrd, unnest(generate_series(1, len(word))) AS u(i)
+    ), v0 AS (
+      SELECT word, list(sym ORDER BY pos) AS syms
+      FROM chs GROUP BY word
+    ){_Q189_CHAIN}
+    , pieces AS (
+      SELECT w.word, COALESCE(v.syms, []) AS syms
+      FROM wrd w LEFT JOIN {_Q189_FINAL} v USING (word)
+    ), wext AS (
+      SELECT f.doc_id, f.wpos, p.syms,
+             COALESCE(SUM(length(f.word) + 1) OVER (
+               PARTITION BY f.doc_id ORDER BY f.wpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + 1 AS wstart
+      FROM fields f JOIN pieces p USING (word)
+    ), pc AS (
+      SELECT doc_id, wpos, u.i AS k, syms[u.i] AS piece, wstart
+      FROM wext, unnest(generate_series(1, len(syms))) AS u(i)
+    ), ext AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY wpos, k) AS gk,
+             wstart + COALESCE(SUM(length(piece)) OVER (
+               PARTITION BY doc_id, wpos ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cstart,
+             wstart + SUM(length(piece)) OVER (
+               PARTITION BY doc_id, wpos ORDER BY k) - 1 AS cend
+      FROM pc
+    ), tsx AS (
+      SELECT se.doc_id, MIN(e2.gk) AS bts
+      FROM se JOIN ext e2
+        ON e2.doc_id = se.doc_id AND e2.cend >= se.s
+      GROUP BY se.doc_id
+    ), tex AS (
+      SELECT se.doc_id, MAX(e2.gk) AS bte
+      FROM se JOIN ext e2
+        ON e2.doc_id = se.doc_id AND e2.cstart <= se.e
+      GROUP BY se.doc_id
+    )
+    SELECT se.doc_id, CAST(se.s AS BIGINT) AS s,
+           CAST(se.e AS BIGINT) AS e,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tsx.bts END AS bpe_tok_start,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tex.bte END AS bpe_tok_end
+    FROM se LEFT JOIN tsx USING (doc_id) LEFT JOIN tex USING (doc_id)
+    ORDER BY se.doc_id
+    """,
+)
+def q189_bpe_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import char_spans_to_bpe_token_spans
+
+    docs = load_tables(spark, sf_dir).documents
+    spanned = (
+        docs.withColumn("__l", F.length("text").cast("long"))
+        .filter(F.col("__l") > 0)
+        .withColumn("s", (F.col("doc_id") % 113) % F.col("__l") + 1)
+        .withColumn(
+            "e",
+            F.least(F.col("s") + F.col("doc_id") % 29, F.col("__l")),
+        )
+        .select("doc_id", "text", "s", "e")
+    )
+    merges = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(_Q189_MERGES)],
+        "rank int, left string, right string",
+    )
+    return (
+        char_spans_to_bpe_token_spans(
+            spanned, merges, "doc_id", "text", "s", "e"
+        )
+        .select("doc_id", "s", "e", "bpe_tok_start", "bpe_tok_end")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while

@@ -3583,6 +3583,126 @@ def fam_token_spans(rng: random.Random):
     return f"p={p} q={q}", spark_fn, sql, False
 
 
+def fam_bpe_spans(rng: random.Random):
+    """Char-span -> BPE-token-span conversion (round-13;
+    sft.char_spans_to_bpe_token_spans — the q183 mask chain's BPE
+    tier). Draws move the span moduli AND the merge table (chained
+    merges, left = right island-parity cases, no-op merges); the
+    oracle replays the merges with the independent island-parity
+    CTE chain and the span rules as a piece char-extent table."""
+    p = rng.choice((37, 113, 311))
+    q = rng.choice((3, 29, 97))
+    merges = rng.choice((
+        [("a", "t"), ("at", "a"), ("l", "l")],
+        [("l", "l"), ("s", "s"), ("e", "e")],
+        [("t", "h"), ("th", "e"), ("a", "n")],
+        [("z", "z"), ("q", "x")],  # mostly no-ops: pieces ~ chars
+    ))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import (
+            char_spans_to_bpe_token_spans,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        spanned = (
+            docs.withColumn("__l", F.length("text").cast("long"))
+            .filter(F.col("__l") > 0)
+            .withColumn("s", (F.col("doc_id") % p) % F.col("__l") + 1)
+            .withColumn(
+                "e",
+                F.least(F.col("s") + F.col("doc_id") % q, F.col("__l")),
+            )
+            .select("doc_id", "text", "s", "e")
+        )
+        mdf = spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
+        return (
+            char_spans_to_bpe_token_spans(
+                spanned, mdf, "doc_id", "text", "s", "e"
+            )
+            .select("doc_id", "s", "e", "bpe_tok_start", "bpe_tok_end")
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import _bpe_merge_chain_sql
+
+    chain, final = _bpe_merge_chain_sql(merges)
+    sql = f"""
+    WITH se AS (
+      SELECT doc_id, text,
+             (doc_id % {p}) % length(text) + 1 AS s,
+             LEAST((doc_id % {p}) % length(text) + 1 + doc_id % {q},
+                   length(text)) AS e
+      FROM documents WHERE length(text) > 0
+    ), fl AS (
+      SELECT doc_id, string_split(text, ' ') AS f FROM se
+    ), fields AS (
+      SELECT doc_id, u.i AS wpos, f[u.i] AS word
+      FROM fl, unnest(generate_series(1, len(f))) AS u(i)
+    ), wrd AS (
+      SELECT DISTINCT word FROM fields
+    ), chs AS (
+      SELECT word, u.i AS pos, substr(word, u.i, 1) AS sym
+      FROM wrd, unnest(generate_series(1, len(word))) AS u(i)
+    ), v0 AS (
+      SELECT word, list(sym ORDER BY pos) AS syms
+      FROM chs GROUP BY word
+    ){chain}
+    , pieces AS (
+      SELECT w.word, COALESCE(v.syms, []) AS syms
+      FROM wrd w LEFT JOIN {final} v USING (word)
+    ), wext AS (
+      SELECT f.doc_id, f.wpos, p.syms,
+             COALESCE(SUM(length(f.word) + 1) OVER (
+               PARTITION BY f.doc_id ORDER BY f.wpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + 1 AS wstart
+      FROM fields f JOIN pieces p USING (word)
+    ), pc AS (
+      SELECT doc_id, wpos, u.i AS k, syms[u.i] AS piece, wstart
+      FROM wext, unnest(generate_series(1, len(syms))) AS u(i)
+    ), ext AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY wpos, k) AS gk,
+             wstart + COALESCE(SUM(length(piece)) OVER (
+               PARTITION BY doc_id, wpos ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cstart,
+             wstart + SUM(length(piece)) OVER (
+               PARTITION BY doc_id, wpos ORDER BY k) - 1 AS cend
+      FROM pc
+    ), tsx AS (
+      SELECT se.doc_id, MIN(e2.gk) AS bts
+      FROM se JOIN ext e2
+        ON e2.doc_id = se.doc_id AND e2.cend >= se.s
+      GROUP BY se.doc_id
+    ), tex AS (
+      SELECT se.doc_id, MAX(e2.gk) AS bte
+      FROM se JOIN ext e2
+        ON e2.doc_id = se.doc_id AND e2.cstart <= se.e
+      GROUP BY se.doc_id
+    )
+    SELECT se.doc_id, CAST(se.s AS BIGINT) AS s,
+           CAST(se.e AS BIGINT) AS e,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tsx.bts END AS bpe_tok_start,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tex.bte END AS bpe_tok_end
+    FROM se LEFT JOIN tsx USING (doc_id) LEFT JOIN tex USING (doc_id)
+    ORDER BY se.doc_id
+    """
+    return f"p={p} q={q} merges={merges}", spark_fn, sql, False
+
+
 def fam_epoch_budget(rng: random.Random):
     """Data-constrained epoch budgeting (round-12;
     corpus.epoch_budget_report — Muennighoff et al. 2023). Draws
@@ -4087,6 +4207,7 @@ FAMILIES = {
     "best_of_n": fam_best_of_n,
     "epoch_budget": fam_epoch_budget,
     "token_spans": fam_token_spans,
+    "bpe_spans": fam_bpe_spans,
     "cross_source_dups": fam_cross_source_dups,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
