@@ -923,6 +923,64 @@ def flatten_message_tree(
     )
 
 
+def dedup_shared_prefix_loss(
+    df: DataFrame,
+    id_col: str,
+    path_col: str = "path_id",
+    salt: str = "",
+    out_col: str = "loss_owner",
+) -> DataFrame:
+    """Shared-prefix loss deduplication for flattened message trees
+    (the OpenAssistant training convention):
+    :func:`flatten_message_tree` replicates every shared ancestor
+    turn into each root-to-leaf conversation — correct RENDERING,
+    but a trainer consuming all paths would back-propagate the
+    shared prefixes once per path. Mark each source message as
+    loss-bearing (``out_col`` true) in exactly ONE of its paths —
+    the path with the lowest ``md5(salt || path_id)`` digest, ties
+    by path id (the cap_per_group determinism doctrine: a pure
+    function of (table, salt), reproducible across engines and
+    partitionings, and varying ``salt`` re-draws the owner
+    assignment) — and masked everywhere else. Compose with
+    :func:`render_chat_spans`' role-based ``is_loss``: final mask =
+    ``is_loss AND loss_owner``.
+
+    Scale shape (100 TB): one map-side-combined min-struct aggregate
+    per source message (output = distinct messages, smaller than the
+    flattened input by the replication factor) + one NULL-safe equi
+    join back on the message id. No window — a viral message can sit
+    on corpus-many paths, which is exactly the corpus-sized-group
+    shape; the min aggregate absorbs it map-side.
+    """
+    from nsl_kdd_spark.operators.relational import md5_key
+
+    owners = (
+        df.select(id_col, path_col)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    md5_key(path_col, salt).alias("d"),
+                    F.col(path_col).alias("p"),
+                )
+            ).alias("__own")
+        )
+        .select(
+            F.col(id_col).alias("__oid"),
+            F.col("__own.p").alias("__opath"),
+        )
+    )
+    return (
+        df.join(
+            owners, df[id_col].eqNullSafe(F.col("__oid")), "left"
+        )
+        .withColumn(
+            out_col, F.col(path_col).eqNullSafe(F.col("__opath"))
+        )
+        .drop("__oid", "__opath")
+    )
+
+
 def pack_boundary_table(
     packed: DataFrame,
     conv_col: str,

@@ -9159,6 +9159,99 @@ def q189_bpe_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q190 — shared-prefix loss deduplication (round-13;
+# sft.dedup_shared_prefix_loss): flatten_message_tree replicates
+# shared ancestor turns into every root-to-leaf path — correct
+# rendering, but a trainer consuming all paths back-propagates the
+# shared prefixes once per path. The OpenAssistant convention keeps
+# the loss on each source message in exactly ONE path: the lowest
+# md5(path_id) digest, ties by path id (the cap_per_group
+# determinism doctrine). One map-side min-struct aggregate per
+# message + a NULL-safe join back; DuckDB replays the q186 tree and
+# the digest argmin with a per-message ROW_NUMBER.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q190_prefix_loss_dedup",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ), t AS (
+      SELECT a.user_id, a.event_id AS mid, b.event_id AS pid
+      FROM r a LEFT JOIN r b
+        ON a.user_id = b.user_id AND b.rk = a.rk // 2
+    ), leaves AS (
+      SELECT mid FROM t
+      WHERE mid NOT IN (SELECT pid FROM t WHERE pid IS NOT NULL)
+    ), chain AS (
+      SELECT l.mid AS path_id, l.mid AS mid, 0 AS up FROM leaves l
+      UNION ALL
+      SELECT c.path_id, t.pid, c.up + 1
+      FROM chain c JOIN t ON t.mid = c.mid AND t.pid IS NOT NULL
+    ), lens AS (
+      SELECT path_id, MAX(up) AS mx FROM chain GROUP BY path_id
+    ), flat AS (
+      SELECT t.user_id, c.path_id,
+             CAST(l.mx - c.up + 1 AS INTEGER) AS turn_idx,
+             c.mid AS event_id
+      FROM chain c JOIN lens l USING (path_id) JOIN t ON t.mid = c.mid
+    ), own AS (
+      SELECT event_id, path_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+               ORDER BY md5(CAST(path_id AS VARCHAR)), path_id) AS rn
+      FROM flat
+    )
+    SELECT f.user_id, f.path_id, f.turn_idx, f.event_id,
+           o.path_id IS NOT NULL AS loss_owner
+    FROM flat f LEFT JOIN (
+      SELECT event_id, path_id FROM own WHERE rn = 1
+    ) o ON f.event_id = o.event_id AND f.path_id = o.path_id
+    ORDER BY f.path_id, f.turn_idx
+    """,
+)
+def q190_prefix_loss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nsl_kdd_spark.operators.sft import (
+        dedup_shared_prefix_loss,
+        flatten_message_tree,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "event_id", "ts").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    b = ranked.select(
+        F.col("user_id").alias("__bu"),
+        F.col("event_id").alias("parent_id"),
+        F.col("rk").alias("__brk"),
+    )
+    tree = (
+        ranked.join(
+            b,
+            (F.col("user_id") == F.col("__bu"))
+            & (F.col("__brk") == F.floor(F.col("rk") / 2)),
+            "left",
+        )
+        .select("user_id", "event_id", "parent_id")
+    )
+    flat = flatten_message_tree(
+        tree, "event_id", "parent_id", max_depth=16
+    )
+    return (
+        dedup_shared_prefix_loss(flat, "event_id")
+        .select(
+            "user_id", "path_id", "turn_idx", "event_id", "loss_owner"
+        )
+        .orderBy("path_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

@@ -113,3 +113,63 @@ def test_orphan_path_at_exact_max_depth_succeeds(spark):
     assert sorted((r["turn_idx"], r["mid"]) for r in out) == [
         (1, 10), (2, 11)
     ]
+
+
+def test_shared_prefix_loss_exactly_once(spark):
+    """dedup_shared_prefix_loss (round-13): every source message is
+    loss-bearing in EXACTLY one path, the owner choice is a pure
+    function of (table, salt) — partitioning-invariant — and a
+    different salt re-draws owners while preserving exactly-once."""
+    from pyspark.sql import functions as F
+
+    from nsl_kdd_spark.operators.sft import dedup_shared_prefix_loss
+
+    flat = flatten_message_tree(_tree(spark), "mid", "pid", max_depth=4)
+    out = dedup_shared_prefix_loss(flat, "mid")
+    per_msg = {
+        r["mid"]: r["n_owned"]
+        for r in out.groupBy("mid")
+        .agg(
+            F.sum(F.col("loss_owner").cast("int")).alias("n_owned")
+        )
+        .collect()
+    }
+    assert per_msg and all(v == 1 for v in per_msg.values()), per_msg
+    # partitioning invariance
+    a = sorted(
+        (r["mid"], r["path_id"], r["loss_owner"])
+        for r in dedup_shared_prefix_loss(
+            flat.repartition(7), "mid"
+        ).collect()
+    )
+    b = sorted(
+        (r["mid"], r["path_id"], r["loss_owner"])
+        for r in dedup_shared_prefix_loss(
+            flat.coalesce(1), "mid"
+        ).collect()
+    )
+    assert a == b
+    # a salted re-draw keeps the exactly-once invariant
+    salted = dedup_shared_prefix_loss(flat, "mid", salt="x")
+    per_msg_s = {
+        r["mid"]: r["n_owned"]
+        for r in salted.groupBy("mid")
+        .agg(
+            F.sum(F.col("loss_owner").cast("int")).alias("n_owned")
+        )
+        .collect()
+    }
+    assert all(v == 1 for v in per_msg_s.values())
+    # unshared turns (single-path messages) are trivially owners
+    counts = {
+        r["mid"]: r["n_paths"]
+        for r in out.groupBy("mid")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .collect()
+    }
+    single = [m for m, n in counts.items() if n == 1]
+    owned = {
+        r["mid"]
+        for r in out.filter("loss_owner").collect()
+    }
+    assert all(m in owned for m in single)

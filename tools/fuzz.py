@@ -3344,6 +3344,99 @@ def fam_flatten_tree(rng: random.Random):
     return f"d={d} mod={mod}", spark_fn, sql, False
 
 
+def fam_prefix_loss(rng: random.Random):
+    """Shared-prefix loss deduplication (round-13;
+    sft.dedup_shared_prefix_loss — the OpenAssistant exactly-once
+    loss convention over flattened trees). Draws move the tree
+    arity, the user subset and the owner-draw salt; the oracle
+    replays the digest argmin with a per-message ROW_NUMBER over
+    the recursive-CTE tree."""
+    d = rng.choice((2, 3, 5))
+    mod = rng.choice((2, 3))
+    salt = rng.choice(("", "s1"))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.sft import (
+            dedup_shared_prefix_loss,
+            flatten_message_tree,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        ev = load_tables(spark, sf_dir).events.filter(
+            F.col("user_id") % mod == 0
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = ev.select("user_id", "event_id", "ts").withColumn(
+            "rk", F.row_number().over(w)
+        )
+        b = ranked.select(
+            F.col("user_id").alias("__bu"),
+            F.col("event_id").alias("parent_id"),
+            F.col("rk").alias("__brk"),
+        )
+        tree = ranked.join(
+            b,
+            (F.col("user_id") == F.col("__bu"))
+            & (F.col("__brk") == F.floor(F.col("rk") / d)),
+            "left",
+        ).select("user_id", "event_id", "parent_id")
+        flat = flatten_message_tree(
+            tree, "event_id", "parent_id", max_depth=16
+        )
+        return (
+            dedup_shared_prefix_loss(flat, "event_id", salt=salt)
+            .select(
+                "user_id", "path_id", "turn_idx", "event_id",
+                "loss_owner",
+            )
+            .orderBy("path_id", "turn_idx")
+        )
+
+    sql = f"""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events WHERE user_id % {mod} = 0
+    ), t AS (
+      SELECT a.user_id, a.event_id AS mid, b.event_id AS pid
+      FROM r a LEFT JOIN r b
+        ON a.user_id = b.user_id AND b.rk = a.rk // {d}
+    ), leaves AS (
+      SELECT mid FROM t
+      WHERE mid NOT IN (SELECT pid FROM t WHERE pid IS NOT NULL)
+    ), chain AS (
+      SELECT l.mid AS path_id, l.mid AS mid, 0 AS up FROM leaves l
+      UNION ALL
+      SELECT c.path_id, t.pid, c.up + 1
+      FROM chain c JOIN t ON t.mid = c.mid AND t.pid IS NOT NULL
+    ), lens AS (
+      SELECT path_id, MAX(up) AS mx FROM chain GROUP BY path_id
+    ), flat AS (
+      SELECT t.user_id, c.path_id,
+             CAST(l.mx - c.up + 1 AS INTEGER) AS turn_idx,
+             c.mid AS event_id
+      FROM chain c JOIN lens l USING (path_id) JOIN t ON t.mid = c.mid
+    ), own AS (
+      SELECT event_id, path_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+               ORDER BY md5('{salt}' || CAST(path_id AS VARCHAR)),
+                        path_id) AS rn
+      FROM flat
+    )
+    SELECT f.user_id, f.path_id, f.turn_idx, f.event_id,
+           o.path_id IS NOT NULL AS loss_owner
+    FROM flat f LEFT JOIN (
+      SELECT event_id, path_id FROM own WHERE rn = 1
+    ) o ON f.event_id = o.event_id AND f.path_id = o.path_id
+    ORDER BY f.path_id, f.turn_idx
+    """
+    return f"d={d} mod={mod} salt={salt!r}", spark_fn, sql, False
+
+
 def fam_cap_per_group(rng: random.Random):
     """Deterministic per-group cap (round-12;
     relational.cap_per_group — the RefinedWeb per-domain cap).
@@ -4211,6 +4304,7 @@ FAMILIES = {
     "cross_source_dups": fam_cross_source_dups,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
+    "prefix_loss": fam_prefix_loss,
     "cap_per_group": fam_cap_per_group,
     "pack_boundaries": fam_pack_boundaries,
 }
