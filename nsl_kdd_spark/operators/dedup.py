@@ -1229,3 +1229,87 @@ def cross_source_dup_matrix(
     ).unionByName(
         off.select("source_a", "source_b", "dup_groups", "dup_docs")
     )
+
+
+def cross_source_neardup_matrix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate tier of :func:`cross_source_dup_matrix`: which
+    unordered source pairs share near-duplicate content — the
+    provenance audit that catches PARAPHRASED benchmark leakage and
+    lightly-edited mirrors, which the exact-hash matrix cannot see.
+    Near-dup pairs come from :func:`minhash_lsh_pairs` (shingle ->
+    minhash -> band -> bucket-join -> exact-jaccard verify, with the
+    same banding/cap/threshold contract); each verified pair is then
+    labeled with its two sources and counted per unordered source
+    cell.
+
+    Output: ``(source_a, source_b, dup_pairs, dup_docs)`` with
+    ``source_a <= source_b`` (binary string order); ``dup_pairs`` =
+    verified near-dup pairs in the cell (diagonal: both sides in one
+    source), ``dup_docs`` = distinct documents those pairs touch in
+    the cell. Cells with no leakage emit nothing. NULL sources fold
+    into the ``\\x00null`` sentinel class (the q184 convention — an
+    equality/comparison on a NULL source must not silently drop the
+    unattributed documents the audit exists to flag).
+
+    Scale shape (100 TB): the pair set is banding-bounded (S-curve
+    selectivity + ``max_bucket_size``), orders of magnitude under
+    the corpus; the two source lookups are slim equi joins on the id
+    (id -> source projection only — bodies never reship); the cell
+    aggregate's key space is at most sources^2 (bounded dimension).
+    One explode (2 rows per pair) feeds the distinct-doc count. No
+    window, no collect.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
+    src = df.select(
+        F.col(id_col).alias("__sid"),
+        F.coalesce(
+            F.col(source_col).cast("string"), F.lit("\x00null")
+        ).alias("__s"),
+    )
+    labeled = (
+        pairs.join(src, pairs["id_a"] == src["__sid"])
+        .withColumnRenamed("__s", "__sa")
+        .drop("__sid")
+        .join(src, pairs["id_b"] == src["__sid"])
+        .withColumnRenamed("__s", "__sb")
+        .drop("__sid")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+        .localCheckpoint()  # two consumers: pair count + doc count
+    )
+    cells = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("dup_pairs")
+    )
+    docs = (
+        labeled.select(
+            "source_a",
+            "source_b",
+            F.explode(F.array("id_a", "id_b")).alias("__d"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("__d").alias("dup_docs"))
+    )
+    return cells.join(docs, ["source_a", "source_b"])

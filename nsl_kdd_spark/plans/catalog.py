@@ -9252,6 +9252,104 @@ def q190_prefix_loss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q191 — cross-source NEAR-duplicate matrix (round-13;
+# dedup.cross_source_neardup_matrix): q184's provenance audit over
+# MinHash bands — which unordered source pairs share near-duplicate
+# content (paraphrased benchmark leakage, lightly-edited mirrors)
+# that the exact-hash matrix cannot see. Pairs come from
+# minhash_lsh_pairs (q29's banding, band_size=2 -> 4 bands, exact-
+# jaccard verify at 0.5); each verified pair is labeled with its
+# two sources (NULL folded to the sentinel class) and counted per
+# unordered cell, plus the distinct documents the cell touches.
+# DuckDB replays the q29 band arithmetic and the cell aggregation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q191_cross_source_neardups",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             min(substr(md5('0:' || t), 1, 8))  AS mh0,
+             min(substr(md5('0:' || t), 9, 8))  AS mh1,
+             min(substr(md5('0:' || t), 17, 8)) AS mh2,
+             min(substr(md5('0:' || t), 25, 8)) AS mh3,
+             min(substr(md5('1:' || t), 1, 8))  AS mh4,
+             min(substr(md5('1:' || t), 9, 8))  AS mh5,
+             min(substr(md5('1:' || t), 17, 8)) AS mh6,
+             min(substr(md5('1:' || t), 25, 8)) AS mh7
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        '0|' || mh0 || '|' || mh1,
+        '1|' || mh2 || '|' || mh3,
+        '2|' || mh4 || '|' || mh5,
+        '3|' || mh6 || '|' || mh7]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), pr AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+            (len(a.s) + len(b.s)
+             - len(list_filter(a.s, x -> list_contains(b.s, x))))
+            >= 0.5
+    ), src AS (
+      SELECT doc_id,
+             COALESCE(CAST(source AS VARCHAR), chr(0) || 'null') AS s
+      FROM documents
+    ), lab AS (
+      SELECT LEAST(sa.s, sb.s) AS source_a,
+             GREATEST(sa.s, sb.s) AS source_b,
+             pr.id_a, pr.id_b
+      FROM pr JOIN src sa ON pr.id_a = sa.doc_id
+              JOIN src sb ON pr.id_b = sb.doc_id
+    ), cells AS (
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS dup_pairs
+      FROM lab GROUP BY source_a, source_b
+    ), dd AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS dup_docs
+      FROM (
+        SELECT source_a, source_b, id_a AS d FROM lab
+        UNION ALL
+        SELECT source_a, source_b, id_b AS d FROM lab
+      ) GROUP BY source_a, source_b
+    )
+    SELECT c.source_a, c.source_b, c.dup_pairs, d.dup_docs
+    FROM cells c JOIN dd d USING (source_a, source_b)
+    ORDER BY c.source_a, c.source_b
+    """,
+)
+def q191_cross_source_neardups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import (
+        cross_source_neardup_matrix,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    return cross_source_neardup_matrix(
+        docs, "source", "doc_id", "text",
+        num_hashes=8, band_size=2, threshold=0.5, shingle_n=3,
+    ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration

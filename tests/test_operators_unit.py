@@ -1416,6 +1416,49 @@ def test_cross_source_dup_matrix_null_sources_fold(spark):
     assert got == {(s, s): 1, (s, "web"): 1}
 
 
+def test_cross_source_neardup_matrix(spark):
+    """Near-dup tier (round-13): MinHash-banded pairs labeled per
+    unordered source cell — paraphrased near-dups the exact matrix
+    misses land in the right cells; NULL sources fold to the
+    sentinel; no-leak cells emit nothing."""
+    from nsl_kdd_spark.operators.dedup import (
+        cross_source_neardup_matrix,
+    )
+
+    # long shared body + one-word edits -> jaccard ~0.9; the md5
+    # banding is deterministic, so once this fixture buckets it
+    # always buckets (collision verified at authoring time)
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, "web", base),
+        (1, "wiki", base.replace("w39", "zz")),   # web<->wiki near-dup
+        (2, "web", base.replace("w0", "yy")),     # web<->web near-dup
+        (3, None, base.replace("w20", "xx")),     # unattributed
+        (4, "books", "completely different text with no overlap at all"
+                     " whatsoever in any shingle"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = cross_source_neardup_matrix(
+        df, "source", "doc_id", "text",
+        num_hashes=8, band_size=2, threshold=0.5, shingle_n=3,
+    ).collect()
+    got = {
+        (r["source_a"], r["source_b"]): (r["dup_pairs"], r["dup_docs"])
+        for r in out
+    }
+    s = "\x00null"
+    # docs 0/1/2/3 are mutual near-dups (one-word edits of base)
+    assert got[("web", "wiki")][0] >= 1
+    assert got[("web", "web")][0] >= 1
+    assert (s, "web") in got or (s, "wiki") in got
+    assert all("books" not in k for k in got)
+    # dup_docs counts DISTINCT docs per cell
+    for (a, b), (pairs, docs) in got.items():
+        assert docs <= 2 * pairs
+
+
 def test_cap_per_group(spark):
     """RefinedWeb per-domain cap: at most k per group, md5-digest
     order — deterministic, superset-stable in k, salt-sensitive."""

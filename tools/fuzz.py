@@ -3344,6 +3344,112 @@ def fam_flatten_tree(rng: random.Random):
     return f"d={d} mod={mod}", spark_fn, sql, False
 
 
+def fam_cross_source_neardups(rng: random.Random):
+    """Cross-source NEAR-duplicate matrix (round-13;
+    dedup.cross_source_neardup_matrix — q184's provenance audit over
+    MinHash bands). Draws move the band width (2 -> 4 bands of 2 vs
+    2 bands of 4), the shingle order and the verify threshold; the
+    oracle replays the q29 band arithmetic, the jaccard verify and
+    the unordered source-cell aggregation."""
+    band_size = rng.choice((2, 4))
+    shingle_n = rng.choice((2, 3))
+    threshold = rng.choice((0.3, 0.5, 0.8))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.dedup import (
+            cross_source_neardup_matrix,
+        )
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        return cross_source_neardup_matrix(
+            docs, "source", "doc_id", "text",
+            num_hashes=8, band_size=band_size,
+            threshold=threshold, shingle_n=shingle_n,
+        ).orderBy("source_a", "source_b")
+
+    n_bands = 8 // band_size
+    band_items = ",\n        ".join(
+        "'" + str(bi) + "|' || "
+        + " || '|' || ".join(
+            f"mh{bi * band_size + j}" for j in range(band_size)
+        )
+        for bi in range(n_bands)
+    )
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= {shingle_n} THEN
+               list_transform(generate_series(1, len(w) - {shingle_n - 1}),
+                              i -> array_to_string(
+                                     w[i:i+{shingle_n - 1}], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             min(substr(md5('0:' || t), 1, 8))  AS mh0,
+             min(substr(md5('0:' || t), 9, 8))  AS mh1,
+             min(substr(md5('0:' || t), 17, 8)) AS mh2,
+             min(substr(md5('0:' || t), 25, 8)) AS mh3,
+             min(substr(md5('1:' || t), 1, 8))  AS mh4,
+             min(substr(md5('1:' || t), 9, 8))  AS mh5,
+             min(substr(md5('1:' || t), 17, 8)) AS mh6,
+             min(substr(md5('1:' || t), 25, 8)) AS mh7
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {band_items}]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), pr AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 /
+            (len(a.s) + len(b.s)
+             - len(list_filter(a.s, x -> list_contains(b.s, x))))
+            >= {threshold}
+    ), src AS (
+      SELECT doc_id,
+             COALESCE(CAST(source AS VARCHAR), chr(0) || 'null') AS s
+      FROM documents
+    ), lab AS (
+      SELECT LEAST(sa.s, sb.s) AS source_a,
+             GREATEST(sa.s, sb.s) AS source_b,
+             pr.id_a, pr.id_b
+      FROM pr JOIN src sa ON pr.id_a = sa.doc_id
+              JOIN src sb ON pr.id_b = sb.doc_id
+    ), cells AS (
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS dup_pairs
+      FROM lab GROUP BY source_a, source_b
+    ), dd AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS dup_docs
+      FROM (
+        SELECT source_a, source_b, id_a AS d FROM lab
+        UNION ALL
+        SELECT source_a, source_b, id_b AS d FROM lab
+      ) GROUP BY source_a, source_b
+    )
+    SELECT c.source_a, c.source_b, c.dup_pairs, d.dup_docs
+    FROM cells c JOIN dd d USING (source_a, source_b)
+    ORDER BY c.source_a, c.source_b
+    """
+    return (
+        f"band_size={band_size} shingle_n={shingle_n} thr={threshold}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
 def fam_prefix_loss(rng: random.Random):
     """Shared-prefix loss deduplication (round-13;
     sft.dedup_shared_prefix_loss — the OpenAssistant exactly-once
@@ -4302,6 +4408,7 @@ FAMILIES = {
     "token_spans": fam_token_spans,
     "bpe_spans": fam_bpe_spans,
     "cross_source_dups": fam_cross_source_dups,
+    "cross_source_neardups": fam_cross_source_neardups,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
     "prefix_loss": fam_prefix_loss,
