@@ -9600,17 +9600,37 @@ def q191_cross_source_neardups(
 # (behavioral analytics held by q75 funnel + q102 point-in-time +
 # q128 time-weighted frames). The full rotated window re-verified
 # via tools/compare.py at sf0.01 before round close.
+# Round-13 rotation: three NEW oracle-paired queries rotate in —
+# q189 BPE token spans (the mask chain's BPE tier), q190 shared-
+# prefix loss dedup, q191 cross-source near-dup matrix. Three
+# double-green (r11 + r12 driver) rows free the slots, per the r12
+# verdict's own candidates, each family held by in-window kin:
+# q163 gopher rules (doc-quality gating held by q185's threshold
+# sweep + q176's datacard), q164 C4 line cleaning (line-level text
+# surgery held by q167 span corruption + q159 FIM, both
+# string-rebuild shapes; the gopher/c4 fuzz families and pytest
+# gates stay), and q123 ranking
+# metrics (the eval-metrics family is held in-window by q154's
+# retrieval eval, the same grouped rank-metric shape — q123 was an
+# r11 touched re-anchor, untouched since). q103 pagerank stays as
+# the graph-family anchor. Touched-this-round rows q166/q187
+# (NULL-group oracle legs), q179 (full-df flag-mode join), q180
+# (score-type guard) and q183 (Column-API rebuild) were already
+# in-window and stay for the driver re-green. The full rotated
+# window re-verified via tools/compare.py at sf0.01 before close.
 DRIVER_WINDOW = [
+    # round-13 NEW queries (see rotation block above)
+    "q189_bpe_token_spans", "q190_prefix_loss_dedup",
+    "q191_cross_source_neardups",
     # round-12 NEW queries (see rotation block above)
     "q178_sft_pack", "q179_t_closeness_ordered",
     "q180_best_of_n", "q182_epoch_budget", "q183_token_spans",
     "q184_cross_source_dups", "q185_threshold_sweep",
     "q186_flatten_tree", "q187_cap_per_group", "q188_pack_boundaries",
-    # round-11 NEW queries + touched re-anchors (see block above)
+    # round-11 NEW queries + graph-family anchor (see block above)
     "q161_token_weighted_mixture", "q162_dsir_select",
-    "q163_gopher_quality", "q164_c4_line_clean",
     "q165_contamination_report", "q166_ccnet_buckets",
-    "q123_ranking_metrics", "q103_pagerank",
+    "q103_pagerank",
     # round-10 NEW queries (replacing double-green q27/q32/q37/q07/q15)
     "q156_exact_substring_cross_doc",
     "q159_fim_transform",
