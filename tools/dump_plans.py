@@ -63,6 +63,9 @@ PICKS = {
     "q179_t_closeness_ordered": "ordered t-closeness (r12): one corpus cell aggregate, m-row domain index/cumsum window (bounded), broadcast group x domain grid whose per-group cumsum window partitions are m-bounded, null-safe join back — no corpus-sized window",
     "q180_best_of_n": "best-of-n (r12): ONE grouped collect+array_sort+slice aggregate over bounded prompt groups, Generate for ranks — no window, no join",
     "q182_epoch_budget": "epoch budgeting (r12): the k-row mass table localCheckpoints so totals AND takes read it (ONE corpus pass, not two), then scan-stage ppm/decay arithmetic on k rows",
+    "q189_bpe_token_spans": "BPE token spans (r13): merge folds on the DISTINCT-field vocab only (the q132 rule), broadcast piece-length join, ONE per-doc grouped reassembly; span conversion itself is scan-stage array prefix arithmetic on the joined row — zero windows, no EvalPython",
+    "q190_prefix_loss_dedup": "prefix-loss dedup (r13): per-message min-struct digest aggregate (map-side combined; output = distinct messages) + NULL-safe join back — no message-keyed window, so viral messages on corpus-many paths stay map-side; the tree fixture contributes the bounded frontier-walk joins",
+    "q191_cross_source_neardups": "cross-source near-dups (r13): q29's band self-join for candidates with inline jaccard verify, slim id->source equi-joins on the pair set only, sources^2 cell aggregates — document bodies never reship",
 }
 
 
