@@ -9,6 +9,9 @@ round-11/12 tier composed in one file:
        (TRL collator contract, r11)
     -> Krell SPFHP whole-conversation packing (r11)
     -> pack-relative loss-span rebasing + pack text assembly (r12)
+    -> BPE-token loss spans for the collator (r13)
+    -> branched-tree flattening + exactly-once shared-prefix loss
+       (OpenAssistant convention, r12/r13)
     -> epoch budgeting for the next pretrain-mix iteration
        (Muennighoff et al. 2023, r12)
 
@@ -30,6 +33,9 @@ from nsl_kdd_spark.operators.packing import pack_best_fit  # noqa: E402
 from nsl_kdd_spark.operators.sft import (  # noqa: E402
     assemble_pack_text,
     best_of_n,
+    char_spans_to_bpe_token_spans,
+    dedup_shared_prefix_loss,
+    flatten_message_tree,
     pack_conversations,
     preference_pairs,
     render_chat_spans,
@@ -113,10 +119,61 @@ def main() -> None:
         ).alias("bad")
     ).collect()[0]["bad"]
     print(f"packed into {n_packs} packs; loss-span violations: {ok}")
+
+    # 5. collators mask BPE TOKEN positions: convert the rebased
+    #    char spans to indices over each pack's BPE piece sequence
+    merges = spark.createDataFrame(
+        [(0, "e", "r"), (1, "t", "h"), (2, "th", "e")],
+        "rank int, left string, right string",
+    )
+    tok_spans = char_spans_to_bpe_token_spans(
+        packed.filter(F.col("is_loss")).join(
+            texts.select("pack_id", "pack_text"), "pack_id"
+        ),
+        merges, "pack_id", "pack_text",
+        "pack_loss_start", "pack_loss_end",
+    )
+    n_tok_spans = tok_spans.filter(
+        F.col("bpe_tok_start").isNotNull()
+    ).count()
+    print(f"BPE-maskable loss spans: {n_tok_spans}")
     spans.unpersist()
     packed.unpersist()
 
-    # 5. next-iteration pretrain mix: how much is each language's
+    # 6. branched chat exports (regenerations/edits): flatten to one
+    #    conversation per leaf, then make each shared ancestor turn
+    #    loss-bearing in exactly ONE path
+    from pyspark.sql import Window as w
+
+    ranked = t.events.select("user_id", "event_id", "ts").withColumn(
+        "rk",
+        F.row_number().over(
+            w.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    parents = ranked.select(
+        F.col("user_id").alias("__u"),
+        F.col("event_id").alias("parent_id"),
+        F.col("rk").alias("__prk"),
+    )
+    tree = ranked.join(
+        parents,
+        (F.col("user_id") == F.col("__u"))
+        & (F.col("__prk") == F.floor(F.col("rk") / 2)),
+        "left",
+    ).select("user_id", "event_id", "parent_id")
+    flat = flatten_message_tree(tree, "event_id", "parent_id",
+                                max_depth=16)
+    owned = dedup_shared_prefix_loss(flat, "event_id")
+    once = (
+        owned.groupBy("event_id")
+        .agg(F.sum(F.col("loss_owner").cast("int")).alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+    )
+    print(f"messages not exactly-once loss-owned: {once}")
+
+    # 7. next-iteration pretrain mix: how much is each language's
     #    allocation really worth after repetition decay?
     docs = t.documents.withColumn(
         "n_tok", F.size(F.split("text", " ")).cast("long")

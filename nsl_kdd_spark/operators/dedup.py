@@ -1231,6 +1231,64 @@ def cross_source_dup_matrix(
     )
 
 
+def dedup_priority(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    priority: Sequence[str],
+) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-PRIORITY source's copy —
+    the multi-source curation practice (The Pile / RefinedWeb): when
+    the same document appears in a curated dump AND a web crawl,
+    keep the curated copy, not an arbitrary one. ``priority`` lists
+    source values best-first; sources not listed (and NULL sources)
+    rank after every listed one, and ties inside a rank break by
+    lowest ``id_col`` — the kept set is a pure function of (table,
+    priority), reproducible across engines and partitionings.
+
+    Rows whose ``text_col`` is NULL form ONE group (the
+    ``dedup_exact`` convention: dropDuplicates also treats NULLs as
+    equal) — exactly one NULL-text row survives.
+
+    Scale shape (100 TB): one map-side-combined min-struct aggregate
+    per content hash (output = distinct contents) + one slim
+    keep-set semi join back on the id; bodies never reship (32-hex
+    keys only). No window — a viral document duplicated across the
+    whole corpus is a corpus-sized group, absorbed map-side.
+    """
+    rank: Column | None = None
+    for i, s in enumerate(priority):
+        cond = F.col(source_col) == s
+        rank = (
+            F.when(cond, i) if rank is None else rank.when(cond, i)
+        )
+    rank = (
+        F.lit(len(priority))
+        if rank is None
+        else rank.otherwise(len(priority))
+    )
+    hashed = df.withColumn("__h", exact_hash(F.col(text_col)))
+    keep = (
+        hashed.groupBy("__h")
+        .agg(
+            F.min(
+                F.struct(
+                    rank.alias("pr"), F.col(id_col).alias("i")
+                )
+            ).alias("__k")
+        )
+        .select(F.col("__k.i").alias("__keep_id"))
+    )
+    return (
+        df.join(
+            keep,
+            df[id_col].eqNullSafe(F.col("__keep_id")),
+            "left_semi",
+        )
+    )
+
+
 def cross_source_neardup_matrix(
     df: DataFrame,
     source_col: str,

@@ -188,6 +188,59 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """Train/val/test assignment that a near-duplicate can never
+    straddle: plain :func:`hash_split` keys on the DOCUMENT, so two
+    near-identical copies can land in train and test — silent
+    eval-set leakage that survives every downstream dedup of the
+    individual splits. Here the split keys on the document's
+    near-dup CLUSTER: ``pairs`` is any near-dup edge set (MinHash
+    q29, winnow q146, containment q140 — the operator is
+    edge-source-agnostic), clusters come from
+    :func:`graph.connected_components` (component id = smallest
+    member id, deterministic), and every member of a cluster hashes
+    the SAME key — ``coalesce(component, own id)`` — so the whole
+    cluster lands in one split. Singletons (no edges) keep their own
+    id as the key, which makes the assignment IDENTICAL to plain
+    ``hash_split`` wherever no near-dup exists (an un-clustered
+    corpus degrades to q68 exactly). Adds ``comp_col`` (NULL for
+    singletons) for the audit trail.
+
+    Scale shape (100 TB): the CC walk is the q58 contract (slim
+    iterative equi-joins, lineage-truncated, O(log diameter)
+    rounds); the join back is one slim (node, comp) equi join; the
+    split itself is scan-stage md5 arithmetic. No window, no
+    collect.
+    """
+    from nsl_kdd_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs)
+    joined = df.join(
+        comps, df[id_col] == comps["node"], "left"
+    ).drop("node")
+    if comp_col != "comp":
+        joined = joined.withColumnRenamed("comp", comp_col)
+    keyed = joined.withColumn(
+        "__lskey",
+        F.coalesce(F.col(comp_col), F.col(id_col)).cast("string"),
+    )
+    return hash_split(
+        keyed, "__lskey", splits=splits, salt=salt, split_col=split_col
+    ).drop("__lskey")
+
+
 def sample_hash(
     df: DataFrame, key_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:

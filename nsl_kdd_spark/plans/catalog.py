@@ -9350,6 +9350,108 @@ def q191_cross_source_neardups(
 
 
 # ---------------------------------------------------------------------------
+# q192 — priority dedup (round-13; dedup.dedup_priority): the
+# multi-source curation rule (The Pile / RefinedWeb) — when the same
+# content appears in a curated dump AND a crawl, keep the
+# HIGHEST-priority source's copy, never an arbitrary one; unlisted/
+# NULL sources rank last, ties by lowest id. One map-side min-struct
+# aggregate per content hash + a slim keep-set semi join (bodies
+# never reship). Fixture keys on the 30-char head (q184's trick —
+# the synthetic corpus has no full-text dups); DuckDB replays with
+# a per-hash ROW_NUMBER over (priority rank, id).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q192_priority_dedup",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source, lang, md5(substr(text, 1, 30)) AS h,
+             CASE source WHEN 'src2' THEN 0 WHEN 'src0' THEN 1
+                         ELSE 2 END AS pr
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY pr, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, source, lang FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q192_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import dedup_priority
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "source", "lang",
+        F.substring("text", 1, 30).alias("head"),
+    )
+    return (
+        dedup_priority(docs, "head", "doc_id", "source", ["src2", "src0"])
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — leakage-safe split (round-13; relational.leakage_safe_split):
+# hash_split keys on the DOCUMENT, so two near-identical copies can
+# land in train and test — eval leakage no per-split dedup can undo.
+# This splits by the near-dup CLUSTER: winnow overlap pairs (q146
+# edges) -> connected components (q58 contract) -> md5 split on
+# coalesce(component, own id), so a whole cluster shares one split
+# and un-clustered docs degrade to plain q68 hash_split exactly.
+# DuckDB replays the shared winnow/CC fragments + the bucket cuts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q193_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {_WINNOW_WFP_SQL},
+    {_WINNOW_PAIRS_SQL},
+    edges AS (
+      SELECT id_a, id_b FROM winnow_pairs
+    ),
+    {_CC_COMPS_SQL},
+    scored AS (
+      SELECT d.doc_id, c.comp
+      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    ), keyed AS (
+      SELECT doc_id, comp,
+             CAST(COALESCE(comp, doc_id) AS VARCHAR) AS k
+      FROM scored
+    ), h AS (
+      SELECT doc_id, comp, {_md5_bucket_sql("", "k")} AS hv
+      FROM keyed
+    )
+    SELECT doc_id, comp,
+           CASE WHEN hv < {int(0.8 * 65536)} THEN 'train'
+                WHEN hv < {int(0.9 * 65536)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def q193_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.relational import leakage_safe_split
+    from nsl_kdd_spark.operators.winnow import winnow_overlap_pairs
+
+    docs = load_tables(spark, sf_dir).documents
+    pairs = winnow_overlap_pairs(
+        docs, "doc_id", "text", k=4, w=4, min_shared=2, max_fp_df=50
+    )
+    return (
+        leakage_safe_split(
+            docs.select("doc_id"), "doc_id", pairs
+        )
+        .select("doc_id", "comp", "split")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -9618,10 +9720,19 @@ def q191_cross_source_neardups(
 # (score-type guard) and q183 (Column-API rebuild) were already
 # in-window and stay for the driver re-green. The full rotated
 # window re-verified via tools/compare.py at sf0.01 before close.
+# Second wave: q192 priority dedup and q193 leakage-safe split
+# rotate in for q90 group-split (the split family is now held
+# in-window by q193 itself, which strictly SUPERSETS hash_split —
+# its singleton leg IS q68/q90's md5-cut assignment — while the
+# group_split pytest gates stay) and q126 canonical cluster
+# selection (the keep-one-per-group argmin family is held by q192's
+# priority keep rule plus q187's digest-order cap; q150's
+# winnow-canonical composition keeps its fuzz + pytest gates).
 DRIVER_WINDOW = [
     # round-13 NEW queries (see rotation block above)
     "q189_bpe_token_spans", "q190_prefix_loss_dedup",
-    "q191_cross_source_neardups",
+    "q191_cross_source_neardups", "q192_priority_dedup",
+    "q193_leakage_safe_split",
     # round-12 NEW queries (see rotation block above)
     "q178_sft_pack", "q179_t_closeness_ordered",
     "q180_best_of_n", "q182_epoch_budget", "q183_token_spans",
@@ -9644,12 +9755,12 @@ DRIVER_WINDOW = [
     "q53_pattern_extract",
     "q75_event_funnel",
     "q85_bin_texts",
-    "q89_latest_per_key", "q90_group_split",
+    "q89_latest_per_key",
     "q102_point_in_time",
     "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",
     "q117_skew_topkeys",
-    "q124_skipping_stats", "q126_select_canonical",
+    "q124_skipping_stats",
     "q128_time_weighted_avg",
     # newest green row is r6
     "q133_sliding_chunks", "q134_script_profile", "q137_sample_exact_n",

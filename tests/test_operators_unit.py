@@ -1489,3 +1489,69 @@ def test_cap_per_group(spark):
     assert cap_per_group(df, "dom", "doc_id", k=500).count() == 300
     with _pytest.raises(ValueError):
         cap_per_group(df, "dom", "doc_id", k=0)
+
+
+def test_dedup_priority(spark):
+    """Per exact-dup group, the survivor is the highest-priority
+    source's copy (ties by lowest id); unlisted/NULL sources rank
+    last; NULL texts form ONE group (the dedup_exact convention)."""
+    from nsl_kdd_spark.operators.dedup import dedup_priority
+
+    rows = [
+        (0, "crawl", "X"), (1, "curated", "X"), (2, "crawl", "X"),
+        (3, "crawl", "Y"), (4, "crawl", "Y"),      # tie -> lowest id
+        (5, None, "Z"), (6, "books", "Z"),         # unlisted+NULL last
+        (7, "crawl", None), (8, "curated", None),  # NULL-text group
+        (9, "crawl", "U"),                         # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_priority(
+            df, "text", "doc_id", "source", ["curated", "books"]
+        ).collect()
+    )
+    # X -> 1 (curated); Y -> 3 (tie, lowest id); Z -> 6 (books beats
+    # unlisted NULL); NULL text -> 8 (curated); U -> 9
+    assert kept == [1, 3, 6, 8, 9]
+
+
+def test_leakage_safe_split(spark):
+    """Every member of a near-dup cluster lands in ONE split; docs
+    with no edges match plain hash_split exactly (the degradation
+    contract); comp is the audit column."""
+    from nsl_kdd_spark.operators.relational import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(df, "doc_id", pairs).collect()
+    by_id = {r["doc_id"]: (r["comp"], r["split"]) for r in out}
+    assert len(by_id) == 40
+    # whole cluster shares one split
+    assert by_id[0][1] == by_id[1][1] == by_id[2][1]
+    assert by_id[10][1] == by_id[11][1]
+    assert by_id[20][1] == by_id[21][1]
+    # comp = smallest member id; singletons NULL
+    assert by_id[1][0] == 0 and by_id[11][0] == 10
+    assert by_id[5][0] is None
+    # degradation: singletons match plain hash_split on the id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df.withColumn("__k", F.col("doc_id").cast("string")),
+            "__k",
+        ).collect()
+    }
+    clustered = {0, 1, 2, 10, 11, 20, 21}
+    for i in range(40):
+        if i not in clustered:
+            assert by_id[i][1] == plain[i], i

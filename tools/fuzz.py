@@ -3344,6 +3344,127 @@ def fam_flatten_tree(rng: random.Random):
     return f"d={d} mod={mod}", spark_fn, sql, False
 
 
+def fam_priority_dedup(rng: random.Random):
+    """Priority dedup (round-13; dedup.dedup_priority — keep the
+    highest-priority source's copy per exact-dup group). Draws move
+    the priority order, the content-key length and the priority
+    column; the oracle replays the rank argmin with a per-hash
+    ROW_NUMBER."""
+    head = rng.choice((20, 30, 50))
+    pcol = rng.choice(("source", "lang"))
+    pool = (
+        ["src0", "src1", "src2", "src3"] if pcol == "source"
+        else ["en", "zh", "es"]
+    )
+    k = rng.randrange(1, len(pool) + 1)
+    prio = rng.sample(pool, k)
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.dedup import dedup_priority
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents.select(
+            "doc_id", "source", "lang",
+            F.substring("text", 1, head).alias("head"),
+        )
+        return (
+            dedup_priority(docs, "head", "doc_id", pcol, prio)
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id")
+        )
+
+    rank_case = " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(prio)
+    )
+    sql = f"""
+    WITH k AS (
+      SELECT doc_id, source, lang, md5(substr(text, 1, {head})) AS h,
+             CASE {pcol} {rank_case} ELSE {len(prio)} END AS pr
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY pr, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, source, lang FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """
+    return (
+        f"head={head} pcol={pcol} prio={prio}", spark_fn, sql, False
+    )
+
+
+def fam_leakage_split(rng: random.Random):
+    """Leakage-safe split (round-13; relational.leakage_safe_split —
+    near-dup clusters never straddle train/val/test). Draws move the
+    split weights and the salt over the fixed q150 winnow edge set;
+    the oracle replays the shared winnow/CC fragments and the md5
+    bucket cuts."""
+    weights = rng.choice(((0.8, 0.1, 0.1), (0.6, 0.2, 0.2), (0.9, 0.05, 0.05)))
+    salt = rng.choice(("", "e1"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.relational import leakage_safe_split
+        from nsl_kdd_spark.operators.winnow import winnow_overlap_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        pairs = winnow_overlap_pairs(
+            docs, "doc_id", "text", k=4, w=4, min_shared=2, max_fp_df=50
+        )
+        return (
+            leakage_safe_split(
+                docs.select("doc_id"), "doc_id", pairs,
+                splits=(
+                    ("train", weights[0]), ("val", weights[1]),
+                    ("test", weights[2]),
+                ),
+                salt=salt,
+            )
+            .select("doc_id", "comp", "split")
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import (
+        _CC_COMPS_SQL,
+        _md5_bucket_sql,
+        _WINNOW_PAIRS_SQL,
+        _WINNOW_WFP_SQL,
+    )
+
+    cut1 = int(weights[0] / sum(weights) * 65536)
+    cut2 = int((weights[0] + weights[1]) / sum(weights) * 65536)
+    sql = f"""
+    WITH RECURSIVE
+    {_WINNOW_WFP_SQL},
+    {_WINNOW_PAIRS_SQL},
+    edges AS (
+      SELECT id_a, id_b FROM winnow_pairs
+    ),
+    {_CC_COMPS_SQL},
+    scored AS (
+      SELECT d.doc_id, c.comp
+      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    ), keyed AS (
+      SELECT doc_id, comp,
+             CAST(COALESCE(comp, doc_id) AS VARCHAR) AS k
+      FROM scored
+    ), h AS (
+      SELECT doc_id, comp, {_md5_bucket_sql(salt, "k")} AS hv
+      FROM keyed
+    )
+    SELECT doc_id, comp,
+           CASE WHEN hv < {cut1} THEN 'train'
+                WHEN hv < {cut2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """
+    return f"weights={weights} salt={salt!r}", spark_fn, sql, False
+
+
 def fam_cross_source_neardups(rng: random.Random):
     """Cross-source NEAR-duplicate matrix (round-13;
     dedup.cross_source_neardup_matrix — q184's provenance audit over
@@ -4409,6 +4530,8 @@ FAMILIES = {
     "bpe_spans": fam_bpe_spans,
     "cross_source_dups": fam_cross_source_dups,
     "cross_source_neardups": fam_cross_source_neardups,
+    "priority_dedup": fam_priority_dedup,
+    "leakage_split": fam_leakage_split,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
     "prefix_loss": fam_prefix_loss,
