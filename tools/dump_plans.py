@@ -66,6 +66,8 @@ PICKS = {
     "q189_bpe_token_spans": "BPE token spans (r13): merge folds on the DISTINCT-field vocab only (the q132 rule), broadcast piece-length join, ONE per-doc grouped reassembly; span conversion itself is scan-stage array prefix arithmetic on the joined row — zero windows, no EvalPython",
     "q190_prefix_loss_dedup": "prefix-loss dedup (r13): per-message min-struct digest aggregate (map-side combined; output = distinct messages) + NULL-safe join back — no message-keyed window, so viral messages on corpus-many paths stay map-side; the tree fixture contributes the bounded frontier-walk joins",
     "q191_cross_source_neardups": "cross-source near-dups (r13): q29's band self-join for candidates with inline jaccard verify, slim id->source equi-joins on the pair set only, sources^2 cell aggregates — document bodies never reship",
+    "q192_priority_dedup": "priority dedup (r13): ONE map-side min-struct aggregate per content hash (corpus-sized dup groups absorbed in partial combine), slim keep-set LeftSemi join back on the id — no window, text bytes shuffle only as 32-hex keys",
+    "q193_leakage_safe_split": "leakage-safe split (r13): winnow edge set -> iterative CC (lineage-truncated; plan shows the final round) -> slim (node, comp) join back -> scan-stage md5 bucket cuts on coalesce(comp, id) — the split itself adds zero exchanges",
 }
 
 
