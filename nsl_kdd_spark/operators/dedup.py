@@ -1278,14 +1278,26 @@ def dedup_priority(
                 )
             ).alias("__k")
         )
-        .select(F.col("__k.i").alias("__keep_id"))
-    )
-    return (
-        df.join(
-            keep,
-            df[id_col].eqNullSafe(F.col("__keep_id")),
-            "left_semi",
+        .select(
+            F.col("__h").alias("__kh"),
+            F.col("__k.i").alias("__keep_id"),
         )
+    )
+    # semi join on (content hash, winner id), NOT the id alone
+    # (review r13): an id-only eqNullSafe join let one group's NULL
+    # winner id match every NULL-id row across ALL groups, so losing
+    # duplicates survived. Scoping the match to the group's hash
+    # bounds any NULL-id ambiguity to its own group (and ids should
+    # be unique non-NULL anyway — a NULL id also sorts FIRST in the
+    # engine's min-struct while an ORDER BY in most oracles sorts it
+    # last, so NULL ids are outside the determinism contract).
+    return (
+        hashed.join(
+            keep,
+            hashed["__h"].eqNullSafe(F.col("__kh"))
+            & hashed[id_col].eqNullSafe(F.col("__keep_id")),
+            "left_semi",
+        ).drop("__h")
     )
 
 

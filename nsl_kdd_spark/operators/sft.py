@@ -553,6 +553,33 @@ def best_of_n(
     )
 
 
+def _spaces_in_prefix(text_col: str, p_col: str) -> Column:
+    """Separator count in the first ``p`` characters — the ONE
+    definition of the q183 span-endpoint doctrine, shared by BOTH
+    span converters (review r13: two verbatim copies in this module
+    would let a convention fix silently diverge them). Column-API
+    expressions, not interpolated SQL strings (advice r12): a column
+    name needing backticks must resolve the same way everywhere."""
+    pref = F.substring(
+        F.col(text_col), F.lit(1), F.col(p_col).cast("int")
+    )
+    return (
+        F.length(pref)
+        - F.length(F.replace(pref, F.lit(" "), F.lit("")))
+    ).cast("long")
+
+
+def _char_is_space(text_col: str, p_col: str) -> Column:
+    """Is the character at 1-based position ``p`` a separator —
+    the shared other half of the endpoint doctrine."""
+    return (
+        F.substring(
+            F.col(text_col), F.col(p_col).cast("int"), F.lit(1)
+        )
+        == " "
+    )
+
+
 def char_spans_to_token_spans(
     df: DataFrame,
     text_col: str,
@@ -585,28 +612,11 @@ def char_spans_to_token_spans(
     in any engine (pure string/length arithmetic), hence fully
     oracle-replayable.
     """
-    # Column-API expressions, not interpolated SQL strings (advice
-    # r12): a column name needing backticks (space, dash, dot) must
-    # resolve the same way it does everywhere else in the module
-    def spaces_in_prefix(p_col: str) -> Column:
-        pref = F.substring(
-            F.col(text_col), F.lit(1), F.col(p_col).cast("int")
-        )
-        return (
-            F.length(pref)
-            - F.length(F.replace(pref, F.lit(" "), F.lit("")))
-        ).cast("long")
-
-    s_raw = spaces_in_prefix(start_col) + 1
-    e_char_is_space = (
-        F.substring(
-            F.col(text_col), F.col(end_col).cast("int"), F.lit(1)
-        )
-        == " "
-    )
+    s_raw = _spaces_in_prefix(text_col, start_col) + 1
+    e_char_is_space = _char_is_space(text_col, end_col)
     e_raw = F.when(
-        e_char_is_space, spaces_in_prefix(end_col)
-    ).otherwise(spaces_in_prefix(end_col) + 1)
+        e_char_is_space, _spaces_in_prefix(text_col, end_col)
+    ).otherwise(_spaces_in_prefix(text_col, end_col) + 1)
     valid = (
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
@@ -718,15 +728,6 @@ def char_spans_to_bpe_token_spans(
         perdoc, df[id_col] == perdoc["__bid"], "left"
     ).drop("__bid")
 
-    def spaces_in_prefix(p_col: str) -> Column:
-        pref = F.substring(
-            F.col(text_col), F.lit(1), F.col(p_col).cast("int")
-        )
-        return (
-            F.length(pref)
-            - F.length(F.replace(pref, F.lit(" "), F.lit("")))
-        ).cast("long")
-
     def pieces_before(t: Column) -> Column:
         # pieces in fields 1..t-1
         return F.aggregate(
@@ -768,14 +769,9 @@ def char_spans_to_bpe_token_spans(
         )
         return F.when(o >= 1, idx).otherwise(F.lit(0).cast("long"))
 
-    cs = spaces_in_prefix(start_col)
-    ce = spaces_in_prefix(end_col)
-    e_is_space = (
-        F.substring(
-            F.col(text_col), F.col(end_col).cast("int"), F.lit(1)
-        )
-        == " "
-    )
+    cs = _spaces_in_prefix(text_col, start_col)
+    ce = _spaces_in_prefix(text_col, end_col)
+    e_is_space = _char_is_space(text_col, end_col)
     t_s = cs + 1
     # start on a space: in-field offset clamps to the following
     # field's first char (o = 0 -> 1); an EMPTY following field has
@@ -796,11 +792,18 @@ def char_spans_to_bpe_token_spans(
     )
     bs = pieces_before(t_s) + piece_idx(t_s, o_s)
     be = pieces_before(t_e) + piece_idx(t_e, o_e)
+    # BOTH endpoints bounded to [1, len] before any index arithmetic
+    # runs (review r13: a 0/negative end reached F.slice with length
+    # -1 and CRASHED the job instead of emitting NULL — CASE WHEN is
+    # lazy per row, so an out-of-range endpoint must fail the gate,
+    # not the branch)
     valid = (
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
         & F.col("__bplens").isNotNull()
         & (F.col(start_col) >= 1)
+        & (F.col(end_col) >= 1)
+        & (F.col(start_col) <= F.length(text_col))
         & (F.col(end_col) <= F.length(text_col))
     )
     out = (

@@ -9058,16 +9058,22 @@ def _bpe_merge_chain_sql(merges: list, src: str = "v0") -> tuple:
 # same answer, so a bug in either formulation fails the gate.
 # ---------------------------------------------------------------------------
 
-_Q189_MERGES = [("a", "t"), ("at", "a"), ("l", "l")]
-_Q189_CHAIN, _Q189_FINAL = _bpe_merge_chain_sql(_Q189_MERGES)
-
-@query(
-    "q189_bpe_token_spans",
-    oracle=f"""
+def _bpe_span_oracle_sql(p: int, q: int, merges: list) -> str:
+    """The COMPLETE q189-shape oracle, parameterized by the span
+    moduli and the merge table — ONE definition shared by the q189
+    driver gate and the bpe_spans fuzz family (review r13: two
+    copies of the piece char-extent replay would let the two gates
+    police different oracles). Spans: s = (doc_id % p) % len + 1,
+    e = min(s + doc_id % q, len); merges replay via
+    :func:`_bpe_merge_chain_sql`'s island-parity chain; span rules
+    as the extent table (min gk with cend >= s / max gk with
+    cstart <= e)."""
+    chain, final = _bpe_merge_chain_sql(merges)
+    return f"""
     WITH se AS (
       SELECT doc_id, text,
-             (doc_id % 113) % length(text) + 1 AS s,
-             LEAST((doc_id % 113) % length(text) + 1 + doc_id % 29,
+             (doc_id % {p}) % length(text) + 1 AS s,
+             LEAST((doc_id % {p}) % length(text) + 1 + doc_id % {q},
                    length(text)) AS e
       FROM documents WHERE length(text) > 0
     ), fl AS (
@@ -9083,10 +9089,10 @@ _Q189_CHAIN, _Q189_FINAL = _bpe_merge_chain_sql(_Q189_MERGES)
     ), v0 AS (
       SELECT word, list(sym ORDER BY pos) AS syms
       FROM chs GROUP BY word
-    ){_Q189_CHAIN}
+    ){chain}
     , pieces AS (
       SELECT w.word, COALESCE(v.syms, []) AS syms
-      FROM wrd w LEFT JOIN {_Q189_FINAL} v USING (word)
+      FROM wrd w LEFT JOIN {final} v USING (word)
     ), wext AS (
       SELECT f.doc_id, f.wpos, p.syms,
              COALESCE(SUM(length(f.word) + 1) OVER (
@@ -9129,7 +9135,14 @@ _Q189_CHAIN, _Q189_FINAL = _bpe_merge_chain_sql(_Q189_MERGES)
                 THEN tex.bte END AS bpe_tok_end
     FROM se LEFT JOIN tsx USING (doc_id) LEFT JOIN tex USING (doc_id)
     ORDER BY se.doc_id
-    """,
+    """
+
+
+_Q189_MERGES = [("a", "t"), ("at", "a"), ("l", "l")]
+
+@query(
+    "q189_bpe_token_spans",
+    oracle=_bpe_span_oracle_sql(113, 29, _Q189_MERGES),
 )
 def q189_bpe_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.operators.sft import char_spans_to_bpe_token_spans

@@ -101,6 +101,9 @@ def test_exhaustive_span_sweep_matches_reference(spark, method):
 
 
 def test_null_and_out_of_text_spans_are_null(spark):
+    """Out-of-range endpoints emit NULL, never crash (review r13: a
+    0/negative END reached F.slice with length -1 and killed the
+    job before the validity gate bounded both endpoints)."""
     df = spark.createDataFrame(
         [
             (0, 0, "at data", None, 3),
@@ -108,6 +111,9 @@ def test_null_and_out_of_text_spans_are_null(spark):
             (0, 2, "at data", 0, 3),
             (0, 3, "at data", 2, 99),
             (1, 4, None, 1, 2),
+            (2, 5, " ab", 1, 0),      # the review's crash repro
+            (2, 6, "ab c ", 1, -1),
+            (2, 7, "ab c ", 99, 99),
         ],
         "did long, rid long, text string, s long, e long",
     )

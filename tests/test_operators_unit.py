@@ -1518,6 +1518,29 @@ def test_dedup_priority(spark):
     assert kept == [1, 3, 6, 8, 9]
 
 
+def test_dedup_priority_null_id_scoped_to_group(spark):
+    """Review r13: the keep-set join is scoped to the content hash —
+    one group's NULL winner id must not resurrect losing duplicates
+    in OTHER groups."""
+    from nsl_kdd_spark.operators.dedup import dedup_priority
+
+    rows = [
+        (None, "crawl", "X"),                 # group X: NULL-id winner
+        (None, "crawl", "Y"), (1, "curated", "Y"),  # group Y: 1 wins
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    kept = sorted(
+        (r["text"], r["doc_id"] if r["doc_id"] is not None else -1)
+        for r in dedup_priority(
+            df, "text", "doc_id", "source", ["curated"]
+        ).collect()
+    )
+    # Y's NULL-id loser must NOT survive via X's NULL winner
+    assert kept == [("X", -1), ("Y", 1)]
+
+
 def test_leakage_safe_split(spark):
     """Every member of a near-dup cluster lands in ONE split; docs
     with no edges match plain hash_split exactly (the degradation

@@ -3950,76 +3950,12 @@ def fam_bpe_spans(rng: random.Random):
             .orderBy("doc_id")
         )
 
-    from nsl_kdd_spark.plans.catalog import _bpe_merge_chain_sql
+    # ONE oracle definition for both gates (review r13): the fuzz
+    # family replays the SAME parameterized builder the q189 driver
+    # gate registers, so the two can never police different SQL
+    from nsl_kdd_spark.plans.catalog import _bpe_span_oracle_sql
 
-    chain, final = _bpe_merge_chain_sql(merges)
-    sql = f"""
-    WITH se AS (
-      SELECT doc_id, text,
-             (doc_id % {p}) % length(text) + 1 AS s,
-             LEAST((doc_id % {p}) % length(text) + 1 + doc_id % {q},
-                   length(text)) AS e
-      FROM documents WHERE length(text) > 0
-    ), fl AS (
-      SELECT doc_id, string_split(text, ' ') AS f FROM se
-    ), fields AS (
-      SELECT doc_id, u.i AS wpos, f[u.i] AS word
-      FROM fl, unnest(generate_series(1, len(f))) AS u(i)
-    ), wrd AS (
-      SELECT DISTINCT word FROM fields
-    ), chs AS (
-      SELECT word, u.i AS pos, substr(word, u.i, 1) AS sym
-      FROM wrd, unnest(generate_series(1, len(word))) AS u(i)
-    ), v0 AS (
-      SELECT word, list(sym ORDER BY pos) AS syms
-      FROM chs GROUP BY word
-    ){chain}
-    , pieces AS (
-      SELECT w.word, COALESCE(v.syms, []) AS syms
-      FROM wrd w LEFT JOIN {final} v USING (word)
-    ), wext AS (
-      SELECT f.doc_id, f.wpos, p.syms,
-             COALESCE(SUM(length(f.word) + 1) OVER (
-               PARTITION BY f.doc_id ORDER BY f.wpos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               + 1 AS wstart
-      FROM fields f JOIN pieces p USING (word)
-    ), pc AS (
-      SELECT doc_id, wpos, u.i AS k, syms[u.i] AS piece, wstart
-      FROM wext, unnest(generate_series(1, len(syms))) AS u(i)
-    ), ext AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY wpos, k) AS gk,
-             wstart + COALESCE(SUM(length(piece)) OVER (
-               PARTITION BY doc_id, wpos ORDER BY k
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cstart,
-             wstart + SUM(length(piece)) OVER (
-               PARTITION BY doc_id, wpos ORDER BY k) - 1 AS cend
-      FROM pc
-    ), tsx AS (
-      SELECT se.doc_id, MIN(e2.gk) AS bts
-      FROM se JOIN ext e2
-        ON e2.doc_id = se.doc_id AND e2.cend >= se.s
-      GROUP BY se.doc_id
-    ), tex AS (
-      SELECT se.doc_id, MAX(e2.gk) AS bte
-      FROM se JOIN ext e2
-        ON e2.doc_id = se.doc_id AND e2.cstart <= se.e
-      GROUP BY se.doc_id
-    )
-    SELECT se.doc_id, CAST(se.s AS BIGINT) AS s,
-           CAST(se.e AS BIGINT) AS e,
-           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
-                     AND tsx.bts <= tex.bte
-                THEN tsx.bts END AS bpe_tok_start,
-           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
-                     AND tsx.bts <= tex.bte
-                THEN tex.bte END AS bpe_tok_end
-    FROM se LEFT JOIN tsx USING (doc_id) LEFT JOIN tex USING (doc_id)
-    ORDER BY se.doc_id
-    """
+    sql = _bpe_span_oracle_sql(p, q, merges)
     return f"p={p} q={q} merges={merges}", spark_fn, sql, False
 
 
