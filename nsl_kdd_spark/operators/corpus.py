@@ -794,6 +794,48 @@ def span_corruption_transform(
     )
 
 
+def dup_downweight(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "comp",
+    weight_col: str = "dup_weight_ppm",
+) -> DataFrame:
+    """SOFT dedup: keep every copy but downweight it by its
+    duplicate-cluster size — ``weight = 1e6 / cluster_size`` ppm, so
+    each distinct content contributes ONE document's worth of
+    training mass no matter how many times it was crawled (the
+    sampling-weight alternative to dropping copies: hard dedup
+    destroys natural-distribution signal some mixtures want to keep,
+    and a weight column composes with ``sample_hash_weighted`` /
+    ``mix_corpora`` instead of deciding for them). Singletons weigh
+    exactly 1e6. Integer ppm (``div``), so the weights are bit-exact
+    in any engine.
+
+    Scale shape: cluster sizes are one count aggregate over the
+    pair-derived component table (much smaller than the corpus);
+    one broadcast-eligible equi-join attaches (comp, weight) to the
+    corpus scan. No window, no shuffle of document bodies.
+    """
+    comp = components.select(
+        F.col(node_col).alias("__did"), F.col(comp_col).alias("comp")
+    )
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    lab = comp.join(F.broadcast(sizes), "comp")
+    return (
+        docs.join(lab, docs[id_col] == lab["__did"], "left")
+        .drop("__did")
+        .withColumn(
+            weight_col,
+            F.expr("1000000 div coalesce(__csz, 1)").cast("long"),
+        )
+        .drop("__csz")
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     components: DataFrame,

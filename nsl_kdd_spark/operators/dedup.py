@@ -1301,6 +1301,157 @@ def dedup_priority(
     )
 
 
+def neardup_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold_ppm: int = 500_000,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    mode: str = "flag",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag (or drop) corpus
+    documents that are MinHash-near-duplicates of a benchmark/eval
+    document — the paraphrase-leakage tier the n-gram-overlap
+    decontaminators (q76/q147/q165) cannot see, because a reworded
+    benchmark item shares few exact grams but most of its shingle
+    set. Both frames carry ``(id_col, text_col)``; ids must be
+    numeric (the argmax tie-break negates them — the
+    preference_pairs doctrine) and unique per frame.
+
+    Candidates = corpus docs sharing ANY band bucket with a bench
+    doc (the q29/q191 banding, same hash family both sides, with
+    the ``max_bucket_size`` cap); each candidate pair verifies with
+    the exact shingle jaccard in integer ppm; a corpus doc's verdict
+    comes from its BEST match (highest jaccard, ties by lowest
+    bench id). Output in ``mode="flag"``: every corpus row +
+    ``(contaminated, jaccard_ppm, best_bench_id)`` — the last two
+    NULL when no band collision occurred at all; ``mode="filter"``
+    returns only clean rows (columns unchanged).
+
+    Scale shape (100 TB): the benchmark side is eval-sized —
+    bounded; corpus and bench each pay ONE tokenize+signature
+    aggregate; the band join's fan-out is bounded by banding
+    selectivity and the bucket cap; shingle sets join candidates
+    only (never the corpus cross bench); the per-doc verdict is one
+    map-side max-struct aggregate. No window, no cartesian.
+    """
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be flag|filter, got {mode!r}")
+    for frame, name in ((corpus, "corpus"), (bench, "bench")):
+        id_type = frame.schema[id_col].dataType.typeName()
+        if id_type not in (
+            "byte", "short", "integer", "long", "float", "double",
+            "decimal",
+        ):
+            raise ValueError(
+                f"{name} id_col must be numeric for the deterministic"
+                f" best-match tie-break, got {id_type}"
+            )
+    shingle_expr = (
+        word_shingles(text_col, shingle_n)
+        if shingle_n > 1
+        else distinct_tokens(text_col)
+    )
+    n_bands = num_hashes // band_size
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        tok = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingle_expr).alias("__t"),
+        )
+        sigs = (
+            tok.groupBy("__id")
+            .agg(
+                *_minhash_min_exprs("__t", num_hashes),
+                F.collect_set("__t").alias("__ts"),
+            )
+            .localCheckpoint()
+        )
+        bands = sigs.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(bi)),
+                            *[
+                                F.col(f"mh{bi * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("__bucket"),
+        )
+        return sigs, bands
+
+    csigs, cbands = prep(corpus)
+    bsigs, bbands = prep(bench)
+    cbands = _cap_buckets(cbands, ["__bucket"], max_bucket_size)
+    cand = (
+        cbands.select(F.col("__id").alias("__cid"), "__bucket")
+        .join(
+            bbands.select(F.col("__id").alias("__bid"), "__bucket"),
+            "__bucket",
+        )
+        .select("__cid", "__bid")
+        .distinct()
+    )
+    ct = csigs.select(
+        F.col("__id").alias("__cid"), F.col("__ts").alias("__cts")
+    )
+    bt = bsigs.select(
+        F.col("__id").alias("__bid"), F.col("__ts").alias("__bts")
+    )
+    jppm = F.expr(
+        "(CAST(size(array_intersect(__cts, __bts)) AS BIGINT)"
+        " * 1000000)"
+        " div size(array_union(__cts, __bts))"
+    )
+    verdicts = (
+        cand.join(ct, "__cid")
+        .join(bt, "__bid")
+        .select("__cid", "__bid", jppm.alias("__j"))
+        .groupBy("__cid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__j").alias("j"),
+                    (-F.col("__bid")).alias("ni"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "__cid",
+            F.col("__best.j").alias("jaccard_ppm"),
+            (-F.col("__best.ni")).alias("best_bench_id"),
+        )
+    )
+    out = (
+        corpus.join(
+            verdicts, corpus[id_col] == verdicts["__cid"], "left"
+        )
+        .drop("__cid")
+        .withColumn(
+            "contaminated",
+            F.coalesce(
+                F.col("jaccard_ppm") >= threshold_ppm, F.lit(False)
+            ),
+        )
+    )
+    if mode == "filter":
+        return out.filter(~F.col("contaminated")).drop(
+            "contaminated", "jaccard_ppm", "best_bench_id"
+        )
+    return out
+
+
 def cross_source_neardup_matrix(
     df: DataFrame,
     source_col: str,

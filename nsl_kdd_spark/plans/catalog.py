@@ -9058,28 +9058,23 @@ def _bpe_merge_chain_sql(merges: list, src: str = "v0") -> tuple:
 # same answer, so a bug in either formulation fails the gate.
 # ---------------------------------------------------------------------------
 
-def _bpe_span_oracle_sql(p: int, q: int, merges: list) -> str:
-    """The COMPLETE q189-shape oracle, parameterized by the span
-    moduli and the merge table — ONE definition shared by the q189
-    driver gate and the bpe_spans fuzz family (review r13: two
-    copies of the piece char-extent replay would let the two gates
-    police different oracles). Spans: s = (doc_id % p) % len + 1,
-    e = min(s + doc_id % q, len); merges replay via
+def _bpe_extent_blocks(merges: list) -> str:
+    """The piece char-extent replay of char_spans_to_bpe_token_spans,
+    as CTE blocks consuming a prior ``se(rid, text, s, e)`` CTE and
+    producing ``tsx(rid, bts)`` / ``tex(rid, bte)`` — ONE definition
+    shared by the q189 driver gate, the bpe_spans fuzz family, and
+    any composition converting OTHER char spans (q196's pack
+    boundaries) to BPE token indices (review r13: copies would let
+    the gates police different oracles). Merges replay via
     :func:`_bpe_merge_chain_sql`'s island-parity chain; span rules
     as the extent table (min gk with cend >= s / max gk with
     cstart <= e)."""
     chain, final = _bpe_merge_chain_sql(merges)
     return f"""
-    WITH se AS (
-      SELECT doc_id, text,
-             (doc_id % {p}) % length(text) + 1 AS s,
-             LEAST((doc_id % {p}) % length(text) + 1 + doc_id % {q},
-                   length(text)) AS e
-      FROM documents WHERE length(text) > 0
-    ), fl AS (
-      SELECT doc_id, string_split(text, ' ') AS f FROM se
+    , fl AS (
+      SELECT rid, string_split(text, ' ') AS f FROM se
     ), fields AS (
-      SELECT doc_id, u.i AS wpos, f[u.i] AS word
+      SELECT rid, u.i AS wpos, f[u.i] AS word
       FROM fl, unnest(generate_series(1, len(f))) AS u(i)
     ), wrd AS (
       SELECT DISTINCT word FROM fields
@@ -9094,38 +9089,51 @@ def _bpe_span_oracle_sql(p: int, q: int, merges: list) -> str:
       SELECT w.word, COALESCE(v.syms, []) AS syms
       FROM wrd w LEFT JOIN {final} v USING (word)
     ), wext AS (
-      SELECT f.doc_id, f.wpos, p.syms,
+      SELECT f.rid, f.wpos, p.syms,
              COALESCE(SUM(length(f.word) + 1) OVER (
-               PARTITION BY f.doc_id ORDER BY f.wpos
+               PARTITION BY f.rid ORDER BY f.wpos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                + 1 AS wstart
       FROM fields f JOIN pieces p USING (word)
     ), pc AS (
-      SELECT doc_id, wpos, u.i AS k, syms[u.i] AS piece, wstart
+      SELECT rid, wpos, u.i AS k, syms[u.i] AS piece, wstart
       FROM wext, unnest(generate_series(1, len(syms))) AS u(i)
     ), ext AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
+      SELECT rid,
+             ROW_NUMBER() OVER (PARTITION BY rid
                                 ORDER BY wpos, k) AS gk,
              wstart + COALESCE(SUM(length(piece)) OVER (
-               PARTITION BY doc_id, wpos ORDER BY k
+               PARTITION BY rid, wpos ORDER BY k
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cstart,
              wstart + SUM(length(piece)) OVER (
-               PARTITION BY doc_id, wpos ORDER BY k) - 1 AS cend
+               PARTITION BY rid, wpos ORDER BY k) - 1 AS cend
       FROM pc
     ), tsx AS (
-      SELECT se.doc_id, MIN(e2.gk) AS bts
+      SELECT se.rid, MIN(e2.gk) AS bts
       FROM se JOIN ext e2
-        ON e2.doc_id = se.doc_id AND e2.cend >= se.s
-      GROUP BY se.doc_id
+        ON e2.rid = se.rid AND e2.cend >= se.s
+      GROUP BY se.rid
     ), tex AS (
-      SELECT se.doc_id, MAX(e2.gk) AS bte
+      SELECT se.rid, MAX(e2.gk) AS bte
       FROM se JOIN ext e2
-        ON e2.doc_id = se.doc_id AND e2.cstart <= se.e
-      GROUP BY se.doc_id
-    )
-    SELECT se.doc_id, CAST(se.s AS BIGINT) AS s,
+        ON e2.rid = se.rid AND e2.cstart <= se.e
+      GROUP BY se.rid
+    )"""
+
+
+def _bpe_span_oracle_sql(p: int, q: int, merges: list) -> str:
+    """The COMPLETE q189-shape oracle (modular spans over the
+    documents table), assembled from :func:`_bpe_extent_blocks`."""
+    return f"""
+    WITH se AS (
+      SELECT doc_id AS rid, text,
+             (doc_id % {p}) % length(text) + 1 AS s,
+             LEAST((doc_id % {p}) % length(text) + 1 + doc_id % {q},
+                   length(text)) AS e
+      FROM documents WHERE length(text) > 0
+    ){_bpe_extent_blocks(merges)}
+    SELECT se.rid AS doc_id, CAST(se.s AS BIGINT) AS s,
            CAST(se.e AS BIGINT) AS e,
            CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
                      AND tsx.bts <= tex.bte
@@ -9133,8 +9141,8 @@ def _bpe_span_oracle_sql(p: int, q: int, merges: list) -> str:
            CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
                      AND tsx.bts <= tex.bte
                 THEN tex.bte END AS bpe_tok_end
-    FROM se LEFT JOIN tsx USING (doc_id) LEFT JOIN tex USING (doc_id)
-    ORDER BY se.doc_id
+    FROM se LEFT JOIN tsx USING (rid) LEFT JOIN tex USING (rid)
+    ORDER BY se.rid
     """
 
 
@@ -9465,6 +9473,234 @@ def q193_leakage_safe_split(
 
 
 # ---------------------------------------------------------------------------
+# q194 — soft dedup by cluster downweighting (round-13;
+# corpus.dup_downweight): keep every copy, weight it 1e6/cluster_
+# size ppm so each distinct content contributes one document's
+# training mass — the sampling-weight alternative to dropping
+# copies, composing with the weighted samplers instead of deciding
+# for them. Clusters = the q150 winnow edges + q58 CC; sizes are
+# one count over the pair-derived table, one broadcast join back.
+# DuckDB replays the shared fragments + the integer ppm division.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q194_dup_downweight",
+    oracle=f"""
+    WITH RECURSIVE
+    {_WINNOW_WFP_SQL},
+    {_WINNOW_PAIRS_SQL},
+    edges AS (
+      SELECT id_a, id_b FROM winnow_pairs
+    ),
+    {_CC_COMPS_SQL},
+    sizes AS (
+      SELECT comp, CAST(COUNT(*) AS BIGINT) AS csz
+      FROM comps GROUP BY comp
+    )
+    SELECT d.doc_id, c.comp,
+           CAST(1000000 // COALESCE(s.csz, 1) AS BIGINT)
+             AS dup_weight_ppm
+    FROM documents d
+    LEFT JOIN comps c ON c.node = d.doc_id
+    LEFT JOIN sizes s ON s.comp = c.comp
+    ORDER BY d.doc_id
+    """,
+)
+def q194_dup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.corpus import dup_downweight
+    from nsl_kdd_spark.operators.graph import connected_components
+    from nsl_kdd_spark.operators.winnow import winnow_overlap_pairs
+
+    docs = load_tables(spark, sf_dir).documents
+    pairs = winnow_overlap_pairs(
+        docs, "doc_id", "text", k=4, w=4, min_shared=2, max_fp_df=50
+    )
+    comps = connected_components(pairs)
+    return (
+        dup_downweight(docs.select("doc_id"), comps)
+        .select("doc_id", "comp", "dup_weight_ppm")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — near-dup decontamination (round-13;
+# dedup.neardup_decontaminate): the paraphrase-leakage tier the
+# exact n-gram decontaminators (q76/q147/q165) cannot see — a
+# reworded benchmark item shares few exact grams but most of its
+# shingle set. Corpus docs sharing any MinHash band bucket with a
+# bench doc verify with the exact shingle jaccard (integer ppm);
+# the verdict is the BEST match (highest jaccard, lowest bench id).
+# Fixture: every 7th document is the "benchmark", the rest the
+# corpus. DuckDB replays the one-signature-table band arithmetic,
+# the cross-side bucket join and the ppm argmax.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q195_neardup_decontam",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             min(substr(md5('0:' || t), 1, 8))  AS mh0,
+             min(substr(md5('0:' || t), 9, 8))  AS mh1,
+             min(substr(md5('0:' || t), 17, 8)) AS mh2,
+             min(substr(md5('0:' || t), 25, 8)) AS mh3,
+             min(substr(md5('1:' || t), 1, 8))  AS mh4,
+             min(substr(md5('1:' || t), 9, 8))  AS mh5,
+             min(substr(md5('1:' || t), 17, 8)) AS mh6,
+             min(substr(md5('1:' || t), 25, 8)) AS mh7
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        '0|' || mh0 || '|' || mh1,
+        '1|' || mh2 || '|' || mh3,
+        '2|' || mh4 || '|' || mh5,
+        '3|' || mh6 || '|' || mh7]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+      FROM bands c JOIN bands b ON c.bucket = b.bucket
+      WHERE c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    ), jp AS (
+      SELECT cid, bid,
+             (CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                   AS BIGINT) * 1000000)
+             // (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x))))
+               AS jppm
+      FROM cand JOIN sh a ON cand.cid = a.doc_id
+                JOIN sh b ON cand.bid = b.doc_id
+    ), best AS (
+      SELECT cid, jppm, bid,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY jppm DESC, bid) AS rn
+      FROM jp
+    )
+    SELECT d.doc_id,
+           COALESCE(b.jppm >= 500000, FALSE) AS contaminated,
+           b.jppm AS jaccard_ppm, b.bid AS best_bench_id
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.cid = d.doc_id
+    WHERE d.doc_id % 7 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def q195_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsl_kdd_spark.operators.dedup import neardup_decontaminate
+
+    docs = load_tables(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text"
+    )
+    return (
+        neardup_decontaminate(
+            corpus, bench, "doc_id", "text",
+            num_hashes=8, band_size=2, threshold_ppm=500_000,
+            shingle_n=3,
+        )
+        .select(
+            "doc_id", "contaminated", "jaccard_ppm", "best_bench_id"
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — pack attention boundaries in BPE TOKEN space (round-13;
+# composition: sft.pack_boundary_table -> char_spans_to_bpe_token_
+# spans): the last unit conversion the q178 chain needed — q188
+# ships block-diagonal mask extents in CHARACTERS, the trainer's
+# attention mask wants TOKEN indices. Pure composition of two
+# oracle-proved operators over the pack text (the '\\n' pack
+# separator lives INSIDE a single-space field and pieces still tile
+# it, so the conversion stays well-defined); the oracle rides the
+# shared _SFT_PACK_CTES chain + the shared piece-extent blocks.
+# ---------------------------------------------------------------------------
+
+_Q196_MERGES = [("e", "r"), ("er", "r"), ("c", "l")]
+
+@query(
+    "q196_pack_bpe_boundaries",
+    oracle=_SFT_PACK_CTES + f"""
+    , se AS (
+      SELECT p.pack_id * 100 + p.conv_pos AS rid,
+             p.pack_id, p.conv_id, p.conv_pos,
+             t.pack_text AS text,
+             CAST(p.conv_off + 1 AS BIGINT) AS s,
+             CAST(p.conv_off + c.conv_len AS BIGINT) AS e
+      FROM pos p JOIN conv c USING (conv_id)
+                 JOIN ptext t USING (pack_id)
+    ){_bpe_extent_blocks(_Q196_MERGES)}
+    SELECT se.pack_id, se.conv_id, CAST(se.conv_pos AS INTEGER)
+             AS conv_pos,
+           se.s AS bound_start, se.e AS bound_end,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tsx.bts END AS tok_start,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tex.bte END AS tok_end
+    FROM se LEFT JOIN tsx USING (rid) LEFT JOIN tex USING (rid)
+    ORDER BY se.pack_id, se.conv_pos
+    """,
+)
+def q196_pack_bpe_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nsl_kdd_spark.operators.sft import (
+        assemble_pack_text,
+        char_spans_to_bpe_token_spans,
+        pack_boundary_table,
+        pack_conversations,
+        pack_fixed_count,
+        render_chat_spans,
+    )
+
+    turns = _chat_turns(load_tables(spark, sf_dir).events)
+    spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+    packs = pack_fixed_count(
+        spans.select("conv_id").distinct(), "conv_id", k=5
+    )
+    packed = pack_conversations(spans, packs, "conv_id")
+    bounds = pack_boundary_table(packed, "conv_id")
+    texts = assemble_pack_text(packed, "conv_id")
+    joined = bounds.join(
+        texts.select("pack_id", "pack_text"), "pack_id"
+    )
+    merges = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(_Q196_MERGES)],
+        "rank int, left string, right string",
+    )
+    return (
+        char_spans_to_bpe_token_spans(
+            joined, merges, "pack_id", "pack_text",
+            "bound_start", "bound_end",
+            start_out="tok_start", end_out="tok_end",
+        )
+        .select(
+            "pack_id", "conv_id", "conv_pos",
+            "bound_start", "bound_end", "tok_start", "tok_end",
+        )
+        .orderBy("pack_id", "conv_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate records only the
 # FIRST 50 registered queries (CORRECTNESS_r01.json stopped at q50 while
 # 72 were registered — VERDICT r01 "What's missing" #1). Registration
@@ -9741,11 +9977,22 @@ def q193_leakage_safe_split(
 # selection (the keep-one-per-group argmin family is held by q192's
 # priority keep rule plus q187's digest-order cap; q150's
 # winnow-canonical composition keeps its fuzz + pytest gates).
+# Third wave: q194 soft dedup downweighting, q195 near-dup
+# decontamination and q196 BPE-token pack boundaries rotate in for
+# three multi-green anchors whose families stay held — q85
+# bin-texts (equal-count binning held by q166's distributed rank
+# bins; chunking held by q133), q89 latest-per-key (keep-latest
+# compaction held by q102's SCD2 point-in-time lookup plus the
+# q192/q187 keep-rule tier) and q57 corpus funnel (the funnel shape
+# is held by q75's event funnel, and the corpus-cleaning
+# composition it chained is now exercised piecewise by the
+# dedup/decontam/quality rows throughout the window).
 DRIVER_WINDOW = [
     # round-13 NEW queries (see rotation block above)
     "q189_bpe_token_spans", "q190_prefix_loss_dedup",
     "q191_cross_source_neardups", "q192_priority_dedup",
-    "q193_leakage_safe_split",
+    "q193_leakage_safe_split", "q194_dup_downweight",
+    "q195_neardup_decontam", "q196_pack_bpe_boundaries",
     # round-12 NEW queries (see rotation block above)
     "q178_sft_pack", "q179_t_closeness_ordered",
     "q180_best_of_n", "q182_epoch_budget", "q183_token_spans",
@@ -9767,8 +10014,6 @@ DRIVER_WINDOW = [
     # newest green row is r4
     "q53_pattern_extract",
     "q75_event_funnel",
-    "q85_bin_texts",
-    "q89_latest_per_key",
     "q102_point_in_time",
     "q107_mad_outliers",
     "q110_mutual_information", "q115_windowed_expectations",
@@ -9781,7 +10026,7 @@ DRIVER_WINDOW = [
     # eval-metrics slot passes to q154; q155 takes the last breadth
     # slot — new oracle-paired queries outrank r7 double-greens)
     "q01_pricing_summary", "q154_retrieval_eval",
-    "q155_duplicated_run_report", "q57_corpus_funnel",
+    "q155_duplicated_run_report",
 ]
 
 _ROWS_ONLY_BY_DESIGN: set[str] = set()

@@ -1578,3 +1578,76 @@ def test_leakage_safe_split(spark):
     for i in range(40):
         if i not in clustered:
             assert by_id[i][1] == plain[i], i
+
+
+def test_dup_downweight(spark):
+    """Soft dedup: every copy kept, weight = 1e6 // cluster_size ppm;
+    singletons weigh exactly 1e6."""
+    from nsl_kdd_spark.operators.corpus import dup_downweight
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)], "node long, comp long"
+    )
+    out = {
+        r["doc_id"]: (r["comp"], r["dup_weight_ppm"])
+        for r in dup_downweight(docs, comps).collect()
+    }
+    assert out == {
+        0: (0, 333333), 1: (0, 333333), 2: (0, 333333),
+        3: (3, 500000), 4: (3, 500000),
+        5: (None, 1000000),
+    }
+
+
+def test_neardup_decontaminate(spark):
+    """Paraphrase decontamination: corpus docs near-identical to a
+    bench doc flag (best match = highest jaccard, lowest bench id);
+    clean docs carry NULL match columns; filter mode drops flagged
+    rows; non-numeric ids refuse loudly."""
+    import pytest as _pytest
+
+    from nsl_kdd_spark.operators.dedup import neardup_decontaminate
+
+    base = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [
+            (10, base),                        # identical to bench 1
+            (11, base.replace("w5", "zz")),    # near-dup of bench 1
+            (12, "totally different words with no shared shingles"
+                 " at all anywhere in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, base), (2, "unrelated benchmark item entirely")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["contaminated"], r["jaccard_ppm"], r["best_bench_id"]
+        )
+        for r in neardup_decontaminate(
+            corpus, bench, "doc_id", "text",
+            band_size=2, threshold_ppm=500_000, shingle_n=3,
+        ).collect()
+    }
+    assert out[10] == (True, 1000000, 1)
+    assert out[11][0] is True and out[11][2] == 1
+    assert out[12] == (False, None, None)
+    kept = neardup_decontaminate(
+        corpus, bench, "doc_id", "text",
+        band_size=2, threshold_ppm=500_000, shingle_n=3,
+        mode="filter",
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [12]
+    assert sorted(kept[0].asDict()) == ["doc_id", "text"]
+    strs = corpus.withColumn(
+        "sid", F.col("doc_id").cast("string")
+    ).drop("doc_id").withColumnRenamed("sid", "doc_id")
+    with _pytest.raises(ValueError, match="numeric"):
+        neardup_decontaminate(strs, bench, "doc_id", "text")
+    with _pytest.raises(ValueError, match="mode"):
+        neardup_decontaminate(
+            corpus, bench, "doc_id", "text", mode="bogus"
+        )

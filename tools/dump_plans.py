@@ -68,6 +68,9 @@ PICKS = {
     "q191_cross_source_neardups": "cross-source near-dups (r13): q29's band self-join for candidates with inline jaccard verify, slim id->source equi-joins on the pair set only, sources^2 cell aggregates — document bodies never reship",
     "q192_priority_dedup": "priority dedup (r13): ONE map-side min-struct aggregate per content hash (corpus-sized dup groups absorbed in partial combine), slim keep-set LeftSemi join back on the id — no window, text bytes shuffle only as 32-hex keys",
     "q193_leakage_safe_split": "leakage-safe split (r13): winnow edge set -> iterative CC (lineage-truncated; plan shows the final round) -> slim (node, comp) join back -> scan-stage md5 bucket cuts on coalesce(comp, id) — the split itself adds zero exchanges",
+    "q194_dup_downweight": "soft dedup downweighting (r13): cluster sizes = one count over the pair-derived component table, broadcast (comp, weight) join onto the corpus scan, integer ppm div in the projection — no window, no body shuffle",
+    "q195_neardup_decontam": "near-dup decontam (r13): one signature aggregate per side, corpus->bench band equi-join (never a cross join), candidate-only shingle-set joins, ONE map-side max-struct verdict aggregate, left join back to the corpus",
+    "q196_pack_bpe_boundaries": "BPE pack boundaries (r13): the q188 boundary aggregate feeds the q189 converter — merge folds on the distinct-field vocab of PACK texts, broadcast piece-length join, per-pack grouped reassembly, scan-stage span arithmetic; composition adds zero new shuffle classes",
 }
 
 

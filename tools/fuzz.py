@@ -3344,6 +3344,262 @@ def fam_flatten_tree(rng: random.Random):
     return f"d={d} mod={mod}", spark_fn, sql, False
 
 
+def fam_dup_downweight(rng: random.Random):
+    """Soft dedup by cluster downweighting (round-13;
+    corpus.dup_downweight — 1e6/cluster_size ppm weights). Draws
+    move the near-dup EDGE SOURCE (winnow fingerprints vs jaccard
+    pairs — the operator is edge-agnostic); the oracle replays the
+    matching shared fragment chain + CC + the integer ppm
+    division."""
+    edge_src = rng.choice(("winnow", "jaccard"))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.corpus import dup_downweight
+        from nsl_kdd_spark.operators.dedup import jaccard_pairs
+        from nsl_kdd_spark.operators.graph import connected_components
+        from nsl_kdd_spark.operators.winnow import winnow_overlap_pairs
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        if edge_src == "winnow":
+            pairs = winnow_overlap_pairs(
+                docs, "doc_id", "text",
+                k=4, w=4, min_shared=2, max_fp_df=50,
+            )
+        else:
+            pairs = jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8
+            )
+        comps = connected_components(pairs)
+        return (
+            dup_downweight(docs.select("doc_id"), comps)
+            .select("doc_id", "comp", "dup_weight_ppm")
+            .orderBy("doc_id")
+        )
+
+    from nsl_kdd_spark.plans.catalog import (
+        _CC_COMPS_SQL,
+        _NEARDUP_EDGES_SQL,
+        _WINNOW_PAIRS_SQL,
+        _WINNOW_WFP_SQL,
+    )
+
+    if edge_src == "winnow":
+        frag = (
+            f"{_WINNOW_WFP_SQL},\n    {_WINNOW_PAIRS_SQL},\n"
+            "    edges AS (SELECT id_a, id_b FROM winnow_pairs)"
+        )
+    else:
+        frag = _NEARDUP_EDGES_SQL
+    sql = f"""
+    WITH RECURSIVE
+    {frag},
+    {_CC_COMPS_SQL},
+    sizes AS (
+      SELECT comp, CAST(COUNT(*) AS BIGINT) AS csz
+      FROM comps GROUP BY comp
+    )
+    SELECT d.doc_id, c.comp,
+           CAST(1000000 // COALESCE(s.csz, 1) AS BIGINT)
+             AS dup_weight_ppm
+    FROM documents d
+    LEFT JOIN comps c ON c.node = d.doc_id
+    LEFT JOIN sizes s ON s.comp = c.comp
+    ORDER BY d.doc_id
+    """
+    return f"edge_src={edge_src}", spark_fn, sql, False
+
+
+def fam_neardup_decontam(rng: random.Random):
+    """Near-dup decontamination (round-13;
+    dedup.neardup_decontaminate — the paraphrase-leakage tier).
+    Draws move the band width, the verify threshold and the
+    benchmark modulus; the oracle replays the one-signature-table
+    band arithmetic, the cross-side bucket join and the ppm
+    argmax."""
+    band_size = rng.choice((2, 4))
+    threshold_ppm = rng.choice((300_000, 500_000, 800_000))
+    mod = rng.choice((5, 7))
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nsl_kdd_spark.operators.dedup import neardup_decontaminate
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        docs = load_tables(spark, sf_dir).documents
+        corpus = docs.filter(F.col("doc_id") % mod != 0).select(
+            "doc_id", "text"
+        )
+        bench = docs.filter(F.col("doc_id") % mod == 0).select(
+            "doc_id", "text"
+        )
+        return (
+            neardup_decontaminate(
+                corpus, bench, "doc_id", "text",
+                num_hashes=8, band_size=band_size,
+                threshold_ppm=threshold_ppm, shingle_n=3,
+            )
+            .select(
+                "doc_id", "contaminated", "jaccard_ppm",
+                "best_bench_id",
+            )
+            .orderBy("doc_id")
+        )
+
+    n_bands = 8 // band_size
+    band_items = ",\n        ".join(
+        "'" + str(bi) + "|' || "
+        + " || '|' || ".join(
+            f"mh{bi * band_size + j}" for j in range(band_size)
+        )
+        for bi in range(n_bands)
+    )
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM w
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             min(substr(md5('0:' || t), 1, 8))  AS mh0,
+             min(substr(md5('0:' || t), 9, 8))  AS mh1,
+             min(substr(md5('0:' || t), 17, 8)) AS mh2,
+             min(substr(md5('0:' || t), 25, 8)) AS mh3,
+             min(substr(md5('1:' || t), 1, 8))  AS mh4,
+             min(substr(md5('1:' || t), 9, 8))  AS mh5,
+             min(substr(md5('1:' || t), 17, 8)) AS mh6,
+             min(substr(md5('1:' || t), 25, 8)) AS mh7
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {band_items}]) AS bucket
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+      FROM bands c JOIN bands b ON c.bucket = b.bucket
+      WHERE c.doc_id % {mod} <> 0 AND b.doc_id % {mod} = 0
+    ), jp AS (
+      SELECT cid, bid,
+             (CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                   AS BIGINT) * 1000000)
+             // (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x))))
+               AS jppm
+      FROM cand JOIN sh a ON cand.cid = a.doc_id
+                JOIN sh b ON cand.bid = b.doc_id
+    ), best AS (
+      SELECT cid, jppm, bid,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY jppm DESC, bid) AS rn
+      FROM jp
+    )
+    SELECT d.doc_id,
+           COALESCE(b.jppm >= {threshold_ppm}, FALSE) AS contaminated,
+           b.jppm AS jaccard_ppm, b.bid AS best_bench_id
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.cid = d.doc_id
+    WHERE d.doc_id % {mod} <> 0
+    ORDER BY d.doc_id
+    """
+    return (
+        f"band_size={band_size} t_ppm={threshold_ppm} mod={mod}",
+        spark_fn,
+        sql,
+        False,
+    )
+
+
+def fam_pack_bpe_boundaries(rng: random.Random):
+    """Pack boundaries in BPE token space (round-13; q196's
+    composition of pack_boundary_table -> char_spans_to_bpe_token_
+    spans). Draws move the merge table over the fixed q188 pack
+    fixture; the oracle rides the shared pack CTEs + the shared
+    piece-extent blocks."""
+    merges = rng.choice((
+        [("e", "r"), ("er", "r"), ("c", "l")],
+        [("i", "m"), ("s", "t")],
+        [("r", "r"), ("s", "s")],
+    ))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.sft import (
+            assemble_pack_text,
+            char_spans_to_bpe_token_spans,
+            pack_boundary_table,
+            pack_conversations,
+            pack_fixed_count,
+            render_chat_spans,
+        )
+        from nsl_kdd_spark.plans.catalog import _chat_turns
+        from nsl_kdd_spark.sources.parquet import load_tables
+
+        turns = _chat_turns(load_tables(spark, sf_dir).events)
+        spans = render_chat_spans(turns, "conv_id", ["ts", "event_id"])
+        packs = pack_fixed_count(
+            spans.select("conv_id").distinct(), "conv_id", k=5
+        )
+        packed = pack_conversations(spans, packs, "conv_id")
+        bounds = pack_boundary_table(packed, "conv_id")
+        texts = assemble_pack_text(packed, "conv_id")
+        joined = bounds.join(
+            texts.select("pack_id", "pack_text"), "pack_id"
+        )
+        mdf = spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
+        return (
+            char_spans_to_bpe_token_spans(
+                joined, mdf, "pack_id", "pack_text",
+                "bound_start", "bound_end",
+                start_out="tok_start", end_out="tok_end",
+            )
+            .select(
+                "pack_id", "conv_id", "conv_pos",
+                "bound_start", "bound_end", "tok_start", "tok_end",
+            )
+            .orderBy("pack_id", "conv_pos")
+        )
+
+    from nsl_kdd_spark.plans.catalog import (
+        _bpe_extent_blocks,
+        _SFT_PACK_CTES,
+    )
+
+    sql = _SFT_PACK_CTES + f"""
+    , se AS (
+      SELECT p.pack_id * 100 + p.conv_pos AS rid,
+             p.pack_id, p.conv_id, p.conv_pos,
+             t.pack_text AS text,
+             CAST(p.conv_off + 1 AS BIGINT) AS s,
+             CAST(p.conv_off + c.conv_len AS BIGINT) AS e
+      FROM pos p JOIN conv c USING (conv_id)
+                 JOIN ptext t USING (pack_id)
+    ){_bpe_extent_blocks(merges)}
+    SELECT se.pack_id, se.conv_id, CAST(se.conv_pos AS INTEGER)
+             AS conv_pos,
+           se.s AS bound_start, se.e AS bound_end,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tsx.bts END AS tok_start,
+           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
+                     AND tsx.bts <= tex.bte
+                THEN tex.bte END AS tok_end
+    FROM se LEFT JOIN tsx USING (rid) LEFT JOIN tex USING (rid)
+    ORDER BY se.pack_id, se.conv_pos
+    """
+    return f"merges={merges}", spark_fn, sql, False
+
+
 def fam_priority_dedup(rng: random.Random):
     """Priority dedup (round-13; dedup.dedup_priority — keep the
     highest-priority source's copy per exact-dup group). Draws move
@@ -4468,6 +4724,9 @@ FAMILIES = {
     "cross_source_neardups": fam_cross_source_neardups,
     "priority_dedup": fam_priority_dedup,
     "leakage_split": fam_leakage_split,
+    "dup_downweight": fam_dup_downweight,
+    "neardup_decontam": fam_neardup_decontam,
+    "pack_bpe_boundaries": fam_pack_bpe_boundaries,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
     "prefix_loss": fam_prefix_loss,
