@@ -815,8 +815,11 @@ def dup_downweight(
 
     Scale shape: cluster sizes are one count aggregate over the
     pair-derived component table (much smaller than the corpus);
-    one broadcast-eligible equi-join attaches (comp, weight) to the
-    corpus scan. No window, no shuffle of document bodies.
+    one equi-join attaches (comp, weight) to the corpus scan — NOT
+    broadcast-hinted (review r13: a heavily duplicated crawl can
+    carry corpus-scale many small clusters, so the size table is
+    unbounded; AQE promotes the join to broadcast whenever it
+    actually fits). No window, no shuffle of document bodies.
     """
     comp = components.select(
         F.col(node_col).alias("__did"), F.col(comp_col).alias("comp")
@@ -824,7 +827,7 @@ def dup_downweight(
     sizes = comp.groupBy("comp").agg(
         F.count(F.lit(1)).alias("__csz")
     )
-    lab = comp.join(F.broadcast(sizes), "comp")
+    lab = comp.join(sizes, "comp")
     return (
         docs.join(lab, docs[id_col] == lab["__did"], "left")
         .drop("__did")

@@ -311,6 +311,42 @@ def _minhash_min_exprs(col: str, num_hashes: int) -> list[Column]:
     return out
 
 
+def _minhash_sig_agg(tok: DataFrame, num_hashes: int) -> DataFrame:
+    """The ONE signature aggregate every MinHash consumer rides —
+    (__id, mh0..mhK, __ts shingle set), localCheckpoint'ed because
+    every caller scans it at least twice (review r13: the
+    decontamination tier had its own copy; a hash-family or
+    checkpoint change must hit all consumers at once)."""
+    return tok.groupBy("__id").agg(
+        *_minhash_min_exprs("__t", num_hashes),
+        F.collect_set("__t").alias("__ts"),
+    ).localCheckpoint()
+
+
+def _band_bucket_expr(num_hashes: int, band_size: int):
+    """The ONE band-bucket construction (``'<band>|mh..|mh..'``
+    strings) shared by every LSH consumer — q29/q191's banding and
+    the q195 decontamination tier must bucket IDENTICALLY or
+    corpus-vs-bench candidates stop matching the documented
+    S-curve."""
+    n_bands = num_hashes // band_size
+    return F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(bi)),
+                    *[
+                        F.col(f"mh{bi * band_size + j}")
+                        for j in range(band_size)
+                    ],
+                )
+                for bi in range(n_bands)
+            ]
+        )
+    ).alias("__bucket")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -394,26 +430,10 @@ def minhash_lsh_pairs(
     tok = df.select(
         F.col(id_col).alias("__id"), F.explode(shingle_expr).alias("__t")
     )
-    sigs = tok.groupBy("__id").agg(
-        *_minhash_min_exprs("__t", num_hashes),
-        F.collect_set("__t").alias("__ts"),
-    ).localCheckpoint()
+    sigs = _minhash_sig_agg(tok, num_hashes)
     n_bands = num_hashes // band_size
     bands = sigs.select(
-        "__id",
-        "__ts",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(bi)),
-                        *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)],
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("__bucket"),
+        "__id", "__ts", _band_bucket_expr(num_hashes, band_size)
     )
     bands = _cap_buckets(bands, ["__bucket"], max_bucket_size)
     if n_bands <= 2:
@@ -1318,9 +1338,10 @@ def neardup_decontaminate(
     document — the paraphrase-leakage tier the n-gram-overlap
     decontaminators (q76/q147/q165) cannot see, because a reworded
     benchmark item shares few exact grams but most of its shingle
-    set. Both frames carry ``(id_col, text_col)``; ids must be
-    numeric (the argmax tie-break negates them — the
-    preference_pairs doctrine) and unique per frame.
+    set. Both frames carry ``(id_col, text_col)``; BENCH ids must
+    be numeric (the argmax tie-break negates them — the
+    preference_pairs doctrine) and ids unique per frame; corpus ids
+    ride equi-joins only, so string crawl ids are fine.
 
     Candidates = corpus docs sharing ANY band bucket with a bench
     doc (the q29/q191 banding, same hash family both sides, with
@@ -1341,53 +1362,33 @@ def neardup_decontaminate(
     """
     if mode not in ("flag", "filter"):
         raise ValueError(f"mode must be flag|filter, got {mode!r}")
-    for frame, name in ((corpus, "corpus"), (bench, "bench")):
-        id_type = frame.schema[id_col].dataType.typeName()
-        if id_type not in (
-            "byte", "short", "integer", "long", "float", "double",
-            "decimal",
-        ):
-            raise ValueError(
-                f"{name} id_col must be numeric for the deterministic"
-                f" best-match tie-break, got {id_type}"
-            )
+    # only the BENCH id feeds the argmax negation (review r13:
+    # corpus ids ride equi-joins only — string crawl ids are fine)
+    bid_type = bench.schema[id_col].dataType.typeName()
+    if bid_type not in (
+        "byte", "short", "integer", "long", "float", "double",
+        "decimal",
+    ):
+        raise ValueError(
+            f"bench id_col must be numeric for the deterministic"
+            f" best-match tie-break, got {bid_type}"
+        )
     shingle_expr = (
         word_shingles(text_col, shingle_n)
         if shingle_n > 1
         else distinct_tokens(text_col)
     )
-    n_bands = num_hashes // band_size
 
     def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        # the SAME signature aggregate + band-bucket construction
+        # q29/q191 ride (shared helpers — review r13)
         tok = df.select(
             F.col(id_col).alias("__id"),
             F.explode(shingle_expr).alias("__t"),
         )
-        sigs = (
-            tok.groupBy("__id")
-            .agg(
-                *_minhash_min_exprs("__t", num_hashes),
-                F.collect_set("__t").alias("__ts"),
-            )
-            .localCheckpoint()
-        )
+        sigs = _minhash_sig_agg(tok, num_hashes)
         bands = sigs.select(
-            "__id",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(bi)),
-                            *[
-                                F.col(f"mh{bi * band_size + j}")
-                                for j in range(band_size)
-                            ],
-                        )
-                        for bi in range(n_bands)
-                    ]
-                )
-            ).alias("__bucket"),
+            "__id", _band_bucket_expr(num_hashes, band_size)
         )
         return sigs, bands
 

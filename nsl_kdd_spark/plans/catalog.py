@@ -9483,15 +9483,14 @@ def q193_leakage_safe_split(
 # DuckDB replays the shared fragments + the integer ppm division.
 # ---------------------------------------------------------------------------
 
-@query(
-    "q194_dup_downweight",
-    oracle=f"""
+def _dup_downweight_oracle_sql(edges_frag: str) -> str:
+    """The COMPLETE q194-shape oracle given an ``edges(id_a, id_b)``
+    CTE fragment — ONE definition shared by the q194 driver gate
+    (winnow edges) and the dup_downweight fuzz family (which also
+    draws jaccard edges); review r13's one-builder rule."""
+    return f"""
     WITH RECURSIVE
-    {_WINNOW_WFP_SQL},
-    {_WINNOW_PAIRS_SQL},
-    edges AS (
-      SELECT id_a, id_b FROM winnow_pairs
-    ),
+    {edges_frag},
     {_CC_COMPS_SQL},
     sizes AS (
       SELECT comp, CAST(COUNT(*) AS BIGINT) AS csz
@@ -9504,7 +9503,18 @@ def q193_leakage_safe_split(
     LEFT JOIN comps c ON c.node = d.doc_id
     LEFT JOIN sizes s ON s.comp = c.comp
     ORDER BY d.doc_id
-    """,
+    """
+
+
+_WINNOW_EDGES_FRAG = (
+    f"{_WINNOW_WFP_SQL},\n    {_WINNOW_PAIRS_SQL},\n"
+    "    edges AS (SELECT id_a, id_b FROM winnow_pairs)"
+)
+
+
+@query(
+    "q194_dup_downweight",
+    oracle=_dup_downweight_oracle_sql(_WINNOW_EDGES_FRAG),
 )
 def q194_dup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.operators.corpus import dup_downweight
@@ -9536,9 +9546,28 @@ def q194_dup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cross-side bucket join and the ppm argmax.
 # ---------------------------------------------------------------------------
 
-@query(
-    "q195_neardup_decontam",
-    oracle="""
+def _minhash_band_items_sql(band_size: int) -> str:
+    """The band-bucket string list for the 8-hash signature —
+    DuckDB twin of dedup._band_bucket_expr, shared by every oracle
+    that replays the banding (q195's builder, the
+    cross_source_neardups fuzz family)."""
+    n_bands = 8 // band_size
+    return ",\n        ".join(
+        "'" + str(bi) + "|' || "
+        + " || '|' || ".join(
+            f"mh{bi * band_size + j}" for j in range(band_size)
+        )
+        for bi in range(n_bands)
+    )
+
+
+def _neardup_decontam_oracle_sql(
+    band_size: int, threshold_ppm: int, mod: int
+) -> str:
+    """The COMPLETE q195-shape oracle (every ``mod``-th document is
+    the benchmark, the rest the corpus) — ONE definition shared by
+    the q195 driver gate and the neardup_decontam fuzz family."""
+    return f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh AS (
@@ -9563,15 +9592,12 @@ def q194_dup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, unnest([
-        '0|' || mh0 || '|' || mh1,
-        '1|' || mh2 || '|' || mh3,
-        '2|' || mh4 || '|' || mh5,
-        '3|' || mh6 || '|' || mh7]) AS bucket
+        {_minhash_band_items_sql(band_size)}]) AS bucket
       FROM sig
     ), cand AS (
       SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
       FROM bands c JOIN bands b ON c.bucket = b.bucket
-      WHERE c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+      WHERE c.doc_id % {mod} <> 0 AND b.doc_id % {mod} = 0
     ), jp AS (
       SELECT cid, bid,
              (CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
@@ -9588,14 +9614,19 @@ def q194_dup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM jp
     )
     SELECT d.doc_id,
-           COALESCE(b.jppm >= 500000, FALSE) AS contaminated,
+           COALESCE(b.jppm >= {threshold_ppm}, FALSE) AS contaminated,
            b.jppm AS jaccard_ppm, b.bid AS best_bench_id
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
       ON b.cid = d.doc_id
-    WHERE d.doc_id % 7 <> 0
+    WHERE d.doc_id % {mod} <> 0
     ORDER BY d.doc_id
-    """,
+    """
+
+
+@query(
+    "q195_neardup_decontam",
+    oracle=_neardup_decontam_oracle_sql(2, 500_000, 7),
 )
 def q195_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsl_kdd_spark.operators.dedup import neardup_decontaminate
@@ -9634,9 +9665,13 @@ def q195_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q196_MERGES = [("e", "r"), ("er", "r"), ("c", "l")]
 
-@query(
-    "q196_pack_bpe_boundaries",
-    oracle=_SFT_PACK_CTES + f"""
+
+def _pack_bpe_boundaries_oracle_sql(merges: list) -> str:
+    """The COMPLETE q196-shape oracle, parameterized by the merge
+    table — ONE definition shared by the q196 driver gate and the
+    pack_bpe_boundaries fuzz family; rides the shared pack CTEs and
+    the shared piece-extent blocks."""
+    return _SFT_PACK_CTES + f"""
     , se AS (
       SELECT p.pack_id * 100 + p.conv_pos AS rid,
              p.pack_id, p.conv_id, p.conv_pos,
@@ -9645,7 +9680,7 @@ _Q196_MERGES = [("e", "r"), ("er", "r"), ("c", "l")]
              CAST(p.conv_off + c.conv_len AS BIGINT) AS e
       FROM pos p JOIN conv c USING (conv_id)
                  JOIN ptext t USING (pack_id)
-    ){_bpe_extent_blocks(_Q196_MERGES)}
+    ){_bpe_extent_blocks(merges)}
     SELECT se.pack_id, se.conv_id, CAST(se.conv_pos AS INTEGER)
              AS conv_pos,
            se.s AS bound_start, se.e AS bound_end,
@@ -9657,7 +9692,12 @@ _Q196_MERGES = [("e", "r"), ("er", "r"), ("c", "l")]
                 THEN tex.bte END AS tok_end
     FROM se LEFT JOIN tsx USING (rid) LEFT JOIN tex USING (rid)
     ORDER BY se.pack_id, se.conv_pos
-    """,
+    """
+
+
+@query(
+    "q196_pack_bpe_boundaries",
+    oracle=_pack_bpe_boundaries_oracle_sql(_Q196_MERGES),
 )
 def q196_pack_bpe_boundaries(
     spark: SparkSession, sf_dir: str

@@ -1642,11 +1642,27 @@ def test_neardup_decontaminate(spark):
     ).collect()
     assert [r["doc_id"] for r in kept] == [12]
     assert sorted(kept[0].asDict()) == ["doc_id", "text"]
-    strs = corpus.withColumn(
-        "sid", F.col("doc_id").cast("string")
-    ).drop("doc_id").withColumnRenamed("sid", "doc_id")
+    # string CORPUS ids are fine (equi-joins only, review r13) —
+    # only the BENCH id feeds the argmax negation and must be numeric
+    str_corpus = corpus.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in neardup_decontaminate(
+            str_corpus, bench, "doc_id", "text",
+            band_size=2, threshold_ppm=500_000, shingle_n=3,
+        ).collect()
+    }
+    assert flagged == {"u10": True, "u11": True, "u12": False}
+    str_bench = bench.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
     with _pytest.raises(ValueError, match="numeric"):
-        neardup_decontaminate(strs, bench, "doc_id", "text")
+        neardup_decontaminate(corpus, str_bench, "doc_id", "text")
     with _pytest.raises(ValueError, match="mode"):
         neardup_decontaminate(
             corpus, bench, "doc_id", "text", mode="bogus"

@@ -3377,36 +3377,18 @@ def fam_dup_downweight(rng: random.Random):
             .orderBy("doc_id")
         )
 
+    # ONE oracle builder for both gates (review r13)
     from nsl_kdd_spark.plans.catalog import (
-        _CC_COMPS_SQL,
+        _dup_downweight_oracle_sql,
         _NEARDUP_EDGES_SQL,
-        _WINNOW_PAIRS_SQL,
-        _WINNOW_WFP_SQL,
+        _WINNOW_EDGES_FRAG,
     )
 
-    if edge_src == "winnow":
-        frag = (
-            f"{_WINNOW_WFP_SQL},\n    {_WINNOW_PAIRS_SQL},\n"
-            "    edges AS (SELECT id_a, id_b FROM winnow_pairs)"
-        )
-    else:
-        frag = _NEARDUP_EDGES_SQL
-    sql = f"""
-    WITH RECURSIVE
-    {frag},
-    {_CC_COMPS_SQL},
-    sizes AS (
-      SELECT comp, CAST(COUNT(*) AS BIGINT) AS csz
-      FROM comps GROUP BY comp
+    frag = (
+        _WINNOW_EDGES_FRAG if edge_src == "winnow"
+        else _NEARDUP_EDGES_SQL
     )
-    SELECT d.doc_id, c.comp,
-           CAST(1000000 // COALESCE(s.csz, 1) AS BIGINT)
-             AS dup_weight_ppm
-    FROM documents d
-    LEFT JOIN comps c ON c.node = d.doc_id
-    LEFT JOIN sizes s ON s.comp = c.comp
-    ORDER BY d.doc_id
-    """
+    sql = _dup_downweight_oracle_sql(frag)
     return f"edge_src={edge_src}", spark_fn, sql, False
 
 
@@ -3447,69 +3429,10 @@ def fam_neardup_decontam(rng: random.Random):
             .orderBy("doc_id")
         )
 
-    n_bands = 8 // band_size
-    band_items = ",\n        ".join(
-        "'" + str(bi) + "|' || "
-        + " || '|' || ".join(
-            f"mh{bi * band_size + j}" for j in range(band_size)
-        )
-        for bi in range(n_bands)
-    )
-    sql = f"""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(w) >= 3 THEN
-               list_transform(generate_series(1, len(w) - 2),
-                              i -> array_to_string(w[i:i+2], ' '))
-               ELSE [] END) AS s
-      FROM w
-    ), tok AS (
-      SELECT doc_id, unnest(s) AS t FROM sh
-    ), sig AS (
-      SELECT doc_id,
-             min(substr(md5('0:' || t), 1, 8))  AS mh0,
-             min(substr(md5('0:' || t), 9, 8))  AS mh1,
-             min(substr(md5('0:' || t), 17, 8)) AS mh2,
-             min(substr(md5('0:' || t), 25, 8)) AS mh3,
-             min(substr(md5('1:' || t), 1, 8))  AS mh4,
-             min(substr(md5('1:' || t), 9, 8))  AS mh5,
-             min(substr(md5('1:' || t), 17, 8)) AS mh6,
-             min(substr(md5('1:' || t), 25, 8)) AS mh7
-      FROM tok GROUP BY doc_id
-    ), bands AS (
-      SELECT doc_id, unnest([
-        {band_items}]) AS bucket
-      FROM sig
-    ), cand AS (
-      SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
-      FROM bands c JOIN bands b ON c.bucket = b.bucket
-      WHERE c.doc_id % {mod} <> 0 AND b.doc_id % {mod} = 0
-    ), jp AS (
-      SELECT cid, bid,
-             (CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
-                   AS BIGINT) * 1000000)
-             // (len(a.s) + len(b.s)
-                 - len(list_filter(a.s, x -> list_contains(b.s, x))))
-               AS jppm
-      FROM cand JOIN sh a ON cand.cid = a.doc_id
-                JOIN sh b ON cand.bid = b.doc_id
-    ), best AS (
-      SELECT cid, jppm, bid,
-             ROW_NUMBER() OVER (PARTITION BY cid
-                                ORDER BY jppm DESC, bid) AS rn
-      FROM jp
-    )
-    SELECT d.doc_id,
-           COALESCE(b.jppm >= {threshold_ppm}, FALSE) AS contaminated,
-           b.jppm AS jaccard_ppm, b.bid AS best_bench_id
-    FROM documents d
-    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-      ON b.cid = d.doc_id
-    WHERE d.doc_id % {mod} <> 0
-    ORDER BY d.doc_id
-    """
+    # ONE oracle builder for both gates (review r13)
+    from nsl_kdd_spark.plans.catalog import _neardup_decontam_oracle_sql
+
+    sql = _neardup_decontam_oracle_sql(band_size, threshold_ppm, mod)
     return (
         f"band_size={band_size} t_ppm={threshold_ppm} mod={mod}",
         spark_fn,
@@ -3570,33 +3493,12 @@ def fam_pack_bpe_boundaries(rng: random.Random):
             .orderBy("pack_id", "conv_pos")
         )
 
+    # ONE oracle builder for both gates (review r13)
     from nsl_kdd_spark.plans.catalog import (
-        _bpe_extent_blocks,
-        _SFT_PACK_CTES,
+        _pack_bpe_boundaries_oracle_sql,
     )
 
-    sql = _SFT_PACK_CTES + f"""
-    , se AS (
-      SELECT p.pack_id * 100 + p.conv_pos AS rid,
-             p.pack_id, p.conv_id, p.conv_pos,
-             t.pack_text AS text,
-             CAST(p.conv_off + 1 AS BIGINT) AS s,
-             CAST(p.conv_off + c.conv_len AS BIGINT) AS e
-      FROM pos p JOIN conv c USING (conv_id)
-                 JOIN ptext t USING (pack_id)
-    ){_bpe_extent_blocks(merges)}
-    SELECT se.pack_id, se.conv_id, CAST(se.conv_pos AS INTEGER)
-             AS conv_pos,
-           se.s AS bound_start, se.e AS bound_end,
-           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
-                     AND tsx.bts <= tex.bte
-                THEN tsx.bts END AS tok_start,
-           CASE WHEN tsx.bts IS NOT NULL AND tex.bte IS NOT NULL
-                     AND tsx.bts <= tex.bte
-                THEN tex.bte END AS tok_end
-    FROM se LEFT JOIN tsx USING (rid) LEFT JOIN tex USING (rid)
-    ORDER BY se.pack_id, se.conv_pos
-    """
+    sql = _pack_bpe_boundaries_oracle_sql(merges)
     return f"merges={merges}", spark_fn, sql, False
 
 
@@ -3745,14 +3647,9 @@ def fam_cross_source_neardups(rng: random.Random):
             threshold=threshold, shingle_n=shingle_n,
         ).orderBy("source_a", "source_b")
 
-    n_bands = 8 // band_size
-    band_items = ",\n        ".join(
-        "'" + str(bi) + "|' || "
-        + " || '|' || ".join(
-            f"mh{bi * band_size + j}" for j in range(band_size)
-        )
-        for bi in range(n_bands)
-    )
+    from nsl_kdd_spark.plans.catalog import _minhash_band_items_sql
+
+    band_items = _minhash_band_items_sql(band_size)
     sql = f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
