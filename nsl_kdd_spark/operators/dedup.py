@@ -1535,3 +1535,107 @@ def cross_source_neardup_matrix(
         .agg(F.countDistinct("__d").alias("dup_docs"))
     )
     return cells.join(docs, ["source_a", "source_b"])
+
+
+def dedup_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    exempt_below_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line-level dedup (CCNet, Wenzek et al. 2019
+    §4.1; the FineWeb boilerplate scrub): drop every line whose
+    normalized form appears in >= ``min_docs`` DISTINCT documents,
+    and rebuild each document from its surviving lines. This is the
+    data-driven complement to :func:`~..c4.c4_clean`'s rule-based
+    line filters — navigation bars, cookie banners and footers are
+    exactly the lines shared across many pages of a crawl.
+
+    Normalization (identical expression in the DuckDB oracle):
+    ``lower(trim(regexp_replace(line, '\\s+', ' ')))``. Lines whose
+    normalized form is shorter than ``exempt_below_chars`` (default:
+    empty lines) are exempt — they neither count toward frequency
+    nor get dropped, so blank-line document structure survives.
+
+    Output: one row per distinct ``id_col`` value — ``(id_col,
+    text_clean, n_lines, n_dropped)``. ``text_clean`` re-joins kept
+    lines on ``\\n`` ('' when every line was dropped); NULL-text
+    documents pass through with ``text_clean`` NULL and zero counts.
+    All NULL-id rows form ONE group (the ``cap_per_group`` NULL
+    doctrine: grouped, never silently dropped); ids are expected
+    unique per document — duplicate-id rows merge into one output.
+
+    Scale (100 TB): one posexplode; the frequency aggregate and the
+    verdict join ride a 32-char ``md5(norm)`` key, never the line
+    body (the ``dedup_exact`` shuffle-key rule) — and md5 is
+    cross-engine identical, so the oracle groups on the same key and
+    collisions cannot diverge the engines. The common-line table is
+    NOT force-broadcast (a boilerplate-heavy crawl makes it
+    unboundedly large — the ``dup_downweight`` lesson): AQE picks
+    the strategy. Per-document reassembly is one grouped
+    collect_list bounded by document size, the same contract as
+    pack assembly.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if exempt_below_chars < 0:
+        raise ValueError(
+            f"exempt_below_chars must be >= 0, got {exempt_below_chars}"
+        )
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn(
+        # own projected column: consumed by BOTH __lh and __eligible
+        # (the span-corruption rule — inlined copies re-evaluate)
+        "__norm",
+        F.lower(F.trim(F.regexp_replace("__line", r"\s+", " "))),
+    ).withColumn(
+        "__lh", F.md5("__norm")
+    ).withColumn(
+        "__eligible", F.length("__norm") >= exempt_below_chars
+    )
+    common = (
+        lines.where("__eligible")
+        .groupBy("__lh")
+        .agg(F.countDistinct("__id").alias("__doc_freq"))
+        .where(F.col("__doc_freq") >= min_docs)
+        .select("__lh")
+        .withColumn("__common", F.lit(True))
+    )
+    verdict = lines.join(common, "__lh", "left").withColumn(
+        "__dropped", F.col("__eligible") & F.col("__common").isNotNull()
+    )
+    agg = verdict.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__dropped"),
+                            F.struct("__pos", "__line"),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("__dropped"), 1)).alias("n_dropped"),
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(
+            agg, F.col(id_col).eqNullSafe(F.col("__id")), "left"
+        )
+        .select(
+            F.col(id_col),
+            "text_clean",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

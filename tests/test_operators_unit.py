@@ -1667,3 +1667,90 @@ def test_neardup_decontaminate(spark):
         neardup_decontaminate(
             corpus, bench, "doc_id", "text", mode="bogus"
         )
+
+
+def test_dedup_common_lines(spark):
+    """CCNet cross-document line dedup vs a pure-Python reference:
+    lines shared by >= min_docs distinct docs (after whitespace
+    normalization) are dropped, empty lines are exempt, and NULL
+    text / NULL id / all-dropped docs follow the documented
+    contract."""
+    from nsl_kdd_spark.operators.dedup import dedup_common_lines
+
+    rows = [
+        (1, "Home | About\nalpha unique one\n\nHome | About"),
+        (2, "home   |   about\nbeta unique two"),
+        (3, "Home | About\ngamma unique three\n"),
+        (4, None),
+        (5, ""),
+        (None, "Home | About\nnull-id line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_dropped"])
+        for r in dedup_common_lines(
+            df, "doc_id", "text", min_docs=2
+        ).collect()
+    }
+
+    # pure-Python reference on the same contract
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    from collections import defaultdict
+
+    freq = defaultdict(set)
+    for did, text in rows:
+        if text is None:
+            continue
+        for ln in text.split("\n"):
+            if norm(ln):
+                freq[norm(ln)].add(did)
+    common = {k for k, v in freq.items() if len(v) >= 2}
+    want = {}
+    for did, text in rows:
+        if text is None:
+            want[did] = (None, 0, 0)
+            continue
+        lines = text.split("\n")
+        kept = [l for l in lines if not (norm(l) and norm(l) in common)]
+        want[did] = (
+            "\n".join(kept),
+            len(lines),
+            len(lines) - len(kept),
+        )
+    assert got == want
+    # the shared header is gone everywhere, incl. the NULL-id doc
+    assert got[1][0] == "alpha unique one\n"
+    assert got[None] == ("null-id line", 2, 1)
+    # exempt empty line survives in doc 1; doc 5 keeps its one
+    # empty line; doc 3's trailing newline yields a kept empty line
+    assert got[5] == ("", 1, 0)
+    assert got[3] == ("gamma unique three\n", 3, 1)
+
+
+def test_dedup_common_lines_all_dropped_and_args(spark):
+    from nsl_kdd_spark.operators.dedup import dedup_common_lines
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "Same  Line")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_dropped"])
+        for r in dedup_common_lines(
+            df, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    # normalization folds case+whitespace: all three docs share the
+    # line, every line drops, text_clean is '' (not NULL)
+    assert got == {i: ("", 1, 1) for i in (1, 2, 3)}
+    with _pytest.raises(ValueError):
+        dedup_common_lines(df, "doc_id", "text", min_docs=1)
+    with _pytest.raises(ValueError):
+        dedup_common_lines(
+            df, "doc_id", "text", exempt_below_chars=-1
+        )
