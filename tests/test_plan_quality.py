@@ -368,3 +368,19 @@ def test_jaccard_size_ratio_filter_fuses_into_candidate_join(spark):
     # and the candidate join emits only ids (+ sizes): no payload
     # arrays ride the exploded index through the self-join shuffle
     assert "__shs" not in ratio_joins[0].split("Join condition")[0]
+
+
+def test_line_dedup_hash_keyed_no_udf(spark):
+    """q197: the common-line frequency aggregate and verdict join
+    must ride the 32-char md5(norm) key — hashpartitioning on __lh,
+    never the line body — with one Generate (posexplode), no Python
+    eval and no cartesian anywhere."""
+    plan = plan_of(QUERIES["q197_line_dedup"](spark, SF_SMOKE))
+    # two posexplodes by design: the frequency pass re-derives lines
+    # COLUMN-PRUNED to (__lh, __id) rather than materializing the
+    # exploded corpus for the rebuild pass to reuse
+    assert plan.count("posexplode(") == 2
+    assert "hashpartitioning(__lh" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

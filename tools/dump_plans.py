@@ -71,6 +71,7 @@ PICKS = {
     "q194_dup_downweight": "soft dedup downweighting (r13): cluster sizes = one count over the pair-derived component table, broadcast (comp, weight) join onto the corpus scan, integer ppm div in the projection — no window, no body shuffle",
     "q195_neardup_decontam": "near-dup decontam (r13): one signature aggregate per side, corpus->bench band equi-join (never a cross join), candidate-only shingle-set joins, ONE map-side max-struct verdict aggregate, left join back to the corpus",
     "q196_pack_bpe_boundaries": "BPE pack boundaries (r13): the q188 boundary aggregate feeds the q189 converter — merge folds on the distinct-field vocab of PACK texts, broadcast piece-length join, per-pack grouped reassembly, scan-stage span arithmetic; composition adds zero new shuffle classes",
+    "q197_line_dedup": "cross-doc line dedup (r13): two column-pruned posexplodes (frequency pass carries only md5(norm)+id, never the line body), countDistinct on the 32-char key, AQE-decided common-set join (never forced broadcast), one grouped conditional collect_list rebuild, distinct-id pass-through join",
 }
 
 

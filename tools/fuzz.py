@@ -4560,6 +4560,53 @@ def fam_sft_pack(rng: random.Random):
     )
 
 
+
+def fam_line_dedup(rng: random.Random):
+    """Cross-document line dedup (round-13; dedup.dedup_common_lines
+    — the CCNet/FineWeb boilerplate scrub). Draws move the dedup
+    threshold, the exemption floor (0 = even blank lines dedup), the
+    line-splitting token and the shared-footer modulus; the oracle
+    replays the shared fixture + md5-keyed frequency/rebuild builder
+    from catalog.py (one-builder rule)."""
+    min_docs = rng.choice((2, 3, 4))
+    exempt = rng.choice((0, 1, 6))
+    split_token = rng.choice((" the ", " a ", " of "))
+    footer_mod = rng.choice((2, 3, 5))
+    null_mod = rng.choice((41, 53))
+
+    def spark_fn(spark, sf_dir):
+        from nsl_kdd_spark.operators.dedup import dedup_common_lines
+        from nsl_kdd_spark.plans.catalog import _line_dedup_fixture_df
+
+        docs = _line_dedup_fixture_df(
+            spark, sf_dir, split_token=split_token,
+            footer_mod=footer_mod, null_mod=null_mod,
+        )
+        return dedup_common_lines(
+            docs, "doc_id", "text", min_docs=min_docs,
+            exempt_below_chars=exempt,
+        ).orderBy("doc_id")
+
+    from nsl_kdd_spark.plans.catalog import (
+        _line_dedup_fixture_frag,
+        _line_dedup_oracle_sql,
+    )
+
+    sql = _line_dedup_oracle_sql(
+        _line_dedup_fixture_frag(
+            split_token=split_token, footer_mod=footer_mod,
+            null_mod=null_mod,
+        ),
+        min_docs, exempt,
+    )
+    return (
+        f"min_docs={min_docs} exempt={exempt}"
+        f" split={split_token!r} footer_mod={footer_mod}"
+        f" null_mod={null_mod}",
+        spark_fn, sql, False,
+    )
+
+
 FAMILIES = {
     "percentiles": fam_percentiles,
     "winsorize": fam_winsorize,
@@ -4624,6 +4671,7 @@ FAMILIES = {
     "dup_downweight": fam_dup_downweight,
     "neardup_decontam": fam_neardup_decontam,
     "pack_bpe_boundaries": fam_pack_bpe_boundaries,
+    "line_dedup": fam_line_dedup,
     "threshold_sweep": fam_threshold_sweep,
     "flatten_tree": fam_flatten_tree,
     "prefix_loss": fam_prefix_loss,
