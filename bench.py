@@ -1019,16 +1019,20 @@ def bpe_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     # round-13 caveat), which a single draw misreads as drift
     for label, kw in (("serial", {}), ("batch16", {"batch": 16})):
         seen: list[float] = []
-        run_stats: dict[str, float] = {}
+        cycles: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
-            run_stats = {}
+            run_stats: dict[str, float] = {}
             train_bpe(docs, num_merges=32, stats=run_stats, **kw).write.format(
                 "noop"
             ).mode("overwrite").save()
             seen.append(round(time.perf_counter() - t0, 3))
+            cycles.append(float(run_stats["cycles"]))
         out[f"bpe32_{label}"] = min(seen)
-        out[f"bpe32_{label}_cycles"] = float(run_stats["cycles"])
+        # cycles from the SAME run whose time is kept (they are
+        # deterministic today, but the pairing keeps the record
+        # honest if that ever changes)
+        out[f"bpe32_{label}_cycles"] = cycles[seen.index(min(seen))]
     docs.unpersist()
     return out
 
@@ -1255,9 +1259,14 @@ def read_cpu_steal() -> tuple[int, int] | None:
     Recording the whole-run steal fraction lets a record say
     "the host was being robbed" mechanically."""
     try:
-        parts = open("/proc/stat").readline().split()
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return vals[7], sum(vals)  # steal is field 8 of cpu line
+        # steal is field 8; denominator stops BEFORE guest/
+        # guest_nice, which the kernel already folds into user/nice
+        # (summing them would double-count and understate steal on
+        # a VM-hosting box)
+        return vals[7], sum(vals[:8])
     except (OSError, IndexError, ValueError):
         return None
 

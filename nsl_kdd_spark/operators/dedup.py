@@ -1553,7 +1553,10 @@ def dedup_common_lines(
     exactly the lines shared across many pages of a crawl.
 
     Normalization (identical expression in the DuckDB oracle):
-    ``lower(trim(regexp_replace(line, '\\s+', ' ')))``. Lines whose
+    ``lower(trim(regexp_replace(line, '[ \\t\\n\\r]+', ' ')))`` —
+    the explicit class, not ``\\s``, because Java's ``\\s`` matches
+    vertical tab while RE2's does not (the ``url_host`` convention:
+    only the engine-identical regex subset). Lines whose
     normalized form is shorter than ``exempt_below_chars`` (default:
     empty lines) are exempt — they neither count toward frequency
     nor get dropped, so blank-line document structure survives.
@@ -1563,8 +1566,13 @@ def dedup_common_lines(
     lines on ``\\n`` ('' when every line was dropped); NULL-text
     documents pass through with ``text_clean`` NULL and zero counts.
     All NULL-id rows form ONE group (the ``cap_per_group`` NULL
-    doctrine: grouped, never silently dropped); ids are expected
-    unique per document — duplicate-id rows merge into one output.
+    doctrine: grouped, never silently dropped) — but NULL ids are
+    INVISIBLE to the frequency count (``countDistinct`` skips NULL
+    in both engines), so a line shared only with the NULL-id group
+    never reaches ``min_docs`` on that group's account. Ids are
+    expected unique per document — duplicate-id rows merge into one
+    output, position ties broken by line content (the oracle orders
+    ``pos, line`` to match).
 
     Scale (100 TB): one posexplode; the frequency aggregate and the
     verdict join ride a 32-char ``md5(norm)`` key, never the line
@@ -1592,7 +1600,7 @@ def dedup_common_lines(
         # own projected column: consumed by BOTH __lh and __eligible
         # (the span-corruption rule — inlined copies re-evaluate)
         "__norm",
-        F.lower(F.trim(F.regexp_replace("__line", r"\s+", " "))),
+        F.lower(F.trim(F.regexp_replace("__line", r"[ \t\n\r]+", " "))),
     ).withColumn(
         "__lh", F.md5("__norm")
     ).withColumn(

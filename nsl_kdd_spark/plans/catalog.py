@@ -9773,10 +9773,10 @@ def _line_dedup_oracle_sql(
             FROM fixture WHERE text IS NOT NULL)
     ), keyed AS (
       SELECT doc_id, pos, line,
-             md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
-               AS lh,
-             length(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
-               AS nlen
+             md5(lower(trim(regexp_replace(
+               line, '[ \\t\\n\\r]+', ' ', 'g')))) AS lh,
+             length(lower(trim(regexp_replace(
+               line, '[ \\t\\n\\r]+', ' ', 'g')))) AS nlen
       FROM lines
     ), common AS (
       SELECT lh FROM keyed WHERE nlen >= {exempt}
@@ -9788,7 +9788,7 @@ def _line_dedup_oracle_sql(
     ), agg AS (
       SELECT doc_id,
              COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
-                                 chr(10) ORDER BY pos), '')
+                                 chr(10) ORDER BY pos, line), '')
                AS text_clean,
              CAST(COUNT(*) AS BIGINT) AS n_lines,
              CAST(COUNT(CASE WHEN dropped THEN 1 END) AS BIGINT)

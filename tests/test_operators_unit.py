@@ -1683,7 +1683,12 @@ def test_dedup_common_lines(spark):
         (3, "Home | About\ngamma unique three\n"),
         (4, None),
         (5, ""),
-        (None, "Home | About\nnull-id line"),
+        (None, "Home | About\nnull-id line\nsolo shared with null"),
+        # 'solo shared with null' appears in doc 6 AND the NULL-id
+        # doc only: NULL ids are invisible to countDistinct in both
+        # engines, so the distinct-doc count is 1 and the line is
+        # KEPT (review r13: the reference must not count None)
+        (6, "solo shared with null\nunique six"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {
@@ -1703,7 +1708,10 @@ def test_dedup_common_lines(spark):
 
     freq = defaultdict(set)
     for did, text in rows:
-        if text is None:
+        if text is None or did is None:
+            # NULL ids never reach the distinct-doc count (engine
+            # countDistinct and oracle COUNT(DISTINCT) both skip
+            # NULL) — their lines still get the drop verdict below
             continue
         for ln in text.split("\n"):
             if norm(ln):
@@ -1722,9 +1730,11 @@ def test_dedup_common_lines(spark):
             len(lines) - len(kept),
         )
     assert got == want
-    # the shared header is gone everywhere, incl. the NULL-id doc
+    # the shared header is gone everywhere, incl. the NULL-id doc;
+    # the line shared ONLY with the NULL-id doc survives in both
     assert got[1][0] == "alpha unique one\n"
-    assert got[None] == ("null-id line", 2, 1)
+    assert got[None] == ("null-id line\nsolo shared with null", 3, 1)
+    assert got[6] == ("solo shared with null\nunique six", 2, 0)
     # exempt empty line survives in doc 1; doc 5 keeps its one
     # empty line; doc 3's trailing newline yields a kept empty line
     assert got[5] == ("", 1, 0)
@@ -1754,3 +1764,14 @@ def test_dedup_common_lines_all_dropped_and_args(spark):
         dedup_common_lines(
             df, "doc_id", "text", exempt_below_chars=-1
         )
+    # duplicate-id rows merge into one output; position ties break
+    # by line content (the documented contract the oracle's
+    # ORDER BY pos, line mirrors)
+    dup = spark.createDataFrame(
+        [(7, "bb\nzz seven"), (7, "aa\nzz seven")],
+        "doc_id int, text string",
+    )
+    merged = dedup_common_lines(dup, "doc_id", "text", min_docs=2).collect()
+    assert len(merged) == 1
+    assert merged[0]["text_clean"] == "aa\nbb\nzz seven\nzz seven"
+    assert (merged[0]["n_lines"], merged[0]["n_dropped"]) == (4, 0)
