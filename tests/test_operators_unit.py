@@ -1775,3 +1775,46 @@ def test_dedup_common_lines_all_dropped_and_args(spark):
     assert len(merged) == 1
     assert merged[0]["text_clean"] == "aa\nbb\nzz seven\nzz seven"
     assert (merged[0]["n_lines"], merged[0]["n_dropped"]) == (4, 0)
+
+
+def test_percentile_summary_exact_bitwise_matches_percentile_agg(spark):
+    """Optimization r13: the exact tier's distributed counts+window
+    plan must reproduce ``F.percentile`` BIT-FOR-BIT — including NULL
+    values (frequency-invisible), an all-NULL group (row kept, NULL
+    percentiles), a NULL group key (its own group), a single-value
+    group (floor == ceil short-circuit) and heavy duplicates (rank
+    spans wider than one)."""
+    import struct
+
+    from nsl_kdd_spark.operators.agg import percentile_summary
+
+    rows = (
+        [("a", float(x)) for x in (5, 1, 9, 1, 1, 7, 3)]
+        + [("a", None)]
+        + [("b", 42.0)]
+        + [("c", None), ("c", None)]
+        + [(None, 2.0), (None, 8.0), (None, 8.0)]
+        + [("d", float(x % 3)) for x in range(50)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    ps = (0.25, 0.5, 0.9)
+    old = df.groupBy("grp").agg(
+        *[F.percentile(F.col("v"), F.lit(p)).alias(f"p{100 * p:g}") for p in ps],
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    new = percentile_summary(df, "v", "grp", ps)
+    assert new.schema == old.schema
+
+    def canon(frame):
+        out = []
+        for r in sorted([tuple(x) for x in frame.collect()], key=repr):
+            out.append(
+                tuple(
+                    struct.pack("d", x).hex() if isinstance(x, float) else x
+                    for x in r
+                )
+            )
+        return out
+
+    assert canon(new) == canon(old)

@@ -384,3 +384,15 @@ def test_line_dedup_hash_keyed_no_udf(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_percentile_exact_tier_is_distributed(spark):
+    """Optimization r13: the exact percentile tier must not buffer
+    whole groups inside a `percentile` aggregate (single-task sort per
+    group); the distributed plan reduces to (group, value) counts and
+    takes one window over the distinct-value table."""
+    df = QUERIES["q52_percentiles"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "percentile(" not in plan  # the buffering aggregate is gone
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan  # cumulative ranks over distinct values
