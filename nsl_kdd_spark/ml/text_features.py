@@ -719,6 +719,7 @@ def train_bpe(
     token_pattern: str = "[^a-z0-9]+",
     batch: int = 1,
     stats: dict | None = None,
+    vocab_out: dict | None = None,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
     TRAINING side of the tokenizer surface (``build_vocab`` /
@@ -771,6 +772,18 @@ def train_bpe(
     ``stats["cycles"]`` holds the number of driver count-cycles the
     run took — the batching lever's observable (bench/tests read it).
 
+    ``vocab_out`` (optimization r13): optional caller-owned dict; on
+    return, ``vocab_out["vocab"]`` holds the final ``(word, syms)``
+    vocabulary — every distinct corpus word already folded through
+    the returned merge table, a free by-product of the training loop
+    (the per-cycle rewrite ends exactly at the fully-merged state).
+    :func:`bpe_encode` accepts it via its ``vocab`` parameter so a
+    train-then-encode pipeline over the SAME corpus (q132's shape)
+    skips re-deriving the vocabulary and re-applying every merge —
+    the dsir fused-path precedent. Costs one extra string column
+    through the per-cycle checkpoints when requested; default None
+    keeps the training table narrow.
+
     Rows-only in the driver gate (no SQL twin for the iterative
     argmax); correctness is pinned against a pure-Python reference
     implementation in tests/test_text_features.py (batched == serial
@@ -790,6 +803,7 @@ def train_bpe(
         # split-at-every-boundary leaves a trailing "" element
         # (Java split keeps trailing empties at limit -1) — drop it
         .select(
+            *(["word"] if vocab_out is not None else []),
             F.filter(
                 F.split("word", "(?!^)"), lambda x: x != ""
             ).alias("syms"),
@@ -844,7 +858,11 @@ def train_bpe(
         folded = F.col("syms")
         for left, right, _freq in selected:
             folded = _bpe_merge_fold(folded, left, right, left + right)
-        words = words.select(folded.alias("syms"), "wc").localCheckpoint()
+        words = words.select(
+            *(["word"] if vocab_out is not None else []),
+            folded.alias("syms"),
+            "wc",
+        ).localCheckpoint()
         for left, right, freq in selected:
             merges.append((len(merges), left, right, left + right, freq))
     spark = docs.sparkSession
@@ -870,6 +888,8 @@ def train_bpe(
     # stale after a mid-loop raise).
     if stats is not None:
         stats["cycles"] = cycles
+    if vocab_out is not None:
+        vocab_out["vocab"] = words.select("word", "syms")
     return spark.createDataFrame(merges, schema)
 
 
@@ -881,6 +901,7 @@ def bpe_encode(
     token_pattern: str = "[^a-z0-9]+",
     method: str = "auto",
     checkpoint_every: int = 6,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a trained BPE merge table (:func:`train_bpe`'s output)
     to a corpus — the ENCODING side of subword tokenization. Returns
@@ -912,11 +933,19 @@ def bpe_encode(
       merge tables (30k+ ranks, where chaining 30k folds is not a
       plan). Corpus-side plumbing identical.
     - ``"auto"``: expr for <= 24 merges, arrow beyond.
+
+    ``vocab`` (optimization r13): a precomputed, FULLY-MERGED
+    ``(word, syms)`` vocabulary — :func:`train_bpe`'s ``vocab_out``
+    by-product. When given, the distinct-word shuffle and the whole
+    merge-fold chain (plus its per-``checkpoint_every``
+    materializations) are skipped; the corpus goes straight to the
+    broadcast word->pieces join. The caller owns the contract that
+    ``vocab`` covers every word this corpus tokenizes to under the
+    SAME ``token_pattern``/lowercasing (the train-then-encode
+    pipeline over one corpus, q132's shape) — a missing word would
+    silently drop its occurrences at the inner join, so pass it only
+    for the same-corpus case it exists for.
     """
-    rows = sorted(
-        merges.select("rank", "left", "right").collect(),
-        key=lambda r: r["rank"],
-    )  # tiny by construction: the merge table IS the model
     wordpos = (
         docs.select(
             F.col(id_col),
@@ -926,13 +955,20 @@ def bpe_encode(
         )
         .filter(F.col("word") != "")
     )
-    vocab = wordpos.select("word").distinct().select(
-        "word",
-        F.filter(F.split("word", "(?!^)"), lambda x: x != "").alias("syms"),
-    )
-    vocab = apply_bpe_merges_to_vocab(
-        vocab, rows, method=method, checkpoint_every=checkpoint_every
-    )
+    if vocab is None:
+        rows = sorted(
+            merges.select("rank", "left", "right").collect(),
+            key=lambda r: r["rank"],
+        )  # tiny by construction: the merge table IS the model
+        vocab = wordpos.select("word").distinct().select(
+            "word",
+            F.filter(
+                F.split("word", "(?!^)"), lambda x: x != ""
+            ).alias("syms"),
+        )
+        vocab = apply_bpe_merges_to_vocab(
+            vocab, rows, method=method, checkpoint_every=checkpoint_every
+        )
     joined = wordpos.join(F.broadcast(vocab), "word")
     return (
         joined.groupBy(id_col)
@@ -976,7 +1012,7 @@ def apply_bpe_merges_to_vocab(
 
     if method == "expr":
         since_ckpt = 0
-        for r in rows:
+        for i, r in enumerate(rows):
             lit_l, lit_r = F.lit(r["left"]), F.lit(r["right"])
             lit_m = F.lit(r["left"] + r["right"])
             folded = F.aggregate(
@@ -1007,7 +1043,12 @@ def apply_bpe_merges_to_vocab(
             )
             vocab = vocab.select("word", folded.alias("syms"))
             since_ckpt += 1
-            if since_ckpt >= checkpoint_every:
+            # truncate only when MORE folds will chain on top: a
+            # checkpoint landing on the final rank would materialize
+            # the finished vocab once just so the consumer can read
+            # the blocks back — one whole wasted vocab job
+            # (optimization r13)
+            if since_ckpt >= checkpoint_every and i + 1 < len(rows):
                 vocab = vocab.localCheckpoint()
                 since_ckpt = 0
     else:

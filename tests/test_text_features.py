@@ -494,3 +494,24 @@ def test_ngram_diversity_report_rejects_bad_order(spark):
     df = spark.createDataFrame([(1, "a b")], "id long, text string")
     with _pytest.raises(ValueError):
         ngram_diversity_report(df, "text", ns=(0, 2))
+
+
+def test_bpe_encode_fused_vocab_matches_unfused(spark):
+    """Optimization r13: encoding with train_bpe's vocab_out
+    by-product (skipping the re-derived vocabulary and merge folds)
+    must reproduce the unfused encode exactly, row for row."""
+    from nsl_kdd_spark.ml.text_features import bpe_encode, train_bpe
+    from nsl_kdd_spark.sources.parquet import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    vocab_out: dict = {}
+    merges = train_bpe(docs, num_merges=6, batch=4, vocab_out=vocab_out)
+    unfused = bpe_encode(docs, merges, method="expr")
+    fused = bpe_encode(
+        docs, merges, method="expr", vocab=vocab_out["vocab"]
+    )
+    assert fused.schema == unfused.schema
+    a = sorted([tuple(r) for r in unfused.collect()])
+    b = sorted([tuple(r) for r in fused.collect()])
+    assert a == b
