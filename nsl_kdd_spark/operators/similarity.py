@@ -641,7 +641,11 @@ def semantic_dedup(
             ).cast("long"),
         )
         .drop("__sims")
-        .localCheckpoint()
+        # lazy (optimization r13): the assignment materializes inside
+        # the final job's first scan instead of a construction-time
+        # job; 3 consumers (both pair-join sides + the keep join)
+        # still read one computation (measured 2.73 -> 2.45 s warm)
+        .localCheckpoint(eager=False)
     )
     # per-row norms ride the pair join so each candidate pair costs one
     # dot fold, not one dot + two norm folds (same values -> bit-equal)
