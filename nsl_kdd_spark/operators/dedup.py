@@ -690,7 +690,7 @@ def simhash_pairs(
     sig_cols = ["simhash"] if bits <= 64 else ["simhash_hi", "simhash_lo"]
     if block_col:
         sigs = sigs.join(df.select(id_col, block_col), on=id_col)
-    sigs = sigs.localCheckpoint()  # self-joined below; releases on GC
+    sigs = sigs.localCheckpoint(eager=False)  # self-joined below; releases on GC (lazy: r13)
     if bands is not None:
         if bands <= max_hamming:
             raise ValueError(
