@@ -879,9 +879,19 @@ def dedup_spans(
         ),
     ).otherwise(F.array().cast("array<struct<ord:int,span:string>>"))
 
+    # exploded feeds TWO full passes (the dup-set aggregate and the
+    # flag join-back); without truncation each pass re-runs the span
+    # construction (tokenize + per-span concat) over the whole corpus.
+    # Lazy localCheckpoint materializes the span table once — the
+    # guide's decide-on-small/write-once trade: one disk/memory-backed
+    # materialization of the exploded spans against a second full
+    # compute (measured 2.1 -> 1.5 s at 5k docs, 2.9 -> 2.1 s at 100k;
+    # optimization r13).
     exploded = df.select(
         F.col(id_col).alias("__id"), F.explode(spans).alias("s")
-    ).select("__id", F.col("s.ord").alias("__ord"), F.col("s.span").alias("__span"))
+    ).select(
+        "__id", F.col("s.ord").alias("__ord"), F.col("s.span").alias("__span")
+    ).localCheckpoint(eager=False)
 
     key = F.xxhash64("__span") if hash_spans else F.col("__span")
     dup = (
