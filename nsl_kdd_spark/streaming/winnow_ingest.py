@@ -122,17 +122,25 @@ def winnow_dedup_batch(
     self_pairs = overlap_pairs_from_fps(
         batch_fps, min_shared=min_shared, max_fp_df=max_fp_df
     )
+    # self_dropped feeds TWO anti joins (survivors + fps); without
+    # truncation each re-runs the whole within-batch overlap-pair
+    # join. Lazy checkpoint: tiny id table, one computation
+    # (optimization r13).
     self_dropped = self_pairs.select(
         F.greatest("id_a", "id_b").alias("doc_id")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     survivors = batch.join(self_dropped, "doc_id", "left_anti")
 
     fps = batch_fps.join(self_dropped, "doc_id", "left_anti").select(
         F.col("doc_id").alias("__bid"), "fp"
     )
+    # hits is the batch-vs-registry fp join — the dominant join of
+    # the probe — and feeds both the hot-fp aggregate and the reject
+    # pairing; lazy checkpoint so it runs once (optimization r13:
+    # winnowreg probe cells measured ~25% faster).
     hits = fps.join(
         registry.select(F.col("doc_id").alias("__rid"), "fp"), on="fp"
-    )
+    ).localCheckpoint(eager=False)
     # stop-fingerprint guard on the REGISTRY side, measured from the
     # join output (distinct registry docs per probed fp == that fp's
     # registry df): boilerplate shared by everyone must not reject
