@@ -40,22 +40,25 @@ from nsl_kdd_spark.operators.bloom import (
     KeyBloom,
     bloom_might_contain_col,
     build_bloom_from_keys,
-    key_hash_cols,
 )
-from nsl_kdd_spark.operators.dedup import word_shingles
+from nsl_kdd_spark.operators.dedup import _hashed_word_shingles
 
 
 def _gram_index(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
-    """(id, gram_hash) index, one row per DISTINCT gram per doc."""
-    return (
-        df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(word_shingles(text_col, n)).alias("__g"),
-        )
-        .withColumn("__gh", F.xxhash64("__g"))
-        .select(out_id, "__gh")
+    """(id, gram_hash) index, one row per DISTINCT gram per doc.
+
+    Built word-wise (optimization r13, the jaccard/containment
+    pattern): tokens hash once each and every gram key is one
+    fixed-width xxhash64 over its n word-hashes, instead of
+    materializing an n-word string per position (at the n=13 default
+    each word's bytes were copied and hashed ~13 times). Hash VALUES
+    change but never surface — every consumer compares both sides
+    under the same function, and word-sequence equality == hash-tuple
+    equality under the already-documented collision trust."""
+    return _hashed_word_shingles(df, id_col, text_col, n).select(
+        F.col("__id").alias(out_id), F.explode("__shs").alias("__gh")
     )
 
 
@@ -200,12 +203,28 @@ class GramBloom(KeyBloom):
 
 
 def _gram_keys(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Distinct (h1, h2) 64-bit key pairs over all word n-grams."""
-    grams = df.select(
-        F.explode(word_shingles(text_col, n)).alias("__g")
-    ).distinct()
-    h1, h2 = key_hash_cols(["__g"])
-    return grams.select(h1.alias("__h1"), h2.alias("__h2"))
+    """Distinct (h1, h2) 64-bit key pairs over all word n-grams.
+
+    Word-wise build (optimization r13): h1 IS the combined word-hash
+    gram key (uniform 64-bit) and h2 re-hashes it with a seed — the
+    same double-hash independence the old (xxhash64(g), xxhash64(g,1))
+    string pair provided, minus the n-word string per position. Build
+    and probe both derive keys through this function's twin in
+    :func:`contaminated_ids_bloom`, so the pair stays consistent."""
+    grams = (
+        _hashed_word_shingles(
+            df.select(F.lit(0).alias("__rid"), F.col(text_col)),
+            "__rid",
+            text_col,
+            n,
+        )
+        .select(F.explode("__shs").alias("__gh"))
+        .distinct()
+    )
+    return grams.select(
+        F.col("__gh").alias("__h1"),
+        F.xxhash64("__gh", F.lit(1)).alias("__h2"),
+    )
 
 
 def build_gram_bloom(
@@ -246,11 +265,15 @@ def contaminated_ids_bloom(
         raise ValueError(
             f"bloom was built with n={bloom.n}, probe asked n={n}"
         )
-    h1, h2 = key_hash_cols(["__g"])
-    cg = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("__g"),
-    ).select(id_col, h1.alias("__h1"), h2.alias("__h2"))
+    # word-wise gram keys, the _gram_keys twin (h1 = combined word
+    # hash, h2 = seeded re-hash) — build and probe stay consistent
+    cg = _hashed_word_shingles(corpus, id_col, text_col, n).select(
+        F.col("__id").alias(id_col), F.explode("__shs").alias("__gh")
+    ).select(
+        id_col,
+        F.col("__gh").alias("__h1"),
+        F.xxhash64("__gh", F.lit(1)).alias("__h2"),
+    )
     probe = bloom_might_contain_col(corpus.sparkSession, bloom)
     candidates = cg.filter(probe(F.col("__h1"), F.col("__h2")))
     exact = _gram_keys(benchmark, bench_text_col, n).select("__h1", "__h2")
@@ -350,7 +373,16 @@ def decontaminate_spans(
 
     from nsl_kdd_spark.functions.text import tokens
 
-    toks = corpus.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    # positional word-wise gram hashes (optimization r13, the
+    # _gram_index pattern): hash each token once, then one fixed-width
+    # xxhash64 per position over its n word-hashes — no n-word string
+    # per position. The word-hash array materializes in its own
+    # projection first so the outer transform's element_at reads a
+    # computed array instead of re-evaluating the inner transform per
+    # position. The benchmark side derives keys the same way below.
+    toks = corpus.select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    ).withColumn("__wh", F.transform("__tk", lambda x: F.xxhash64(x)))
     grams = (
         toks.withColumn(
             "__h",
@@ -359,7 +391,10 @@ def decontaminate_spans(
                 F.transform(
                     F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
                     lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice("__tk", i, n))
+                        *[
+                            F.element_at(F.col("__wh"), i + k)
+                            for k in range(n)
+                        ]
                     ),
                 ),
             ).otherwise(F.array().cast("array<bigint>")),
@@ -372,10 +407,13 @@ def decontaminate_spans(
         .select(id_col, "__len", (F.col("__p0") + 1).alias("pos"), "__gh")
     )
     bgrams = (
-        benchmark.select(
-            F.explode(word_shingles(bench_text_col, n)).alias("__g")
+        _hashed_word_shingles(
+            benchmark.select(F.lit(0).alias("__rid"), F.col(bench_text_col)),
+            "__rid",
+            bench_text_col,
+            n,
         )
-        .select(F.xxhash64("__g").alias("__gh"))
+        .select(F.explode("__shs").alias("__gh"))
         .distinct()
     )
     hits = grams.join(F.broadcast(bgrams), on="__gh", how="left_semi")

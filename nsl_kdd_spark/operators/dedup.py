@@ -100,14 +100,25 @@ def _hashed_word_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> 
     change prefix-filter candidate sets but never verified results."""
     wh = F.transform(tokens(text_col), lambda x: F.xxhash64(x))
     base = df.select(F.col(id_col).alias("__id"), wh.alias("__wh"))
+    # n shifted slices zipped positionally, one xxhash64 per struct:
+    # NOT element_at over the word-hash array — projection collapse
+    # inlines the token-hash transform into each element_at, so the
+    # whole array is re-derived per position (measured 6.6 s vs this
+    # form's 0.5 s on the 40k-doc gram index; the zip form also beats
+    # the old string concat 4-6x)
+    size = F.size("__wh")
+    zipped = F.arrays_zip(
+        *[
+            F.slice("__wh", k + 1, size - (n - 1)).alias(f"_{k}")
+            for k in range(n)
+        ]
+    )
     shingle = F.when(
-        F.size("__wh") >= n,
+        size >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size("__wh") - (n - 1)),
-                lambda i: F.xxhash64(
-                    *[F.element_at(F.col("__wh"), i + k) for k in range(n)]
-                ),
+                zipped,
+                lambda s: F.xxhash64(*[s[f"_{k}"] for k in range(n)]),
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))

@@ -56,9 +56,20 @@ def test_bloom_build_sets_exactly_member_bits(spark):
     assert bloom.n_items == 3  # 3 distinct 3-grams
     grams = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
     buf = np.frombuffer(bloom.bits, dtype=np.uint8)
+    # key derivation since optimization r13: h1 is the word-wise
+    # combined gram hash (xxhash64 over the n token hashes), h2 its
+    # seeded re-hash — mirror it here for build/probe parity
     h = (
         spark.createDataFrame([(g,) for g in grams], "g string")
-        .select(F.xxhash64("g"), F.xxhash64("g", F.lit(1)))
+        .select(
+            F.xxhash64(
+                *[
+                    F.xxhash64(F.split("g", " ")[i])
+                    for i in range(3)
+                ]
+            ).alias("h1")
+        )
+        .select("h1", F.xxhash64("h1", F.lit(1)).alias("h2"))
         .collect()
     )
     for h1, h2 in h:
