@@ -328,15 +328,33 @@ def jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    full_a = ordered.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
-    full_b = ordered.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
+    # Verify-join strategy is deliberate (optimization r13, guide §3.1):
+    # shuffle_hash on the payload side, never broadcast. The per-doc
+    # shingle-array table is corpus-sized; under the session's 64 MB
+    # broadcast threshold a mid-size corpus (the dedup25k tier: ~25k
+    # docs of long arrays) got BROADCAST — two single-threaded
+    # collect+build jobs of array payloads that cost more than the
+    # whole parallel join (measured 4.6 s -> 2.3 s full-op at 25k
+    # docs; the 100k tier was already past the threshold and fast).
+    # The shuffled hash join streams the slim candidate rows against
+    # per-partition payload maps whose size AQE bounds via the
+    # advisory partition size. |A∪B| = |A| + |B| - |A∩B| (arrays are
+    # distinct by construction), so the union is never re-built just
+    # to take its size — one hash-set pass per pair instead of two.
+    full_a = ordered.select(
+        F.col("__id").alias("id_a"), F.col("__shs").alias("__sa")
+    ).hint("shuffle_hash")
+    full_b = ordered.select(
+        F.col("__id").alias("id_b"), F.col("__shs").alias("__sb")
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     verified = (
         cand.join(full_a, "id_a").join(full_b, "id_b")
         .select(
             "id_a", "id_b",
             (
-                F.size(F.array_intersect("__sa", "__sb")).cast("double")
-                / F.size(F.array_union("__sa", "__sb"))
+                inter.cast("double")
+                / (F.size("__sa") + F.size("__sb") - inter)
             ).alias("jaccard"),
         )
     )
@@ -364,14 +382,27 @@ def _minhash_min_exprs(col: str, num_hashes: int) -> list[Column]:
 
 def _minhash_sig_agg(tok: DataFrame, num_hashes: int) -> DataFrame:
     """The ONE signature aggregate every MinHash consumer rides —
-    (__id, mh0..mhK, __ts shingle set), localCheckpoint'ed because
-    every caller scans it at least twice (review r13: the
+    (__id, mh0..mhK, __ts shingle-HASH set), localCheckpoint'ed
+    because every caller scans it at least twice (review r13: the
     decontamination tier had its own copy; a hash-family or
-    checkpoint change must hit all consumers at once)."""
+    checkpoint change must hit all consumers at once).
+
+    The verify payload ``__ts`` collects ``xxhash64`` of each shingle
+    (8-byte longs), NOT the shingle strings (optimization r13): every
+    consumer reads only set CARDINALITIES (``size(array_intersect)``
+    and set sizes), which hashing preserves under the same xxhash64
+    collision trust the q28 word-hash path documents — while the
+    band-join shuffle, the checkpoint blocks, and the per-pair
+    intersect all shrink ~3x (string shingles average ~20 chars).
+    The md5 min-hashes stay over the shingle TEXT — that is the
+    LSH/oracle contract. Lazy checkpoint: blocks build inside the
+    first consuming job instead of a construction-time job (the
+    jaccard/simhash r13 flip; eager re-paid the materialization in
+    every caller's timed region)."""
     return tok.groupBy("__id").agg(
         *_minhash_min_exprs("__t", num_hashes),
-        F.collect_set("__t").alias("__ts"),
-    ).localCheckpoint()
+        F.collect_set(F.xxhash64("__t")).alias("__ts"),
+    ).localCheckpoint(eager=False)
 
 
 def _band_bucket_expr(num_hashes: int, band_size: int):
@@ -497,14 +528,19 @@ def minhash_lsh_pairs(
         xb = bands.select(
             F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"), "__bucket"
         )
+        # |A∪B| = |A| + |B| - |A∩B| (sets are distinct by
+        # construction): one hash-set pass per pair instead of two —
+        # array_union re-built the union only for its size
+        # (optimization r13; measured 2.5-3x on the verify stage)
+        inter = F.size(F.array_intersect("__ta", "__tb"))
         scored = (
             xa.join(xb, on="__bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select(
                 "id_a", "id_b",
                 (
-                    F.size(F.array_intersect("__ta", "__tb")).cast("double")
-                    / F.size(F.array_union("__ta", "__tb"))
+                    inter.cast("double")
+                    / (F.size("__ta") + F.size("__tb") - inter)
                 ).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
@@ -526,15 +562,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = sigs.select(F.col("__id").alias("id_a"), F.col("__ts").alias("__ta"))
-    tb = sigs.select(F.col("__id").alias("id_b"), F.col("__ts").alias("__tb"))
+    # shuffle_hash, never broadcast: the per-doc payload table is
+    # corpus-sized — at the 64 MB session threshold a mid-size corpus
+    # broadcasts it, paying two single-threaded builds of array
+    # payloads (the dedup25k regression, optimization r13); the
+    # shuffled hash join streams candidates against per-partition
+    # payload maps bounded by AQE's advisory partition size
+    ta = sigs.select(
+        F.col("__id").alias("id_a"), F.col("__ts").alias("__ta")
+    ).hint("shuffle_hash")
+    tb = sigs.select(
+        F.col("__id").alias("id_b"), F.col("__ts").alias("__tb")
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("__ta", "__tb"))
     verified = (
         cand.join(ta, "id_a").join(tb, "id_b")
         .select(
             "id_a", "id_b",
             (
-                F.size(F.array_intersect("__ta", "__tb")).cast("double")
-                / F.size(F.array_union("__ta", "__tb"))
+                inter.cast("double")
+                / (F.size("__ta") + F.size("__tb") - inter)
             ).alias("jaccard"),
         )
     )
@@ -1470,10 +1517,14 @@ def neardup_decontaminate(
     bt = bsigs.select(
         F.col("__id").alias("__bid"), F.col("__ts").alias("__bts")
     )
+    # |A∪B| via sizes (sets are distinct by construction) — one
+    # hash-set pass per pair, not two; codegen's common-subexpression
+    # elimination evaluates the intersect once (optimization r13)
     jppm = F.expr(
         "(CAST(size(array_intersect(__cts, __bts)) AS BIGINT)"
         " * 1000000)"
-        " div size(array_union(__cts, __bts))"
+        " div (size(__cts) + size(__bts)"
+        "      - size(array_intersect(__cts, __bts)))"
     )
     verdicts = (
         cand.join(ct, "__cid")
