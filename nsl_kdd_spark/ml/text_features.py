@@ -470,7 +470,12 @@ def unigram_logprob(
     # aggregation (the corpus-sized `tok` stays unmaterialized by
     # design — two scans beat caching 100 TB)
     freq = (
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f")).localCheckpoint()
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        # lazy (optimization r13): the scalar collect right below is
+        # the first consumer, so the blocks build inside it instead
+        # of a separate construction-time job
+        .localCheckpoint(eager=False)
     )
     total = freq.agg(F.sum("__f")).collect()[0][0] or 1  # scalar; 1 on empty
     lp = freq.select(
@@ -531,7 +536,10 @@ def bigram_logprob(
     bfreq = (
         pairs.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("__bf"))
-        .localCheckpoint()
+        # lazy (optimization r13): blocks build inside the first
+        # consuming job (the prefix-count aggregate) instead of a
+        # construction-time materialization job
+        .localCheckpoint(eager=False)
     )
     prefix = F.substring_index(F.col("bigram"), " ", 1)
     pfreq = bfreq.groupBy(prefix.alias("__p")).agg(

@@ -198,7 +198,15 @@ def bloom_might_contain_col(spark, bloom: KeyBloom):
         hit = (buf[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
-    return might_contain
+    # asNondeterministic (optimization r13, guide §4.4): the probe IS
+    # deterministic, but the optimizer infers the probe filter across
+    # the phase-2 semi join's key equality and re-evaluates it over
+    # the SMALL side too — a second ArrowEvalPython pass over every
+    # build-side row that the join would filter anyway (observed in
+    # the q147/q148 plans: two probe nodes, one per scan). Marking it
+    # non-deterministic pins the probe to the big side only; results
+    # are unchanged (the probe only ever pre-filters a join input).
+    return might_contain.asNondeterministic()
 
 
 def bloom_semi_join(

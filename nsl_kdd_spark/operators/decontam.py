@@ -143,19 +143,28 @@ def contamination_report(
     no float division (the q100 convention).
     """
     cg = _gram_index(corpus, id_col, text_col, n, id_col)
-    bg = _gram_index(
-        benchmark, bench_id_col, bench_text_col, n, bench_id_col
-    ).select("__gh").distinct()
-    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        cg.join(F.broadcast(bg), on="__gh")
+    bg = (
+        _gram_index(benchmark, bench_id_col, bench_text_col, n, bench_id_col)
+        .select("__gh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # ONE corpus pass (optimization r13): a LEFT broadcast probe tags
+    # each gram row, and a single map-side-combined aggregate counts
+    # totals and hits together — the previous shape scanned the
+    # corpus-sized gram index twice (separate totals and hits
+    # aggregates) and joined both back
+    stats = (
+        cg.join(F.broadcast(bg), on="__gh", how="left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("hit_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("hit_grams"),
+        )
     )
     return (
         corpus.select(id_col)
-        .join(totals, on=id_col, how="left")
-        .join(hits, on=id_col, how="left")
+        .join(stats, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

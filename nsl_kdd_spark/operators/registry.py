@@ -141,13 +141,17 @@ def dedup_batch(
         old_ts = corpus_text.select(
             F.col(id_col).alias("registry_id"), shingle.alias("__tb")
         )
+        # |A∪B| = |A| + |B| - |A∩B| (shingle arrays are distinct by
+        # construction): one hash-set pass per pair, not two
+        # (optimization r13, the dedup-module pattern)
+        inter_x = F.size(F.array_intersect("__ta", "__tb"))
         dup_vs_registry = (
             cross_cand.join(new_ts, "new_id").join(old_ts, "registry_id")
             .select(
                 "new_id", "registry_id",
                 (
-                    F.size(F.array_intersect("__ta", "__tb")).cast("double")
-                    / F.size(F.array_union("__ta", "__tb"))
+                    inter_x.cast("double")
+                    / (F.size("__ta") + F.size("__tb") - inter_x)
                 ).alias("score"),
             )
         )
@@ -172,6 +176,7 @@ def dedup_batch(
         else distinct_tokens(text_col)
     )
     ts = new_docs.select(F.col(id_col).alias("__id"), shingle.alias("__ts")).persist()
+    inter_w = F.size(F.array_intersect("__ta", "__tb"))
     dup_within = (
         self_cand
         .join(ts.select(F.col("__id").alias("kept_id"),
@@ -181,8 +186,8 @@ def dedup_batch(
         .select(
             "kept_id", "dropped_id",
             (
-                F.size(F.array_intersect("__ta", "__tb")).cast("double")
-                / F.size(F.array_union("__ta", "__tb"))
+                inter_w.cast("double")
+                / (F.size("__ta") + F.size("__tb") - inter_w)
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
