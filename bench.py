@@ -1049,7 +1049,8 @@ def vector_scale_timings(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from nsl_kdd_spark.functions.vector import (
-        cosine,
+        cosine_prenorm,
+        norm,
         sign_bits_hex,
         sign_probe_buckets,
     )
@@ -1084,9 +1085,13 @@ def vector_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 "__bucket", sign_bits_hex(F.col("embedding"), planes)
             ).persist()
             registry.count()
+            # probe shape mirrors semantic_dedup_batch's registry tier
+            # (optimization r13): norms hoisted below the bucket join —
+            # one norm fold per vector, one dot fold per candidate pair
             probes = batch.select(
                 F.col("vec_id").alias("id_l"),
                 F.col("embedding").alias("__lv"),
+                norm(F.col("embedding")).alias("__ln"),
                 F.explode(
                     sign_probe_buckets(F.col("embedding"), planes, 4)
                 ).alias("__bucket"),
@@ -1100,10 +1105,15 @@ def vector_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                     probes.join(
                         registry.select(
                             F.col("embedding").alias("__rv"), "__bucket"
-                        ),
+                        ).withColumn("__rn", norm(F.col("__rv"))),
                         on="__bucket",
                     )
-                    .filter(cosine(F.col("__lv"), F.col("__rv")) >= 0.95)
+                    .filter(
+                        cosine_prenorm(
+                            F.col("__lv"), F.col("__rv"),
+                            F.col("__ln"), F.col("__rn"),
+                        ) >= 0.95
+                    )
                     .select("id_l").distinct()
                     .write.format("noop").mode("overwrite").save()
                 )

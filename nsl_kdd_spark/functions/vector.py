@@ -35,6 +35,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenorm(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """:func:`cosine` with both norms precomputed per VECTOR:
+    ``dot(a, b) / (norm_a * norm_b)``. Pass ``norm_a``/``norm_b``
+    columns built with :func:`norm` in the pre-join projections so a
+    candidate pair costs ONE array fold (the dot) instead of three —
+    the norm folds run once per vector below the join, not once per
+    pair above it. The value is bit-identical to ``cosine(a, b)``:
+    same sequential dot fold, same sqrt, same multiply/divide order
+    (the q94 semantic_dedup precedent, extended engine-wide in
+    optimization r13), so NaN-on-zero-norm semantics are unchanged."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def sign_bits_hex(a: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one bit per plane (sign of the
     projection), packed into a long. ``planes`` is a small driver-side

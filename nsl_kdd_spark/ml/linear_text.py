@@ -51,7 +51,7 @@ heuristics per the BASELINE.md north-star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nsl_kdd_spark.functions.text import tokens
@@ -178,17 +178,84 @@ def classify_text(
     total order). The quality-gate usage is a filter on this result:
     ``classify_text(...).filter((col('label') == 'keep') &
     (col('margin_u') >= tau_u))``."""
-    scores = linear_text_scores(
-        df, id_col, text_col, weights, biases,
-        word_ngrams=word_ngrams, n_buckets=n_buckets,
+    if word_ngrams < 1:
+        raise ValueError(f"word_ngrams must be >= 1, got {word_ngrams}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(
+            f"n_buckets must be in [1, 2^16], got {n_buckets}"
+        )
+    # Optimization r13: the argmax no longer rides a per-(doc, class)
+    # row frame + rank window (plan: (id,label)-keyed SortMergeJoin +
+    # 2 window sorts). The class set is k-bounded by contract (biases
+    # DEFINES it), so collect it once — the knn_ivf centroid
+    # precedent — and compute all k per-class sums as conditional
+    # counters in ONE per-document aggregate; the argmax then folds
+    # into the projection. The weight lookup stays the UNTOUCHED
+    # broadcast of the caller's weights table (a first attempt
+    # pivoted weights to one row per bucket, which cost a per-call
+    # model-table shuffle + broadcast rebuild and measured SLOWER at
+    # the bench fixture). Values, tie-breaks (smallest label) and
+    # NULL-text behavior (NULL margin, smallest label) are pinned
+    # identical to the scores+window form by tests/test_linear_text.py.
+    brows = sorted(
+        (r["label"], int(r["bias_u"])) for r in biases.collect()
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("margin_u"), F.asc("label")
+    if not brows:
+        # empty class frame -> empty result, same schema as before
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("string").alias("label"),
+            F.lit(None).cast("long").alias("margin_u"),
+        ).filter(F.lit(False))
+    labels = [l for l, _ in brows]
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .withColumn("__gr", word_ngram_array(F.col("__tk"), word_ngrams))
+        .select(F.col(id_col), F.explode("__gr").alias("__g"))
+        .withColumn(
+            "bucket",
+            (md5_bucket16(F.col("__g")) % F.lit(n_buckets)).cast("int"),
+        )
     )
-    return (
-        scores.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # inner broadcast join exactly as linear_text_scores: a gram whose
+    # (bucket, label) cell is absent from the sparse weights simply
+    # feeds no row into that label's conditional sum -> contributes 0
+    sums = (
+        grams.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col)
+        .agg(*[
+            F.sum(
+                F.when(F.col("label") == lbl, F.col("w_u"))
+            ).alias(f"__sw{i}")
+            for i, lbl in enumerate(labels)
+        ])
+    )
+    scored = df.select(
+        F.col(id_col), ngram_count_expr(text_col, word_ngrams).alias("__n")
+    ).join(sums, on=id_col, how="left")
+
+    def margin(i: int) -> Column:
+        return (
+            F.col("__n").cast("long") * F.lit(brows[i][1])
+            + F.coalesce(F.col(f"__sw{i}"), F.lit(0))
+        )
+
+    # strict-greater replace over the ascending-sorted label list ==
+    # (margin desc, label asc) rank 1; all-NULL margins (NULL text)
+    # keep the first (smallest) label with a NULL margin, matching
+    # desc_nulls_last + label-asc ordering
+    best = F.struct(
+        margin(0).alias("m"), F.lit(labels[0]).alias("l")
+    )
+    for i in range(1, len(labels)):
+        best = F.when(
+            margin(i) > best["m"],
+            F.struct(margin(i).alias("m"), F.lit(labels[i]).alias("l")),
+        ).otherwise(best)
+    return scored.select(
+        F.col(id_col),
+        best["l"].alias("label"),
+        best["m"].alias("margin_u"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.ml.feature import (
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nsl_kdd_spark.functions.vector import cosine
+from nsl_kdd_spark.functions.vector import cosine_prenorm, norm
 
 
 def tfidf_pipeline(
@@ -202,19 +202,24 @@ def tfidf_similarity(
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
+    # norms hoisted below the join (optimization r13): TF-IDF vectors
+    # are vocab-width, so the per-pair norm folds dominated scoring —
+    # one fold per document/query now; cosine_prenorm is bit-identical
     c = model.transform(corpus).select(
         F.col(id_col), vector_to_array("tfidf").alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     q = model.transform(queries).select(
         F.col(id_col).alias("query_id"), vector_to_array("tfidf").alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id", id_col,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

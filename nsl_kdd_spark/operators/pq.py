@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from nsl_kdd_spark.functions.vector import cosine, to_double_array
+from nsl_kdd_spark.functions.vector import cosine_prenorm, norm, to_double_array
 
 
 def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
@@ -218,16 +218,19 @@ def knn_pq(
     # exact re-score of the shortlist: one narrow join on vec_id
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), to_double_array(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     qdf = queries.select(
         F.col(id_col).cast("long").alias("query_id"), to_double_array(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     exact = (
         top.select("query_id", "vec_id")
         .join(vecs, "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
-            "query_id", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+            "query_id", "vec_id",
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -439,16 +442,19 @@ def knn_ivfpq(
         )
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"), to_double_array(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     qdf = queries.select(
         F.col(id_col).cast("long").alias("query_id"), to_double_array(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     exact = (
         top.select("query_id", "vec_id")
         .join(vecs, "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
-            "query_id", "vec_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+            "query_id", "vec_id",
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from nsl_kdd_spark.functions.vector import (
     cosine,
     cosine_arrow,
+    cosine_prenorm,
     dot,
     dot_arrow,
     norm,
@@ -89,13 +90,21 @@ def knn_bruteforce(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
     )
     c = corpus.select(F.col(id_col), to_double_array(vec_col).alias("__cv"))
+    if metric == "cosine" and scorer == "fold":
+        # norms hoisted below the join (optimization r13): one norm
+        # fold per VECTOR instead of two per candidate pair;
+        # cosine_prenorm is bit-identical to cosine()
+        q = q.withColumn("__qn", norm(F.col("__qv")))
+        c = c.withColumn("__cn", norm(F.col("__cv")))
+        score_expr = cosine_prenorm(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        )
+    else:
+        score_expr = score_fn(F.col("__qv"), F.col("__cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col, id_col,
-            score_fn(F.col("__qv"), F.col("__cv")).alias(score_col),
-        )
+        .select(query_id_col, id_col, score_expr.alias(score_col))
     )
     if exclude is not None:
         scored = scored.join(
@@ -184,9 +193,12 @@ def cosine_pairs(
     so it is no longer reachable (VERDICT r01 "What's wrong" #2).
     """
     if block_col:
+        # per-row norm rides the self-join (optimization r13): each
+        # candidate pair pays one dot fold, not one dot + two norms;
+        # cosine_prenorm is bit-identical to cosine()
         e = df.select(
             F.col(id_col), to_double_array(vec_col).alias("__v"), F.col(block_col)
-        )
+        ).withColumn("__n", norm(F.col("__v")))
         a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
         b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
         return (
@@ -195,7 +207,10 @@ def cosine_pairs(
             .select(
                 F.col(f"{id_col}_a").alias("id_a"),
                 F.col(f"{id_col}_b").alias("id_b"),
-                cosine(F.col("__v_a"), F.col("__v_b")).alias("cos_sim"),
+                cosine_prenorm(
+                    F.col("__v_a"), F.col("__v_b"),
+                    F.col("__n_a"), F.col("__n_b"),
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
             .orderBy("id_a", "id_b")
@@ -210,7 +225,9 @@ def cosine_pairs(
     # one bucket column per band, explode to (band, bucket) rows, then a
     # single equi self-join on (band, bucket) — shuffle on the band key,
     # never a cartesian product
-    e = df.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+    e = df.select(
+        F.col(id_col), to_double_array(vec_col).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
     bands = F.array(*[
         F.struct(
             F.lit(band).alias("band"),
@@ -221,17 +238,21 @@ def cosine_pairs(
         for band in range(n_bands)
     ])
     e = e.withColumn("__b", F.explode(bands)).select(
-        id_col, "__v", F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket")
+        id_col, "__v", "__n",
+        F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket")
     )
-    a = e.select(*[F.col(c).alias(f"{c}_a") for c in (id_col, "__v")], "__band", "__bucket")
-    b = e.select(*[F.col(c).alias(f"{c}_b") for c in (id_col, "__v")], "__band", "__bucket")
+    a = e.select(*[F.col(c).alias(f"{c}_a") for c in (id_col, "__v", "__n")], "__band", "__bucket")
+    b = e.select(*[F.col(c).alias(f"{c}_b") for c in (id_col, "__v", "__n")], "__band", "__bucket")
     return (
         a.join(b, on=["__band", "__bucket"])
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .select(
             F.col(f"{id_col}_a").alias("id_a"),
             F.col(f"{id_col}_b").alias("id_b"),
-            cosine(F.col("__v_a"), F.col("__v_b")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("__v_a"), F.col("__v_b"),
+                F.col("__n_a"), F.col("__n_b"),
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
@@ -281,10 +302,14 @@ def knn_lsh(
     ``n_probe`` rows, so the join stays corpus-shuffle-free."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col), to_double_array(vec_col).alias("__cv"))
-    c = c.withColumn("__bucket", sign_bits_hex(F.col("__cv"), planes))
+    # norm hoisted below the bucket join (optimization r13): one fold
+    # per corpus row / per query row, not two folds per candidate pair
+    c = c.withColumn("__cn", norm(F.col("__cv"))).withColumn(
+        "__bucket", sign_bits_hex(F.col("__cv"), planes)
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     # a corpus row has ONE bucket and a query's probe buckets are
     # distinct, so no (query, corpus) pair can match twice — the
     # explode needs no downstream dedup (probe construction shared
@@ -298,7 +323,9 @@ def knn_lsh(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -338,13 +365,17 @@ def knn_ivf(
     vecs = c.withColumn("__v", array_to_vector("__cv"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select(id_col, "__cv", "__cell")
+    # norm hoisted below the cell join (optimization r13): one fold
+    # per corpus row / per query row, not two folds per candidate pair
+    assigned = model.transform(vecs).select(
+        id_col, "__cv", "__cell"
+    ).withColumn("__cn", norm(F.col("__cv")))
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     # nearest n_probe cells per query: literal centroid distances,
     # sorted as an array of (dist, cell) structs (shared with the
     # persisted-index path, round 7)
@@ -357,7 +388,9 @@ def knn_ivf(
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -520,13 +553,17 @@ def knn_ivf_index(
     cells = (
         spark.read.parquet(f"{path}/cells")
         .filter(F.col("__cell").isin([int(c) for c in probed]))
+        # one norm fold per stored vector, not per candidate pair
+        .withColumn("__cn", norm(F.col("__cv")))
     )
     scored = (
-        cells.join(F.broadcast(q), on="__cell")
+        cells.join(F.broadcast(q.withColumn("__qn", norm(F.col("__qv")))), on="__cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -797,17 +834,19 @@ def knn_quantized(
         )
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = quantized.select(
         F.col(id_col),
         F.transform("q_vec", lambda x: x.cast("double")).alias("__cv"),
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     approx = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qv"), F.col("__cv")).alias("approx_sim"),
+            cosine_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("approx_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -821,14 +860,16 @@ def knn_quantized(
         return cands.filter(F.col("rank") <= k).orderBy(query_id_col, "rank")
     ex = exact.select(
         F.col(id_col), to_double_array(vec_col).alias("__ev")
-    )
+    ).withColumn("__en", norm(F.col("__ev")))
     rescored = (
         cands.select(query_id_col, id_col)
         .join(ex, id_col)
         .join(F.broadcast(q), query_id_col)
         .select(
             query_id_col, id_col,
-            cosine(F.col("__qv"), F.col("__ev")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("__qv"), F.col("__ev"), F.col("__qn"), F.col("__en")
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(

@@ -47,7 +47,8 @@ from pyspark.sql.types import (
 )
 
 from nsl_kdd_spark.functions.vector import (
-    cosine,
+    cosine_prenorm,
+    norm,
     sign_bits_hex,
     sign_probe_buckets,
     to_double_array,
@@ -92,10 +93,16 @@ def semantic_dedup_batch(
     vec_id, then survivors matching any registry vector are dropped.
     ``n_probe = 2**n_planes`` probes every bucket = exact recall."""
     planes = hyperplanes(dim, n_planes, seed)
+    # the batch norm rides the checkpointed signature table
+    # (optimization r13): every candidate pair in BOTH verify joins
+    # costs one dot fold instead of one dot + two norm folds —
+    # cosine_prenorm is bit-identical to the previous cosine() filter
     sigs = batch.select(
         "vec_id", to_double_array("embedding").alias("embedding")
     ).withColumn(
         "__bucket", sign_bits_hex(F.col("embedding"), planes)
+    ).withColumn(
+        "__norm", norm(F.col("embedding"))
     ).localCheckpoint()
 
     # self-tier: candidates where one row's probe set covers the
@@ -105,6 +112,7 @@ def semantic_dedup_batch(
     probes = sigs.select(
         F.col("vec_id").alias("id_p"),
         F.col("embedding").alias("__pv"),
+        F.col("__norm").alias("__pn"),
         F.explode(
             sign_probe_buckets(F.col("embedding"), planes, n_probe)
         ).alias("__bucket"),
@@ -112,22 +120,30 @@ def semantic_dedup_batch(
     base = sigs.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("__bv"),
+        F.col("__norm").alias("__bn"),
         "__bucket",
     )
     self_dropped = (
         probes.join(base, on="__bucket")
         .filter(F.col("id_p") != F.col("id_b"))
-        .filter(cosine(F.col("__pv"), F.col("__bv")) >= threshold)
+        .filter(
+            cosine_prenorm(
+                F.col("__pv"), F.col("__bv"), F.col("__pn"), F.col("__bn")
+            ) >= threshold
+        )
         .select(F.greatest("id_p", "id_b").alias("vec_id"))
         .distinct()
     )
     survivors = sigs.join(self_dropped, "vec_id", "left_anti")
 
     # registry tier: probe the standing registry's buckets, exact
-    # cosine verifies every candidate before rejection
+    # cosine verifies every candidate before rejection (the registry
+    # norm is recomputed per batch probe — the stored registry schema
+    # stays (vec_id, embedding, __bucket))
     probes_s = survivors.select(
         F.col("vec_id").alias("id_l"),
         F.col("embedding").alias("__lv"),
+        F.col("__norm").alias("__ln"),
         F.explode(
             sign_probe_buckets(F.col("embedding"), planes, n_probe)
         ).alias("__bucket"),
@@ -136,14 +152,18 @@ def semantic_dedup_batch(
         probes_s.join(
             registry.select(
                 F.col("embedding").alias("__rv"), "__bucket"
-            ),
+            ).withColumn("__rn", norm(F.col("__rv"))),
             on="__bucket",
         )
-        .filter(cosine(F.col("__lv"), F.col("__rv")) >= threshold)
+        .filter(
+            cosine_prenorm(
+                F.col("__lv"), F.col("__rv"), F.col("__ln"), F.col("__rn")
+            ) >= threshold
+        )
         .select(F.col("id_l").alias("vec_id"))
         .distinct()
     )
-    return survivors.join(reg_hits, "vec_id", "left_anti")
+    return survivors.join(reg_hits, "vec_id", "left_anti").drop("__norm")
 
 
 def _vector_sink(

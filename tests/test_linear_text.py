@@ -182,3 +182,56 @@ def test_plan_broadcasts_model_and_single_big_shuffle(spark):
     assert "BroadcastHashJoin" in tree  # weights lookup
     assert "CartesianProduct" not in tree
     assert "EvalPython" not in plan
+
+
+def test_classify_matches_scores_plus_rank_form(spark):
+    """The r13 classify_text (wide-weight single aggregate, argmax in
+    the projection) must return EXACTLY what ranking
+    linear_text_scores per document returns — including NULL-text
+    docs (all-NULL margins -> smallest label, NULL margin), ties, and
+    sparse weights."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "beta gamma"),
+            (3, None),
+            (4, ""),
+            (5, "delta delta delta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    labels = ("keep", "mid", "toss")
+    # sparse model: only some buckets carry weight, one label absent
+    # from the weight table entirely (contributes bias only)
+    bkt_a = _bucket("alpha", 4096)
+    bkt_b = _bucket("beta", 4096)
+    w = spark.createDataFrame(
+        [(bkt_a, "keep", 500), (bkt_b, "toss", 700), (bkt_a, "mid", 500)],
+        "bucket int, label string, w_u long",
+    )
+    b = spark.createDataFrame(
+        [("toss", 7), ("keep", 10), ("mid", 10)],
+        "label string, bias_u long",
+    )
+    scores = {
+        (r.doc_id, r.label): r.margin_u
+        for r in linear_text_scores(
+            docs, "doc_id", "text", w, b, n_buckets=4096
+        ).collect()
+    }
+    expected = {}
+    for doc_id in (1, 2, 3, 4, 5):
+        per = {l: scores[(doc_id, l)] for l in labels}
+        if all(m is None for m in per.values()):
+            lbl = min(labels)
+            expected[doc_id] = (lbl, None)
+        else:
+            lbl = min(sorted(per), key=lambda l: (-per[l], l))
+            expected[doc_id] = (lbl, per[lbl])
+    got = {
+        r.doc_id: (r.label, r.margin_u)
+        for r in classify_text(
+            docs, "doc_id", "text", w, b, n_buckets=4096
+        ).collect()
+    }
+    assert got == expected
