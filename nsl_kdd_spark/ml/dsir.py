@@ -356,23 +356,32 @@ def dsir_fit_select(
     # linear_text identity, no third gram build
     from nsl_kdd_spark.ml.linear_text import ngram_count_expr
 
-    imp = (
-        raw.select(
-            F.col(id_col),
-            ngram_count_expr(text_col, word_ngrams).alias("__n"),
+    # Optimization r13 (guide §2.4): the margin attaches in the SAME
+    # raw-corpus scan that carries the output rows. The old form ran
+    # a SEPARATE raw scan just to project the token count, built a
+    # per-doc importance table from it, and equi-joined that back to
+    # raw — one whole corpus scan and one id-keyed join more than
+    # needed. Here the token count is a projection on the join-back
+    # scan itself, the 1-row bias attaches by broadcast cross join,
+    # and the id-keyed per-doc weight sums LEFT-join in (docs with no
+    # grams have no sums row and score coalesce(0), exactly as
+    # before). Result rows are identical for the operator's contract
+    # (unique ids; NULL ids still drop — their acceptance draw is
+    # NULL, and NULL comparisons are filter-false just as the old
+    # inner join dropped them). Pinned row-for-row against the
+    # compositional path by tests/test_dsir.py.
+    out = (
+        raw.withColumn(
+            "__n", ngram_count_expr(text_col, word_ngrams)
         )
         .crossJoin(F.broadcast(biases.select("bias_u")))
         .join(sums, on=id_col, how="left")
-        .select(
-            F.col(id_col),
-            (
-                F.col("__n").cast("long") * F.col("bias_u")
-                + F.coalesce("__sw", F.lit(0))
-            ).alias("log_w_u"),
+        .withColumn(
+            "log_w_u",
+            F.col("__n").cast("long") * F.col("bias_u")
+            + F.coalesce("__sw", F.lit(0)),
         )
-    )
-    out = (
-        raw.join(imp, on=id_col)
         .filter(_lu_u(id_col, salt) < F.col("log_w_u") - F.lit(int(tau_u)))
+        .drop("__n", "bias_u", "__sw")
     )
     return out if keep_score else out.drop("log_w_u")

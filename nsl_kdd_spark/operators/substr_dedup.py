@@ -46,12 +46,15 @@ Spark shape (100 TB) — deliberately NOT a suffix array:
   fan-out, streams under sort-merge, and AQE's skew-join split can
   further divide a hot gram's probe rows — none of which is
   possible for a window partition.
-- Hashes are the first 16 hex chars of md5 over the gram text
-  (winnow.py's layout — bit-identical in Spark and DuckDB, so the
-  oracle replays exactly). A production run at 1e11+ grams would
-  flip to ``xxhash64`` (8-byte longs, ~half the shuffle bytes, same
-  plan); collisions only ever MERGE two runs into one false
-  duplicated span (~n²/2⁶⁴ odds), never lose one.
+- Gram keys default to word-wise ``xxhash64`` longs (each token
+  hashed once, each gram key one fixed-width hash of its L word
+  hashes — optimization r13, see :func:`_word_gram_keys`); the
+  16-hex-md5-over-gram-text reference layout (winnow.py's, the one
+  the DuckDB oracle replays) stays available as
+  ``hash_mode="md5"``. The key never surfaces in the output — it
+  only defines gram equality — so the modes return identical spans
+  absent a 64-bit collision, which only ever MERGES two runs into
+  one false duplicated span (~n²/2⁶⁴ odds), never loses one.
 """
 
 from __future__ import annotations
@@ -96,22 +99,36 @@ def _evict_gram_cache(replacement: DataFrame) -> None:
         _GRAM_CACHE.append(replacement)
 
 
-def _gram_keys(toks, L: int, hash_mode: str):
-    """Per-position gram keys: the shared 16-hex md5 layout (DuckDB
-    -replayable, the oracle/fuzz contract) or 8-byte ``xxhash64``
-    longs — the production setting at 1e11+ grams, ~half the shuffle
-    bytes for the same plan (the module docstring's claim, made
-    executable round-10). Either key only ever MERGES two runs on a
-    collision (~n²/2⁶⁴ for xxhash64), never loses one; outputs are
-    identical between modes absent collisions (pinned by pytest
-    mode-equivalence, since no SQL engine replays xxhash64)."""
-    if hash_mode == "md5":
-        return _gram_hashes(toks, L)
+def _word_gram_keys(wh, L: int):
+    """Per-position 64-bit gram keys over a MATERIALIZED word-hash
+    array column (optimization r13, guide §1.2 per-task work — the
+    dedup.py ``_hashed_word_shingles`` pattern): each token's bytes
+    hash ONCE (one xxhash64 per word, in the caller's projection),
+    then every gram key is one fixed-width ``xxhash64`` over its L
+    word-hashes, built as ``arrays_zip`` of L shifted slices. The old
+    xxhash64 branch allocated a concatenated string per gram and
+    hashed its bytes — every word's bytes copied and hashed ~L times
+    (L=8 by default). Equality structure is unchanged: word sequences
+    are equal iff their hash tuples are equal (words cannot contain
+    the separator), under the same collision trust already documented
+    (~n²/2⁶⁴ only ever MERGES two runs, never loses one).
+
+    NOT ``element_at`` over the word-hash array inside the lambda —
+    projection collapse inlines the token-hash transform into each
+    ``element_at``, re-deriving the whole array per position (the
+    measured 6.6 s vs 0.5 s pitfall recorded in dedup.py). The zip
+    form references the materialized column only via slices."""
+    size = F.size(wh)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(wh, k + 1, size - (L - 1)).alias(f"_{k}")
+            for k in range(L)
+        ]
+    )
     return F.when(
-        F.size(toks) >= L,
+        size >= L,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (L - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, L))),
+            zipped, lambda s: F.xxhash64(*[s[f"_{k}"] for k in range(L)])
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
@@ -123,7 +140,7 @@ def duplicated_spans(
     min_tokens: int = 8,
     keep: str = "none",
     scope: str = "any",
-    hash_mode: str = "md5",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Maximal duplicated token runs: ``(id_col, span_start,
     span_end, span_tokens)`` with 1-based inclusive token positions.
@@ -149,10 +166,19 @@ def duplicated_spans(
         repetition-quality filter (functions/quality.py), so a
         chorus repeated inside one song lyric is not stripped.
 
-    ``hash_mode``: ``"md5"`` (default; 16-hex keys the DuckDB oracle
-    replays bit-exactly) or ``"xxhash64"`` (8-byte longs, ~half the
-    gram-shuffle bytes — the production setting at 1e11+ grams; see
-    :func:`_gram_keys`).
+    ``hash_mode``: ``"xxhash64"`` (default since optimization r13;
+    8-byte longs derived word-wise — one xxhash64 per token, one per
+    gram window — ~half the gram-shuffle bytes and ~6x less hashing
+    work than the md5 strings, see :func:`_word_gram_keys`) or
+    ``"md5"`` (the 16-hex-key reference implementation whose layout
+    the DuckDB oracle replays bit-exactly). The two modes return
+    IDENTICAL spans absent a 64-bit key collision — the key only
+    defines gram equality and never surfaces in the output — pinned
+    by the pytest mode-equivalence suite; the default flip is safe
+    for the q152/q153/q156 oracles because those compare the
+    hash-free span/strip output (the eb94dec decontamination
+    precedent). A collision only ever MERGES two runs into one false
+    duplicated span (~n²/2⁶⁴ odds), never loses one.
 
     Scale shape (round-10 verdict fix): duplicate detection is a
     map-side-partial ``groupBy(gram).agg(count, [countDistinct],
@@ -184,10 +210,21 @@ def duplicated_spans(
     # scan across consumers — without this the corpus is tokenized +
     # hashed twice. The q67 TF-IDF tier's persisted-TF pattern:
     # disk-backed blocks, ~the bytes the gram shuffle moves anyway.
+    if hash_mode == "md5":
+        keyed = df.select(
+            F.col(id_col), tokens(text_col).alias("__tk")
+        ).withColumn("__h", _gram_hashes(F.col("__tk"), L))
+    else:
+        # word-wise: the token-hash array MUST be a materialized
+        # column of its own projection (see _word_gram_keys)
+        keyed = df.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias(
+                "__wh"
+            ),
+        ).withColumn("__h", _word_gram_keys(F.col("__wh"), L))
     grams = (
-        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
-        .withColumn("__h", _gram_keys(F.col("__tk"), L, hash_mode))
-        .select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
+        keyed.select(F.col(id_col), F.posexplode("__h").alias("__p0", "__g"))
         .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # bound the cache to ONE outstanding gram table (round-10 review:
@@ -321,7 +358,7 @@ def strip_duplicate_spans(
     min_tokens: int = 8,
     keep: str = "none",
     scope: str = "any",
-    hash_mode: str = "md5",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """The curation output: ``(id_col, text_clean, removed_tokens)``
     — each document's text with every duplicated span (per

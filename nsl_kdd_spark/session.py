@@ -31,6 +31,27 @@ _ENGINE_CONF: dict[str, str] = {
     # Stable session timezone so timestamp results match the DuckDB
     # oracle regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Optimization r13 (guide §1.2 per-task work): InferFiltersFromGenerate
+    # inserts `size(e) > 0 AND e IS NOT NULL` below every non-outer
+    # explode/posexplode, INLINING the generator's input expression into
+    # the filter condition. Whole-stage codegen does not share
+    # subexpressions across the Filter/Project boundary, so every
+    # explode whose input is computed in the same stage — the engine's
+    # gram/shingle/bucket arrays: tokenize + n-gram build + hash per
+    # document — evaluates that whole pipeline TWICE per row. Generate
+    # already skips empty/null arrays, so the inferred filter is
+    # redundant work unless it can push to a scan, which never happens
+    # for computed arrays (and the engine's explodes of STORED arrays
+    # sit behind checkpoint/shuffle boundaries where the filter is a
+    # cheap column test). Excluding the rule is semantics-preserving by
+    # construction (it only ever ADDS redundant filters). Interleaved
+    # same-session A/B at sf0.1, min-of-3 noop-sink: dsir_fit_select
+    # 10.38 -> 4.79 s, classify_text 4.53 -> 2.45 s, duplicated_spans
+    # 7.76 -> 3.84 s. Scale-independent: the duplicated evaluation is
+    # per-row CPU in the scan stage at any cluster size.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Spark's default driver memory is 1g; in local mode the driver JVM
     # IS the executor, so size it like one (overridable per-process via
     # SPARK_GRAFT_DRIVER_MEM; a real cluster sets executor memory via

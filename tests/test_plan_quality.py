@@ -396,3 +396,22 @@ def test_percentile_exact_tier_is_distributed(spark):
     assert "percentile(" not in plan  # the buffering aggregate is gone
     assert "ObjectHashAggregate" not in plan
     assert "Window" in plan  # cumulative ranks over distinct values
+
+
+def test_generate_inputs_not_duplicated_into_filters(spark):
+    """Optimization r13 session gate (see session.py): with
+    InferFiltersFromGenerate excluded, the explode of a COMPUTED gram
+    array must not re-evaluate the tokenize+n-gram+hash pipeline
+    inside a pre-Generate Filter condition — codegen does not share
+    subexpressions across the Filter/Project boundary, so the
+    inferred `size(e) > 0` filter doubled the scan-stage hashing work
+    of every gram-shaped operator (measured ~2x on dsir/classify/
+    substr at sf0.1)."""
+    from nsl_kdd_spark.ml.dsir import ngram_bucket_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    plan = plan_of(ngram_bucket_counts(docs, "text", word_ngrams=2, n_buckets=256))
+    conds = [l for l in plan.splitlines() if "Condition" in l]
+    assert not any("split(" in c for c in conds), conds

@@ -300,6 +300,27 @@ def test_xxhash64_keys_are_longs_in_plan(spark):
     assert "xxhash64" in plan and "md5" not in plan
 
 
+def test_default_mode_is_wordwise_xxhash64(spark):
+    """Optimization r13 plan gate: the DEFAULT gram keys are word-wise
+    xxhash64 longs (each token hashed once, one fixed-width hash per
+    gram window — no md5, no per-gram string concat), and the zip
+    form keeps the token-hash transform out of the per-position
+    lambda (the projection-collapse pitfall re-derives the whole
+    word-hash array per position)."""
+    df = duplicated_spans(_docs(spark), "doc_id", "text", min_tokens=8)
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(df)
+    assert "xxhash64" in plan and "md5" not in plan
+    assert "arrays_zip" in plan
+    # the tokenize+hash pipeline runs ONCE: the slices reference the
+    # materialized word-hash column (a projection-collapse inline
+    # would repeat `split(` once per gram position, and the
+    # InferFiltersFromGenerate duplication — excluded session-wide,
+    # see session.py — would repeat it in a Filter condition)
+    assert plan.count("split(") <= 2
+
+
 def test_invalid_hash_mode_raises(spark):
     with pytest.raises(ValueError, match="hash_mode"):
         duplicated_spans(
