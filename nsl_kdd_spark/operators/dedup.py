@@ -588,21 +588,6 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold).orderBy("id_a", "id_b")
 
 
-_HEX = "0123456789abcdef"
-
-
-def _md5_bit(h: Column, b: int, nchars: int) -> Column:
-    """Bit ``b`` of the big-endian integer formed by the first
-    ``nchars`` hex chars of digest ``h`` — i.e. bit ``b % 4`` of hex
-    char ``nchars - b // 4`` (1-based, alphabet position via instr —
-    portable: strpos/instr agree across engines). Char-at-a-time
-    extraction so any width up to 128 bits works without long
-    overflow; the nchars = 4 case reproduces the original 16-bit
-    big-endian layout bit-for-bit."""
-    d = F.instr(F.lit(_HEX), F.substring(h, nchars - b // 4, 1)) - 1
-    return F.shiftright(d, b % 4).bitwiseAND(F.lit(1))
-
-
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -679,12 +664,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     if bits % 4 or not 4 <= bits <= 128:
         raise ValueError(f"bits must be a multiple of 4 in [4, 128], got {bits}")
     nchars = bits // 4
+    # Optimization r13 (guide §1.2 per-task work): the per-row bit
+    # source is ONE conv() per 60-bit chunk of the digest prefix, not
+    # one instr+substring per BIT (`_md5_bit`): bit b of the
+    # big-endian nchars-hex integer == bit (b - 60c) of the value of
+    # hex chars (nchars-15c-width, nchars-15c] for c = b div 60 —
+    # contiguous chars, so chunk values are exact longs (15 hex chars
+    # = 60 bits < 2^63, no sign/overflow) and every per-bit aggregate
+    # input collapses to shiftright(chunk, b mod 60) & 1. Bit-exact
+    # vs the per-char form by construction (pinned across widths by
+    # tests/test_operators_unit.py::test_simhash_chunk_extraction
+    # _matches_reference); the md5 column materializes in its own
+    # projection so multi-chunk widths never re-hash the token.
     tok = df.select(
         F.col(id_col).alias(id_col), F.explode(distinct_tokens(text_col)).alias("__t")
     ).select(id_col, F.md5(F.col("__t")).alias("__h"))
+    nchunks = (nchars + 14) // 15
+    chunk_exprs = []
+    for c in range(nchunks):
+        width = min(15, nchars - c * 15)
+        start = nchars - c * 15 - width + 1
+        chunk_exprs.append(
+            F.conv(F.substring(F.col("__h"), start, width), 16, 10)
+            .cast("long")
+            .alias(f"__c{c}")
+        )
+    tok = tok.select(id_col, *chunk_exprs)
     per_bit = tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(_md5_bit(F.col("__h"), b, nchars)).alias(f"__b{b}") for b in range(bits)],
+        *[
+            F.sum(
+                F.shiftright(F.col(f"__c{b // 60}"), b % 60).bitwiseAND(
+                    F.lit(1)
+                )
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ],
     )
 
     def pack(lo_bit: int, hi_bit: int):

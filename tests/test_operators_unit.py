@@ -1818,3 +1818,49 @@ def test_percentile_summary_exact_bitwise_matches_percentile_agg(spark):
         return out
 
     assert canon(new) == canon(old)
+
+
+def test_simhash_chunk_extraction_matches_reference(spark):
+    """Optimization r13: the chunked-conv bit source (one conv per
+    60-bit chunk of the digest prefix) must reproduce the documented
+    layout — bit b of the big-endian integer of the first ``bits/4``
+    hex chars of md5(token) — bit-for-bit at every width tier,
+    including the two-long >64-bit layout. Reference computed in pure
+    Python from hashlib.md5."""
+    import hashlib
+
+    from nsl_kdd_spark.operators.dedup import simhash
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "zeta eta theta iota kappa lambda"),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref_sig(text: str, bits: int) -> int:
+        nchars = bits // 4
+        toks = sorted(set(text.split(" ")))
+        votes = [0] * bits
+        for t in toks:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:nchars], 16)
+            for b in range(bits):
+                votes[b] += (v >> b) & 1
+        sig = 0
+        for b in range(bits):
+            if votes[b] * 2 > len(toks):
+                sig |= 1 << b
+        return sig
+
+    for bits in (16, 64, 128):
+        rows = {r["doc_id"]: r for r in simhash(df, "doc_id", "text", bits=bits).collect()}
+        for doc_id, text in docs:
+            expect = ref_sig(text, bits)
+            if bits <= 64:
+                got = rows[doc_id]["simhash"] & ((1 << bits) - 1) if bits < 64 else rows[doc_id]["simhash"] & 0xFFFFFFFFFFFFFFFF
+                assert got == expect & ((1 << bits) - 1), (bits, doc_id)
+            else:
+                lo = rows[doc_id]["simhash_lo"] & 0xFFFFFFFFFFFFFFFF
+                hi = rows[doc_id]["simhash_hi"] & ((1 << (bits - 64)) - 1)
+                assert (hi << 64) | lo == expect, (bits, doc_id)
