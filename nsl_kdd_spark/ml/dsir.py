@@ -335,6 +335,15 @@ def dsir_fit_select(
     silently recomputes its gram pass (costing what the
     compositional path costs). Materialize one result before
     computing the next when holding several.
+
+    Preconditions (advice r13): ``id_col`` values must be UNIQUE —
+    with duplicate ids the per-doc weight sums LEFT-join gives every
+    same-id row the COMBINED gram-weight sum and one output row each
+    (the compositional path's inner join would instead multiply
+    rows), so neither degenerate behavior is contractual. The fused
+    path also materializes the internal helper columns ``__n``,
+    ``bias_u`` and ``__sw`` on ``raw`` — input columns with those
+    names are reserved and get clobbered/dropped.
     """
     from pyspark import StorageLevel
 

@@ -37,7 +37,10 @@ def map_label(col: Column | str, mapping: Mapping[str, str],
     pairs: list[Column] = []
     for k, v in mapping.items():
         pairs += [F.lit(k), F.lit(v)]
-    looked_up = F.element_at(F.create_map(*pairs), c)
+    # try_element_at: NULL on unseen key under BOTH ANSI settings —
+    # plain element_at(map, key) throws under ANSI mode, breaking the
+    # strict=False null contract (and strict=True's raise_error path)
+    looked_up = F.try_element_at(F.create_map(*pairs), c)
     if not strict:
         return looked_up
     return F.when(

@@ -650,9 +650,12 @@ def _bpe_merge_fold(syms, left: str, right: str, merged: str):
             F.lit(False).alias("last_merged"),
         ),
         lambda acc, x: F.when(
+            # try_element_at: the size>0 conjunct does NOT protect
+            # element_at(-1) under ANSI mode — the optimizer may
+            # reorder conjuncts, and And() evaluates both sides
             (F.size(acc.res) > 0)
             & ~acc.last_merged
-            & (F.element_at(acc.res, -1) == lit_l)
+            & (F.try_element_at(acc.res, F.lit(-1)) == lit_l)
             & (x == lit_r),
             F.struct(
                 F.concat(
@@ -1035,9 +1038,11 @@ def apply_bpe_merges_to_vocab(
                     F.lit(False).alias("last_merged"),
                 ),
                 lambda acc, x: F.when(
+                    # try_element_at: ANSI-safe on the empty
+                    # accumulator (see _bpe_merge_fold)
                     (F.size(acc.res) > 0)
                     & ~acc.last_merged
-                    & (F.element_at(acc.res, -1) == lit_l)
+                    & (F.try_element_at(acc.res, F.lit(-1)) == lit_l)
                     & (x == lit_r),
                     F.struct(
                         F.concat(

@@ -760,7 +760,14 @@ def char_spans_to_bpe_token_spans(
             lambda acc, x: F.concat(
                 acc,
                 F.array(
-                    F.coalesce(F.element_at(acc, -1), F.lit(0)) + x
+                    # try_element_at: NULL (not an error) on the empty
+                    # accumulator of the first step — element_at(-1)
+                    # THROWS under ANSI mode, and the engine must be
+                    # correct on the caller's session either way
+                    F.coalesce(
+                        F.try_element_at(acc, F.lit(-1)), F.lit(0)
+                    )
+                    + x
                 ),
             ),
         )

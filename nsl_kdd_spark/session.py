@@ -82,6 +82,17 @@ def get_session(
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+        # merge, don't replace, the optimizer-rule exclusion (advice
+        # r13): a caller/deployment exclusion list would otherwise
+        # silently re-enable InferFiltersFromGenerate (measured ~2x
+        # per-row scan-stage regression on every explode-of-computed-
+        # array operator) — and ours would silently drop theirs
+        key = "spark.sql.optimizer.excludedRules"
+        if key in extra_conf:
+            ours = _ENGINE_CONF[key]
+            theirs = extra_conf[key]
+            if ours not in theirs.split(","):
+                conf[key] = f"{theirs},{ours}"
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,5 +1,6 @@
 """Capture .explain('formatted') output for named queries into
-plans/r13/<query>_<tag>.txt.
+plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_ROUND,
+default r14).
 
 Usage: python tools/capture_plans.py <tag> <query> [<query> ...]
 """
@@ -36,7 +37,9 @@ def main() -> None:
             df.explain("formatted")
         finally:
             sys.stdout = stdout
-        path = f"/root/repo/plans/r13/{name}_{tag}.txt"
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "r14")
+        os.makedirs(f"/root/repo/plans/{rnd}", exist_ok=True)
+        path = f"/root/repo/plans/{rnd}/{name}_{tag}.txt"
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print(f"wrote {path} ({len(buf.getvalue())} bytes)")

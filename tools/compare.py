@@ -8,11 +8,19 @@ Floats are compared both exactly and at 1e-9 relative tolerance so a
 mismatch report shows whether it's a real bug or float noise.
 
 Usage: python tools/compare.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_ANSI=1`` to run the Spark side with
+``spark.sql.ansi.enabled=true`` — the driver's harness session is a
+stock PySpark 4.x session (ANSI ON by default), so the catalog must
+produce identical results under either setting (round-13 verdict:
+q189/q196 crashed only on the driver because element_at(-1) on an
+empty fold accumulator throws under ANSI).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -60,6 +68,9 @@ def main() -> int:
         return 2
 
     spark = get_session(master="local[8]", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("(spark.sql.ansi.enabled=true — driver-session replica)")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
