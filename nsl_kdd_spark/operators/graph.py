@@ -12,7 +12,7 @@ large-star/small-star; the API stays the same.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -97,33 +97,43 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nmin"))
         )
+        # the pre-iteration label rides along as __comp_old so the
+        # convergence check is a side METRIC of the round's own
+        # materialization (optimization r14, guide §2.4): the old
+        # form re-joined new labels to old labels and counted — a
+        # full extra join job per iteration whose only output was
+        # one driver-side long
         propagated = (
             labels.join(neighbor_min, on=[labels.node == neighbor_min.a], how="left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp")))
                 .alias("comp"),
+                F.col("comp").alias("__comp_old"),
             )
         )
         # compression: comp labels are node ids, so comp(comp) is
         # defined; shortcuts chains (pointer-jumping step)
-        x, y = propagated.alias("x"), propagated.alias("y")
+        x = propagated.alias("x")
+        y = propagated.select("node", "comp").alias("y")
+        obs = Observation()
         new_labels = _truncate_lineage(
             x.join(y, on=[F.col("x.comp") == F.col("y.node")], how="left")
             .select(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+                F.col("x.__comp_old").alias("__comp_old"),
+            )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("comp") != F.col("__comp_old"), True)
+                ).alias("changed"),
             ),
             checkpoint_dir,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "comp")
+        if int(obs.get["changed"]) == 0:
             break
     und.unpersist()
     return labels.orderBy("node")
@@ -166,8 +176,11 @@ def pagerank(
 
     Scale shape (100 TB): the loop is driver control flow only; each
     iteration is one equi-join edges->ranks (shuffle on node key) +
-    one grouped integer sum + a 1-row dangling aggregate cross-joined
-    back (no driver scalar round-trip). Rank tables have their
+    one grouped integer sum. The dangling mass is ONE long per
+    iteration, observed as a side metric of the iteration's own
+    materialization (``DataFrame.observe`` — optimization r14): no
+    separate ranks-scan aggregate, no broadcast exchange, no extra
+    job at any cluster size. Rank tables have their
     self-referential lineage truncated per iteration — pass
     ``checkpoint_dir`` on a real cluster for reliable ``checkpoint()``
     instead of ``localCheckpoint`` (see :func:`_truncate_lineage`).
@@ -218,11 +231,29 @@ def pagerank(
         .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")),
         checkpoint_dir,
     )
-    n = base.count()
+    # one pre-loop job computes BOTH the node count and the dangling
+    # count (optimization r14: same job the old bare count() cost)
+    sizes = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("outdeg") == 0, True)).alias("n_dang"),
+    ).first()
+    n = sizes["n"]
     if n == 0:
         return base.select("node", F.lit(0).cast("long").alias("rank"))
     teleport = scale // n
     ranks = base.withColumn("rank", F.lit(teleport).cast("long"))
+    # dangling mass of the CURRENT ranks, as a driver-side long.
+    # Initially every rank is `teleport`; inside the loop the next
+    # value is observed for free during the iteration's lineage-
+    # truncating materialization (optimization r14, guide §2.4):
+    # the old form ran a separate ranks-scan aggregate plus a
+    # broadcast-exchange build — two extra jobs per iteration — to
+    # attach a single long that the checkpoint pass can just as well
+    # sum on the side (Observation metrics ride the action that
+    # materializes the table; exact integer sum, retry-safe by the
+    # CollectMetrics contract, so the rank sequence is bit-identical
+    # — proven by the unit suite and the q103/q127 oracles).
+    dang = teleport * sizes["n_dang"]
 
     for _ in range(iterations):
         contrib = (
@@ -232,23 +263,30 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        dang = ranks.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
-        )
+        obs = Observation()
         ranks = _truncate_lineage(
             base.join(contrib, base.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "outdeg",
                 F.expr(
                     f"({(1000 - damping_pm) * teleport} "
                     f"+ {damping_pm} * (coalesce(contrib, 0) "
-                    f"+ (dang div {n}))) div 1000"
+                    f"+ {dang // n})) div 1000"
                 ).alias("rank"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("outdeg") == 0, F.col("rank"))
+                ).alias("dang"),
             ),
             checkpoint_dir,
         )
+        # blocks until the materialization above has run (it has:
+        # _truncate_lineage is eager in both modes)
+        got = obs.get["dang"]
+        dang = int(got) if got is not None else 0
     e.unpersist()
     return ranks.select("node", "rank")
 
