@@ -1101,7 +1101,7 @@ def vector_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                 len(seen) < 3 and max(seen) > 3 * min(seen)
             ):
                 t0 = time.perf_counter()
-                (
+                hits = (
                     probes.join(
                         registry.select(
                             F.col("embedding").alias("__rv"), "__bucket"
@@ -1114,7 +1114,14 @@ def vector_scale_timings(spark, sf_dir: str) -> dict[str, float]:
                             F.col("__ln"), F.col("__rn"),
                         ) >= 0.95
                     )
-                    .select("id_l").distinct()
+                    # mirror of semantic_dedup_batch's reg tier after
+                    # optimization r14: hits feed the operator's
+                    # left_anti join (EXISTS semantics, no distinct)
+                    .select(F.col("id_l").alias("vec_id"))
+                )
+                (
+                    batch.join(hits, "vec_id", "left_anti")
+                    .select("vec_id")
                     .write.format("noop").mode("overwrite").save()
                 )
                 seen.append(round(time.perf_counter() - t0, 3))

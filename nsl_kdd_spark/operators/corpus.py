@@ -67,7 +67,10 @@ def corpus_clean(
     pairs = jaccard_pairs(
         s2, id_col, text_col, n=cfg.shingle_n, threshold=cfg.jaccard_threshold
     )
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # left_anti is EXISTS-semantics: duplicate id_b rows (one per
+    # partner) change nothing, so the distinct's exchange+aggregate
+    # was pure overhead (optimization r14, guide §2.4)
+    drop = pairs.select(F.col("id_b").alias(id_col))
     s3 = s2.join(drop, on=id_col, how="left_anti").cache()
 
     s4 = s3.filter(

@@ -84,7 +84,11 @@ def upsert(
     source = _one_image_per_key(source, keys, seq_col, validate, "upsert")
     if extra:
         source = source.drop(seq_col)
-    keep = target.join(source.select(*keys).distinct(), list(keys), "left_anti")
+    # no distinct on the anti key set (optimization r14, guide §2.4):
+    # _one_image_per_key already guarantees one row per key, and a
+    # left_anti join is EXISTS-semantics anyway — the distinct was a
+    # full extra exchange+aggregate deduplicating already-unique keys
+    keep = target.join(source.select(*keys), list(keys), "left_anti")
     return keep.unionByName(source)
 
 
@@ -107,7 +111,9 @@ def apply_changes(
     if op_col not in changes.columns:
         raise ValueError(f"apply_changes: missing op column {op_col!r}")
     changes = _one_image_per_key(changes, keys, seq_col, validate, "apply_changes")
-    keep = target.join(changes.select(*keys).distinct(), list(keys), "left_anti")
+    # same as upsert: keys are unique post-_one_image_per_key and
+    # left_anti ignores duplicates — distinct removed (r14)
+    keep = target.join(changes.select(*keys), list(keys), "left_anti")
     upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
     if seq_col is not None and seq_col not in target.columns:
         upserts = upserts.drop(seq_col)

@@ -687,23 +687,34 @@ def semantic_dedup(
     # per-row norms ride the pair join so each candidate pair costs one
     # dot fold, not one dot + two norm folds (same values -> bit-equal)
     a = assigned.select(
-        F.col(id_col).alias("__ida"), "__cid",
+        F.col(id_col).alias("__ida"), F.col("__cid").alias("__cida"),
         F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__idb"), "__cid",
+        F.col(id_col).alias("__idb"), F.col("__cid").alias("__cidb"),
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
+    # LEFT SEMI with the cosine test as a join predicate (optimization
+    # r14, guide §3): the consumer only needs EXISTS — "some lower-id
+    # twin reaches the threshold" — so the hash-join probe stops at the
+    # FIRST witness per id instead of materializing every qualifying
+    # pair and re-deduplicating. Same drop set by construction (semi ==
+    # distinct-of-inner on the probe key); kills the distinct's
+    # exchange+agg, and on a dense near-dup cluster of size m the
+    # verify cost falls from ~m^2 cosine folds to ~m (early exit)
     dropped = (
-        a.join(b, "__cid")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(
-            dot(F.col("__va"), F.col("__vb"))
-            / (F.col("__na") * F.col("__nb"))
-            >= F.lit(threshold)
+        b.join(
+            a,
+            on=[
+                F.col("__ida") < F.col("__idb"),
+                F.col("__cidb") == F.col("__cida"),
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+                >= F.lit(threshold),
+            ],
+            how="left_semi",
         )
         .select(F.col("__idb").alias(id_col))
-        .distinct()
         .withColumn("__drop", F.lit(True))
     )
     return assigned.join(dropped, on=id_col, how="left").select(

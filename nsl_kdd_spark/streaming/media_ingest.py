@@ -106,9 +106,10 @@ def _media_sink(
         sigs, "media_id", sig_cols,
         bands=bands, max_hamming=max_hamming,
     )
-    self_dropped = self_pairs.select(
-        F.col("id_b").alias("media_id")
-    ).distinct()
+    # no distinct before the left_anti (optimization r14, guide §2.4):
+    # anti joins are EXISTS-semantics, duplicate id_b witnesses change
+    # nothing — the distinct was an extra exchange+agg per micro-batch
+    self_dropped = self_pairs.select(F.col("id_b").alias("media_id"))
     survivors = sigs.join(self_dropped, "media_id", "left_anti")
     # registry tier: any match within max_hamming rejects. Fallback
     # to an empty registry only when nothing ever committed — a
@@ -121,7 +122,7 @@ def _media_sink(
         survivors, registry,
         "media_id", sig_cols, "media_id", sig_cols,
         bands=bands, max_hamming=max_hamming,
-    ).select(F.col("id_l").alias("media_id")).distinct()
+    ).select(F.col("id_l").alias("media_id"))  # anti-consumer: no distinct (r14)
     accepted_sigs = survivors.join(
         reg_hits, "media_id", "left_anti"
     ).persist()

@@ -131,8 +131,11 @@ def semantic_dedup_batch(
                 F.col("__pv"), F.col("__bv"), F.col("__pn"), F.col("__bn")
             ) >= threshold
         )
+        # no distinct (optimization r14, guide §2.4): the consumer is
+        # a left_anti join — EXISTS semantics — so duplicate witness
+        # rows change nothing and the distinct's exchange+aggregate
+        # was a whole extra stage per micro-batch
         .select(F.greatest("id_p", "id_b").alias("vec_id"))
-        .distinct()
     )
     survivors = sigs.join(self_dropped, "vec_id", "left_anti")
 
@@ -160,8 +163,8 @@ def semantic_dedup_batch(
                 F.col("__lv"), F.col("__rv"), F.col("__ln"), F.col("__rn")
             ) >= threshold
         )
+        # same EXISTS argument as the self-tier: distinct removed (r14)
         .select(F.col("id_l").alias("vec_id"))
-        .distinct()
     )
     return survivors.join(reg_hits, "vec_id", "left_anti").drop("__norm")
 
