@@ -12,7 +12,7 @@ large-star/small-star; the API stays the same.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -98,11 +98,18 @@ def connected_components(
             .agg(F.min("comp").alias("nmin"))
         )
         # the pre-iteration label rides along as __comp_old so the
-        # convergence check is a side METRIC of the round's own
-        # materialization (optimization r14, guide §2.4): the old
+        # convergence check is one CHEAP count over the round's own
+        # checkpointed table (optimization r14, guide §2.4): the old
         # form re-joined new labels to old labels and counted — a
         # full extra join job per iteration whose only output was
-        # one driver-side long
+        # one driver-side long. (NOT DataFrame.observe: registering
+        # a pyspark Observation initializes the session's lazy
+        # ObservationManager, which is not java-serializable — any
+        # LATER task closure capturing the SparkSession, e.g. an ML
+        # model whose training summary holds the session, then dies
+        # with Task-not-serializable. Measured in this repo's ANSI
+        # gate: q39_rf_classifier crashed whenever ANY observe query
+        # had run earlier in the same session.)
         propagated = (
             labels.join(neighbor_min, on=[labels.node == neighbor_min.a], how="left")
             .select(
@@ -116,24 +123,24 @@ def connected_components(
         # defined; shortcuts chains (pointer-jumping step)
         x = propagated.alias("x")
         y = propagated.select("node", "comp").alias("y")
-        obs = Observation()
         new_labels = _truncate_lineage(
             x.join(y, on=[F.col("x.comp") == F.col("y.node")], how="left")
             .select(
                 F.col("x.node").alias("node"),
                 F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
                 F.col("x.__comp_old").alias("__comp_old"),
-            )
-            .observe(
-                obs,
-                F.count(
-                    F.when(F.col("comp") != F.col("__comp_old"), True)
-                ).alias("changed"),
             ),
             checkpoint_dir,
         )
+        # one scan of the just-pinned label table (no join, no wide
+        # exchange — partial counts + a 1-row reduce)
+        changed = new_labels.agg(
+            F.count(
+                F.when(F.col("comp") != F.col("__comp_old"), True)
+            ).alias("changed")
+        ).first()["changed"]
         labels = new_labels.select("node", "comp")
-        if int(obs.get["changed"]) == 0:
+        if int(changed) == 0:
             break
     und.unpersist()
     return labels.orderBy("node")
@@ -177,10 +184,10 @@ def pagerank(
     Scale shape (100 TB): the loop is driver control flow only; each
     iteration is one equi-join edges->ranks (shuffle on node key) +
     one grouped integer sum. The dangling mass is ONE long per
-    iteration, observed as a side metric of the iteration's own
-    materialization (``DataFrame.observe`` — optimization r14): no
-    separate ranks-scan aggregate, no broadcast exchange, no extra
-    job at any cluster size. Rank tables have their
+    iteration, summed by a cheap scan of the just-pinned rank table
+    (optimization r14): no pre-materialization ranks-scan aggregate
+    (which re-ran the iteration's join), no broadcast exchange —
+    the driver carries it as a literal. Rank tables have their
     self-referential lineage truncated per iteration — pass
     ``checkpoint_dir`` on a real cluster for reliable ``checkpoint()``
     instead of ``localCheckpoint`` (see :func:`_truncate_lineage`).
@@ -244,15 +251,19 @@ def pagerank(
     ranks = base.withColumn("rank", F.lit(teleport).cast("long"))
     # dangling mass of the CURRENT ranks, as a driver-side long.
     # Initially every rank is `teleport`; inside the loop the next
-    # value is observed for free during the iteration's lineage-
-    # truncating materialization (optimization r14, guide §2.4):
-    # the old form ran a separate ranks-scan aggregate plus a
-    # broadcast-exchange build — two extra jobs per iteration — to
-    # attach a single long that the checkpoint pass can just as well
-    # sum on the side (Observation metrics ride the action that
-    # materializes the table; exact integer sum, retry-safe by the
-    # CollectMetrics contract, so the rank sequence is bit-identical
-    # — proven by the unit suite and the q103/q127 oracles).
+    # value is ONE cheap scan of the just-pinned rank table
+    # (optimization r14, guide §2.4): the old form ran a separate
+    # ranks-scan aggregate BEFORE the rank table was materialized —
+    # re-running the iteration's join — plus a broadcast-exchange
+    # build to attach a single long that the driver can just as well
+    # carry as a literal. (NOT DataFrame.observe: registering a
+    # pyspark Observation initializes the session's lazy
+    # ObservationManager, which is not java-serializable — any LATER
+    # task closure capturing the SparkSession, e.g. an ML model whose
+    # training summary holds the session, then dies with
+    # Task-not-serializable. Measured in this repo's ANSI gate:
+    # q39_rf_classifier crashed whenever ANY observe query had run
+    # earlier in the same session.)
     dang = teleport * sizes["n_dang"]
 
     for _ in range(iterations):
@@ -263,7 +274,6 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        obs = Observation()
         ranks = _truncate_lineage(
             base.join(contrib, base.node == contrib.dst, "left")
             .select(
@@ -274,18 +284,15 @@ def pagerank(
                     f"+ {damping_pm} * (coalesce(contrib, 0) "
                     f"+ {dang // n})) div 1000"
                 ).alias("rank"),
-            )
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("outdeg") == 0, F.col("rank"))
-                ).alias("dang"),
             ),
             checkpoint_dir,
         )
-        # blocks until the materialization above has run (it has:
-        # _truncate_lineage is eager in both modes)
-        got = obs.get["dang"]
+        # one scan of the pinned blocks (no join, no wide exchange —
+        # partial sums + a 1-row reduce); exact integer sum, so the
+        # rank sequence is bit-identical (unit suite + q103/q127)
+        got = ranks.agg(
+            F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))).alias("dang")
+        ).first()["dang"]
         dang = int(got) if got is not None else 0
     e.unpersist()
     return ranks.select("node", "rank")
