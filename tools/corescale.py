@@ -125,28 +125,45 @@ def main() -> None:
         print(json.dumps(run_one(int(sys.argv[2]))))
         return
 
+    # This sandbox's hypervisor steal AMPLIFIES with thread count
+    # (13-22% sampled steal + 55-77% idle during 32-thread runs while
+    # 8-thread runs read ~0%), and bursts outlast a whole min-of-3
+    # window — measured swings of 7.6 -> 55.7 s on the SAME 32-core
+    # cell across back-to-back invocations. So: alternate fresh
+    # 32c/8c JVM pairs N times (tight temporal pairing), report the
+    # per-cell MIN across rounds as the demonstrated-capability
+    # estimator (BASELINE.md's envelope rule), and keep EVERY raw
+    # round in the record with its own steal canary so the estimator
+    # is auditable rather than cherry-picked.
+    rounds = int(os.environ.get("CORESCALE_ROUNDS", "3"))
     core_counts = [int(c) for c in (sys.argv[1:] or ["32", "8"])]
-    results: dict[str, dict] = {}
-    for c in core_counts:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(c)],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[f"cores_{c}"] = json.loads(line)
+    raw: list[dict] = []
+    for r in range(rounds):
+        for c in core_counts:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", str(c)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            raw.append({"round": r, "cores": c, **json.loads(line)})
+
+    def best(cores: int) -> dict:
+        runs = [x for x in raw if x["cores"] == cores]
+        cells = [k for k in runs[0] if k not in ("round", "cores", "host_steal_pct")]
+        return {cell: min(x[cell] for x in runs) for cell in cells}
 
     hi, lo = core_counts[0], core_counts[-1]
-    ratios = {
-        cell: round(results[f"cores_{lo}"][cell] / results[f"cores_{hi}"][cell], 2)
-        for cell in results[f"cores_{hi}"]
-        if cell != "host_steal_pct"
-    }
+    bhi, blo = best(hi), best(lo)
+    ratios = {cell: round(blo[cell] / bhi[cell], 2) for cell in bhi}
     record = {
-        "metric": f"wall-clock sec at local[{hi}] vs local[{lo}], "
-                  "noop sink, min of 3, fresh JVM per core count",
+        "metric": f"wall-clock sec at local[{hi}] vs local[{lo}], noop "
+                  "sink, fresh JVM per (round, core count), per-cell min "
+                  f"over {rounds} alternating rounds x min-of-3 reps",
         "core_counts": core_counts,
-        **results,
+        f"cores_{hi}": bhi,
+        f"cores_{lo}": blo,
         f"ratio_{lo}c_over_{hi}c": ratios,
+        "raw_rounds": raw,
     }
     path = os.path.join(REPO, "records", "CORESCALE_r14.json")
     with open(path, "w") as f:
