@@ -78,10 +78,19 @@ def connected_components(
     use reliable ``checkpoint()`` instead of ``localCheckpoint``
     (survives executor loss over long iterations — see
     :func:`_truncate_lineage`)."""
+    # hash-partition by b — the per-iteration join key — BEFORE the
+    # dedup and the persist (optimization r14, the same §2.4 shape
+    # pagerank got in r13): HashPartitioning(b) satisfies the dedup
+    # aggregate's ClusteredDistribution({a, b}) requirement (subset
+    # rule), so dropDuplicates AFTER the repartition plans with NO
+    # second exchange, and every iteration's neighbor_min join reads
+    # the persisted b-partitioning instead of re-shuffling the full
+    # edge table — one edge shuffle total instead of one per round.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .repartition("b")
+        .dropDuplicates()
         .persist()
     )
     labels = _truncate_lineage(
@@ -199,13 +208,23 @@ def pagerank(
     — one edge shuffle total instead of one per iteration (the cost
     that grows with edge count; measured 4x-edges tier 6.7 -> 5.0 s
     at 5 iterations, and the outdeg aggregate rides the same
-    partitioning for free).
+    partitioning for free). The unweighted dedup runs AFTER that
+    repartition (optimization r14): HashPartitioning(src) satisfies
+    the dedup aggregate's clustered-distribution requirement, so the
+    whole setup costs ONE edge exchange, not distinct's + the
+    repartition's.
     """
     if weight is None:
+        # dedup AFTER the src repartition below: HashPartitioning(src)
+        # satisfies the dedup aggregate's ClusteredDistribution
+        # ({src, dst, w}) (subset rule), so the dedup plans with NO
+        # exchange of its own — one edge shuffle total for setup
+        # instead of two (optimization r14; the r13 shape was
+        # distinct-then-repartition, two full edge exchanges)
         e = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.lit(1).cast("long").alias("w"),
-        ).distinct()
+        ).repartition("src").dropDuplicates()
     else:
         w0 = F.col(weight).cast("long")
         e = edges.select(
@@ -222,11 +241,10 @@ def pagerank(
                     )
                 ).cast("long"),
             ).otherwise(w0).alias("w"),
-        )
-    # one shuffle by the join key now, zero per iteration (see
-    # docstring; distinct-first keeps the repartition moving deduped
-    # rows only)
-    e = e.repartition("src").persist()
+        ).repartition("src")
+    # one shuffle by the join key for setup, zero per iteration (see
+    # docstring)
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
